@@ -1,13 +1,349 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ChunkedFetcher, Tables}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is a named entry in [[queries]]; where
+  * the semantics are SQL-expressible the matching DuckDB oracle is in
+  * [[oracleSql]] (same column names, same deterministic ORDER BY — the
+  * driver hash-compares). Approximate / hash-seeded operators (MinHash,
+  * SimHash, LSH-ANN, xxhash fingerprints) have no oracle and get the
+  * rows-only check; their correctness is asserted in the scalatest suite
+  * against exact counterparts.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(name: String)(f: DataFrame => DataFrame): Q =
+    (s, dir) => f(Tables.load(s, dir, name))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Reference-shaped chunked fetch (distinct keys → chunks → filtered
+    * scans → union) feeding a star-join aggregate.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val fetcher = ChunkedFetcher(spark, dir, "orders")
+    val chunks = fetcher.chunks("o_custkey", byNbChunks = 4)
+    val orders = fetcher.fetchAll(chunks)
+    Relational.revenueByRegion(orders,
+      Tables.customer(spark, dir), Tables.nation(spark, dir), Tables.region(spark, dir))
+  }
+
+  // decimal-exact double sum the oracle mirrors bit-for-bit
+  private def DS(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
+  def queries: Map[String, Q] = Map(
+    // ---- A/B/C/D: reference surface (scan/filter/distinct/agg/chunks) ----
+    "q_scan_filter" -> t("lineitem")(Relational.filteredScan(_, Seq("A", "R"))),
+    "q_distinct" -> t("customer")(Relational.distinctValues),
+    "q_groupby_count" -> t("orders")(Relational.groupByCount),
+    "q_scalar_sum" -> t("lineitem")(Relational.scalarSum),
+    "q_dispersion" -> t("orders")(Relational.dispersion(_)),
+    "q_chunked_fetch" -> ((s, dir) => {
+      val fetcher = ChunkedFetcher(s, dir, "orders")
+      val chunks = fetcher.chunks("o_custkey", byNbChunks = 8)
+      fetcher.fetchAll(chunks)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+    // ---- E: joins ----
+    "q_join_star" -> ((s, dir) => Relational.revenueByRegion(
+      Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_join_full" -> ((s, dir) => Relational.joinFullOuter(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_join_semi" -> ((s, dir) => Relational.joinSemi(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_join_anti" -> ((s, dir) => Relational.joinAnti(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_join_range" -> t("part")(Relational.joinRangeBands),
+    "q_join_cross" -> ((s, dir) => Relational.crossCount(Tables.nation(s, dir), Tables.region(s, dir))),
+    // ---- F: windows / sorts / limits ----
+    "q_window_rank" -> t("orders")(Windows.topOrdersPerCustomer(_, 3)),
+    "q_window_lag" -> t("orders")(Windows.orderPriceDelta),
+    "q_window_running" -> t("orders")(Windows.runningRevenue),
+    "q_window_ntile" -> t("part")(Windows.priceQuartiles),
+    "q_topk" -> t("orders")(Windows.topKOrders(_, 25)),
+    // ---- G: grouping extensions + set ops ----
+    "q_rollup" -> t("orders")(Grouping.rollupRevenue),
+    "q_cube" -> t("lineitem")(Grouping.cubeQuantity),
+    "q_count_distinct" -> t("orders")(Grouping.distinctCounts),
+    "q_approx_distinct" -> t("orders")(Grouping.approxDistinctCounts), // no oracle: HLL estimate
+    "q_intersect" -> ((s, dir) => Grouping.intersectNations(Tables.customer(s, dir), Tables.supplier(s, dir))),
+    "q_except" -> t("orders")(Grouping.exceptUrgent),
+    "q_union_counts" -> t("orders")(Grouping.unionAllCounts),
+    // ---- H: text analysis ----
+    "q_text_stats" -> t("documents")(Text.textStats),
+    "q_quality" -> t("documents")(Text.qualityScore),
+    "q_token_counts" -> t("documents")(Text.tokenCounts),
+    "q_lang_id" -> t("documents")(Text.langId),
+    "q_fingerprints" -> t("documents")(Text.fingerprints), // no oracle: xxhash64
+    "q_json_extract" -> t("events")(Text.jsonExtract),
+    // ---- H: dedup ----
+    "q_dedup_exact" -> t("documents")(Dedup.exactDedup),
+    "q_dedup_hash" -> t("documents")(Dedup.hashDedup),
+    "q_jaccard_pairs" -> t("documents")(Dedup.jaccardPairs(_, 0.5)),
+    "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)), // no oracle: LSH recall
+    "q_simhash" -> t("documents")(Dedup.simhash), // no oracle: xxhash64
+    "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)), // no oracle: xxhash64
+    // ---- H: similarity search ----
+    "q_embed_norms" -> t("embeddings")(Similarity.norms),
+    "q_cosine_topk" -> t("embeddings")(Similarity.cosineTopK(_, 20, 5)),
+    "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
+    "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion),
+    "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
+    // ---- H: multimodal plumbing ----
+    "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
+    // ---- I: events / time-series ----
+    "q_events_tumbling" -> t("events")(Events.tumbling),
+    "q_events_sliding" -> t("events")(Events.sliding),
+    "q_events_sessions" -> t("events")(Events.sessions),
+    "q_events_sessions_lag" -> t("events")(Events.sessionsViaLag(_)),
+    "q_events_asof" -> t("events")(Events.asofPurchaseView),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_returnflag IN ('A','R')
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice""",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_groupby_count" ->
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_scalar_sum" ->
+      s"SELECT ${DS("l_quantity")} AS sum_qty, ${DS("l_extendedprice")} AS sum_price, COUNT(*) AS n FROM lineitem",
+    "q_dispersion" ->
+      """WITH counts AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+         m AS (SELECT AVG(cnt) AS mean_cnt FROM counts)
+         SELECT round(m.mean_cnt, 6) AS mean_cnt,
+                round(CAST(SUM(CASE WHEN abs(cnt - m.mean_cnt) > m.mean_cnt * 0.25 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS frac_outside
+         FROM counts, m GROUP BY m.mean_cnt""",
+    "q_chunked_fetch" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_join_star" ->
+      s"""SELECT r_name, ${DS("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""",
+    "q_join_inner" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_full" ->
+      """WITH cust AS (SELECT DISTINCT c_custkey AS k FROM customer),
+         big AS (SELECT o_custkey AS k2, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 8)
+         SELECT COALESCE(k, k2) AS custkey, k IS NOT NULL AS in_customer, k2 IS NOT NULL AS in_big
+         FROM cust FULL OUTER JOIN big ON k = k2 ORDER BY custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_join_range" ->
+      s"""SELECT band, COUNT(*) AS n_parts, ${DS("p_retailprice")} AS sum_price
+          FROM part JOIN (SELECT * FROM (VALUES ('low', 0.0, 1200.0), ('mid', 1200.0, 1600.0),
+                          ('high', 1600.0, 1e18)) AS v(band, lo, hi)) bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+          GROUP BY band ORDER BY band""",
+    "q_join_cross" ->
+      """SELECT r_name, COUNT(*) AS n_pairs FROM nation CROSS JOIN region
+         GROUP BY r_name ORDER BY r_name""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+           FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                round(o_totalprice - LAG(o_totalprice, 1) OVER w, 4) AS price_delta,
+                LEAD(o_orderkey, 1) OVER w AS next_orderkey
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_ntile" ->
+      """SELECT p_partkey, CAST(NTILE(4) OVER (ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
+         FROM part ORDER BY p_partkey""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "q_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
+          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DS("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+         EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY custkey""",
+    "q_union_counts" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM (
+           SELECT * FROM orders WHERE o_orderstatus = 'O'
+           UNION ALL SELECT * FROM orders WHERE o_orderstatus <> 'O')
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+                len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """WITH s AS (SELECT doc_id, length(text) AS nc,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stops
+         FROM documents)
+         SELECT doc_id,
+                round(CAST(nc AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_tok_len,
+                round(CAST(stops AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS type_token_ratio
+         FROM s ORDER BY doc_id""",
+    "q_token_counts" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist|nicht|ein|zu)\b')) AS h_de,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|in|that|it)\b')) AS h_en,
+                len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|los|se)\b')) AS h_es,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des|en|un|que)\b')) AS h_fr
+         FROM documents)
+         SELECT doc_id, CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS best_hits,
+                CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                     WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                     WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                     WHEN h_en >= h_de THEN 'en'
+                     ELSE 'de' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+         ORDER BY event_id""",
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents
+         GROUP BY text ORDER BY keeper_id""",
+    "q_dedup_hash" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents
+         GROUP BY sha256(text) ORDER BY keeper_id""",
+    "q_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+                  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+           FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "q_embed_norms" ->
+      """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+         FROM embeddings ORDER BY vec_id""",
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                      list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+                        / (q.nrm * c.nrm) AS sim
+               FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20),
+         r AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM p)
+         SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r
+         WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+         SELECT id_a, id_b, round(sim, 6) AS sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                    / (a.nrm * b.nrm) AS sim
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    "q_label_cohesion" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+         SELECT a.label, round(AVG(list_sum(list_transform(generate_series(1, len(a.v)),
+                  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)), 6) AS mean_sim, COUNT(*) AS n_pairs
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         GROUP BY a.label ORDER BY a.label""",
+    "q_payload_digest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
+         FROM documents ORDER BY doc_id""",
+    "q_events_tumbling" ->
+      s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,
+                 COUNT(*) AS n, ${DS("value")} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_sliding" ->
+      s"""SELECT w_start, COUNT(*) AS n, ${DS("value")} AS sum_value FROM (
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start, value FROM events
+            UNION ALL
+            SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT) AS w_start, value FROM events)
+          GROUP BY w_start ORDER BY w_start""",
+    "q_events_sessions" ->
+      s"""WITH o AS (SELECT user_id, ts, value,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+          f AS (SELECT user_id, ts, value,
+                 CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS ns
+                FROM o),
+          g AS (SELECT user_id, ts, value, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+          SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+                 COUNT(*) AS n_events, ${DS("value")} AS sum_value
+          FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_events_sessions_lag" ->
+      """WITH o AS (SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+         f AS (SELECT user_id, ts,
+                 CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) >= 1800
+                      THEN 1 ELSE 0 END AS ns FROM o),
+         g AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_id""",
+    "q_events_asof" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+                v.event_id AS view_id, CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY purchase_id""",
+  )
 }

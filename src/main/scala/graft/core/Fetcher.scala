@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity façade: the `BigQueryFetcher` chunked-fetch API
+  * (reference bqfetch/bqfetch.py:196-454) re-expressed over DataFrames.
+  *
+  * What changes on Spark (SURVEY.md §3):
+  *  - `chunks()` in the reference collects ALL distinct keys into driver
+  *    memory (bqfetch/bqfetch.py:256) — a scalability cliff. Here the
+  *    driver-side key list is guarded by `maxDriverKeys`; past the cap the
+  *    caller must use [[fetchAllPartitioned]], which keeps keys distributed
+  *    (`repartition(n, col)`) and never materializes them.
+  *  - `fetch(chunk)` is a filtered scan: Catalyst pushes the IN-list to the
+  *    parquet/DSv2 reader (the reference's `row_restriction`), executor
+  *    tasks replace its process pool, and no temp table is materialized
+  *    (the reference's CTAS, bqfetch/bqfetch.py:158-181, is unnecessary —
+  *    scan+filter is one pipelined stage).
+  */
+final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
+
+  /** Chunk-count estimate from the reference's formula (D6), driven by plan
+    * statistics instead of a metadata query: Spark already knows the scan
+    * size (`optimizedPlan.stats.sizeInBytes` — the analog of the
+    * reference's cached `__TABLES__` size query, bqfetch/bqfetch.py:125-139).
+    */
+  def approximateNbChunks(chunkGBPerCore: Double = 2.0,
+                          cores: Int = Runtime.getRuntime.availableProcessors(),
+                          freeMemoryGB: Double =
+                            Runtime.getRuntime.maxMemory() / 1e9): Int = {
+    val tableGB = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble / 1e9
+    ChunkPlanner.approximateNbChunks(tableGB, chunkGBPerCore, cores, freeMemoryGB)
+  }
+
+  /** Reference `chunks(column, by_nb_chunks=n)` (bqfetch/bqfetch.py:232-265):
+    * distinct keys, dispersion-checked, split into n contiguous chunks.
+    * Driver-side by design (API parity) and therefore capped: throws past
+    * `maxDriverKeys` distinct keys.
+    */
+  def chunks(column: String, byNbChunks: Int,
+             dispersionCoeff: Double = 0.25,
+             checkDispersion: Boolean = false): Seq[FetchingChunk[Any]] = {
+    require(byNbChunks > 0, "byNbChunks must be > 0")
+    if (checkDispersion) {
+      val counts = df.groupBy(col(column)).count()
+        .limit(maxDriverKeys + 1).collect().map(_.getLong(1)).toSeq
+      assertUnderCap(counts.size)
+      ChunkPlanner.checkDispersion(counts, dispersionCoeff)
+    }
+    val keys = df.select(col(column)).distinct().orderBy(col(column))
+      .limit(maxDriverKeys + 1).collect().map((r: Row) => r.get(0)).toSeq
+    assertUnderCap(keys.size)
+    ChunkPlanner.divideInChunks(keys, byNbChunks).map(FetchingChunk(column, _))
+  }
+
+  private def assertUnderCap(n: Int): Unit =
+    require(n <= maxDriverKeys,
+      s"chunk column has > $maxDriverKeys distinct keys; driver-side chunking " +
+        "would not scale — use fetchAllPartitioned (distributed) instead")
+
+  /** Reference `fetch(chunk, nb_cores=…)` (bqfetch/bqfetch.py:267-372): a
+    * filtered scan of one chunk. `partitions` stands in for nb_cores: the
+    * chunk's rows are spread over that many tasks (the reference forks one
+    * process per core; Spark schedules tasks).
+    */
+  def fetch(chunk: FetchingChunk[Any], partitions: Int = 0): DataFrame = {
+    val filtered = df.filter(col(chunk.column).isin(chunk.elements: _*))
+    if (partitions > 0) filtered.repartition(partitions, col(chunk.column)) else filtered
+  }
+
+  /** All chunks as one DataFrame — the reference's full-table loop
+    * (main.py:17-18: for chunk in chunks: fetch) collapses to a union of
+    * filtered scans. Kept for parity; [[fetchAllPartitioned]] is the scale
+    * form.
+    */
+  def fetchAll(chunksSeq: Seq[FetchingChunk[Any]]): DataFrame =
+    chunksSeq.map(fetch(_)).reduce(_ unionByName _)
+
+  /** The scale path: no driver-side keys at all — hash-partition the scan
+    * by the chunk column into n "chunks" (= partitions). Equivalent work
+    * placement to the reference's chunking, but the key set stays
+    * distributed and each partition is a Spark task.
+    */
+  def fetchAllPartitioned(column: String, nChunks: Int): DataFrame =
+    df.repartition(nChunks, col(column))
+}
+
+object ChunkedFetcher {
+  def apply(spark: SparkSession, dir: String, table: String): ChunkedFetcher =
+    new ChunkedFetcher(Tables.load(spark, dir, table))
+}

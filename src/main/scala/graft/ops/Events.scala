@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Helpers._
+
+/** Event/time-series surface (SURVEY.md §2 group I): tumbling / sliding /
+  * session windows and sessionization, written with the batch `window()` /
+  * `session_window()` API — the *same* expressions run under Structured
+  * Streaming (see graft.streaming.EventStreams); batch is the
+  * oracle-checkable form.
+  *
+  * Window starts are emitted as epoch seconds (`unix_timestamp`) rather than
+  * timestamps so the oracle compare is immune to parquet timestamp-unit
+  * differences (fixture `ts` is ns; Spark reads micros, DuckDB keeps ns).
+  */
+object Events {
+
+  /** Tumbling 10-minute window aggregate per event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Sliding window: 10-minute windows every 5 minutes (each event lands in
+    * two windows — `window()` explodes, then one aggregate).
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("n"), col("sum_value"))
+      .orderBy("w_start")
+
+  /** Session windows: per-user sessions closed by a 30-minute gap, via the
+    * native `session_window` (merging-interval aggregate — one shuffle on
+    * user_id). Semantics: an event at exactly prev+gap starts a NEW session
+    * (windows are [ts, ts+gap) and merge only on overlap).
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Sessionization via analytic windows (lag + cumulative flag sum) — the
+    * gaps-and-islands form; same result as [[sessions]], kept as the
+    * portable/SQL-expressible construction.
+    */
+  def sessionsViaLag(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) >= gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(unix_timestamp(col("ts"))).as("session_start"))
+      .select("user_id", "session_id", "session_start", "n_events")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join (SURVEY.md §7.4 "hard part"): for each 'purchase' event, the
+    * most recent 'view' event of the same user at-or-before it.
+    *
+    * Construction: union both sides tagged, one analytic window per user
+    * ordered by (ts, side) carrying `last(view-ts, ignoreNulls)` forward —
+    * a single shuffle on user_id, no range join, no per-row subquery. At
+    * 100 TB this is the canonical scalable as-of: cost = one sort-shuffle
+    * of both inputs on the partition key.
+    */
+  def asofPurchaseView(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
+    // side=0 sorts before side=1 at equal ts => a view at exactly purchase
+    // ts counts as "at-or-before" (matches ASOF JOIN ... ON ts >= ts)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = views.unionByName(purchases)
+      .withColumn("last_view_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+    tagged.filter(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("purchase_ts"),
+        col("last_view_id").as("view_id"),
+        unix_timestamp(col("last_view_ts")).as("view_ts"))
+      .orderBy("purchase_id")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Helpers._
+
+/** Grouping extensions + set operators (SURVEY.md §2 group G).
+  *
+  * rollup/cube expand to grouping sets inside a single aggregate — one
+  * shuffle, not one per grouping level. `approx_count_distinct` is HLL++
+  * (constant memory per group) — the scale path when exact distinct counts
+  * would blow the hash map at 100 TB.
+  */
+object Grouping {
+
+  /** ROLLUP over (status, priority) with exact-decimal revenue. */
+  def rollupRevenue(orders: DataFrame): DataFrame =
+    orders.rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** CUBE over (returnflag, linestatus). */
+  def cubeQuantity(lineitem: DataFrame): DataFrame =
+    lineitem.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact + approximate distinct counts side by side. The approx column is
+    * not oracle-comparable (HLL estimate); the exact one is. Registered
+    * query emits only the exact column; bench exercises the approx path.
+    */
+  def distinctCounts(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
+
+  def approxDistinctCounts(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"))
+      .orderBy("o_orderstatus")
+
+  /** INTERSECT — customer nations that also host suppliers. */
+  def intersectNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .intersect(supplier.select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT — customers who ordered, minus those who ever ordered URGENT. */
+  def exceptUrgent(orders: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("custkey"))
+      .except(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** UNION ALL + re-aggregation (reference D5 `pd.concat` analog — bag
+    * semantics, no implicit dedup; reference bqfetch/bqfetch.py:358).
+    */
+  def unionAllCounts(orders: DataFrame): DataFrame = {
+    val a = orders.filter(col("o_orderstatus") === "O")
+    val b = orders.filter(col("o_orderstatus") =!= "O")
+    a.unionByName(b)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Helpers._
+
+/** Relational operator surface: the reference's real query forms (SURVEY.md
+  * §2 groups B/C — IN-list filtered scan, distinct, group-by count, scalar
+  * sum, dispersion stats) plus the driver-mandated join breadth (§2 group E).
+  *
+  * Everything here is declarative DataFrame API so Catalyst keeps predicate
+  * pushdown, column pruning and join planning; at 100 TB the scans stay
+  * columnar/vectorized, small dimensions are broadcast (no shuffle of the
+  * fact table for star joins), and fact-fact joins shuffle on their join key
+  * once with AQE handling skew/coalescing.
+  */
+object Relational {
+
+  /** A2/B1 — filtered scan with an IN-list predicate, the reference's only
+    * predicate form (reference bqfetch/bqfetch.py:482-489 pushes
+    * `row_restriction = col IN (...)` into the storage server). Catalyst
+    * pushes `isin` to the parquet reader (`PushedFilters: [In(...)]`) —
+    * same server-side filtering, zero custom code. Type-preserving (the
+    * reference stringifies values — a wart we deliberately do not copy,
+    * SURVEY.md §7.4).
+    */
+  def filteredScan(lineitem: DataFrame, flags: Seq[String]): DataFrame =
+    lineitem
+      .filter(col("l_returnflag").isin(flags: _*))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+
+  /** B4/C2 — single-column DISTINCT, used by the reference to enumerate
+    * chunk keys (reference bqfetch/bqfetch.py:141-156). Distinct is a
+    * hash-aggregate: partial per-partition dedup before the shuffle, so the
+    * shuffle carries only unique keys — scales to 100 TB as long as the
+    * distinct-key set itself is distributable (never collected).
+    */
+  def distinctValues(customer: DataFrame): DataFrame =
+    customer.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** C1 — group-by count (reference bqfetch/bqfetch.py:105-123, used for
+    * chunk-dispersion statistics). Partial+final HashAggregate, map-side
+    * combine built in.
+    */
+  def groupByCount(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** C3 — scalar aggregate (reference bqfetch/bqfetch.py:125-139 computes
+    * SUM(size_bytes) over metadata; here over the fact table).
+    */
+  def scalarSum(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      count(lit(1)).as("n"))
+
+  /** C4 — chunk-key dispersion statistics (reference
+    * bqfetch/bqfetch.py:410-419): mean of per-key counts and the fraction of
+    * keys whose count falls outside ±25% of the mean. The reference computes
+    * this client-side over a collected list; here it is two distributed
+    * aggregates (counts, then a mean-joined second pass) — nothing visits
+    * the driver.
+    */
+  def dispersion(orders: DataFrame, coeff: Double = 0.25): DataFrame = {
+    val counts = orders.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val stats  = counts.agg(avg("cnt").as("mean_cnt"))
+    counts.crossJoin(broadcast(stats))
+      .agg(
+        round(first("mean_cnt"), 6).as("mean_cnt"),
+        round(
+          (sum(when(abs(col("cnt") - col("mean_cnt")) > col("mean_cnt") * coeff, 1).otherwise(0))
+            / count(lit(1))).cast("double"), 6).as("frac_outside"))
+  }
+
+  /** E — star-schema join: fact joined through three broadcast dimensions.
+    * `broadcast()` hints keep the 100 TB fact table un-shuffled: each
+    * executor streams its fact partitions against replicated hash maps of
+    * customer/nation/region.
+    */
+  def revenueByRegion(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+
+  /** E — fact-fact equi inner join (lineitem ⋈ orders): both sides large, so
+    * this is a shuffle join on the key; aggregation below it is partial
+    * (map-side) first.
+    */
+  def joinInner(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** E — left outer join preserving customers with no orders. */
+  def joinLeft(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** E — full outer join on key sets that only partially overlap. */
+  def joinFullOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val custSide = customer.select(col("c_custkey").as("k")).distinct()
+    val bigCust  = orders.groupBy(col("o_custkey").as("k2"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 8)
+    custSide.join(bigCust, col("k") === col("k2"), "full")
+      .select(
+        coalesce(col("k"), col("k2")).as("custkey"),
+        col("k").isNotNull.as("in_customer"),
+        col("k2").isNotNull.as("in_big"))
+      .orderBy("custkey")
+  }
+
+  /** E — left semi: customers having at least one URGENT order. Semi joins
+    * ship only the key column of the right side and stop at first match. */
+  def joinSemi(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** E — left anti: customers with no urgent orders. */
+  def joinAnti(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** E — theta/range join: parts priced into inline bands. The band table is
+    * tiny and broadcast, so the non-equi condition runs as a
+    * BroadcastNestedLoopJoin — O(n·bands), fine because bands is O(1); a
+    * fact-fact range join would instead need binning into an equi prefix.
+    */
+  def joinRangeBands(part: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 1200.0), ("mid", 1200.0, 1600.0), ("high", 1600.0, 1e18)
+    ).toDF("band", "lo", "hi")
+    part.join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** E — cross join (small × small only; a guard for the 100 TB case is to
+    * never cross-join two large relations — see Similarity for the LSH
+    * pre-filtered alternative).
+    */
+  def crossCount(nation: DataFrame, region: DataFrame): DataFrame =
+    nation.crossJoin(broadcast(region))
+      .groupBy("r_name").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("r_name")
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity surface (SURVEY.md §2 group H): cosine/dot scalar
+  * ops, brute-force top-k (exact baseline), and an LSH-bucketed approximate
+  * variant (the scale path).
+  *
+  * All vector math uses higher-order functions (`zip_with` + `aggregate`)
+  * over `array<double>` — codegen'd, no UDF, summation strictly in index
+  * order (deterministic and bit-comparable with the DuckDB oracle, which
+  * also folds list elements left-to-right in double precision).
+  *
+  * Scale notes: brute-force top-k is query-set × corpus — fine when the
+  * query set broadcasts (Q small); for corpus × corpus use [[annTopK]],
+  * which buckets by random-hyperplane signature so each vector only meets
+  * its bucket (candidates ∝ corpus/2^bits per query, not corpus²).
+  */
+object Similarity {
+
+  /** Cast float embedding to double once; all arithmetic stays double. */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector L2 norm — the sanity/oracle anchor for all vector math. */
+  def norms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), round(norm(asDouble(col("embedding"))), 6).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** Exact brute-force top-k cosine neighbors for a query subset.
+    * Plan shape: the query side (small) is broadcast, the corpus streams —
+    * one narrow pass over the corpus per batch of queries, then a bounded
+    * per-query heap via row_number over a window partitioned by query id.
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val sim = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    sim.select(col("qid"), col("cid"), col("sim"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded, plan-time constants). */
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · plane_i). Vectors with
+    * small cosine distance agree on most bits (SimHash for embeddings).
+    */
+  def hyperplaneSignature(v: Column, nPlanes: Int, dim: Int): Column =
+    planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate nearest neighbors: bucket the corpus by an 8-bit
+    * hyperplane signature; each query only meets its own bucket
+    * (~corpus/256), then exact cosine + top-k within the candidates.
+    * Approximate (bucket-boundary misses possible) → no SQL oracle;
+    * recall is asserted against [[cosineTopK]] in the test suite.
+    */
+  def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+              nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("sig", hyperplaneSignature(col("v"), nBits, dim))
+    val qq = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("sig").as("qsig"))
+    val sim = e.join(broadcast(qq), col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    sim.select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) with cosine above threshold.
+    * Exact form for oracle comparison at fixture scale; the 100 TB path is
+    * the same computation restricted to LSH-bucket collisions.
+    */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Mean intra-label cosine similarity — grouped similarity statistics. */
+  def labelCohesion(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label").as("lb"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
+      .select(col("label"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .groupBy("label")
+      .agg(round(avg(col("sim")), 6).as("mean_sim"), count(lit(1)).as("n_pairs"))
+      .orderBy("label")
+  }
+}
