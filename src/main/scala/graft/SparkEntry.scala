@@ -319,7 +319,7 @@ object SparkEntry {
       s"""WITH o AS (SELECT user_id, ts, value,
                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
           f AS (SELECT user_id, ts, value,
-                 CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS ns
+                 CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns
                 FROM o),
           g AS (SELECT user_id, ts, value, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
@@ -330,7 +330,7 @@ object SparkEntry {
       """WITH o AS (SELECT user_id, ts,
                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
          f AS (SELECT user_id, ts,
-                 CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) >= 1800
+                 CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
                       THEN 1 ELSE 0 END AS ns FROM o),
          g AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)

@@ -38,8 +38,10 @@ object Events {
 
   /** Session windows: per-user sessions closed by a 30-minute gap, via the
     * native `session_window` (merging-interval aggregate — one shuffle on
-    * user_id). Semantics: an event at exactly prev+gap starts a NEW session
-    * (windows are [ts, ts+gap) and merge only on overlap).
+    * user_id). Semantics (verified empirically): an event at exactly
+    * prev+gap still EXTENDS the session — windows merge when they overlap
+    * or touch, i.e. a new session starts only when the gap is strictly
+    * greater than the threshold.
     */
   def sessions(events: DataFrame): DataFrame =
     events
@@ -59,7 +61,7 @@ object Events {
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) >= gapSec, 1)
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1)
           .otherwise(0))
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

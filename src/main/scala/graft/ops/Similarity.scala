@@ -70,25 +70,49 @@ object Similarity {
       when(dot(v, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Approximate nearest neighbors: bucket the corpus by an 8-bit
-    * hyperplane signature; each query only meets its own bucket
-    * (~corpus/256), then exact cosine + top-k within the candidates.
-    * Approximate (bucket-boundary misses possible) → no SQL oracle;
-    * recall is asserted against [[cosineTopK]] in the test suite.
+  /** Approximate nearest neighbors via multi-table hyperplane LSH: L
+    * independent hash tables of b bits each; a corpus vector becomes a
+    * candidate for a query if they collide in ANY table (union of L
+    * bucket-joins, done as one explode + equi-join on (table, bucket)).
+    * Exact cosine + top-k runs on candidates only.
+    *
+    * Recall for a neighbor at angle θ: 1 - (1 - p^b)^L with
+    * p = 1 - θ/π per bit; (L=8, b=4) gives ~0.8 top-1 recall at cos≈0.45
+    * while touching ~L·corpus/2^b candidates per query. At a 100 TB corpus,
+    * raise b (bucket selectivity) and L (recall) together — the knobs trade
+    * compute for recall without ever going corpus×corpus. Approximate → no
+    * SQL oracle; recall is asserted against [[cosineTopK]] in the suite.
     */
   def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-              nBits: Int = 8, dim: Int = 64): DataFrame = {
+              nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("sig", hyperplaneSignature(col("v"), nBits, dim))
-    val qq = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("sig").as("qsig"))
-    val sim = e.join(broadcast(qq), col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val allPlanes = planes(nTables * bitsPerTable, dim)
+    val tableBuckets = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        when(dot(col("v"), typedlit(allPlanes(t * bitsPerTable + b))) > 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, x) => a.bitwiseOR(x))
+      struct(lit(t).as("tbl"), bits.as("bucket"))
+    }
+    val keyed = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qk = keyed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val cand = keyed.join(broadcast(qk),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("qn"),
+        col("v"), col("nrm"))
+      .dropDuplicates("qid", "cid")
+    val sim = cand.select(col("qid"), col("cid"),
+      (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     sim.select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= k)
       .orderBy("qid", "rn")
   }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analogs of the batch event operators (SURVEY.md §2 group I).
+  *
+  * The aggregation expressions are the SAME ones graft.ops.Events uses in
+  * batch — `window()`, `session_window()`, `dropDuplicates` — applied to a
+  * streaming Dataset with a watermark. The reference has no streaming
+  * surface at all (its chunk iterator is a batch pull loop, SURVEY.md §1.3);
+  * this module is part of the driver-mandated extension.
+  *
+  * Scale notes: all stateful operators key their state by a partition column
+  * (window start / user_id), so state shards across executors; watermarks
+  * bound state size — without one, a 100 TB/day stream would accumulate
+  * unbounded window state.
+  */
+object EventStreams {
+
+  /** Tumbling 10-minute windowed counts/sums with a 1-hour watermark (late
+    * events beyond the watermark are dropped, state is GC'd).
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user, closed by a 30-minute gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon — the
+    * streaming form of exact dedup (state holds only ids inside the
+    * watermark, so it is bounded).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: running per-user counters via flatMapGroupsWithState ----
+
+  final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+                            event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful aggregation: a running per-user (count, sum) emitted on
+    * every update — the `flatMapGroupsWithState` escape hatch for semantics
+    * the built-in aggregates can't express. State is one small case class
+    * per user (sharded by the groupBy key). A production deployment with
+    * unbounded key cardinality would add an event-time timeout
+    * (`EventTimeTimeout` + watermark) to evict idle users; left out here
+    * because timeout-driven empty micro-batches make the query permanently
+    * "busy" under test drivers.
+    */
+  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { r => n += 1; s += r.value }
+          val next = UserRunning(userId, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Reference-parity façade: chunked fetch must reconstruct the table exactly
+  * (union of chunk scans == full scan) and refuse driver-side key sets past
+  * the scale cap.
+  */
+class FetcherSpec extends SparkSpec {
+
+  test("chunks + fetchAll reconstructs the full table (no loss, no dup)") {
+    val fetcher = ChunkedFetcher(spark, sfDir, "orders")
+    val chunks = fetcher.chunks("o_custkey", byNbChunks = 4)
+    assert(chunks.length == 4)
+    assert(chunks.head.column == "o_custkey")
+    // chunks partition the key set: pairwise disjoint, cover all keys
+    val allKeys = chunks.flatMap(_.elements)
+    assert(allKeys.distinct.length == allKeys.length)
+
+    val refetched = fetcher.fetchAll(chunks)
+    val orig = Tables.orders(spark, sfDir)
+    assert(refetched.count() == orig.count())
+    assert(refetched.except(orig).isEmpty && orig.except(refetched).isEmpty)
+  }
+
+  test("fetch of a single chunk returns exactly that chunk's rows") {
+    val fetcher = ChunkedFetcher(spark, sfDir, "orders")
+    val chunk = fetcher.chunks("o_custkey", byNbChunks = 5).head
+    val df = fetcher.fetch(chunk)
+    val keys = df.select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(keys.subsetOf(chunk.elements.map(_.asInstanceOf[Long]).toSet))
+  }
+
+  test("driver-side key cap throws past maxDriverKeys (100 TB guard)") {
+    val fetcher = new ChunkedFetcher(Tables.orders(spark, sfDir), maxDriverKeys = 10)
+    intercept[IllegalArgumentException](fetcher.chunks("o_custkey", byNbChunks = 2))
+  }
+
+  test("fetchAllPartitioned spreads rows over n partitions without driver keys") {
+    val fetcher = ChunkedFetcher(spark, sfDir, "orders")
+    val df = fetcher.fetchAllPartitioned("o_custkey", 8)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == Tables.orders(spark, sfDir).count())
+  }
+
+  test("dispersion check passes on uniform chunk column, throws on skewed") {
+    import spark.implicits._
+    val uniform = (1 to 100).flatMap(k => Seq.fill(5)(k)).toDF("k")
+    new ChunkedFetcher(uniform).chunks("k", byNbChunks = 4, checkDispersion = true)
+    // one hot key holding half the rows => badly skewed chunks => guard fires
+    val skewed = ((1 to 100).flatMap(k => Seq.fill(2)(k)) ++ Seq.fill(200)(999)).toDF("k")
+    intercept[InvalidChunkRangeException] {
+      new ChunkedFetcher(skewed).chunks("k", byNbChunks = 2, checkDispersion = true)
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps min doc_id per distinct text with duplicate count") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
+    val out = Dedup.exactDedup(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("hashDedup agrees with exactDedup") {
+    val d = Tables.documents(spark, sfDir)
+    val a = Dedup.exactDedup(d).collect().toSeq
+    val b = Dedup.hashDedup(d).collect().toSeq
+    assert(a == b)
+  }
+
+  test("jaccardPairs: identical docs have jaccard 1.0, disjoint docs absent") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now today friend"))
+    val out = Dedup.jaccardPairs(d, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("minhashPairs finds the same near-dup pairs as exact jaccardPairs on fixture docs") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(d, 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(d, 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output is exact-verified => no false positives
+    assert(lsh.subsetOf(exact))
+    // banding (16 bands x 4 rows) catches J>=0.5 pairs with high prob; the
+    // fixture's planted near-dups are J≈1.0 where recall is ~certain
+    assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash: identical texts get identical fingerprints; near-identical are close") {
+    val d = docs(
+      (1L, "spark engine table scan filter join aggregate window stream batch"),
+      (2L, "spark engine table scan filter join aggregate window stream batch"),
+      (3L, "zebra yak xylophone walrus vulture tiger snake rhino quail pig"))
+    val fp = Dedup.simhash(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 3)
+  }
+
+  test("simhashPairs: duplicates within hamming radius, blocking loses no close pair") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"))
+    val pairs = Dedup.simhashPairs(d, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class EventsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("tumbling: events land in their 10-minute bucket") {
+    val d = ev(
+      (1L, "2024-01-01 00:01:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:09:59", 1L, "click", 2.0),
+      (3L, "2024-01-01 00:10:00", 1L, "click", 4.0))
+    val out = Events.tumbling(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet == Set(
+      (ts("2024-01-01 00:00:00").getTime / 1000, 2L, 3.0),
+      (ts("2024-01-01 00:10:00").getTime / 1000, 1L, 4.0)))
+  }
+
+  test("sliding: every event appears in exactly two 10-min/5-min windows") {
+    val d = ev((1L, "2024-01-01 00:01:00", 1L, "click", 1.0))
+    val out = Events.sliding(d).collect()
+    assert(out.map(_.getLong(0)).toSet ==
+      Set(ts("2024-01-01 00:00:00"), ts("2023-12-31 23:55:00")).map(_.getTime / 1000))
+  }
+
+  test("sessions: strict 30-minute gap closes a session; exact-gap event extends it") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:29:59", 1L, "click", 1.0), // merges (gap < 30m)
+      (3L, "2024-01-01 01:00:00", 1L, "click", 1.0), // 30m01s after #2 => new session
+      (4L, "2024-01-01 01:30:00", 1L, "click", 1.0)) // exactly 30m after #3 => extends
+    val out = Events.sessions(d).collect().map(r => (r.getLong(2)))
+    assert(out.toSeq.sorted == Seq(2L, 2L))
+  }
+
+  test("sessions and sessionsViaLag agree on session structure (second-aligned data)") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "c", 1.0),
+      (2L, "2024-01-01 00:10:00", 1L, "c", 1.0),
+      (3L, "2024-01-01 02:00:00", 1L, "c", 1.0),
+      (4L, "2024-01-01 00:05:00", 2L, "c", 1.0))
+    val a = Events.sessions(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Events.sessionsViaLag(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
+  test("asof: each purchase pairs with the latest view at-or-before it") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:05:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 00:07:00", 1L, "purchase", 9.0),
+      (4L, "2024-01-01 00:05:00", 2L, "purchase", 9.0), // user 2: no view before
+      (5L, "2024-01-01 00:06:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 00:06:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 00:06:00", 3L, "purchase", 9.0)) // tie ts: view counts
+    val out = Events.asofPurchaseView(d).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(3L) == 2L)  // latest view wins
+    assert(out(4L) == -1L) // no prior view
+    assert(out(7L) == 6L)  // view at same instant counts
+  }
+
+  test("fixture events: asof row count equals purchase count") {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(Events.asofPurchaseView(e).count() == purchases)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: symmetric, 1.0 for parallel vectors, 0 for orthogonal") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(0.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineDupPairs(df, -1.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+    assert(out((2L, 3L)) == 0.0)
+  }
+
+  test("norms: all positive, matches hand-computed value") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.norms(df).collect()
+    assert(out.head.getDouble(1) == 5.0)
+    val fixture = Similarity.norms(Tables.embeddings(spark, sfDir)).collect()
+    assert(fixture.forall(_.getDouble(1) > 0))
+  }
+
+  test("cosineTopK: neighbors are sorted by sim desc and exclude self") {
+    val e = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.cosineTopK(e, nQueries = 5, k = 3).collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+      assert(rs.forall(_.getLong(1) != qid))
+    }
+  }
+
+  test("annTopK: returns a subset of candidates with exact sims; top-1 recall vs brute force is sane") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(e, nQueries = 20, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ann = Similarity.annTopK(e, nQueries = 20, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // (L=8, b=4) multi-table LSH: expected top-1 recall ~0.8 at cos≈0.45;
+    // assert a conservative floor, not equality (it IS approximate)
+    val hits = ann.count { case (q, c) => exact.get(q).contains(c) }
+    assert(ann.size >= 15)
+    assert(hits >= 6, s"ANN top-1 recall too low: $hits of ${ann.size}")
+  }
+
+  test("labelCohesion: one row per label, pair counts match n*(n-1)/2") {
+    val e = Tables.embeddings(spark, sfDir)
+    val counts = e.groupBy("label").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val out = Similarity.labelCohesion(e).collect()
+    assert(out.length == counts.size)
+    out.foreach { r =>
+      val n = counts(r.getInt(0))
+      assert(r.getLong(2) == n * (n - 1) / 2)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("textStats: counts chars, tokens, unique tokens") {
+    val out = Text.textStats(docs((1L, "Hello world hello"))).collect().head
+    assert(out.getLong(1) == 17) // chars
+    assert(out.getLong(2) == 3)  // tokens
+    assert(out.getLong(3) == 2)  // unique lowercased
+  }
+
+  test("qualityScore: stopword and type-token ratios") {
+    val out = Text.qualityScore(docs((1L, "the cat and the dog"))).collect().head
+    // tokens: the cat and the dog (5); stopwords: the, and, the (3); distinct 4
+    assert(out.getDouble(2) == 0.6)
+    assert(out.getDouble(3) == 0.8)
+  }
+
+  test("tokenCounts: BPE-ish regex counts contractions and punctuation runs") {
+    val out = Text.tokenCounts(docs((1L, "it's rain-proof, 42 days!"))).collect().head
+    // ws tokens: it, s, rain, proof, 42, days = 6
+    assert(out.getLong(1) == 6)
+    // bpe: [it]['s][ rain][-][proof][,][ 42][ days][!] = 9
+    assert(out.getLong(2) == 9)
+  }
+
+  test("langId: picks language by stopword hits, 'und' when none") {
+    val d = docs(
+      (1L, "the cat is in that house and it sleeps"),
+      (2L, "der hund ist nicht ein tier und das"),
+      (3L, "zzz qqq www"))
+    val out = Text.langId(d).collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprints: identical normalized texts share content_hash") {
+    val d = docs((1L, "A  B\tC"), (2L, "a b c"), (3L, "x y z"))
+    val out = Text.fingerprints(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("jsonExtract: pulls numeric field and filters") {
+    import spark.implicits._
+    val events = Seq((1L, """{"k": 99}"""), (2L, """{"k": 10}"""), (3L, """{}"""))
+      .toDF("event_id", "props")
+    val out = Text.jsonExtract(events).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getLong(1) == 99L)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.ops.Events
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming operators driven through MemoryStream micro-batches; the
+  * windowed aggregates must agree with their batch counterparts on the same
+  * data (same expressions, two execution modes).
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    EventRow(1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+    EventRow(2L, ts("2024-01-01 00:09:00"), 1L, "click", 2.0),
+    EventRow(3L, ts("2024-01-01 00:11:00"), 2L, "view", 4.0),
+    EventRow(4L, ts("2024-01-01 00:01:00"), 2L, "click", 8.0))
+
+  test("streaming tumbling window agg matches batch result in complete mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(sample: _*)
+    val q = EventStreams.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("t_tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("t_tumbling")
+      .select(unix_timestamp(col("w_start")).as("w_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Events.tumbling(sample.toDF())
+      .select("w_start", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup within watermark drops repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(sample ++ Seq(sample.head, sample(1)): _*) // re-deliver two events
+    val q = EventStreams.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t_dedup").count() == sample.length)
+  }
+
+  test("flatMapGroupsWithState: running per-user totals update across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update").start()
+    mem.addData(sample.take(2): _*) // user 1: 2 events
+    q.processAllAvailable()
+    mem.addData(sample.drop(2): _*) // user 2: 2 events
+    q.processAllAvailable(); q.stop()
+
+    val last = spark.table("t_state").groupBy("user_id")
+      .agg(max("n_events").as("n"), max("sum_value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last == Set((1L, 2L, 3.0), (2L, 2L, 12.0)))
+  }
+
+  test("streaming session windows close on gap (append mode after watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.sessions(mem.toDF())
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode("append").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    // a later event pushes the watermark past the open sessions => they close
+    mem.addData(EventRow(99L, ts("2024-01-02 12:00:00"), 9L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // user1: events at 00:01 & 00:09 merge; user2: 00:01 and 00:11 merge (gap 10m)
+    assert(rows == Set((1L, 2L), (2L, 2L)))
+  }
+}
