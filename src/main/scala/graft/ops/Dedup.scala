@@ -17,18 +17,34 @@ object Dedup {
 
   private val wordRe = "[a-z0-9]+"
 
-  /** Distinct lower-cased word-n-gram shingles per doc as an array column. */
-  private def shingleArray(n: Int = 3): Column = {
-    val toks = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
-    array_distinct(filter(
-      transform(toks, (_, i) => when(i <= size(toks) - n,
-        concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))),
-      c => c.isNotNull))
+  /** (doc_id, sh: array<long>) — distinct lower-cased word-n-gram shingles
+    * per doc, as 64-bit hashes.
+    *
+    * Two deliberate shapes here:
+    *  - The token array is MATERIALIZED as a column before the n-gram
+    *    lambda runs. A lambda that calls `element_at(<regex expr>, i)`
+    *    re-evaluates the regex for every element (no CSE inside
+    *    interpreted higher-order functions) — tokenizing inline made
+    *    shingling ~50× slower per row.
+    *  - Shingles are hashed to longs up front: long join keys and primitive
+    *    array intersection downstream. Jaccard-preserving while xxhash64 is
+    *    collision-free on the vocabulary (≈|vocab|²/2⁶⁵ expected
+    *    collisions — irrelevant even at 100 TB vocabularies).
+    */
+  private def shingleArrays(documents: DataFrame, n: Int = 3): DataFrame = {
+    val toks = col("_toks")
+    documents
+      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+      .select(col("doc_id"),
+        array_distinct(transform(filter(
+          transform(toks, (_, i) => when(i <= size(toks) - n,
+            concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))),
+          c => c.isNotNull), g => xxhash64(g))).as("sh"))
   }
 
-  /** Exploded form: one (doc_id, shingle) row per distinct shingle. */
-  private def shingles(documents: DataFrame, n: Int = 3): DataFrame =
-    documents.select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
+  /** Exploded form: one (doc_id, shingle-hash) row per distinct shingle. */
+  private def shingles(arrs: DataFrame): DataFrame =
+    arrs.select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** Exact dedup, oracle-comparable form: one keeper (min doc_id) per
     * distinct text + the duplicate count. `dropDuplicates` keeps an
@@ -53,27 +69,48 @@ object Dedup {
       .select("keeper_id", "n_copies")
       .orderBy("keeper_id")
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode distinct shingles, self-join on shingle (only colliding docs
-    * ever meet — no quadratic cross join), count the intersection, compute
-    * |A∩B| / (|A|+|B|-|A∩B|), threshold. This is the exact/verification
-    * path; [[minhashPairs]] is the approximate pre-filter for when even the
-    * inverted index is too hot (stop-shingle skew at 100 TB: drop shingles
-    * with document frequency above a cap — not needed at fixture scale).
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin
+    * family): order every document's shingles by global document frequency
+    * (rarest first), index only each document's prefix of length
+    * |d| - ceil(t·|d|) + 1, and generate candidates from prefix∩prefix
+    * collisions. Any pair with J ≥ t must share its globally-smallest
+    * common shingle inside BOTH prefixes (pigeonhole on |A∩B| ≥ t·|A|), so
+    * this loses nothing — it is exact, not approximate.
+    *
+    * Why not a naive inverted-index self-join: shingle frequency is zipfian;
+    * a stop-shingle appearing in d documents contributes d² join rows. The
+    * df-ascending prefix keeps exactly the rare shingles in the index, so
+    * the candidate set stays near-linear at corpus scale. Verification then
+    * computes exact Jaccard per candidate from the full shingle sets.
     */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(documents)
+    import org.apache.spark.sql.expressions.Window
+    // one shingling pass, cached: docFreq/sizes/prefix/verify all read it
+    val arrs = shingleArrays(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(arrs)
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+    val ranked = sh.join(docFreq, "shingle")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+    val prefix = ranked.join(sizes, "doc_id")
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc_id", "shingle", "n_sh")
+    // length filter (PPJoin): J >= t forces t·|A| <= |B| <= |A|/t
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("n_inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")), 6).as("jaccard"))
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -93,7 +130,9 @@ object Dedup {
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    bands: Int = 16, rows: Int = 4): DataFrame = {
     val k = bands * rows
-    val sh = shingles(documents)
+    val arrs = shingleArrays(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(arrs)
     // hash family: fold the function index into xxhash64 (ANSI-safe — no
     // wrapping arithmetic), one independent hash per index
     val sigCols = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
@@ -113,7 +152,6 @@ object Dedup {
     // exact verification on candidates ONLY (never the full pair space):
     // join each candidate pair back to its two shingle sets and compute
     // exact Jaccard — LSH is a pre-filter, not the answer (SURVEY.md §7.4)
-    val arrs = documents.select(col("doc_id"), shingleArray().as("sh"))
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+
   /** Cast float embedding to double once; all arithmetic stays double. */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // codegen'd native expressions (graft.functions.VectorExpressions) — the
+  // zip_with/aggregate HOF formulation is interpreted per element and
+  // dominates all-pairs scans; these inline a primitive loop into
+  // WholeStageCodegen with identical left-to-right double summation
+  private def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  private def norm(a: Column): Column = vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -96,18 +96,23 @@ object Text {
     * unit tests.
     */
   def fingerprints(documents: DataFrame): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-    val toks = regexp_extract_all(norm, lit(wordRe), lit(0))
+    // materialize normalized text + tokens as columns BEFORE the n-gram
+    // lambda: element_at(<expr>, i) inside a HOF re-evaluates the whole
+    // expression per element (no CSE in interpreted lambdas)
+    val toks = col("_toks")
     val grams = filter(
-      transform(toks, (t, i) => when(i <= size(toks) - 3,
-        concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))),
+      transform(toks, (_, i) => when(i <= size(toks) - 3,
+        xxhash64(concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))),
       c => c.isNotNull)
-    documents.select(
+    documents
+      .withColumn("_norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .withColumn("_toks", regexp_extract_all(col("_norm"), lit(wordRe), lit(0)))
+      .select(
         col("doc_id"),
-        xxhash64(norm).as("content_hash"),
-        array_min(transform(grams, g => xxhash64(g))).as("min_gram_hash"),
-        array_max(transform(grams, g => xxhash64(g))).as("max_gram_hash"))
+        xxhash64(col("_norm")).as("content_hash"),
+        array_min(grams).as("min_gram_hash"),
+        array_max(grams).as("max_gram_hash"))
       .orderBy("doc_id")
   }
 
