@@ -65,14 +65,18 @@ object SparkEntry {
     "q_join_anti" -> ((s, dir) => Relational.joinAnti(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_range" -> t("part")(Relational.joinRangeBands),
     "q_join_cross" -> ((s, dir) => Relational.crossCount(Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_scalar_funcs" -> t("orders")(Relational.scalarFunctions),
     // ---- F: windows / sorts / limits ----
     "q_window_rank" -> t("orders")(Windows.topOrdersPerCustomer(_, 3)),
     "q_window_lag" -> t("orders")(Windows.orderPriceDelta),
     "q_window_running" -> t("orders")(Windows.runningRevenue),
+    "q_window_range" -> t("orders")(Windows.revenueNearby),
+    "q_window_firstlast" -> t("orders")(Windows.firstLastOrder),
     "q_window_ntile" -> t("part")(Windows.priceQuartiles),
     "q_topk" -> t("orders")(Windows.topKOrders(_, 25)),
     // ---- G: grouping extensions + set ops ----
     "q_rollup" -> t("orders")(Grouping.rollupRevenue),
+    "q_grouping_sets" -> t("orders")(Grouping.groupingSets),
     "q_cube" -> t("lineitem")(Grouping.cubeQuantity),
     "q_count_distinct" -> t("orders")(Grouping.distinctCounts),
     "q_approx_distinct" -> t("orders")(Grouping.approxDistinctCounts), // no oracle: HLL estimate
@@ -101,6 +105,17 @@ object SparkEntry {
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
     // ---- H: multimodal plumbing ----
     "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
+    "q_media_features" -> ((s, dir) => { // no oracle: stub-codec features
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => Multimodal.MediaRow(id, "image",
+          text.getBytes("UTF-8"), Multimodal.MediaMeta(640, 480, 3, 0, 0, 0L)) }
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("content_hash"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    }),
     // ---- I: events / time-series ----
     "q_events_tumbling" -> t("events")(Events.tumbling),
     "q_events_sliding" -> t("events")(Events.sliding),
@@ -188,6 +203,35 @@ object SparkEntry {
     "q_window_ntile" ->
       """SELECT p_partkey, CAST(NTILE(4) OVER (ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
          FROM part ORDER BY p_partkey""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS nearby_revenue,
+                COUNT(*) OVER w AS nearby_orders
+         FROM (SELECT *, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+                      RANGE BETWEEN 604800 PRECEDING AND 604800 FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+                FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+                LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+                substring(o_orderpriority, 1, 1) AS prio_code,
+                concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(month(o_orderdate) AS BIGINT) AS mo,
+                CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start,
+                CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+                round(abs(o_totalprice - 150000.0), 2) AS price_dev,
+                list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS is_urgent,
+                string_split(o_orderpriority, '-')[1] AS prio_num,
+                to_json(struct_pack(s := o_orderstatus)) AS js
+         FROM orders ORDER BY o_orderkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
@@ -199,6 +243,11 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DS("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",

@@ -69,6 +69,23 @@ final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
     if (partitions > 0) filtered.repartition(partitions, col(chunk.column)) else filtered
   }
 
+  /** A4 parity — the reference materializes each chunk server-side as a
+    * temp table before reading (CTAS, bqfetch/bqfetch.py:158-181). On Spark
+    * that materialization is unnecessary (scan+filter pipelines in one
+    * stage), so this registers the chunk as a named temp view — same
+    * lifecycle semantics, zero copy. Pair with [[dropChunk]] (A5,
+    * bqfetch/bqfetch.py:183-193).
+    */
+  def materializeChunk(chunk: FetchingChunk[Any], name: String): DataFrame = {
+    val chunkDf = fetch(chunk)
+    chunkDf.createOrReplaceTempView(name)
+    chunkDf
+  }
+
+  /** A5 parity — drop a materialized chunk view; true to `not_found_ok`. */
+  def dropChunk(name: String): Boolean =
+    df.sparkSession.catalog.dropTempView(name)
+
   /** All chunks as one DataFrame — the reference's full-table loop
     * (main.py:17-18: for chunk in chunks: fetch) collapses to a union of
     * filtered scans. Kept for parity; [[fetchAllPartitioned]] is the scale

@@ -52,6 +52,20 @@ object Grouping {
         .select(col("o_custkey").as("custkey")))
       .orderBy("custkey")
 
+  /** GROUPING SETS via SQL text (also exercises the A3 surface — the
+    * reference's `BigQueryClient.run(sql)` analog is `spark.sql`;
+    * reference bqfetch/bqfetch.py:85-93).
+    */
+  def groupingSets(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("_graft_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM _graft_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** UNION ALL + re-aggregation (reference D5 `pd.concat` analog — bag
     * semantics, no implicit dedup; reference bqfetch/bqfetch.py:358).
     */

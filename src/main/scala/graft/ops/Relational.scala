@@ -156,6 +156,24 @@ object Relational {
       .orderBy("band")
   }
 
+  /** J — scalar function surface in one pass: string, date, arithmetic,
+    * array and JSON constructors (all codegen'd built-ins; SURVEY.md §2-J).
+    */
+  def scalarFunctions(orders: DataFrame): DataFrame =
+    orders.select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        round(abs(col("o_totalprice") - lit(150000.0)), 2).as("price_dev"),
+        array_contains(split(col("o_orderpriority"), "-"), "URGENT").as("is_urgent"),
+        element_at(split(col("o_orderpriority"), "-"), 1).as("prio_num"),
+        to_json(struct(col("o_orderstatus").as("s"))).as("js"))
+      .orderBy("o_orderkey")
+
   /** E — cross join (small × small only; a guard for the 100 TB case is to
     * never cross-join two large relations — see Similarity for the LSH
     * pre-filtered alternative).

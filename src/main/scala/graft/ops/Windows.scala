@@ -63,6 +63,33 @@ object Windows {
       .orderBy("p_partkey")
   }
 
+  /** RANGE frame — per customer, revenue of all their orders within ±7 days
+    * of each order (event-time neighborhood aggregation). rangeBetween needs
+    * a numeric ordering column: epoch seconds.
+    */
+  def revenueNearby(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+      .rangeBetween(-7L * 86400, 7L * 86400)
+    orders
+      .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .over(w).cast("double").as("nearby_revenue"),
+        count(lit(1)).over(w).as("nearby_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** first/last analytic functions over the full partition frame. */
+  def firstLastOrder(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        first("o_orderkey").over(w).as("first_orderkey"),
+        last("o_orderkey").over(w).as("last_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global top-k — TakeOrderedAndProject, not a full sort. */
   def topKOrders(orders: DataFrame, k: Int): DataFrame =
     orders

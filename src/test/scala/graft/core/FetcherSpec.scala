@@ -44,6 +44,15 @@ class FetcherSpec extends SparkSpec {
     assert(df.count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("materializeChunk registers a queryable temp view; dropChunk removes it") {
+    val fetcher = ChunkedFetcher(spark, sfDir, "orders")
+    val chunk = fetcher.chunks("o_custkey", byNbChunks = 3).head
+    val df = fetcher.materializeChunk(chunk, "tmp_chunk0")
+    assert(spark.sql("SELECT COUNT(*) FROM tmp_chunk0").collect().head.getLong(0) == df.count())
+    assert(fetcher.dropChunk("tmp_chunk0"))
+    assert(!fetcher.dropChunk("tmp_chunk0")) // not_found_ok semantics
+  }
+
   test("dispersion check passes on uniform chunk column, throws on skewed") {
     import spark.implicits._
     val uniform = (1 to 100).flatMap(k => Seq.fill(5)(k)).toDF("k")
