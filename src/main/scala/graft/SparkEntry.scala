@@ -79,6 +79,7 @@ object SparkEntry {
     "q_grouping_sets" -> t("orders")(Grouping.groupingSets),
     "q_cube" -> t("lineitem")(Grouping.cubeQuantity),
     "q_count_distinct" -> t("orders")(Grouping.distinctCounts),
+    "q_percentiles" -> t("orders")(Grouping.percentiles),
     "q_approx_distinct" -> t("orders")(Grouping.approxDistinctCounts), // no oracle: HLL estimate
     "q_intersect" -> ((s, dir) => Grouping.intersectNations(Tables.customer(s, dir), Tables.supplier(s, dir))),
     "q_except" -> t("orders")(Grouping.exceptUrgent),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
+    "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
     // ---- H: multimodal plumbing ----
     "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
     "q_media_features" -> ((s, dir) => { // no oracle: stub-codec features
@@ -251,6 +253,11 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",

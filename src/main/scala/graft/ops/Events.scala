@@ -71,6 +71,35 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Generic as-of join: for every left row, attach the latest right row
+    * with the same `key` and `right.ts <= left.ts`. Right's non-key columns
+    * come back prefixed (null when no prior right row exists).
+    *
+    * Single shuffle on `key` (union both sides, one analytic window carrying
+    * the last right payload forward) — the canonical scalable batch as-of:
+    * no range join, no per-row subquery, cost = one sort within partitions.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               prefix: String = "asof_"): DataFrame = {
+    val rPayloadCols = right.columns.filter(_ != key).toSeq
+    val r = right.select(col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
+      struct(rPayloadCols.map(col): _*).as("_payload"))
+    val payloadType = r.schema("_payload").dataType
+    val l = left
+      .withColumn("_lrow", struct(left.columns.map(col): _*))
+      .select(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(payloadType).as("_payload"), col("_lrow"))
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = r.withColumn("_lrow", lit(null).cast(l.schema("_lrow").dataType))
+      .unionByName(l.select(r.columns.map(col) :+ col("_lrow"): _*))
+      .withColumn("_match", last(when(col("_side") === 0, col("_payload")),
+        ignoreNulls = true).over(w))
+    val leftOut = left.columns.map(c => col(s"_lrow.$c").as(c))
+    val rightOut = rPayloadCols.map(c => col(s"_match.$c").as(s"$prefix$c"))
+    merged.filter(col("_side") === 1).select(leftOut ++ rightOut: _*)
+  }
+
   /** As-of join (SURVEY.md §7.4 "hard part"): for each 'purchase' event, the
     * most recent 'view' event of the same user at-or-before it.
     *

@@ -39,6 +39,18 @@ object Grouping {
       .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"))
       .orderBy("o_orderstatus")
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics). The 100 TB variant swaps in
+    * `percentile_approx` (t-digest sketch, constant memory) — registered
+    * without an oracle since sketches are estimates.
+    */
+  def percentiles(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderstatus")
+
   /** INTERSECT — customer nations that also host suppliers. */
   def intersectNations(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_nationkey").as("nationkey"))

@@ -121,6 +121,45 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the other standard
+    * scale path next to LSH ([[annTopK]]): partition the corpus into cells
+    * around centroids, probe only the `nProbe` cells nearest to each query.
+    *
+    * Centroids here are a deterministic corpus sample (first `nCells` ids) —
+    * one k-means sweep would tighten cells but isn't needed to exercise the
+    * structure. Costs: assignment = corpus × nCells dots (one narrow pass,
+    * broadcast centroids); search = query × (nProbe/nCells)·corpus exact
+    * dots. At 100 TB both knobs grow (√n cells is the usual rule) and the
+    * assignment becomes a write-once index column the corpus is bucketed by.
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = e.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val ranked = scored.withColumn("crank", row_number().over(byVec))
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cent_id").as("cell"))
+    val sim = assigned.join(broadcast(probes),
+        Seq("cell")).filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .select(col("qid"), col("vec_id").as("cid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    sim.select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine above threshold.
     * Exact form for oracle comparison at fixture scale; the 100 TB path is
     * the same computation restricted to LSH-bucket collisions.

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large joins (SURVEY.md "partitioning & shuffle":
+  * salting for skew).
+  *
+  * AQE's skew-join handling splits oversized shuffle partitions at runtime
+  * and is the first line of defense; explicit salting is the deterministic
+  * fallback when a handful of hot keys dominate (e.g. a null-like sentinel
+  * key holding 10% of a 100 TB fact table), or when AQE can't apply
+  * (aggregations, non-sort-merge joins).
+  */
+object Skew {
+
+  /** Equi-join `fact ⋈ dim` on `key`, salting the fact side into
+    * `saltFactor` sub-keys and exploding the (small) dim side to match:
+    * fact rows get a random-but-deterministic salt from a hash of the whole
+    * row position-independent data, dim rows are replicated once per salt.
+    * The hot key's rows now spread over `saltFactor` shuffle partitions.
+    * Result is row-identical to the unsalted join (inner/left semantics).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val saltedDim = dim
+      .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    saltedFact.join(saltedDim,
+        saltedFact(key) === saltedDim(key) && saltedFact("_salt") === saltedDim("_salt"),
+        joinType)
+      .drop(saltedDim(key)).drop("_salt")
+  }
+
+  /** Skew-aware aggregation: two-phase groupBy — first on (key, salt) to
+    * pre-shrink hot keys map-side-style, then on key. Equivalent to a plain
+    * groupBy(key).agg(count/sum) but the first shuffle spreads a hot key
+    * over `saltFactor` partitions. (Spark's partial aggregation already does
+    * this for algebraic aggregates; the explicit form matters for
+    * high-cardinality distinct-like states.)
+    */
+  def saltedCountDistinct(df: DataFrame, key: String, valueCol: String,
+                          saltFactor: Int = 8): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(saltFactor)))
+    salted
+      .groupBy(col(key), col("_salt"))
+      .agg(countDistinct(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("n_distinct")) // salts partition the value space => partials are disjoint
+  }
+}

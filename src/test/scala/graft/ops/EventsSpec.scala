@@ -73,6 +73,23 @@ class EventsSpec extends SparkSpec {
     assert(out(7L) == 6L)  // view at same instant counts
   }
 
+  test("generic asofJoin matches the specialized purchase/view as-of") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:05:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 00:07:00", 1L, "purchase", 9.0),
+      (4L, "2024-01-01 00:05:00", 2L, "purchase", 9.0),
+      (5L, "2024-01-01 00:06:00", 2L, "view", 0.0))
+    val left = e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    val right = e.filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .select("user_id", "ts", "event_id")
+    val out = Events.asofJoin(left, right, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    // columns: event_id, ts, user_id, event_type, value, asof_ts, asof_event_id
+    assert(out(3L) == 2L)
+    assert(out(4L) == -1L)
+  }
+
   test("fixture events: asof row count equals purchase count") {
     val e = Tables.events(spark, sfDir)
     val purchases = e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()

@@ -51,6 +51,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 6, s"ANN top-1 recall too low: $hits of ${ann.size}")
   }
 
+  test("ivfTopK: probing more cells converges toward brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(e, nQueries = 20, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val few = Similarity.ivfTopK(e, nQueries = 20, k = 1, nCells = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val all = Similarity.ivfTopK(e, nQueries = 20, k = 1, nCells = 16, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // probing every cell = exhaustive search = brute-force answer
+    assert(all == exact)
+    val hitsFew = few.count { case (q, c) => exact.get(q).contains(c) }
+    assert(hitsFew >= 5, s"IVF nProbe=4 recall too low: $hitsFew of ${few.size}")
+  }
+
   test("labelCohesion: one row per label, pair counts match n*(n-1)/2") {
     val e = Tables.embeddings(spark, sfDir)
     val counts = e.groupBy("label").count().collect()
