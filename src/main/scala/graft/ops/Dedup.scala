@@ -108,9 +108,11 @@ object Dedup {
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // |A∪B| = |A|+|B|-|A∩B|: one set-build per pair instead of two
+      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        round(col("_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -155,9 +157,11 @@ object Dedup {
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // |A∪B| = |A|+|B|-|A∩B|: one set-build per pair instead of two
+      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        round(col("_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }

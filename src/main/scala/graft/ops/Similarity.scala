@@ -89,20 +89,25 @@ object Similarity {
     */
   def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
               nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+    // planes as a broadcast TABLE, not inline literals: at high dim the
+    // literal arrays bloat the plan/codegen (and 4s of compile time); as
+    // rows they broadcast once and the signature is a tiny agg
     val allPlanes = planes(nTables * bitsPerTable, dim)
-    val tableBuckets = (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { b =>
-        when(dot(col("v"), typedlit(allPlanes(t * bitsPerTable + b))) > 0,
-          lit(1L << b)).otherwise(lit(0L))
-      }.reduce((a, x) => a.bitwiseOR(x))
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }
-    val keyed = e.select(col("vec_id"), col("v"), col("nrm"),
-        explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val planesDf = (0 until nTables).flatMap { t =>
+      (0 until bitsPerTable).map(b => (t, b, allPlanes(t * bitsPerTable + b)))
+    }.toDF("tbl", "bit", "pvec")
+    val sigs = e.crossJoin(broadcast(planesDf))
+      .select(col("vec_id").as("sig_id"), col("tbl"),
+        when(dot(col("v"), col("pvec")) > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(lit(0L)).as("bitval"))
+      .groupBy(col("sig_id"), col("tbl"))
+      .agg(sum("bitval").as("bucket"))
+    val keyed = e.join(sigs, col("vec_id") === col("sig_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("bucket"))
     val qk = keyed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
