@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VectorExpressions.{DotProduct, L2Norm}
+
+/** SparkSessionExtensions entry point: makes the native vector expressions
+  * available from SQL text in any session built with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`):
+  *
+  * {{{
+  *   SELECT vec_dot(a, b) / (vec_norm(a) * vec_norm(b)) AS cosine ...
+  * }}}
+  *
+  * This is preference path (b) from SURVEY.md §2: a scalar function as a
+  * codegen Catalyst Expression, registered without forking Spark.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "vec_norm"),
+      (children: Seq[Expression]) => L2Norm(children.head)))
+  }
+}
