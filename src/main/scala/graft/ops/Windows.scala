@@ -16,7 +16,12 @@ import Helpers._
   */
 object Windows {
 
-  /** row_number/rank/dense_rank — top-N orders per customer by price. */
+  /** row_number/rank/dense_rank — top-N orders per customer by price.
+    * Catalyst plans the rn<=N filter as partial+final `WindowGroupLimit`
+    * (per-partition bounded heaps before the shuffle), so the full sort
+    * never materializes — verified via PlanAudit; no custom Rule needed
+    * (SURVEY.md §7.3).
+    */
   def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders

@@ -44,6 +44,15 @@ class FetcherSpec extends SparkSpec {
     assert(df.count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("approximateNbChunks derives from plan statistics (B5 metadata analog)") {
+    val fetcher = ChunkedFetcher(spark, sfDir, "orders")
+    val n = fetcher.approximateNbChunks(chunkGBPerCore = 2.0, cores = 4, freeMemoryGB = 8.0)
+    assert(n == 1) // fixture table is far below the 8 GB budget
+    // a tiny budget forces multiple chunks from the same stats
+    val tight = fetcher.approximateNbChunks(chunkGBPerCore = 1e-7, cores = 1, freeMemoryGB = 1e-7)
+    assert(tight > 1)
+  }
+
   test("materializeChunk registers a queryable temp view; dropChunk removes it") {
     val fetcher = ChunkedFetcher(spark, sfDir, "orders")
     val chunk = fetcher.chunks("o_custkey", byNbChunks = 3).head
