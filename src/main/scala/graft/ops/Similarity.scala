@@ -137,17 +137,41 @@ object Similarity {
     * dots. At 100 TB both knobs grow (√n cells is the usual rule) and the
     * assignment becomes a write-once index column the corpus is bucketed by.
     */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val cents = e.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+  /** One Lloyd (k-means) step: new centroid = mean vector of each cell.
+    * posexplode → per-(cell, position) mean → reassemble the array in
+    * position order. Each step is one shuffle keyed by (cell, pos).
+    */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+
+  /** Score every vector against every (broadcast) centroid and rank. */
+  private def rankCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
     val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val ranked = scored.withColumn("crank", row_number().over(byVec))
+    scored.withColumn("crank", row_number().over(byVec))
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // seed centroids: deterministic corpus sample, then Lloyd refinement
+    var cents = e.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 0 until kmeansIters) {
+      val assigned0 = rankCells(e, cents).filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      cents = lloydStep(assigned0)
+    }
+    val ranked = rankCells(e, cents)
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
     val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= nProbe)

@@ -49,6 +49,28 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join: purchases joined to the views that preceded them
+    * within one hour, per user. Both sides carry watermarks and the join
+    * condition bounds the time range, so each side's state is GC-able —
+    * the requirements for an unbounded-stream join to run with bounded
+    * state. (The batch as-of in graft.ops.Events picks the single latest
+    * view; the streaming form keeps all in-window matches.)
+    */
+  def purchasesWithRecentViews(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   // ---- custom state: running per-user counters via flatMapGroupsWithState ----
 
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,

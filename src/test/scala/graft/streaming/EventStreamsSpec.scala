@@ -71,6 +71,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == Set((1L, 2L, 3.0), (2L, 2L, 12.0)))
   }
 
+  test("stream-stream join pairs purchases with in-window views per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.purchasesWithRecentViews(mem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    mem.addData(
+      EventRow(1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      EventRow(2L, ts("2024-01-01 00:30:00"), 1L, "view", 0.0),
+      EventRow(3L, ts("2024-01-01 00:40:00"), 1L, "purchase", 9.0),
+      EventRow(4L, ts("2024-01-01 03:00:00"), 2L, "purchase", 9.0)) // no view in window
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("t_ssjoin")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // purchase 3 at 00:40 joins views at 00:00 and 00:30 (both within 1h);
+    // purchase 4 has no matching view => absent in inner join
+    assert(pairs == Set((3L, 1L), (3L, 2L)))
+  }
+
   test("streaming session windows close on gap (append mode after watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
