@@ -36,6 +36,14 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("jaccardPairs: hash-order and df-order prefixes give identical exact results") {
+    val d = Tables.documents(spark, sfDir)
+    val a = Dedup.jaccardPairs(d, 0.5, orderByDocFreq = false).collect().toSeq
+    val b = Dedup.jaccardPairs(d, 0.5, orderByDocFreq = true).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("minhashPairs finds the same near-dup pairs as exact jaccardPairs on fixture docs") {
     val d = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(d, 0.5).select("id_a", "id_b").collect()
