@@ -89,12 +89,14 @@ object SparkEntry {
     "q_quality" -> t("documents")(Text.qualityScore),
     "q_token_counts" -> t("documents")(Text.tokenCounts),
     "q_lang_id" -> t("documents")(Text.langId),
+    "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     "q_fingerprints" -> t("documents")(Text.fingerprints), // no oracle: xxhash64
     "q_json_extract" -> t("events")(Text.jsonExtract),
     // ---- H: dedup ----
     "q_dedup_exact" -> t("documents")(Dedup.exactDedup),
     "q_dedup_hash" -> t("documents")(Dedup.hashDedup),
     "q_jaccard_pairs" -> t("documents")(Dedup.jaccardPairs(_, 0.5)),
+    "q_dup_clusters" -> t("documents")(Dedup.dupClusters(_, 0.5)),
     "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)), // no oracle: LSH recall
     "q_simhash" -> t("documents")(Dedup.simhash), // no oracle: xxhash64
     "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)), // no oracle: xxhash64
@@ -328,6 +330,34 @@ object SparkEntry {
                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
            FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "q_top_ngrams" ->
+      """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         grams AS (SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                     i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
+         SELECT bigram, COUNT(*) AS n FROM grams
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "q_dup_clusters" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT id_a, id_b FROM (
+                  SELECT id_a, id_b,
+                         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+                WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         reach(src, dst) AS (
+           SELECT id_a, id_a FROM edges
+           UNION
+           SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
+         SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach
+         GROUP BY src ORDER BY doc_id""",
     "q_embed_norms" ->
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm

@@ -185,6 +185,46 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate CLUSTERS: connected components over the near-dup pair graph,
+    * labeled by the component's minimum doc_id — the end-product a dedup
+    * pipeline keys "keep one per cluster" on.
+    *
+    * Label propagation to fixpoint: every node starts as its own label;
+    * each round joins labels across edges (both directions) and takes the
+    * min. Rounds needed = graph diameter (near-dup components are tiny —
+    * chains of copies), each round one shuffle join; the driver only sees
+    * a changed-row count per round. This is the standard scalable
+    * connected-components on Spark (no GraphX dependency).
+    */
+  def dupClusters(documents: DataFrame, threshold: Double = 0.5,
+                  maxIters: Int = 10): DataFrame = {
+    val pairs = jaccardPairs(documents, threshold).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = pairs.select(col("id_a").as("id")).unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
+        .groupBy(col("id_a").as("id")).agg(min("nl").as("nl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each bit
     * votes ±1, sign of the vote-sum forms the fingerprint bit. Near-dups =
     * fingerprints within small Hamming distance. One explode + one

@@ -116,6 +116,24 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide top-k word bigrams — the n-gram frequency table a data
+    * audit reads first. Explode → count → TakeOrdered; the shuffle carries
+    * (bigram, partial count) thanks to map-side combine.
+    */
+  def topNgrams(documents: DataFrame, k: Int = 20): DataFrame = {
+    val toks = col("_toks")
+    val grams = filter(
+      transform(toks, (_, i) => when(i <= size(toks) - 2,
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))),
+      c => c.isNotNull)
+    documents
+      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+      .select(explode(grams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** JSON extraction from a string payload column (events.props). */
   def jsonExtract(events: DataFrame): DataFrame =
     events.select(

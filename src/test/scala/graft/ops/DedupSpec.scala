@@ -57,6 +57,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("dupClusters: transitive duplicates collapse into one min-id cluster") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again today"),
+      (5L, "an entirely different document about spark engines and scale"),
+      (6L, "an entirely different document about spark engines and scale"),
+      (9L, "nothing like anything else at all here friend zebra walrus"))
+    val out = Dedup.dupClusters(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical texts get identical fingerprints; near-identical are close") {
     val d = docs(
       (1L, "spark engine table scan filter join aggregate window stream batch"),
