@@ -198,14 +198,18 @@ object Dedup {
     */
   def dupClusters(documents: DataFrame, threshold: Double = 0.5,
                   maxIters: Int = 10): DataFrame = {
-    val pairs = jaccardPairs(documents, threshold).select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint truncates lineage: each round's plan starts from the
+    // materialized previous labels instead of re-analyzing the whole
+    // iterative chain (which otherwise grows per round)
+    val pairs = jaccardPairs(documents, threshold)
+      .select("id_a", "id_b").localCheckpoint()
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
     var labels = pairs.select(col("id_a").as("id")).unionByName(pairs.select(col("id_b").as("id")))
       .distinct()
       .select(col("id"), col("id").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -213,11 +217,11 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
         .groupBy(col("id_a").as("id")).agg(min("nl").as("nl"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+        .select(col("id"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") =!= col("_old")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       i += 1
     }
