@@ -77,6 +77,7 @@ object SparkEntry {
     // ---- G: grouping extensions + set ops ----
     "q_rollup" -> t("orders")(Grouping.rollupRevenue),
     "q_grouping_sets" -> t("orders")(Grouping.groupingSets),
+    "q_pivot" -> t("orders")(Grouping.pivotStatusCounts),
     "q_cube" -> t("lineitem")(Grouping.cubeQuantity),
     "q_count_distinct" -> t("orders")(Grouping.distinctCounts),
     "q_percentiles" -> t("orders")(Grouping.percentiles),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_dedup_hash" -> t("documents")(Dedup.hashDedup),
     "q_jaccard_pairs" -> t("documents")(Dedup.jaccardPairs(_, 0.5)),
     "q_dup_clusters" -> t("documents")(Dedup.dupClusters(_, 0.5)),
+    "q_fuzzy_pairs" -> t("documents")(Dedup.fuzzyPairs(_)),
     "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)), // no oracle: LSH recall
     "q_simhash" -> t("documents")(Dedup.simhash), // no oracle: xxhash64
     "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)), // no oracle: xxhash64
@@ -252,6 +254,12 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+                SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+                SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
@@ -336,6 +344,25 @@ object SparkEntry {
                      i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
          SELECT bigram, COUNT(*) AS n FROM grams
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "q_fuzzy_pairs" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT id_a, id_b, jaccard FROM (
+                  SELECT id_a, id_b,
+                         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+                WHERE jaccard >= 0.5),
+         heads AS (SELECT doc_id, substring(lower(text), 1, 100) AS head FROM documents)
+         SELECT id_a, id_b, jaccard, CAST(levenshtein(ha.head, hb.head) AS BIGINT) AS edit_dist
+         FROM jp JOIN heads ha ON id_a = ha.doc_id JOIN heads hb ON id_b = hb.doc_id
+         WHERE levenshtein(ha.head, hb.head) <= 20
+         ORDER BY id_a, id_b""",
     "q_dup_clusters" ->
       """WITH RECURSIVE
          toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

@@ -185,6 +185,25 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fuzzy (edit-distance) verification on top of Jaccard candidates: pairs
+    * that share enough shingles AND whose leading text is within a small
+    * Levenshtein distance. The shingle stage is the scalable candidate
+    * generator (edit distance is O(len²) — never run it on the full pair
+    * space); the prefix cap bounds the per-pair cost.
+    */
+  def fuzzyPairs(documents: DataFrame, jaccardThreshold: Double = 0.5,
+                 maxEdit: Int = 20, prefixLen: Int = 100): DataFrame = {
+    val texts = documents.select(col("doc_id"),
+      substring(lower(col("text")), 1, prefixLen).as("head"))
+    jaccardPairs(documents, jaccardThreshold)
+      .join(texts.select(col("doc_id").as("id_a"), col("head").as("head_a")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("head").as("head_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxEdit)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Duplicate CLUSTERS: connected components over the near-dup pair graph,
     * labeled by the component's minimum doc_id — the end-product a dedup
     * pipeline keys "keep one per cluster" on.

@@ -39,6 +39,20 @@ object Grouping {
       .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"))
       .orderBy("o_orderstatus")
 
+  /** Pivot — status columns per priority row. Explicit pivot values keep
+    * the plan static (no extra distinct-values job, mandatory at scale);
+    * coalesce(0) aligns empty cells with the oracle's CASE-sum form.
+    */
+  def pivotStatusCounts(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
   /** Exact interpolated percentiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont` semantics). The 100 TB variant swaps in
     * `percentile_approx` (t-digest sketch, constant memory) — registered
