@@ -107,6 +107,7 @@ object SparkEntry {
     "q_cosine_topk" -> t("embeddings")(Similarity.cosineTopK(_, 20, 5)),
     "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion),
+    "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
     // ---- H: multimodal plumbing ----
@@ -415,6 +416,12 @@ object SparkEntry {
                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)), 6) AS mean_sim, COUNT(*) AS n_pairs
          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          GROUP BY a.label ORDER BY a.label""",
+    "q_label_centroids" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         m AS (SELECT label, pos, SUM(x) / COUNT(*) AS mv FROM e GROUP BY 1, 2)
+         SELECT label, round(sqrt(SUM(mv * mv)), 6) AS centroid_norm FROM m
+         GROUP BY label ORDER BY label""",
     "q_payload_digest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
          FROM documents ORDER BY doc_id""",

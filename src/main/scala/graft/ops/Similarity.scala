@@ -206,6 +206,26 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  final case class EmbeddingRow(vec_id: Long, embedding: Array[Float], label: Int)
+
+  /** Per-label embedding centroid via the typed [[graft.functions.VecMeanAggregator]]
+    * (Dataset `Aggregator` — algebraic partial aggregation, one small
+    * (sums, count) buffer per group on the shuffle). Emits the centroid's
+    * L2 norm for oracle comparability.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = embeddings.as[EmbeddingRow]
+      .groupByKey(_.label)
+      .mapValues(_.embedding)
+      .agg(graft.functions.VecMeanAggregator.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+    cents.select(col("label"),
+        round(vec_norm(col("centroid")), 6).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   /** Mean intra-label cosine similarity — grouped similarity statistics. */
   def labelCohesion(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))

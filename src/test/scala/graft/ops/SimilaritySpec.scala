@@ -65,6 +65,18 @@ class SimilaritySpec extends SparkSpec {
     assert(hitsFew >= 5, s"IVF nProbe=4 recall too low: $hitsFew of ${few.size}")
   }
 
+  test("labelCentroids: typed Aggregator computes the element-wise mean") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(2.0f, 0.0f), 0), (2L, Seq(4.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 10.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(out(0) == 3.0)  // mean of (2,0) and (4,0) = (3,0), norm 3
+    assert(out(1) == 10.0)
+  }
+
   test("labelCohesion: one row per label, pair counts match n*(n-1)/2") {
     val e = Tables.embeddings(spark, sfDir)
     val counts = e.groupBy("label").count().collect()
