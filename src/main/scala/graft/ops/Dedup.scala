@@ -222,12 +222,20 @@ object Dedup {
     // iterative chain (which otherwise grows per round)
     val pairs = jaccardPairs(documents, threshold)
       .select("id_a", "id_b").localCheckpoint()
+    // size the iteration's partitioning from the measured pair count (the
+    // count is free — pairs just materialized): near-dup graphs are tiny
+    // relative to the corpus, and spinning 32 shuffle partitions per round
+    // for a few hundred edges is pure scheduler overhead; at 100 TB the
+    // same formula scales the rounds up with the graph
+    val nParts = math.max(1, math.min(32, (pairs.count() / 100000L).toInt + 1))
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(nParts, col("id_a"))
       .localCheckpoint()
     var labels = pairs.select(col("id_a").as("id")).unionByName(pairs.select(col("id_b").as("id")))
       .distinct()
       .select(col("id"), col("id").as("label"))
+      .repartition(nParts, col("id"))
       .localCheckpoint()
     var converged = false
     var i = 0
