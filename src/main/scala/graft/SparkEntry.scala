@@ -35,8 +35,9 @@ object SparkEntry {
       Tables.customer(spark, dir), Tables.nation(spark, dir), Tables.region(spark, dir))
   }
 
-  // decimal-exact double sum the oracle mirrors bit-for-bit
-  private def DS(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+  // decimal-exact double sum the oracle mirrors bit-for-bit; scale must
+  // cover the value's decimal digits (see Helpers.dsum)
+  private def DS(c: String, scale: Int = 4) = s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
 
   def queries: Map[String, Q] = Map(
     // ---- A/B/C/D: reference surface (scan/filter/distinct/agg/chunks) ----
@@ -55,6 +56,9 @@ object SparkEntry {
             .cast("double").as("revenue"))
         .orderBy("o_orderstatus")
     }),
+    "q_pricing_summary" -> t("lineitem")(Relational.pricingSummary),
+    "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
     // ---- E: joins ----
     "q_join_star" -> ((s, dir) => Relational.revenueByRegion(
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
@@ -152,6 +156,25 @@ object SparkEntry {
     "q_chunked_fetch" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${DS("l_quantity")} AS sum_qty,
+                 ${DS("l_extendedprice")} AS sum_base_price,
+                 ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+                 ${DS("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+                 ${DS("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+                 ${DS("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+                 COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey, ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+                 CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date, o_orderpriority
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_join_star" ->
       s"""SELECT r_name, ${DS("o_totalprice")} AS revenue, COUNT(*) AS n_orders
           FROM orders JOIN customer ON o_custkey = c_custkey

@@ -156,6 +156,43 @@ object Relational {
       .orderBy("band")
   }
 
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregate — per
+    * (returnflag, linestatus): quantities, prices, discounted+taxed
+    * charges, means, count. One partial+final hash aggregate over the fact
+    * scan; all sums exact-decimal for oracle stability.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("disc_price", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .withColumn("charge", col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("disc_price"), 6).as("sum_disc_price"),
+        dsum(col("charge"), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped shipping priority: revenue of a customer segment's
+    * orders, top 10 by revenue. Broadcast the filtered customer dim, one
+    * shuffle join lineitem⋈orders, partial-agg revenue, TakeOrdered top-k.
+    */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                       segment: String = "BUILDING", k: Int = 10): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_timestamp(col("o_orderdate")).as("o_date"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+
   /** J — scalar function surface in one pass: string, date, arithmetic,
     * array and JSON constructors (all codegen'd built-ins; SURVEY.md §2-J).
     */
