@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+
+/** Empty-input robustness: every operator family must return an empty
+  * result (not throw) when its input relation is empty — the behavior a
+  * pipeline needs when a filter stage eliminates everything upstream.
+  */
+class EdgeCasesSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  private def emptyEvents: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private def emptyEmbeddings: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+  }
+
+  test("dedup family on empty documents") {
+    assert(Dedup.exactDedup(emptyDocs).isEmpty)
+    assert(Dedup.hashDedup(emptyDocs).isEmpty)
+    assert(Dedup.jaccardPairs(emptyDocs).isEmpty)
+    assert(Dedup.minhashPairs(emptyDocs).isEmpty)
+    assert(Dedup.simhash(emptyDocs).isEmpty)
+    assert(Dedup.simhashPairs(emptyDocs).isEmpty)
+    assert(Dedup.dupClusters(emptyDocs).isEmpty)
+    assert(Dedup.fuzzyPairs(emptyDocs).isEmpty)
+  }
+
+  test("text family on empty documents") {
+    assert(Text.textStats(emptyDocs).isEmpty)
+    assert(Text.qualityScore(emptyDocs).isEmpty)
+    assert(Text.langId(emptyDocs).isEmpty)
+    assert(Text.fingerprints(emptyDocs).isEmpty)
+    assert(Text.topNgrams(emptyDocs).isEmpty)
+  }
+
+  test("events family on empty events") {
+    assert(Events.tumbling(emptyEvents).isEmpty)
+    assert(Events.sessions(emptyEvents).isEmpty)
+    assert(Events.sessionsViaLag(emptyEvents).isEmpty)
+    assert(Events.asofPurchaseView(emptyEvents).isEmpty)
+  }
+
+  test("similarity family on empty embeddings") {
+    assert(Similarity.norms(emptyEmbeddings).isEmpty)
+    assert(Similarity.cosineTopK(emptyEmbeddings).isEmpty)
+    assert(Similarity.cosineDupPairs(emptyEmbeddings, 0.0).isEmpty)
+    assert(Similarity.annTopK(emptyEmbeddings).isEmpty)
+    assert(Similarity.labelCentroids(emptyEmbeddings).isEmpty)
+  }
+
+  test("single-document / single-vector inputs produce no pairs but valid rows") {
+    import spark.implicits._
+    val oneDoc = Seq((1L, "only one document here now")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(oneDoc).isEmpty)
+    assert(Text.textStats(oneDoc).count() == 1)
+    val oneVec = Seq((1L, Seq(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.cosineDupPairs(oneVec, 0.0).isEmpty)
+    assert(Similarity.norms(oneVec).count() == 1)
+  }
+}
