@@ -96,6 +96,7 @@ object SparkEntry {
     "q_lang_id" -> t("documents")(Text.langId),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     "q_fingerprints" -> t("documents")(Text.fingerprints), // no oracle: xxhash64
+    "q_winnowing" -> t("documents")(Text.winnowing(_)), // no oracle: xxhash64 fingerprints
     "q_json_extract" -> t("events")(Text.jsonExtract),
     // ---- H: dedup ----
     "q_dedup_exact" -> t("documents")(Dedup.exactDedup),

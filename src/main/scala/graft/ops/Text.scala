@@ -134,6 +134,31 @@ object Text {
       .limit(k)
   }
 
+  /** Winnowing fingerprints (the MOSS algorithm): hash every word k-gram,
+    * slide a window of w hashes, keep each window's minimum — guarantees
+    * any shared substring of length >= w+k-1 grams yields a shared
+    * fingerprint, with ~2/(w+1) selection density. The fingerprint set is
+    * what plagiarism/near-dup index pipelines store per document.
+    * All row-local (materialized token column, HOF window mins) — a single
+    * narrow pass at any corpus size.
+    */
+  def winnowing(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = col("_toks")
+    val grams = filter(
+      transform(toks, (_, i) => when(i <= size(toks) - k,
+        xxhash64(concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))),
+      c => c.isNotNull)
+    documents
+      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+      .withColumn("_gh", grams)
+      .filter(size(col("_gh")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("_gh")) - w + 1),
+          i => array_min(slice(col("_gh"), i, lit(w)))))).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
   /** JSON extraction from a string payload column (events.props). */
   def jsonExtract(events: DataFrame): DataFrame =
     events.select(

@@ -49,6 +49,19 @@ class TextSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("winnowing: identical docs share all fingerprints; shared substrings overlap") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "prefix words then alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "totally different content with other words only here today"))
+    val fp = Text.winnowing(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fp(1L) == fp(2L))                       // identical => identical sets
+    assert((fp(1L) & fp(3L)).nonEmpty)             // long shared substring => overlap
+    assert((fp(1L) & fp(4L)).isEmpty)              // disjoint text => no overlap
+  }
+
   test("jsonExtract: pulls numeric field and filters") {
     import spark.implicits._
     val events = Seq((1L, """{"k": 99}"""), (2L, """{"k": 10}"""), (3L, """{}"""))
