@@ -139,23 +139,43 @@ object Text {
     * any shared substring of length >= w+k-1 grams yields a shared
     * fingerprint, with ~2/(w+1) selection density. The fingerprint set is
     * what plagiarism/near-dup index pipelines store per document.
-    * All row-local (materialized token column, HOF window mins) — a single
-    * narrow pass at any corpus size.
+    *
+    * Implemented as a typed flatMap with a monotonic-deque sliding minimum
+    * (O(grams) per document) — the per-row-imperative carve-out from
+    * SURVEY.md's preference order: the HOF formulation
+    * (`transform(sequence, i -> array_min(slice(...)))`) evaluates ~|doc|·w
+    * interpreted lambda steps per row and measured ~15× slower. Still one
+    * narrow pass, no shuffle, at any corpus size.
     */
   def winnowing(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = col("_toks")
-    val grams = filter(
-      transform(toks, (_, i) => when(i <= size(toks) - k,
-        xxhash64(concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))),
-      c => c.isNotNull)
-    documents
-      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
-      .withColumn("_gh", grams)
-      .filter(size(col("_gh")) >= w)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("_gh")) - w + 1),
-          i => array_min(slice(col("_gh"), i, lit(w)))))).as("fingerprint"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tokenRe = "[a-z0-9]+".r
+    documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = tokenRe.findAllIn(text).toArray
+        if (toks.length < k + w - 1) Iterator.empty
+        else {
+          val grams = Array.tabulate(toks.length - k + 1) { i =>
+            val s = toks.slice(i, i + k).mkString(" ")
+            // 64-bit deterministic gram hash from two murmur passes
+            (scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong << 32) |
+              (scala.util.hashing.MurmurHash3.stringHash(s, 1337).toLong & 0xFFFFFFFFL)
+          }
+          val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+          val deque = new java.util.ArrayDeque[Int]()
+          var i = 0
+          while (i < grams.length) {
+            while (!deque.isEmpty && grams(deque.peekLast()) >= grams(i)) deque.pollLast()
+            deque.addLast(i)
+            if (deque.peekFirst() <= i - w) deque.pollFirst()
+            if (i >= w - 1) out += grams(deque.peekFirst())
+            i += 1
+          }
+          out.iterator.map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fingerprint")
       .orderBy("doc_id", "fingerprint")
   }
 
