@@ -232,9 +232,11 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .repartition(nParts, col("id_a"))
       .localCheckpoint()
-    var labels = pairs.select(col("id_a").as("id")).unionByName(pairs.select(col("id_b").as("id")))
-      .distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed labels with min(id, min neighbor) — one propagation round folded
+    // into initialization (cliques, the common near-dup shape, converge
+    // immediately; chains still iterate)
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(least(col("id_a"), min(col("id_b"))).as("label"))
       .repartition(nParts, col("id"))
       .localCheckpoint()
     var converged = false
