@@ -29,4 +29,13 @@ class SourcesSpec extends SparkSpec {
     assert(fromCsv.except(orders).isEmpty && orders.except(fromCsv).isEmpty)
     assert(fromJson.except(orders).isEmpty && orders.except(fromJson).isEmpty)
   }
+
+  test("orc round-trips with schema and type fidelity") {
+    val orders = Tables.orders(spark, sfDir)
+    val base = Files.createTempDirectory("graft_orc").toString
+    orders.write.mode("overwrite").orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc")
+    assert(fromOrc.schema == orders.schema)
+    assert(fromOrc.except(orders).isEmpty && orders.except(fromOrc).isEmpty)
+  }
 }
