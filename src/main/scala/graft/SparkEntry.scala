@@ -85,6 +85,7 @@ object SparkEntry {
     "q_cube" -> t("lineitem")(Grouping.cubeQuantity),
     "q_count_distinct" -> t("orders")(Grouping.distinctCounts),
     "q_percentiles" -> t("orders")(Grouping.percentiles),
+    "q_approx_percentiles" -> t("orders")(Grouping.approxPercentiles), // no oracle: sketch
     "q_approx_distinct" -> t("orders")(Grouping.approxDistinctCounts), // no oracle: HLL estimate
     "q_intersect" -> ((s, dir) => Grouping.intersectNations(Tables.customer(s, dir), Tables.supplier(s, dir))),
     "q_except" -> t("orders")(Grouping.exceptUrgent),

@@ -65,6 +65,17 @@ object Grouping {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
       .orderBy("o_orderstatus")
 
+  /** Sketch-based percentiles (t-digest `percentile_approx`) — the 100 TB
+    * path next to [[percentiles]]: constant memory per group regardless of
+    * row count. Estimate => rows-only check.
+    */
+  def approxPercentiles(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile_approx(o_totalprice, 0.5, 10000)"), 4).as("p50_approx"),
+        round(expr("percentile_approx(o_totalprice, 0.9, 10000)"), 4).as("p90_approx"))
+      .orderBy("o_orderstatus")
+
   /** INTERSECT — customer nations that also host suppliers. */
   def intersectNations(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_nationkey").as("nationkey"))

@@ -41,6 +41,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows match the batch sliding aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(sample: _*)
+    val q = mem.toDF().withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("n"))
+      .writeStream.format("memory").queryName("t_sliding")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_sliding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Events.sliding(sample.toDF()).select("w_start", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming dedup within watermark drops repeated event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
