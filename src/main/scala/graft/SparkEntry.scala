@@ -68,6 +68,16 @@ object SparkEntry {
     "q_join_semi" -> ((s, dir) => Relational.joinSemi(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_anti" -> ((s, dir) => Relational.joinAnti(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_range" -> t("part")(Relational.joinRangeBands),
+    "q_range_join_binned" -> t("events")(ev => {
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), unix_timestamp(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 600)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), unix_timestamp(col("ts")).as("pt"))
+      Relational.binnedRangeJoin(purchases, errors, "pt", "lo", "hi", 600)
+        .select("err_id", "purchase_id")
+        .orderBy("err_id", "purchase_id")
+    }),
     "q_join_cross" -> ((s, dir) => Relational.crossCount(Tables.nation(s, dir), Tables.region(s, dir))),
     "q_scalar_funcs" -> t("orders")(Relational.scalarFunctions),
     // ---- F: windows / sorts / limits ----
@@ -214,6 +224,14 @@ object SparkEntry {
     "q_join_cross" ->
       """SELECT r_name, COUNT(*) AS n_pairs FROM nation CROSS JOIN region
          GROUP BY r_name ORDER BY r_name""",
+    "q_range_join_binned" ->
+      """SELECT e.event_id AS err_id, p.event_id AS purchase_id
+         FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo
+               FROM events WHERE event_type = 'error') e
+         JOIN (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+               FROM events WHERE event_type = 'purchase') p
+           ON p.pt >= e.lo AND p.pt <= e.lo + 600
+         ORDER BY err_id, purchase_id""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

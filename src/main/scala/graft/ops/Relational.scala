@@ -211,6 +211,31 @@ object Relational {
         to_json(struct(col("o_orderstatus").as("s"))).as("js"))
       .orderBy("o_orderkey")
 
+  /** E — binned range join: the scale path for point-in-interval joins.
+    * Spark plans a non-equi `pt BETWEEN lo AND hi` join between two LARGE
+    * relations as BroadcastNestedLoopJoin / cartesian — O(n·m). Binning
+    * makes it an equi-join: each point keys by floor(pt/width); each
+    * interval explodes to every bin it covers (≈ span/width + 1 rows);
+    * join on the bin, then apply the exact range predicate as a residual
+    * filter. Exact (a point's single bin is always among its matching
+    * interval's bins) and shuffle-partitioned by bin. Pick `binWidth` near
+    * the typical interval span so intervals explode to O(1) bins.
+    *
+    * Columns: `left` must carry long column `ptCol`; `right` long columns
+    * `loCol`/`hiCol` (inclusive bounds), e.g. epoch seconds.
+    */
+  def binnedRangeJoin(left: DataFrame, right: DataFrame,
+                      ptCol: String, loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val lb = left.withColumn("_bin", floor(col(ptCol) / binWidth))
+    val rb = right.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    lb.join(rb, "_bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
   /** E — cross join (small × small only; a guard for the 100 TB case is to
     * never cross-join two large relations — see Similarity for the LSH
     * pre-filtered alternative).
