@@ -106,6 +106,8 @@ object SparkEntry {
     "q_token_counts" -> t("documents")(Text.tokenCounts),
     "q_lang_id" -> t("documents")(Text.langId),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
+    "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
+    "q_train_split" -> t("documents")(Text.trainValSplit(_)),
     "q_fingerprints" -> t("documents")(Text.fingerprints), // no oracle: xxhash64
     "q_winnowing" -> t("documents")(Text.winnowing(_)), // no oracle: xxhash64 fingerprints
     "q_json_extract" -> t("events")(Text.jsonExtract),
@@ -388,6 +390,18 @@ object SparkEntry {
                      i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
          SELECT bigram, COUNT(*) AS n FROM grams
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "q_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         c AS (SELECT doc_id, i AS chunk_idx, array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
+               FROM toks, unnest(generate_series(0, CAST(greatest(ceil((len(t) - 32) / 24.0), 0) AS INT))) AS u(i)
+               WHERE len(t) > 0)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+                CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q_train_split" ->
+      """SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4') THEN 'val' ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
     "q_fuzzy_pairs" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

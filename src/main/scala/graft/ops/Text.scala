@@ -179,6 +179,41 @@ object Text {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Document chunking for training: split each document into token windows
+    * of `chunkTokens` with `overlap` tokens of context carry-over — the
+    * standard pre-tokenization windowing before sequence packing. Row-local
+    * (materialized token array + HOF slices, a handful per doc), one narrow
+    * pass at corpus scale.
+    */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens)
+    val stride = chunkTokens - overlap
+    val toks = col("_toks")
+    documents
+      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+      .filter(size(toks) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(ceil((size(toks) - chunkTokens) / lit(stride.toDouble)), lit(0)).cast("int")),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic train/validation split: bucket by the first md5 hex
+    * digit of the id — pseudorandom, reproducible, engine-portable (md5 is
+    * identical everywhere), and stable under corpus growth (a document's
+    * split never changes when others are added — the property a random()
+    * split lacks).
+    */
+  def trainValSplit(documents: DataFrame, valHexDigits: String = "01234"): DataFrame =
+    documents.select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin(valHexDigits.map(_.toString): _*),
+          lit("val")).otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+
   /** JSON extraction from a string payload column (events.props). */
   def jsonExtract(events: DataFrame): DataFrame =
     events.select(

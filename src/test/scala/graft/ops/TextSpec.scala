@@ -62,6 +62,28 @@ class TextSpec extends SparkSpec {
     assert((fp(1L) & fp(4L)).isEmpty)              // disjoint text => no overlap
   }
 
+  test("chunkDocuments: windows cover all tokens with the configured overlap") {
+    val text = (1 to 80).map(i => s"w$i").mkString(" ")
+    val out = Text.chunkDocuments(docs((1L, text)), chunkTokens = 32, overlap = 8).collect()
+    // 80 tokens, stride 24: chunks start at 0, 24, 48 => 3 chunks
+    assert(out.length == 3)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(out(0).getLong(3) == 32 && out(1).getLong(3) == 32 && out(2).getLong(3) == 32)
+    assert(out(0).getString(2).startsWith("w1 ") && out(1).getString(2).startsWith("w25 "))
+    // overlap: last 8 tokens of chunk 0 == first 8 of chunk 1
+    assert(out(0).getString(2).split(" ").takeRight(8).toSeq ==
+      out(1).getString(2).split(" ").take(8).toSeq)
+  }
+
+  test("trainValSplit: deterministic, stable under corpus growth") {
+    val a = Text.trainValSplit(docs((1L, "x"), (2L, "y"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = Text.trainValSplit(docs((1L, "x"), (2L, "y"), (3L, "z"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a.forall { case (k, v) => b(k) == v }) // adding docs never reassigns
+    assert(Set("train", "val").intersect(b.values.toSet).nonEmpty)
+  }
+
   test("jsonExtract: pulls numeric field and filters") {
     import spark.implicits._
     val events = Seq((1L, """{"k": 99}"""), (2L, """{"k": 10}"""), (3L, """{}"""))
