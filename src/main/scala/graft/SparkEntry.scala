@@ -104,6 +104,8 @@ object SparkEntry {
     "q_text_stats" -> t("documents")(Text.textStats),
     "q_quality" -> t("documents")(Text.qualityScore),
     "q_token_counts" -> t("documents")(Text.tokenCounts),
+    "q_repetition" -> t("documents")(Text.repetitionStats),
+    "q_pattern_counts" -> t("documents")(Text.patternCounts),
     "q_lang_id" -> t("documents")(Text.langId),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
@@ -345,6 +347,25 @@ object SparkEntry {
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_ws_tokens,
                 len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gr, t FROM toks),
+         d AS (SELECT doc_id, round(CASE WHEN len(gr) > 0
+                 THEN 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr)
+                 ELSE 0.0 END, 6) AS dup_gram_ratio FROM g),
+         tc AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+         top AS (SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_ratio
+                 FROM cnt GROUP BY doc_id)
+         SELECT d.doc_id, dup_gram_ratio, COALESCE(top_token_ratio, 0.0) AS top_token_ratio
+         FROM d LEFT JOIN top ON d.doc_id = top.doc_id ORDER BY d.doc_id""",
+    "q_pattern_counts" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
          FROM documents ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id,

@@ -47,6 +47,48 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (Gopher-style quality rules): duplicate-3-gram
+    * ratio (row-local) and top-token dominance (explode + two aggregates —
+    * the shuffle carries (doc, token) partial counts) — high values mark
+    * boilerplate/spam.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = col("_toks")
+    val grams = filter(
+      transform(toks, (_, i) => when(i <= size(toks) - 3,
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))),
+      c => c.isNotNull)
+    val base = documents
+      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+    val dupGram = base
+      .withColumn("_g", grams)
+      .select(col("doc_id"),
+        round(when(size(col("_g")) > 0,
+          lit(1.0) - size(array_distinct(col("_g"))).cast("double") / size(col("_g")))
+          .otherwise(0.0), 6).as("dup_gram_ratio"))
+    val top = base.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 6).as("top_token_ratio"))
+    dupGram.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_gram_ratio"),
+        coalesce(col("top_token_ratio"), lit(0.0)).as("top_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Cleaning-signal pattern counts per document: emails, URLs, long digit
+    * runs — the redaction/filter signals a curation pipeline thresholds on.
+    */
+  def patternCounts(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit("https?://[^\\s]+"), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit("[0-9]{6,}"), lit(0))).cast("long").as("n_digit_runs"))
+      .orderBy("doc_id")
+
   /** Token counting with a BPE-ish regex (GPT-2-style pretokenizer shape:
     * contractions, letter runs, digit runs, punctuation runs) next to plain
     * whitespace tokens. A real BPE merge table is model-specific; the

@@ -84,6 +84,27 @@ class TextSpec extends SparkSpec {
     assert(Set("train", "val").intersect(b.values.toSet).nonEmpty)
   }
 
+  test("repetitionStats: repeated content scores high, varied content low") {
+    val d = docs(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once in this document"))
+    val out = Text.repetitionStats(d).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 > 0.8)  // all 3-grams identical
+    assert(out(1L)._2 == 1.0) // one token dominates completely
+    assert(out(2L)._1 == 0.0)
+    assert(out(2L)._2 < 0.2)
+  }
+
+  test("patternCounts: finds emails, urls, digit runs") {
+    val d = docs((1L, "contact a@b.com or see https://x.example/page id 1234567 end"),
+      (2L, "clean text only"))
+    val out = Text.patternCounts(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+  }
+
   test("jsonExtract: pulls numeric field and filters") {
     import spark.implicits._
     val events = Seq((1L, """{"k": 99}"""), (2L, """{"k": 10}"""), (3L, """{}"""))
