@@ -110,6 +110,9 @@ object SparkEntry {
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
+    "q_corpus_mix" -> t("documents")(Text.corpusMix(_,
+      (10 to 19).map(i => s"src$i" -> 4).toMap)),
+    "q_dedup_keeplist" -> t("documents")(Dedup.dedupKeepList(_, 0.5)),
     "q_fingerprints" -> t("documents")(Text.fingerprints), // no oracle: xxhash64
     "q_winnowing" -> t("documents")(Text.winnowing(_)), // no oracle: xxhash64 fingerprints
     "q_json_extract" -> t("events")(Text.jsonExtract),
@@ -423,6 +426,38 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                              IN ('0','1','2','3','4') THEN 'val' ELSE 'train' END AS split
          FROM documents ORDER BY doc_id""",
+    "q_corpus_mix" ->
+      """SELECT source, COUNT(*) AS n_kept FROM documents
+         WHERE CASE WHEN source IN ('src10','src11','src12','src13','src14',
+                                    'src15','src16','src17','src18','src19')
+               THEN strpos('0123456789abcdef',
+                           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4
+               ELSE TRUE END
+         GROUP BY source ORDER BY source""",
+    "q_dedup_keeplist" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT id_a, id_b FROM (
+                  SELECT id_a, id_b,
+                         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+                WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         reach(src, dst) AS (
+           SELECT id_a, id_a FROM edges
+           UNION
+           SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+         cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_fuzzy_pairs" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -258,6 +258,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The end product of the dedup pipeline: the keep-list. Every document
+    * survives except non-keeper members of a near-dup cluster (keeper =
+    * cluster minimum id, from [[dupClusters]]).
+    */
+  def dedupKeepList(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val drop = dupClusters(documents, threshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    documents.join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each bit
     * votes ±1, sign of the vote-sum forms the fingerprint bit. Near-dups =
     * fingerprints within small Hamming distance. One explode + one

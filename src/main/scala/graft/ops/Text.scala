@@ -244,6 +244,23 @@ object Text {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Deterministic corpus mixture: downsample each source to its configured
+    * rate using md5 hex buckets (16ths) of the id — the weighted-mixing
+    * step that balances sources before training. Same determinism contract
+    * as [[trainValSplit]]: reproducible and stable under growth.
+    * `rates` maps source -> kept fraction in sixteenths (0..16); unlisted
+    * sources keep everything.
+    */
+  def corpusMix(documents: DataFrame, rates: Map[String, Int]): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    val keepExpr = rates.foldLeft(lit(true)) { case (acc, (src, sixteenths)) =>
+      when(col("source") === src, bucket < sixteenths).otherwise(acc)
+    }
+    documents.filter(keepExpr)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/validation split: bucket by the first md5 hex
     * digit of the id — pseudorandom, reproducible, engine-portable (md5 is
     * identical everywhere), and stable under corpus growth (a document's
