@@ -71,6 +71,29 @@ object EventStreams {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** Left-outer variant: purchases WITHOUT an in-window view still emit
+    * (with null view columns) once the watermark passes the join window —
+    * the streaming analog of the batch as-of's unmatched rows. Outer
+    * stream-stream joins require the time-bound condition on both sides so
+    * the engine knows when a row can no longer match and can emit the null
+    * row + evict state.
+    */
+  def purchasesWithRecentViewsOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   // ---- custom state: running per-user counters via flatMapGroupsWithState ----
 
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,

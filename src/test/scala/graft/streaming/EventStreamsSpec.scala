@@ -111,6 +111,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(pairs == Set((3L, 1L), (3L, 2L)))
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.purchasesWithRecentViewsOuter(mem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin_outer")
+      .outputMode("append").start()
+    mem.addData(
+      EventRow(1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      EventRow(2L, ts("2024-01-01 00:30:00"), 1L, "purchase", 9.0),
+      EventRow(3L, ts("2024-01-01 00:45:00"), 2L, "purchase", 9.0)) // user 2: no view
+    q.processAllAvailable()
+    // advance BOTH sides' watermarks (the advancing rows must survive the
+    // view/purchase filters) so purchase 3 becomes provably unmatched...
+    mem.addData(
+      EventRow(98L, ts("2024-01-02 12:00:00"), 9L, "view", 0.0),
+      EventRow(99L, ts("2024-01-02 12:00:00"), 9L, "purchase", 0.0))
+    q.processAllAvailable()
+    // ...and run one more micro-batch: null rows emit after the watermark
+    // recorded at the previous batch's end takes effect
+    mem.addData(EventRow(100L, ts("2024-01-02 13:00:00"), 9L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_ssjoin_outer")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows.contains((2L, 1L)))  // matched pair
+    assert(rows.contains((3L, -1L))) // unmatched purchase emitted with null view
+  }
+
   test("streaming session windows close on gap (append mode after watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
