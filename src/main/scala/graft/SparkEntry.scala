@@ -129,7 +129,8 @@ object SparkEntry {
     "q_embed_norms" -> t("embeddings")(Similarity.norms),
     "q_cosine_topk" -> t("embeddings")(Similarity.cosineTopK(_, 20, 5)),
     "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
-    "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion),
+    "q_cosine_pairs_lsh" -> t("embeddings")(Similarity.cosinePairsLsh(_, 0.4)), // no oracle: LSH recall
+    "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion(_)),
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
@@ -523,12 +524,18 @@ object SparkEntry {
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          WHERE sim >= 0.4 ORDER BY id_a, id_b""",
     "q_label_cohesion" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-         SELECT a.label, round(AVG(list_sum(list_transform(generate_series(1, len(a.v)),
-                  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)), 6) AS mean_sim, COUNT(*) AS n_pairs
-         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         GROUP BY a.label ORDER BY a.label""",
+      // closed form, mirroring Similarity.labelCohesion: mean pairwise
+      // cosine = (||sum of normalized vectors||^2 - n) / (n(n-1)); per-dim
+      // sums in DECIMAL(25,18) = exact, order-independent on both engines
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n0 AS (SELECT label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         ex AS (SELECT label, generate_subscripts(v, 1) AS pos, CAST(unnest(v) AS DOUBLE) / nrm AS u FROM n0),
+         s AS (SELECT label, pos, CAST(SUM(CAST(u AS DECIMAL(25,18))) AS DOUBLE) AS s FROM ex GROUP BY 1, 2),
+         c AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
+         ss AS (SELECT label, SUM(s * s) AS ss FROM s GROUP BY 1)
+         SELECT c.label AS label, round((ss - n) / (n * (n - 1)), 6) AS mean_sim,
+                CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+         FROM ss JOIN c USING (label) WHERE n >= 2 ORDER BY label""",
     "q_label_centroids" ->
       """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

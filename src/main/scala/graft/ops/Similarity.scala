@@ -189,16 +189,81 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Embedding near-duplicate pairs: all (a<b) with cosine above threshold.
-    * Exact form for oracle comparison at fixture scale; the 100 TB path is
-    * the same computation restricted to LSH-bucket collisions.
+  /** Embedding near-duplicate pairs: all (a<b) with cosine above threshold —
+    * EXACT, as a block-partitioned equi-join.
+    *
+    * Why not LSH candidates here: exact output at a threshold this close to
+    * the random-pair similarity (the fixture threshold is 0.4; random 64-dim
+    * pairs sit at 0 ± 0.125) admits no sound pruning — any hash family loose
+    * enough to guarantee recall admits ~every pair as a candidate, i.e. the
+    * work is Ω(n²) whichever door it walks through (hyperplane LSH at
+    * p_bit = 1 - acos(0.4)/π ≈ 0.63 vs ≈ 0.5 for random pairs separates too
+    * slowly). What CAN be fixed is the plan: a `id_a < id_b`-only join plans
+    * as BroadcastNestedLoopJoin — single-box, driver-bound. Instead each
+    * vector is (1) assigned its own block `vec_id % nBlocks` and (2)
+    * replicated to every block; the equi-join on block meets each unordered
+    * pair exactly once (replica a ⋈ owner b, filtered to id_a < id_b), plans
+    * as a hash/sort-merge join, and spreads the n²/nBlocks-per-task work
+    * evenly over the cluster with an n·nBlocks-row shuffle. For corpus-scale
+    * thresholds where near-dups ARE far from random (≥ ~0.8), use
+    * [[cosinePairsLsh]] — sub-quadratic with a quantified recall knob.
     */
-  def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double, nBlocks: Int = 32): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val own = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      pmod(col("vec_id"), lit(nBlocks.toLong)).as("blk"))
+    val repl = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .withColumn("blk", explode(array((0 until nBlocks).map(b => lit(b.toLong)): _*)))
+      // spread the replicas over the cluster even when the input is one
+      // parquet split — the join work parallelism follows this partitioning
+      .repartition(nBlocks, col("blk"))
+    repl.join(own, repl("blk") === own("blk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Approximate cosine near-dup pairs — the sub-quadratic 100 TB path:
+    * multi-table hyperplane-LSH candidate generation (same machinery as
+    * [[annTopK]]) + exact cosine verification, so the output has exact
+    * similarities and no false positives; only recall is probabilistic.
+    *
+    * Pair-detection probability at cosine s: 1 - (1 - p^b)^L with
+    * p = 1 - acos(s)/π. The defaults (L=24, b=2) give ≥ 1 - 5e-6 at s=0.4 —
+    * chosen for the low fixture threshold, where candidate selectivity is
+    * necessarily poor (see [[cosineDupPairs]]); at a real near-dup threshold
+    * (s ≥ 0.8, p ≥ 0.80) raise b to 8-12 for bucket selectivity and L for
+    * recall — that regime is where LSH pays. Approximate → registered
+    * rows-only; recall vs [[cosineDupPairs]] is asserted in SimilaritySpec.
+    */
+  def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
+                     nTables: Int = 24, bitsPerTable: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allPlanes = planes(nTables * bitsPerTable, dim)
+    val planesDf = (0 until nTables).flatMap { t =>
+      (0 until bitsPerTable).map(b => (t, b, allPlanes(t * bitsPerTable + b)))
+    }.toDF("tbl", "bit", "pvec")
+    val sigs = e.crossJoin(broadcast(planesDf))
+      .select(col("vec_id"), col("tbl"),
+        when(dot(col("v"), col("pvec")) > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(lit(0L)).as("bitval"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum("bitval").as("bucket"))
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
@@ -226,8 +291,41 @@ object Similarity {
       .orderBy("label")
   }
 
-  /** Mean intra-label cosine similarity — grouped similarity statistics. */
-  def labelCohesion(embeddings: DataFrame): DataFrame = {
+  /** Mean intra-label cosine similarity — CLOSED FORM, one aggregation pass.
+    *
+    * For unit-normalized u_i = v_i/‖v_i‖, Σ_{i≠j} u_i·u_j = ‖Σu_i‖² − n, so
+    * mean pairwise cosine = (‖S‖² − n) / (n(n−1)) with S the per-label sum
+    * of normalized vectors. That turns the former within-label all-pairs
+    * join (quadratic per group AND a skew bomb — one big label = one giant
+    * partition) into a single hash aggregate: dim running sums + a count
+    * per label on the shuffle, nothing else. Linear, skew-immune, exact.
+    *
+    * The per-dimension sums run in DECIMAL(25,18) (components are in
+    * [−1, 1], so the cast is lossless to 1e-18): decimal addition is exact
+    * and order-independent, making the result bit-stable under any
+    * partitioning — same contract as Helpers.dsum, mirrored by the oracle.
+    */
+  def labelCohesion(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 18)
+    val e = embeddings.select(col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val dimSums = (0 until dim).map(i =>
+      sum((element_at(col("v"), i + 1) / col("nrm")).cast(dec)).as(s"s$i"))
+    val agg = e.groupBy("label")
+      .agg(dimSums.head, (dimSums.tail :+ count(lit(1)).as("n")): _*)
+    val ss = (0 until dim).map(i =>
+      col(s"s$i").cast("double") * col(s"s$i").cast("double")).reduce(_ + _)
+    agg.filter(col("n") >= 2)
+      .select(col("label"),
+        round((ss - col("n")) / (col("n") * (col("n") - 1)), 6).as("mean_sim"),
+        expr("n * (n - 1) DIV 2").as("n_pairs")) // DIV: integer-exact past 2^53 pairs
+      .orderBy("label")
+  }
+
+  /** Pairwise formulation of [[labelCohesion]] — quadratic per label; kept
+    * ONLY as the scalatest oracle for the closed form at fixture scale.
+    */
+  private[graft] def labelCohesionPairwise(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))

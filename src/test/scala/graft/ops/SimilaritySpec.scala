@@ -77,6 +77,60 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == 10.0)
   }
 
+  test("cosineDupPairs: block-partitioned plan — equi-join, no nested-loop/cartesian") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = Similarity.cosineDupPairs(e, 0.4).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "all-pairs fell back to BNLJ")
+    assert(!plan.contains("CartesianProduct"), "all-pairs fell back to cartesian")
+  }
+
+  test("cosineDupPairs: block-partitioned join equals the naive all-pairs result") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.cosineDupPairs(e, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // naive reference computed driver-side from the raw vectors (test-only)
+    val vecs = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).sortBy(_._1)
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val expected = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i); (ib, vb) = vecs(j)
+      sim = va.zip(vb).map { case (x, y) => x * y }.sum / (nrm(va) * nrm(vb))
+      if sim >= 0.4
+    } yield ((ia, ib), math.rint(sim * 1e6) / 1e6)).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9) }
+  }
+
+  test("cosinePairsLsh: subset of exact pairs with exact sims; near-total recall at fixture params") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineDupPairs(e, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.cosinePairsLsh(e, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // no false positives (candidates are verified with exact cosine) ...
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, v) => assert(v == exact(k)) }
+    // ... and (L=24, b=2) detection prob >= 1-5e-6 per pair at sim 0.4:
+    // deterministic seed, so recall on the fixture is a fixed number
+    assert(lsh.size >= math.ceil(exact.size * 0.95).toInt,
+      s"LSH recall too low: ${lsh.size} of ${exact.size}")
+  }
+
+  test("labelCohesion: closed form matches the pairwise formulation") {
+    val e = Tables.embeddings(spark, sfDir)
+    val closed = Similarity.labelCohesion(e).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val pairwise = Similarity.labelCohesionPairwise(e).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(closed.keySet == pairwise.keySet)
+    closed.foreach { case (label, (sim, nPairs)) =>
+      assert(nPairs == pairwise(label)._2)
+      assert(math.abs(sim - pairwise(label)._1) <= 2e-6,
+        s"label $label: closed $sim vs pairwise ${pairwise(label)._1}")
+    }
+  }
+
   test("labelCohesion: one row per label, pair counts match n*(n-1)/2") {
     val e = Tables.embeddings(spark, sfDir)
     val counts = e.groupBy("label").count().collect()
