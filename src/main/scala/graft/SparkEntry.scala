@@ -64,6 +64,7 @@ object SparkEntry {
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_join_right" -> ((s, dir) => Relational.joinRight(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_join_full" -> ((s, dir) => Relational.joinFullOuter(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_semi" -> ((s, dir) => Relational.joinSemi(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_anti" -> ((s, dir) => Relational.joinAnti(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -87,6 +88,8 @@ object SparkEntry {
     "q_window_range" -> t("orders")(Windows.revenueNearby),
     "q_window_firstlast" -> t("orders")(Windows.firstLastOrder),
     "q_window_ntile" -> t("part")(Windows.priceQuartiles),
+    "q_price_buckets" -> t("part")(Windows.priceBuckets),
+    "q_sort_within" -> t("orders")(Windows.partitionSortedOrders(_)),
     "q_topk" -> t("orders")(Windows.topKOrders(_, 25)),
     // ---- G: grouping extensions + set ops ----
     "q_rollup" -> t("orders")(Grouping.rollupRevenue),
@@ -209,6 +212,10 @@ object SparkEntry {
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "q_join_full" ->
       """WITH cust AS (SELECT DISTINCT c_custkey AS k FROM customer),
          big AS (SELECT o_custkey AS k2, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 8)
@@ -259,8 +266,19 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_price
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_window_ntile" ->
-      """SELECT p_partkey, CAST(NTILE(4) OVER (ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
+      """SELECT p_partkey, p_brand,
+                CAST(NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
          FROM part ORDER BY p_partkey""",
+    "q_price_buckets" ->
+      """WITH b AS (SELECT quantile_cont(p_retailprice, 0.25) AS b1,
+                           quantile_cont(p_retailprice, 0.5) AS b2,
+                           quantile_cont(p_retailprice, 0.75) AS b3 FROM part)
+         SELECT p_partkey, CAST(1 + (p_retailprice > b1)::INT + (p_retailprice > b2)::INT
+                                  + (p_retailprice > b3)::INT AS BIGINT) AS bucket
+         FROM part, b ORDER BY p_partkey""",
+    "q_sort_within" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+         ORDER BY o_custkey, o_orderkey""",
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS nearby_revenue,

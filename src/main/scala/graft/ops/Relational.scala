@@ -108,6 +108,19 @@ object Relational {
       .agg(count(col("o_orderkey")).as("n_orders"))
       .orderBy("c_custkey")
 
+  /** E — right outer join preserving customers with no orders: the mirror
+    * of [[joinLeft]] with the preserved side on the right. Spark plans
+    * right-outer broadcast joins by broadcasting the LEFT side, so with a
+    * large fact on the left this stays a shuffle join — same cost model as
+    * the left form.
+    */
+  def joinRight(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
   /** E — full outer join on key sets that only partially overlap. */
   def joinFullOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
     val custSide = customer.select(col("c_custkey").as("k")).distinct()

@@ -57,16 +57,51 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** ntile — quartiles of parts by retail price. NOTE: an unpartitioned
-    * window forces all rows through one task; acceptable for a dimension
-    * table, never for a fact table (partition or pre-bucket there).
+  /** ntile — per-brand price quartiles. The window partitions by `p_brand`,
+    * so each brand's tile assignment runs in its own task: no global
+    * single-task sort (the former unpartitioned form funneled the whole —
+    * scale-factor-growing — table through one task). For a GLOBAL quartile
+    * on a scaling table, rank-based ntile is the wrong tool; use
+    * [[priceBuckets]] (boundary bucketing — two narrow passes, no window).
     */
   def priceQuartiles(part: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("p_retailprice"), col("p_partkey"))
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
     part
-      .select(col("p_partkey"), ntile(4).over(w).cast("long").as("quartile"))
+      .select(col("p_partkey"), col("p_brand"), ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("p_partkey")
   }
+
+  /** Global price quartile buckets WITHOUT a global window: aggregate the
+    * three quartile boundaries (exact `percentile` — a distributed partial
+    * aggregate), broadcast the 1-row result, bucket each row by comparison.
+    * Value-based buckets (ties share a bucket) rather than rank-based
+    * ntile — the semantics that parallelize. At extreme cardinality swap in
+    * `percentile_approx` (bounded-memory sketch) — same shape, same plan.
+    */
+  def priceBuckets(part: DataFrame): DataFrame = {
+    val bounds = part.agg(
+      percentile(col("p_retailprice"), lit(0.25)).as("b1"),
+      percentile(col("p_retailprice"), lit(0.5)).as("b2"),
+      percentile(col("p_retailprice"), lit(0.75)).as("b3"))
+    part.crossJoin(broadcast(bounds))
+      .select(col("p_partkey"),
+        (lit(1) + (col("p_retailprice") > col("b1")).cast("int")
+          + (col("p_retailprice") > col("b2")).cast("int")
+          + (col("p_retailprice") > col("b3")).cast("int")).cast("long").as("bucket"))
+      .orderBy("p_partkey")
+  }
+
+  /** F "partition sort" — `sortWithinPartitions` made explicit: range-
+    * partition on the sort key, then sort each partition locally. This is
+    * exactly the decomposition `orderBy` plans to (RangePartitioning +
+    * per-partition SortExec); spelled out it is also the write-side
+    * clustering idiom (sorted parquet/bucketed output). Emitted order is
+    * globally sorted because range partitions are contiguous and ordered.
+    */
+  def partitionSortedOrders(orders: DataFrame, nParts: Int = 8): DataFrame =
+    orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      .repartitionByRange(nParts, col("o_custkey"), col("o_orderkey"))
+      .sortWithinPartitions("o_custkey", "o_orderkey")
 
   /** RANGE frame — per customer, revenue of all their orders within ±7 days
     * of each order (event-time neighborhood aggregation). rangeBetween needs

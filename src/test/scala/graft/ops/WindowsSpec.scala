@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+
+  test("priceQuartiles: partitioned window — tile sizes per brand differ by at most 1") {
+    val part = Tables.part(spark, sfDir)
+    val out = Windows.priceQuartiles(part).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    out.groupBy(_._1).foreach { case (brand, rows) =>
+      val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      val vals = sizes.values
+      assert(vals.max - vals.min <= 1, s"brand $brand tile sizes $sizes")
+    }
+    // plan must not contain an unpartitioned window (single-task sort)
+    val plan = Windows.priceQuartiles(part).queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"), "unpartitioned window in plan")
+  }
+
+  test("priceBuckets: value-based global quartiles, monotone in price, no window in plan") {
+    val part = Tables.part(spark, sfDir)
+    val priced = Windows.priceBuckets(part)
+      .join(part.select("p_partkey", "p_retailprice"), "p_partkey")
+      .collect().map(r => (r.getDouble(2), r.getLong(1))).sortBy(_._1)
+    assert(priced.forall { case (_, b) => b >= 1 && b <= 4 })
+    assert(priced.map(_._2).sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    }, "bucket not monotone in price")
+    // ~n/4 per bucket (ties can shift boundaries slightly)
+    val n = priced.length
+    val counts = priced.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts.size == 4)
+    counts.values.foreach(c => assert(math.abs(c - n / 4.0) <= n * 0.05 + 2))
+    val plan = Windows.priceBuckets(part).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), "priceBuckets should not use a window")
+  }
+
+  test("partitionSortedOrders: range partition + local sort emits global order") {
+    val orders = Tables.orders(spark, sfDir)
+    val rows = Windows.partitionSortedOrders(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == orders.count())
+    assert(rows.sameElements(rows.sorted), "emitted order is not globally sorted")
+  }
+}
