@@ -29,7 +29,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val fetcher = ChunkedFetcher(spark, dir, "orders")
-    val chunks = fetcher.chunks("o_custkey", byNbChunks = 4)
+    val chunks = fetcher.chunks("o_custkey", byNbChunks = Some(4))
     val orders = fetcher.fetchAll(chunks)
     Relational.revenueByRegion(orders,
       Tables.customer(spark, dir), Tables.nation(spark, dir), Tables.region(spark, dir))
@@ -48,7 +48,7 @@ object SparkEntry {
     "q_dispersion" -> t("orders")(Relational.dispersion(_)),
     "q_chunked_fetch" -> ((s, dir) => {
       val fetcher = ChunkedFetcher(s, dir, "orders")
-      val chunks = fetcher.chunks("o_custkey", byNbChunks = 8)
+      val chunks = fetcher.chunks("o_custkey", byNbChunks = Some(8))
       fetcher.fetchAll(chunks)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

@@ -33,15 +33,31 @@ final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
     ChunkPlanner.approximateNbChunks(tableGB, chunkGBPerCore, cores, freeMemoryGB)
   }
 
-  /** Reference `chunks(column, by_nb_chunks=n)` (bqfetch/bqfetch.py:232-265):
-    * distinct keys, dispersion-checked, split into n contiguous chunks.
+  /** Reference `chunks(column, by_nb_chunks=…, by_chunk_size_in_GB=…)`
+    * (bqfetch/bqfetch.py:232-265): distinct keys, dispersion-checked, split
+    * into contiguous chunks. Exactly ONE of `byNbChunks` / `byChunkSizeGB`
+    * must be set (the reference raises ValueError otherwise — same
+    * IllegalArgumentException semantics here). The size mode routes through
+    * the reference's approximation formula
+    * (`get_nb_chunks_approximation`, bqfetch/bqfetch.py:374-433, with its
+    * nb_cores=1 default): nbChunks = ceil(tableGB / min(sizeGB, freeGB)),
+    * with tableGB from plan statistics instead of a metadata query.
     * Driver-side by design (API parity) and therefore capped: throws past
     * `maxDriverKeys` distinct keys.
     */
-  def chunks(column: String, byNbChunks: Int,
+  def chunks(column: String, byNbChunks: Option[Int] = None,
+             byChunkSizeGB: Option[Double] = None,
              dispersionCoeff: Double = 0.25,
              checkDispersion: Boolean = false): Seq[FetchingChunk[Any]] = {
-    require(byNbChunks > 0, "byNbChunks must be > 0")
+    val nChunks = (byNbChunks, byChunkSizeGB) match {
+      case (Some(n), None) =>
+        require(n > 0, "byNbChunks must be > 0"); n
+      case (None, Some(gb)) =>
+        require(gb > 0, "byChunkSizeGB must be > 0")
+        approximateNbChunks(chunkGBPerCore = gb, cores = 1)
+      case _ => throw new IllegalArgumentException(
+        "exactly one of byNbChunks or byChunkSizeGB must be set")
+    }
     if (checkDispersion) {
       val counts = df.groupBy(col(column)).count()
         .limit(maxDriverKeys + 1).collect().map(_.getLong(1)).toSeq
@@ -51,7 +67,7 @@ final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
     val keys = df.select(col(column)).distinct().orderBy(col(column))
       .limit(maxDriverKeys + 1).collect().map((r: Row) => r.get(0)).toSeq
     assertUnderCap(keys.size)
-    ChunkPlanner.divideInChunks(keys, byNbChunks).map(FetchingChunk(column, _))
+    ChunkPlanner.divideInChunks(keys, nChunks).map(FetchingChunk(column, _))
   }
 
   private def assertUnderCap(n: Int): Unit =
