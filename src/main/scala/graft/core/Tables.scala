@@ -19,11 +19,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown fixture table: $name")
     if (name == "events") {
-      // fixture ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects;
-      // read nanos as long and rebuild a (micro-precision) timestamp. DIV
-      // keeps the arithmetic in exact integer space (a double would lose
+      // fixture ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects
+      // unless the session was BUILT with
+      // spark.sql.legacy.parquet.nanosAsLong=true (all entry points set it:
+      // Bench/Verify/Smoke/PlanAudit/TestSpark — keeping this loader pure
+      // instead of mutating session conf per call); the nanos arrive as
+      // long and are rebuilt into a micro-precision timestamp. DIV keeps
+      // the arithmetic in exact integer space (a double would lose
       // precision above 2^53 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -262,8 +262,16 @@ object Dedup {
     * survives except non-keeper members of a near-dup cluster (keeper =
     * cluster minimum id, from [[dupClusters]]).
     */
-  def dedupKeepList(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val drop = dupClusters(documents, threshold)
+  def dedupKeepList(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    dedupKeepList(documents, dupClusters(documents, threshold))
+
+  /** Keep-list from PRECOMPUTED clusters: a pipeline that materializes
+    * [[dupClusters]] (to keep cluster labels) and also needs the keep-list
+    * must not re-run shingling + pair generation + label propagation a
+    * second time — pass the clusters in and this is one anti-join.
+    */
+  def dedupKeepList(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val drop = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     documents.join(drop, Seq("doc_id"), "left_anti")

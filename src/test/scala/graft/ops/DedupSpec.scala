@@ -88,4 +88,12 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.simhashPairs(d, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("dedupKeepList: precomputed-clusters overload equals the standalone form") {
+    val documents = Tables.documents(spark, sfDir)
+    val clusters = Dedup.dupClusters(documents, 0.5)
+    val standalone = Dedup.dedupKeepList(documents, 0.5).collect().map(_.getLong(0))
+    val reused = Dedup.dedupKeepList(documents, clusters).collect().map(_.getLong(0))
+    assert(standalone.sameElements(reused))
+  }
 }
