@@ -116,8 +116,8 @@ object SparkEntry {
     "q_corpus_mix" -> t("documents")(Text.corpusMix(_,
       (10 to 19).map(i => s"src$i" -> 4).toMap)),
     "q_dedup_keeplist" -> t("documents")(Dedup.dedupKeepList(_, 0.5)),
-    "q_fingerprints" -> t("documents")(Text.fingerprints), // no oracle: xxhash64
-    "q_winnowing" -> t("documents")(Text.winnowing(_)), // no oracle: xxhash64 fingerprints
+    "q_fingerprints" -> t("documents")(Text.fingerprints),
+    "q_winnowing" -> t("documents")(Text.winnowing(_)),
     "q_json_extract" -> t("events")(Text.jsonExtract),
     // ---- H: dedup ----
     "q_dedup_exact" -> t("documents")(Dedup.exactDedup),
@@ -407,6 +407,28 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
          FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
          ORDER BY event_id""",
+    "q_fingerprints" ->
+      // gram hash = first 12 md5 hex digits as a 48-bit integer — the
+      // engine-portable hash family Text.gramHash48 mirrors bit-for-bit
+      """WITH nrm AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+         toks AS (SELECT doc_id, norm, regexp_extract_all(norm, '[a-z0-9]+') AS t FROM nrm),
+         g AS (SELECT doc_id, norm, list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> CAST('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12) AS BIGINT)) AS gh
+               FROM toks)
+         SELECT doc_id, md5(norm) AS content_hash,
+                list_min(gh) AS min_gram_hash, list_max(gh) AS max_gram_hash
+         FROM g ORDER BY doc_id""",
+    "q_winnowing" ->
+      // winnowing (MOSS), k=3-token grams, window w=4: every window's min
+      // gram hash, distinct per document — same md5-derived hash family
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                 i -> CAST('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12) AS BIGINT)) AS gh
+               FROM toks WHERE len(t) >= 6),
+         m AS (SELECT doc_id, list_transform(generate_series(1, len(gh) - 3),
+                 j -> list_min(gh[j:j+3])) AS fps FROM g)
+         SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM m
+         ORDER BY doc_id, fingerprint""",
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents
          GROUP BY text ORDER BY keeper_id""",

@@ -131,11 +131,31 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprinting: a single 64-bit content hash (normalized
-    * whitespace/case) plus a winnowing-style min-hash of rolling 8-gram
-    * hashes — the pair a dedup pipeline keys on. xxhash64 is Spark-native
-    * codegen; no oracle (DuckDB's hash differs) — correctness covered by
-    * unit tests.
+  /** 48-bit gram hash from the first 12 hex digits of md5 — deliberately
+    * engine-portable (DuckDB: CAST('0x' || substring(md5(g),1,12) AS
+    * BIGINT)), so fingerprint queries get REAL value oracles instead of
+    * rows-only checks. 48 bits keeps every digit-fold below 2^53 on any
+    * engine while collision risk at corpus vocabularies stays negligible
+    * for min/max/winnowing selection (~|grams|²/2⁴⁹).
+    */
+  private[ops] def gramHash48(g: Column): Column =
+    conv(substring(md5(g), 1, 12), 16, 10).cast("long")
+
+  /** The same 48-bit md5-derived gram hash for row-local (typed) code —
+    * bit-identical to [[gramHash48]]: first 6 md5 bytes, big-endian.
+    */
+  private[ops] def gramHash48Local(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** Document fingerprinting: an md5 content hash (normalized
+    * whitespace/case) plus min/max of rolling 3-gram hashes — the triple a
+    * dedup pipeline keys on. All hashes are md5-derived and oracle-checked
+    * (see [[gramHash48]]).
     */
   def fingerprints(documents: DataFrame): DataFrame = {
     // materialize normalized text + tokens as columns BEFORE the n-gram
@@ -144,7 +164,7 @@ object Text {
     val toks = col("_toks")
     val grams = filter(
       transform(toks, (_, i) => when(i <= size(toks) - 3,
-        xxhash64(concat_ws(" ",
+        gramHash48(concat_ws(" ",
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))),
       c => c.isNotNull)
     documents
@@ -152,7 +172,7 @@ object Text {
       .withColumn("_toks", regexp_extract_all(col("_norm"), lit(wordRe), lit(0)))
       .select(
         col("doc_id"),
-        xxhash64(col("_norm")).as("content_hash"),
+        md5(col("_norm")).as("content_hash"),
         array_min(grams).as("min_gram_hash"),
         array_max(grams).as("max_gram_hash"))
       .orderBy("doc_id")
@@ -198,11 +218,11 @@ object Text {
         val toks = tokenRe.findAllIn(text).toArray
         if (toks.length < k + w - 1) Iterator.empty
         else {
+          // md5-derived 48-bit gram hash — identical to gramHash48, so the
+          // whole winnowing output is DuckDB-oracle-checkable
+          val md = java.security.MessageDigest.getInstance("MD5")
           val grams = Array.tabulate(toks.length - k + 1) { i =>
-            val s = toks.slice(i, i + k).mkString(" ")
-            // 64-bit deterministic gram hash from two murmur passes
-            (scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong << 32) |
-              (scala.util.hashing.MurmurHash3.stringHash(s, 1337).toLong & 0xFFFFFFFFL)
+            gramHash48Local(md, toks.slice(i, i + k).mkString(" "))
           }
           val out = scala.collection.mutable.LinkedHashSet.empty[Long]
           val deque = new java.util.ArrayDeque[Int]()

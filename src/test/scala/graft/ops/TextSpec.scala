@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class TextSpec extends SparkSpec {
 
@@ -44,9 +45,19 @@ class TextSpec extends SparkSpec {
 
   test("fingerprints: identical normalized texts share content_hash") {
     val d = docs((1L, "A  B\tC"), (2L, "a b c"), (3L, "x y z"))
-    val out = Text.fingerprints(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = Text.fingerprints(d).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
+  }
+
+  test("gramHash48: row-local (winnowing) and column (fingerprint) hashes are bit-identical") {
+    import spark.implicits._
+    val samples = Seq("alpha beta gamma", "a b c", "x 1 z", "ümlaut mixed 2")
+    val viaColumn = samples.toDF("g")
+      .select(Text.gramHash48(col("g"))).collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val viaLocal = samples.map(Text.gramHash48Local(md, _))
+    assert(viaColumn.toSeq == viaLocal)
   }
 
   test("winnowing: identical docs share all fingerprints; shared substrings overlap") {
