@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.functions.VectorExpressions
 import graft.functions.VectorExpressions.{DotProduct, L2Norm}
 
 /** SparkSessionExtensions entry point: makes the native vector expressions
@@ -23,10 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => VectorExpressions.dotBuilder(children)))
     ext.injectFunction((
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "vec_norm"),
-      (children: Seq[Expression]) => L2Norm(children.head)))
+      (children: Seq[Expression]) => VectorExpressions.normBuilder(children)))
   }
 }

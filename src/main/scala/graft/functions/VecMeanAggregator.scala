@@ -18,19 +18,27 @@ object VecMeanAggregator extends Aggregator[Array[Float], (Array[Double], Long),
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+    // ragged inputs would silently skew dimensions/divisor — reject them
+    require(v.nonEmpty, "VecMeanAggregator: zero-length embedding")
     val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    require(v.length == sums.length,
+      s"VecMeanAggregator: ragged embedding dimensions (${v.length} vs ${sums.length})")
     var i = 0
-    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    while (i < v.length) { sums(i) += v(i); i += 1 }
     (sums, b._2 + 1)
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) b
-    else if (b._1.isEmpty) a
+    // counts always add — an empty-sums buffer is the ZERO buffer, not a
+    // license to drop the other side's count
+    if (a._1.isEmpty) (b._1, a._2 + b._2)
+    else if (b._1.isEmpty) (a._1, a._2 + b._2)
     else {
+      require(a._1.length == b._1.length,
+        s"VecMeanAggregator: ragged partial sums (${a._1.length} vs ${b._1.length})")
       val out = a._1.clone()
       var i = 0
-      while (i < out.length && i < b._1.length) { out(i) += b._1(i); i += 1 }
+      while (i < out.length) { out(i) += b._1(i); i += 1 }
       (out, a._2 + b._2)
     }
   }

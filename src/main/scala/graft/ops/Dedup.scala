@@ -254,6 +254,12 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // a silent stop mid-propagation would return WRONG cluster ids for any
+    // component with diameter > maxIters — fail loudly instead (rounds are
+    // cheap on the pair graph; callers raise maxIters, never ignore this)
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within $maxIters label-propagation rounds — " +
+        "a duplicate chain is longer than the iteration budget; raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -22,8 +22,11 @@ object Similarity {
 
   import graft.functions.VectorExpressions.{vec_dot, vec_norm}
 
-  /** Cast float embedding to double once; all arithmetic stays double. */
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Cast float embedding to double once; all arithmetic stays double.
+    * Native array cast — vectorizable, unlike a transform() lambda which
+    * evaluates interpreted per element.
+    */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   // codegen'd native expressions (graft.functions.VectorExpressions) — the
   // zip_with/aggregate HOF formulation is interpreted per element and

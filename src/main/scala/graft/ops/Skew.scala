@@ -16,8 +16,13 @@ object Skew {
 
   /** Equi-join `fact ⋈ dim` on `key`, salting the fact side into
     * `saltFactor` sub-keys and exploding the (small) dim side to match:
-    * fact rows get a random-but-deterministic salt from a hash of the whole
-    * row position-independent data, dim rows are replicated once per salt.
+    * fact rows get a deterministic salt from a hash of the FULL ROW
+    * CONTENT — never from monotonically_increasing_id or rand, whose
+    * nondeterminism under partition recomputation (shuffle-fetch-failure
+    * retry) can re-salt a row into a different partition and duplicate or
+    * drop it. Content-hash salting is retry-stable; its one trade-off is
+    * that exact duplicate rows share a salt (harmless unless the skew IS
+    * massive row duplication — dedup first in that case).
     * The hot key's rows now spread over `saltFactor` shuffle partitions.
     * Result is row-identical to the unsalted join (inner/left semantics).
     */
@@ -25,7 +30,7 @@ object Skew {
                  saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val saltedDim = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedFact.join(saltedDim,
