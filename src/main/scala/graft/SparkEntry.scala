@@ -56,6 +56,17 @@ object SparkEntry {
             .cast("double").as("revenue"))
         .orderBy("o_orderstatus")
     }),
+    // the scale form of the chunked fetch: no driver-side key list at all —
+    // the "chunks" are hash partitions of the scan (D3/D4 at 100 TB)
+    "q_chunked_fetch_partitioned" -> ((s, dir) => {
+      val fetcher = ChunkedFetcher(s, dir, "orders")
+      fetcher.fetchAllPartitioned("o_custkey", 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
     "q_pricing_summary" -> t("lineitem")(Relational.pricingSummary),
     "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -177,6 +188,9 @@ object SparkEntry {
                       / COUNT(*), 6) AS frac_outside
          FROM counts, m GROUP BY m.mean_cnt""",
     "q_chunked_fetch" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_chunked_fetch_partitioned" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_pricing_summary" ->

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
 
+  /** Reference `log(*args)` format parity (bqfetch/utils.py:64-67). */
+  private def log(lines: String*): Unit = {
+    println()
+    lines.foreach(l => println(s">>> $l"))
+  }
+
   /** Chunk-count estimate from the reference's formula (D6), driven by plan
     * statistics instead of a metadata query: Spark already knows the scan
     * size (`optimizedPlan.stats.sizeInBytes` — the analog of the
@@ -48,7 +54,8 @@ final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
   def chunks(column: String, byNbChunks: Option[Int] = None,
              byChunkSizeGB: Option[Double] = None,
              dispersionCoeff: Double = 0.25,
-             checkDispersion: Boolean = false): Seq[FetchingChunk[Any]] = {
+             checkDispersion: Boolean = false,
+             verbose: Boolean = false): Seq[FetchingChunk[Any]] = {
     val nChunks = (byNbChunks, byChunkSizeGB) match {
       case (Some(n), None) =>
         require(n > 0, "byNbChunks must be > 0"); n
@@ -67,7 +74,13 @@ final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
     val keys = df.select(col(column)).distinct().orderBy(col(column))
       .limit(maxDriverKeys + 1).collect().map((r: Row) => r.get(0)).toSeq
     assertUnderCap(keys.size)
-    ChunkPlanner.divideInChunks(keys, nChunks).map(FetchingChunk(column, _))
+    val out = ChunkPlanner.divideInChunks(keys, nChunks).map(FetchingChunk(column, _))
+    // reference chunks(verbose=True) report (bqfetch/bqfetch.py:259-264)
+    if (verbose) log(
+      "Chunking",
+      s"""Nb values in "$column":\t ${keys.size}""",
+      s"Nb chunks:\t\t\t ${out.size}")
+    out
   }
 
   private def assertUnderCap(n: Int): Unit =
@@ -80,9 +93,22 @@ final class ChunkedFetcher(df: DataFrame, maxDriverKeys: Int = 100000) {
     * chunk's rows are spread over that many tasks (the reference forks one
     * process per core; Spark schedules tasks).
     */
-  def fetch(chunk: FetchingChunk[Any], partitions: Int = 0): DataFrame = {
+  def fetch(chunk: FetchingChunk[Any], partitions: Int = 0,
+            verbose: Boolean = false): DataFrame = {
     val filtered = df.filter(col(chunk.column).isin(chunk.elements: _*))
-    if (partitions > 0) filtered.repartition(partitions, col(chunk.column)) else filtered
+    val out = if (partitions > 0) filtered.repartition(partitions, col(chunk.column)) else filtered
+    // reference fetch(verbose=True) report (bqfetch/bqfetch.py:323-329,
+    // 365-371). Deviation, documented: the reference prints fetch time and
+    // row count because pandas materializes eagerly; a DataFrame is lazy,
+    // so this reports plan-level facts (forcing a count here would run the
+    // query twice). Parallelism is task-based, not a process pool.
+    if (verbose) log(
+      "Fetching",
+      s"Use multiprocessing : \tfalse (Spark task scheduler)",
+      s"Partitions: \t\t\t${if (partitions > 0) partitions else "input-defined"}",
+      s"Chunk values in '${chunk.column}':\t ${chunk.elements.size}",
+      f"Estimated chunk size:\t ${out.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble / 1e9}%.2fGB")
+    out
   }
 
   /** A4 parity — the reference materializes each chunk server-side as a

@@ -54,6 +54,21 @@ class FetcherSpec extends SparkSpec {
     intercept[IllegalArgumentException](fetcher.chunks("o_custkey", byChunkSizeGB = Some(0.0)))
   }
 
+  test("verbose chunk/fetch reports print in the reference's >>> log format") {
+    val fetcher = ChunkedFetcher(spark, sfDir, "orders")
+    val out = new java.io.ByteArrayOutputStream()
+    val chunks = Console.withOut(new java.io.PrintStream(out)) {
+      val cs = fetcher.chunks("o_custkey", byNbChunks = Some(2), verbose = true)
+      fetcher.fetch(cs.head, verbose = true)
+      cs
+    }
+    val printed = out.toString
+    assert(printed.contains(">>> Chunking"))
+    assert(printed.contains("Nb chunks:"))
+    assert(printed.contains(">>> Fetching"))
+    assert(printed.contains(s"Chunk values in 'o_custkey':\t ${chunks.head.elements.size}"))
+  }
+
   test("driver-side key cap throws past maxDriverKeys (100 TB guard)") {
     val fetcher = new ChunkedFetcher(Tables.orders(spark, sfDir), maxDriverKeys = 10)
     intercept[IllegalArgumentException](fetcher.chunks("o_custkey", byNbChunks = Some(2)))
