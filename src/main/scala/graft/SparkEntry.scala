@@ -142,8 +142,11 @@ object SparkEntry {
     // ---- H: similarity search ----
     "q_embed_norms" -> t("embeddings")(Similarity.norms),
     "q_cosine_topk" -> t("embeddings")(Similarity.cosineTopK(_, 20, 5)),
+    // cosinePairsLsh is deliberately NOT registered: at the fixture's 0.4
+    // threshold LSH candidates approach all-pairs (see its scaladoc) and
+    // the fixture has no pairs in the >=0.8 regime where it is the right
+    // tool; SimilaritySpec asserts its recall against the exact form.
     "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
-    "q_cosine_pairs_lsh" -> t("embeddings")(Similarity.cosinePairsLsh(_, 0.4)), // no oracle: LSH recall
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion(_)),
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate

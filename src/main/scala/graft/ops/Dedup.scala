@@ -216,18 +216,27 @@ object Dedup {
     * connected-components on Spark (no GraphX dependency).
     */
   def dupClusters(documents: DataFrame, threshold: Double = 0.5,
-                  maxIters: Int = 10): DataFrame = {
+                  maxIters: Int = 10,
+                  smallGraphEdgeCap: Long = 100000L): DataFrame = {
     // localCheckpoint truncates lineage: each round's plan starts from the
     // materialized previous labels instead of re-analyzing the whole
     // iterative chain (which otherwise grows per round)
     val pairs = jaccardPairs(documents, threshold)
       .select("id_a", "id_b").localCheckpoint()
-    // size the iteration's partitioning from the measured pair count (the
-    // count is free — pairs just materialized): near-dup graphs are tiny
-    // relative to the corpus, and spinning 32 shuffle partitions per round
-    // for a few hundred edges is pure scheduler overhead; at 100 TB the
-    // same formula scales the rounds up with the graph
-    val nParts = math.max(1, math.min(32, (pairs.count() / 100000L).toInt + 1))
+    val nEdges = pairs.count() // free — pairs just materialized
+    // SMALL-GRAPH FAST PATH: near-dup pair graphs are tiny relative to the
+    // corpus (the fixture's 1.5k-doc corpus yields ~25 edges; even a dirty
+    // 100 TB corpus yields edges ∝ duplicates, not rows). Below a bounded
+    // cap, driver-side union-find replaces 2-4 shuffle rounds of label
+    // propagation — the same explicitly-capped-driver-work pattern as
+    // maxDriverKeys and broadcast thresholds. Past the cap the distributed
+    // label-propagation loop below engages unchanged.
+    if (nEdges <= smallGraphEdgeCap) return smallGraphClusters(pairs)
+    // size the iteration's partitioning from the measured pair count:
+    // spinning 32 shuffle partitions per round for a few hundred edges is
+    // pure scheduler overhead; at 100 TB the same formula scales the
+    // partitioning up with the graph
+    val nParts = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .repartition(nParts, col("id_a"))
@@ -262,6 +271,33 @@ object Dedup {
         "a duplicate chain is longer than the iteration budget; raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
+  }
+
+  /** Driver-side union-find over a capped edge list — exact, deterministic
+    * (cluster id = component minimum, independent of edge order), and free
+    * of per-round shuffle barriers. Only reachable under
+    * `smallGraphEdgeCap` from [[dupClusters]].
+    */
+  private def smallGraphClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    // roots are per-union minima, so find(node) IS the component minimum
+    nodes.map(n => (n, find(n))).sortBy(_._1)
+      .toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** The end product of the dedup pipeline: the keep-list. Every document

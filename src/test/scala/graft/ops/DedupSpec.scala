@@ -89,6 +89,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("dupClusters: small-graph union-find equals distributed label propagation") {
+    val documents = Tables.documents(spark, sfDir)
+    val fast = Dedup.dupClusters(documents, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val distributed = Dedup.dupClusters(documents, 0.5, smallGraphEdgeCap = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.nonEmpty && fast.sameElements(distributed))
+  }
+
   test("dedupKeepList: precomputed-clusters overload equals the standalone form") {
     val documents = Tables.documents(spark, sfDir)
     val clusters = Dedup.dupClusters(documents, 0.5)
