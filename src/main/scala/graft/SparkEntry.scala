@@ -126,6 +126,9 @@ object SparkEntry {
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
     "q_corpus_mix" -> t("documents")(Text.corpusMix(_,
       (10 to 19).map(i => s"src$i" -> 4).toMap)),
+    "q_pack_sequences" -> t("documents")(Text.packSequences(_)),
+    "q_source_sample" -> t("documents")(Text.perSourceSample(_)),
+    "q_source_stats" -> t("documents")(Text.sourceStats),
     "q_dedup_keeplist" -> t("documents")(Dedup.dedupKeepList(_, 0.5)),
     "q_fingerprints" -> t("documents")(Text.fingerprints),
     "q_winnowing" -> t("documents")(Text.winnowing(_)),
@@ -492,6 +495,26 @@ object SparkEntry {
                            substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4
                ELSE TRUE END
          GROUP BY source ORDER BY source""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         SELECT doc_id, source, n_tokens, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+         FROM c ORDER BY doc_id""",
+    "q_source_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+              FROM documents)
+         SELECT doc_id, source, rn FROM r WHERE rn <= 10 ORDER BY source, rn""",
+    "q_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+                round(CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*), 6) AS mean_tokens
+         FROM documents GROUP BY source ORDER BY source""",
     "q_dedup_keeplist" ->
       """WITH RECURSIVE
          toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

@@ -293,6 +293,64 @@ object Text {
           lit("val")).otherwise(lit("train")).as("split"))
       .orderBy("doc_id")
 
+  /** Contiguous sequence packing: assign documents to fixed-token-budget
+    * packs, per source in doc_id order — the pre-training step that turns a
+    * ragged corpus into near-constant-length training sequences. A document
+    * lands in the pack where its running token total starts
+    * (pack_id = prior-cumulative-tokens DIV budget): deterministic,
+    * engine-portable, and windowed PER SOURCE so no global single-task
+    * scan exists (the same partitioning discipline as
+    * [[graft.ops.Windows.priceQuartiles]]). Greedy first-fit would pack
+    * ~1-2% tighter but needs stateful per-partition iteration; contiguous
+    * packing is the standard scalable compromise.
+    */
+  def packSequences(documents: DataFrame, budgetTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(wordRe), lit(0))).cast("long").as("n_tokens"))
+      .withColumn("_cum", sum("n_tokens").over(w))
+      // DIV: integer-exact at any corpus size (no double rounding)
+      .withColumn("pack_id", expr(s"(_cum - n_tokens) DIV $budgetTokens"))
+      .drop("_cum")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic per-source subsample: keep the k docs per source with
+    * the smallest md5(doc_id) — an unbiased, reproducible, growth-stable
+    * "random" k-per-stratum sample (same md5-bucket determinism contract
+    * as [[trainValSplit]]). The window partitions by source, so each
+    * stratum ranks in its own task.
+    */
+  def perSourceSample(documents: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("source", "rn")
+  }
+
+  /** Per-source corpus statistics — the audit table a mixture design reads
+    * first: document counts, token totals, mean document length. One hash
+    * aggregate; token totals in exact decimal for engine portability.
+    */
+  def sourceStats(documents: DataFrame): DataFrame = {
+    val nTokens = size(regexp_extract_all(col("text"), lit(wordRe), lit(0))).cast("long")
+    documents
+      .select(col("source"), nTokens.as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("total_tokens"),
+        round(sum("nt").cast("double") / count(lit(1)), 6).as("mean_tokens"))
+      .orderBy("source")
+  }
+
   /** JSON extraction from a string payload column (events.props). */
   def jsonExtract(events: DataFrame): DataFrame =
     events.select(

@@ -50,6 +50,38 @@ class TextSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("packSequences: packs are contiguous per source and respect the budget start rule") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a " * 300, "s1"), (2L, "b " * 300, "s1"), (3L, "c " * 300, "s1"),
+      (4L, "d " * 10, "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Text.packSequences(d, budgetTokens = 512).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // cum starts: doc1 at 0 -> pack 0; doc2 at 300 -> pack 0; doc3 at 600 -> pack 1
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 1)
+    assert(out(4L) == 0) // separate source restarts packing
+  }
+
+  test("perSourceSample: k rows per source, deterministic across runs") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val a = Text.perSourceSample(d, 5).collect().map(r => (r.getString(1), r.getLong(0)))
+    val b = Text.perSourceSample(d, 5).collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(a.sameElements(b))
+    a.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 5) }
+  }
+
+  test("sourceStats: totals reconcile with per-doc token counts") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val stats = Text.sourceStats(d).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val direct = Text.tokenCounts(d)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .groupBy("source").sum("n_ws_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(stats == direct)
+  }
+
   test("gramHash48: row-local (winnowing) and column (fingerprint) hashes are bit-identical") {
     import spark.implicits._
     val samples = Seq("alpha beta gamma", "a b c", "x 1 z", "ümlaut mixed 2")
