@@ -83,8 +83,14 @@ object Dedup {
     * the candidate set stays near-linear at corpus scale. Verification then
     * computes exact Jaccard per candidate from the full shingle sets.
     */
+  /** `sorted=false` skips the final global orderBy — internal consumers
+    * (clustering, fuzzy verify) re-shuffle or re-sort anyway, and a global
+    * sort costs a range exchange PLUS the range-partitioner's extra
+    * boundary-sampling pass over the whole candidate pipeline.
+    */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5,
-                   orderByDocFreq: Boolean = true): DataFrame = {
+                   orderByDocFreq: Boolean = true,
+                   sorted: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one shingling pass, cached: prefix generation and verify both read it
     val arrs = shingleArrays(documents)
@@ -124,7 +130,7 @@ object Dedup {
           col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    val verified = cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       // |A∪B| = |A|+|B|-|A∩B|: one set-build per pair instead of two
@@ -133,7 +139,7 @@ object Dedup {
         round(col("_inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
+    if (sorted) verified.orderBy("id_a", "id_b") else verified
   }
 
   /** MinHash signature + LSH banding near-dup detection (approximate
@@ -195,7 +201,7 @@ object Dedup {
                  maxEdit: Int = 20, prefixLen: Int = 100): DataFrame = {
     val texts = documents.select(col("doc_id"),
       substring(lower(col("text")), 1, prefixLen).as("head"))
-    jaccardPairs(documents, jaccardThreshold)
+    jaccardPairs(documents, jaccardThreshold, sorted = false)
       .join(texts.select(col("doc_id").as("id_a"), col("head").as("head_a")), "id_a")
       .join(texts.select(col("doc_id").as("id_b"), col("head").as("head_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("jaccard"),
@@ -221,7 +227,7 @@ object Dedup {
     // localCheckpoint truncates lineage: each round's plan starts from the
     // materialized previous labels instead of re-analyzing the whole
     // iterative chain (which otherwise grows per round)
-    val pairs = jaccardPairs(documents, threshold)
+    val pairs = jaccardPairs(documents, threshold, sorted = false)
       .select("id_a", "id_b").localCheckpoint()
     val nEdges = pairs.count() // free — pairs just materialized
     // SMALL-GRAPH FAST PATH: near-dup pair graphs are tiny relative to the
