@@ -45,11 +45,11 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s""""n_queries":${results.size},"n_errors":${errs.size}}""")
     val qs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

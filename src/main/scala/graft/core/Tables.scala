@@ -20,13 +20,15 @@ object Tables {
     require(all.contains(name), s"unknown fixture table: $name")
     if (name == "events") {
       // fixture ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects
-      // unless the session was BUILT with
-      // spark.sql.legacy.parquet.nanosAsLong=true (all entry points set it:
-      // Bench/Verify/Smoke/PlanAudit/TestSpark — keeping this loader pure
-      // instead of mutating session conf per call); the nanos arrive as
-      // long and are rebuilt into a micro-precision timestamp. DIV keeps
+      // without spark.sql.legacy.parquet.nanosAsLong=true. All entry points
+      // set it at session BUILD (Bench/Verify/Smoke/PlanAudit/TestSpark);
+      // the guard below only repairs sessions built elsewhere — idempotent,
+      // so our own sessions see no per-call conf mutation. The nanos arrive
+      // as long and are rebuilt into a micro-precision timestamp. DIV keeps
       // the arithmetic in exact integer space (a double would lose
       // precision above 2^53 ns).
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

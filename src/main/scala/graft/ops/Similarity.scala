@@ -90,25 +90,34 @@ object Similarity {
     * compute for recall without ever going corpus×corpus. Approximate → no
     * SQL oracle; recall is asserted against [[cosineTopK]] in the suite.
     */
-  def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-              nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
+  /** Multi-table hyperplane-LSH signatures: one (vec, table) -> bucket row
+    * per hash table. Planes ride a broadcast TABLE, not inline literals —
+    * at high dim the literal arrays bloat the plan/codegen (4s of compile
+    * time); as rows they broadcast once and the signature is a tiny agg.
+    * Shared by [[annTopK]] and [[cosinePairsLsh]] so the bit encoding and
+    * plane seeding (which their recall math depends on) cannot diverge.
+    */
+  private def lshSignatures(e: DataFrame, nTables: Int, bitsPerTable: Int,
+                            dim: Int): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    // planes as a broadcast TABLE, not inline literals: at high dim the
-    // literal arrays bloat the plan/codegen (and 4s of compile time); as
-    // rows they broadcast once and the signature is a tiny agg
     val allPlanes = planes(nTables * bitsPerTable, dim)
     val planesDf = (0 until nTables).flatMap { t =>
       (0 until bitsPerTable).map(b => (t, b, allPlanes(t * bitsPerTable + b)))
     }.toDF("tbl", "bit", "pvec")
-    val sigs = e.crossJoin(broadcast(planesDf))
+    e.crossJoin(broadcast(planesDf))
       .select(col("vec_id").as("sig_id"), col("tbl"),
         when(dot(col("v"), col("pvec")) > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
           .otherwise(lit(0L)).as("bitval"))
       .groupBy(col("sig_id"), col("tbl"))
       .agg(sum("bitval").as("bucket"))
+  }
+
+  def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+              nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val sigs = lshSignatures(e, nTables, bitsPerTable, dim)
     val keyed = e.join(sigs, col("vec_id") === col("sig_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("bucket"))
     val qk = keyed.filter(col("vec_id") < nQueries)
@@ -244,21 +253,14 @@ object Similarity {
     */
   def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
                      nTables: Int = 24, bitsPerTable: Int = 2, dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+    // no persist: e is a narrow scan+cast+norm projection — recomputing it
+    // per consumer is cheaper than pinning an uncollectable cache entry
+    // for the application lifetime (this function returns a lazy frame and
+    // has no unpersist point)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val allPlanes = planes(nTables * bitsPerTable, dim)
-    val planesDf = (0 until nTables).flatMap { t =>
-      (0 until bitsPerTable).map(b => (t, b, allPlanes(t * bitsPerTable + b)))
-    }.toDF("tbl", "bit", "pvec")
-    val sigs = e.crossJoin(broadcast(planesDf))
-      .select(col("vec_id"), col("tbl"),
-        when(dot(col("v"), col("pvec")) > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(lit(0L)).as("bitval"))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum("bitval").as("bucket"))
+    val sigs = lshSignatures(e, nTables, bitsPerTable, dim)
+      .withColumnRenamed("sig_id", "vec_id")
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -310,8 +312,14 @@ object Similarity {
     */
   def labelCohesion(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(25, 18)
+    // dim must equal the actual vector length: wider vectors would
+    // otherwise be silently truncated to the first `dim` components
+    // (narrower ones already fail ANSI element_at). The check lives inside
+    // the always-read nrm column so column pruning cannot drop it.
     val e = embeddings.select(col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", when(size(col("v")) === dim, norm(col("v")))
+        .otherwise(raise_error(lit(
+          s"labelCohesion: embedding length != dim=$dim")).cast("double")))
     val dimSums = (0 until dim).map(i =>
       sum((element_at(col("v"), i + 1) / col("nrm")).cast(dec)).as(s"s$i"))
     val agg = e.groupBy("label")

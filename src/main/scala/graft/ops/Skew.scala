@@ -29,8 +29,21 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // hash only the hashable columns (xxhash64 rejects maps at analysis);
+    // every hashable column participates so distinct rows of a hot key
+    // spread across salts
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    val hashable = fact.schema.fields.filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name))
+    require(hashable.nonEmpty, "saltedJoin: no hashable columns to derive a salt from")
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(saltFactor)))
     val saltedDim = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedFact.join(saltedDim,

@@ -15,9 +15,14 @@ class WindowsSpec extends SparkSpec {
       val vals = sizes.values
       assert(vals.max - vals.min <= 1, s"brand $brand tile sizes $sizes")
     }
-    // plan must not contain an unpartitioned window (single-task sort)
-    val plan = Windows.priceQuartiles(part).queryExecution.executedPlan.toString
-    assert(!plan.contains("windowspecdefinition()"), "unpartitioned window in plan")
+    // plan must not contain an unpartitioned window (single-task sort):
+    // inspect the physical WindowExec nodes' partition specs directly — a
+    // string match on the plan text cannot distinguish empty from nonempty
+    val windows = Windows.priceQuartiles(part).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected a WindowExec in the plan")
+    windows.foreach(ps => assert(ps.nonEmpty, "unpartitioned window in plan"))
   }
 
   test("priceBuckets: value-based global quartiles, monotone in price, no window in plan") {
