@@ -21,6 +21,9 @@ import graft.functions.VectorExpressions.{DotProduct, L2Norm}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // preference path (c): whole-plan rewrite — θ range joins become binned
+    // equi joins when spark.graft.binnedRangeJoin.width is set
+    ext.injectOptimizerRule(_ => new graft.plans.BinnedRangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
