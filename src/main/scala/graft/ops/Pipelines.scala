@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composite a training-data pipeline
+  * actually runs, built entirely from the library's own operators so the
+  * whole flow stays one declarative plan (Catalyst sees every stage;
+  * nothing materializes between steps except the dedup pair graph, which
+  * [[Dedup.dupClusters]] checkpoints by design):
+  *
+  *   1. quality gate   — [[Text.qualityScore]] thresholds (Gopher-style)
+  *   2. near-dup dedup — [[Dedup.dedupKeepList]] (prefix-filtered Jaccard →
+  *                       connected components → cluster-min keepers)
+  *   3. source mixture — [[Text.corpusMix]]'s md5-bucket downsampling
+  *   4. train/val split — [[Text.trainValSplit]]'s stable md5 assignment
+  *   5. sequence packing — [[Text.packSequences]]'s contiguous token budget
+  *
+  * Every stage is deterministic and engine-portable, so the ENTIRE
+  * pipeline carries a DuckDB value oracle (q_curation) — the composition
+  * proof that the pieces a reference user would chain actually compose.
+  */
+object Pipelines {
+
+  def curate(documents: DataFrame,
+             minMeanTokLen: Double = 4.0,
+             maxMeanTokLen: Double = 9.0,
+             minTypeToken: Double = 0.3,
+             jaccardThreshold: Double = 0.5,
+             mixRates: Map[String, Int] = Map.empty,
+             valHexDigits: String = "01234",
+             budgetTokens: Int = 512): DataFrame = {
+    // 1. quality gate
+    val gateIds = Text.qualityScore(documents)
+      .filter(col("mean_tok_len").between(minMeanTokLen, maxMeanTokLen) &&
+        col("type_token_ratio") >= minTypeToken)
+      .select("doc_id")
+    val gated = documents.join(gateIds, "doc_id")
+    // 2. near-dup keep-list computed ON the gated corpus
+    val deduped = gated.join(Dedup.dedupKeepList(gated, jaccardThreshold), "doc_id")
+    // 3. mixture  4. split  5. packing
+    val mixed = deduped.filter(Text.mixKeep(mixRates))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        Text.splitExpr(valHexDigits).as("split"))
+      .withColumn("_cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(_cum - n_tokens) DIV $budgetTokens"))
+      .drop("_cum")
+      .orderBy("doc_id")
+  }
+}

@@ -271,15 +271,18 @@ object Text {
     * `rates` maps source -> kept fraction in sixteenths (0..16); unlisted
     * sources keep everything.
     */
-  def corpusMix(documents: DataFrame, rates: Map[String, Int]): DataFrame = {
+  /** The mixture keep-predicate, shared with [[graft.ops.Pipelines]]. */
+  private[ops] def mixKeep(rates: Map[String, Int]): Column = {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
-    val keepExpr = rates.foldLeft(lit(true)) { case (acc, (src, sixteenths)) =>
+    rates.foldLeft(lit(true)) { case (acc, (src, sixteenths)) =>
       when(col("source") === src, bucket < sixteenths).otherwise(acc)
     }
-    documents.filter(keepExpr)
+  }
+
+  def corpusMix(documents: DataFrame, rates: Map[String, Int]): DataFrame =
+    documents.filter(mixKeep(rates))
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
       .orderBy("source")
-  }
 
   /** Deterministic train/validation split: bucket by the first md5 hex
     * digit of the id — pseudorandom, reproducible, engine-portable (md5 is
@@ -287,10 +290,13 @@ object Text {
     * split never changes when others are added — the property a random()
     * split lacks).
     */
+  /** The split-assignment column, shared with [[graft.ops.Pipelines]]. */
+  private[ops] def splitExpr(valHexDigits: String): Column =
+    when(substring(md5(col("doc_id").cast("string")), 1, 1).isin(valHexDigits.map(_.toString): _*),
+      lit("val")).otherwise(lit("train"))
+
   def trainValSplit(documents: DataFrame, valHexDigits: String = "01234"): DataFrame =
-    documents.select(col("doc_id"),
-        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin(valHexDigits.map(_.toString): _*),
-          lit("val")).otherwise(lit("train")).as("split"))
+    documents.select(col("doc_id"), splitExpr(valHexDigits).as("split"))
       .orderBy("doc_id")
 
   /** Contiguous sequence packing: assign documents to fixed-token-budget
