@@ -2,12 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: times every registered query at the scale
-  * factor in SPARK_GRAFT_SF_DIR. Emits TWO JSON lines:
-  *   1. a short total-only line (the driver's tail capture truncated the
-  *      long per-query line in round 1 — the short line always parses),
-  *   2. the full line with per-query seconds and an explicit `errors`
-  *      object (a failing query must be a visible error, never a fast
-  *      "-1 s" timing).
+  * factor in SPARK_GRAFT_SF_DIR. Emits the full per-query JSON line (with
+  * an explicit `errors` object — a failing query must be a visible error,
+  * never a fast "-1 s" timing) SANDWICHED between two copies of a short
+  * total-only line: round 1's driver truncated the long line in its tail
+  * capture, and the duplicated short line guarantees a complete parseable
+  * JSON line survives whichever end of the output a capture keeps.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,11 +45,15 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""n_queries":${results.size},"n_errors":${errs.size}}""")
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
+      s""""n_queries":${results.size},"n_errors":${errs.size}}"""
+    // short line BEFORE and AFTER the long per-query line: whichever end a
+    // log-tail capture keeps, one complete parseable JSON line survives
+    println(shortLine)
     val qs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+    println(shortLine)
     spark.stop()
   }
 }
