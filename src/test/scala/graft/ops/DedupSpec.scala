@@ -70,6 +70,32 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dupClusters: distributed label propagation converges on a long duplicate chain") {
+    // a chain a~b~c~d~e~f where only ADJACENT docs are near-dups: doc i
+    // covers words [3i, 3i+12), so neighbors share 9 words (7 of 13
+    // 3-gram shingles, J≈0.54) while grand-neighbors share 6 (4 of 16,
+    // J=0.25 — below threshold). Collapsing the chain to one cluster then
+    // requires multi-round propagation, not the min(id, neighbors)
+    // seeding shortcut.
+    val base = (0 to 27).map(i => s"w$i")
+    val chain = (0 to 5).map { i =>
+      (i * 10 + 1).toLong -> base.slice(3 * i, 3 * i + 12).mkString(" ")
+    }
+    val d = docs(chain: _*)
+    // verify the chain shape: adjacent pairs only
+    val pairs = Dedup.jaccardPairs(d, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 to 4).map(i => ((i * 10 + 1).toLong, (i * 10 + 11).toLong)).toSet)
+    // distributed path (cap disabled) must collapse the whole chain to min id
+    val out = Dedup.dupClusters(d, 0.4, smallGraphEdgeCap = -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.values.toSet == Set(1L))
+    assert(out.keySet == chain.map(_._1).toSet)
+    // and an insufficient iteration budget fails loudly, never silently
+    intercept[IllegalStateException](
+      Dedup.dupClusters(d, 0.4, maxIters = 1, smallGraphEdgeCap = -1L).collect())
+  }
+
   test("simhash: identical texts get identical fingerprints; near-identical are close") {
     val d = docs(
       (1L, "spark engine table scan filter join aggregate window stream batch"),
