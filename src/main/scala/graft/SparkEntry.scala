@@ -141,6 +141,10 @@ object SparkEntry {
     "q_jaccard_pairs" -> t("documents")(Dedup.jaccardPairs(_, 0.5)),
     "q_dup_clusters" -> t("documents")(Dedup.dupClusters(_, 0.5)),
     "q_fuzzy_pairs" -> t("documents")(Dedup.fuzzyPairs(_)),
+    // every 50th doc stands in for a benchmark/eval set; training docs
+    // sharing any 3-gram with it (including themselves) are removed
+    "q_decontaminate" -> t("documents")(d =>
+      Dedup.decontaminate(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
     "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)), // no oracle: LSH recall
     "q_simhash" -> t("documents")(Dedup.simhash), // no oracle: xxhash64
     "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)), // no oracle: xxhash64
@@ -629,6 +633,15 @@ object SparkEntry {
            SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach
          GROUP BY src ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle))
+         SELECT d.doc_id FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+         WHERE cont.doc_id IS NULL ORDER BY d.doc_id""",
     "q_embed_norms" ->
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm

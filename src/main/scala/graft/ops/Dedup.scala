@@ -327,6 +327,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: remove training documents sharing ANY
+    * word-n-gram with a benchmark/eval corpus — the standard guard against
+    * test-set leakage into pre-training data. One inverted-index semi-join
+    * on hashed shingles: the shuffle carries (doc_id, 64-bit hash) pairs,
+    * the benchmark side collapses to its distinct shingle set first, and
+    * no document pair is ever compared. At 100 TB the benchmark shingle
+    * set is small enough to broadcast, making this a map-side filter.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val trainSh = shingles(shingleArrays(train, n))
+    val benchSh = shingles(shingleArrays(benchmark, n))
+      .select("shingle").distinct()
+    val contaminated = trainSh.join(benchSh, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each bit
     * votes ±1, sign of the vote-sum forms the fingerprint bit. Near-dups =
     * fingerprints within small Hamming distance. One explode + one

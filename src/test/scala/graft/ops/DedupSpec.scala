@@ -124,6 +124,17 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty && fast.sameElements(distributed))
   }
 
+  test("decontaminate: drops docs overlapping the benchmark, keeps disjoint ones") {
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // = benchmark doc
+      (2L, "prefix words then alpha beta gamma delta epsilon"), // shares 3-grams
+      (3L, "совершенно unrelated content zebra walrus pelican otter badger"),
+      (4L, "tiny"))                                             // <3 tokens: no shingles
+    val benchmark = docs((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val kept = Dedup.decontaminate(train, benchmark).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("dedupKeepList: precomputed-clusters overload equals the standalone form") {
     val documents = Tables.documents(spark, sfDir)
     val clusters = Dedup.dupClusters(documents, 0.5)
