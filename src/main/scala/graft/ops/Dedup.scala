@@ -336,10 +336,34 @@ object Dedup {
     * set is small enough to broadcast, making this a map-side filter.
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
-    val trainSh = shingles(shingleArrays(train, n))
-    val benchSh = shingles(shingleArrays(benchmark, n))
-      .select("shingle").distinct()
-    val contaminated = trainSh.join(benchSh, Seq("shingle"), "left_semi")
+    // Shingles via typed flatMap, not the HOF-array + explode used by the
+    // persisted jaccard path: under explode WITHOUT a persist barrier,
+    // CollapseProject inlines the tokenization into the generator lambda
+    // and the regex re-runs per array element (interpreted HOFs have no
+    // CSE) — measured 22s instead of ~2s at sf0.1. The row-local pass is
+    // collapse-proof, still one narrow stage, and hashes with the same
+    // md5-derived 48-bit family as the fingerprint operators.
+    def hashedShingles(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val tokenRe = "[a-z0-9]+".r
+      df.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = tokenRe.findAllIn(text).toArray
+          if (toks.length < n) Iterator.empty
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val seen = new java.util.HashSet[Long]()
+            Iterator.range(0, toks.length - n + 1).flatMap { i =>
+              val h = Text.gramHash48Local(md, toks.slice(i, i + n).mkString(" "))
+              if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
+            }
+          }
+        }.toDF("doc_id", "shingle")
+    }
+    val benchSh = hashedShingles(benchmark).select("shingle").distinct()
+    val contaminated = hashedShingles(train)
+      .join(benchSh, Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
     train.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
