@@ -39,6 +39,9 @@ object SparkEntry {
   // cover the value's decimal digits (see Helpers.dsum)
   private def DS(c: String, scale: Int = 4) = s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
 
+  // BM25 demo query: a mix of common and rare fixture vocabulary
+  private val bm25Terms = Seq("join", "vector", "dup", "spark")
+
   def queries: Map[String, Q] = Map(
     // ---- A/B/C/D: reference surface (scan/filter/distinct/agg/chunks) ----
     "q_scan_filter" -> t("lineitem")(Relational.filteredScan(_, Seq("A", "R"))),
@@ -102,6 +105,13 @@ object SparkEntry {
     "q_price_buckets" -> t("part")(Windows.priceBuckets),
     "q_sort_within" -> t("orders")(Windows.partitionSortedOrders(_)),
     "q_topk" -> t("orders")(Windows.topKOrders(_, 25)),
+    // custom whole-operator path (SURVEY §2 preference (c)): top-k per group
+    // via graft.plans.TopKPerGroupExec — heap pruning, no WindowExec/sort
+    "q_topk_group" -> t("lineitem")(li => graft.plans.TopK.perGroup(
+      li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      groupCols = Seq("l_orderkey"),
+      sortSpec = Seq(("l_extendedprice", false), ("l_linenumber", true)),
+      k = 2).orderBy("l_orderkey", "rn")),
     // ---- G: grouping extensions + set ops ----
     "q_rollup" -> t("orders")(Grouping.rollupRevenue),
     "q_grouping_sets" -> t("orders")(Grouping.groupingSets),
@@ -146,8 +156,9 @@ object SparkEntry {
     "q_decontaminate" -> t("documents")(d =>
       Dedup.decontaminate(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
     "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)), // no oracle: LSH recall
-    "q_simhash" -> t("documents")(Dedup.simhash), // no oracle: xxhash64
-    "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)), // no oracle: xxhash64
+    "q_simhash" -> t("documents")(Dedup.simhash), // md5-derived 48-bit — oracle-checked
+    "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)),
+    "q_bm25" -> t("documents")(Search.bm25(_, bm25Terms, 15)),
     // ---- H: similarity search ----
     "q_embed_norms" -> t("embeddings")(Similarity.norms),
     "q_cosine_topk" -> t("embeddings")(Similarity.cosineTopK(_, 20, 5)),
@@ -337,6 +348,13 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "q_topk_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn
+           FROM lineitem)
+         WHERE rn <= 2 ORDER BY l_orderkey, rn""",
     "q_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
           FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -642,6 +660,35 @@ object SparkEntry {
          cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle))
          SELECT d.doc_id FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
          WHERE cont.doc_id IS NULL ORDER BY d.doc_id""",
+    "q_bm25" -> ops.Search.bm25OracleSql(bm25Terms, 15),
+    // 48-bit SimHash over the md5-derived portable hash family: per-token
+    // hash = first 12 md5 hex digits; each of the 48 bits votes ±1 weighted
+    // by term frequency; sign of the vote forms the fingerprint bit
+    "q_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                       FROM documents),
+         h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h FROM toks),
+         b AS (SELECT doc_id, u.b AS bit,
+                      SUM(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b) u
+               GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
+    "q_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                       FROM documents),
+         h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h FROM toks),
+         b AS (SELECT doc_id, u.b AS bit,
+                      SUM(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b) u
+               GROUP BY 1, 2),
+         f AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS fp
+               FROM b GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                CAST(bit_count(xor(a.fp, c.fp)) AS BIGINT) AS hamming
+         FROM f a JOIN f c ON a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.fp, c.fp)) <= 3
+         ORDER BY id_a, id_b""",
     "q_embed_norms" ->
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm

@@ -370,27 +370,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash fingerprint per document: per-token xxhash64, each bit
+  /** 48-bit SimHash fingerprint per document: per-token md5-derived 48-bit
+    * hash (the same engine-portable family as [[Text.gramHash48]]), each bit
     * votes ±1, sign of the vote-sum forms the fingerprint bit. Near-dups =
     * fingerprints within small Hamming distance. One explode + one
-    * hash-aggregate with 64 codegen'd sums — no UDAF.
+    * hash-aggregate with 48 codegen'd sums — no UDAF.
+    *
+    * The md5 hash family (vs xxhash64) is deliberate: every fingerprint is
+    * reproducible in ANSI SQL, so `q_simhash`/`q_simhash_pairs` carry REAL
+    * value oracles instead of rows-only checks. 48 uniform bits lose nothing
+    * for near-dup detection (the Hamming radius stays ≤ 3).
     */
   def simhash(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
+      .select(col("doc_id"), Text.gramHash48(col("tok")).as("h"))
+    val bitSums = (0 until 48).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"s$i")
     }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
+    val fp = (0 until 48).map { i =>
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs within a Hamming radius, banded for scale: split
-    * the 64-bit fingerprint into 4 16-bit blocks; within radius r<=3 at
+    * the 48-bit fingerprint into 4 12-bit blocks; within radius r<=3 at
     * least one block matches exactly (pigeonhole), so candidates come from 4
     * equi-joins on blocks, never a cross join.
     */
@@ -398,7 +404,7 @@ object Dedup {
     require(radius <= 3, "4-block banding guarantees recall only for radius <= 3")
     val fp = simhash(documents)
     val blocks = (0 until 4).map { b =>
-      struct(lit(b).as("blk"), shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+      struct(lit(b).as("blk"), shiftright(col("simhash"), b * 12).bitwiseAND(lit(0xFFFL)).as("v"))
     }
     val keyed = fp.select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("kb"))
       .select(col("doc_id"), col("simhash"), col("kb.blk").as("blk"), col("kb.v").as("v"))

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a Catalyst logical plan back into a public DataFrame — the hook a
+    * custom whole-operator node (graft.plans.TopKPerGroupPlan) needs to
+    * enter a query from the DataFrame API. Delegates to
+    * `classic.Dataset.ofRows`, which runs the normal analyzer/optimizer/
+    * planner pipeline on the plan.
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SearchSpec extends SparkSpec {
+
+  private val terms = Seq("join", "vector", "spark")
+
+  /** Independent driver-side BM25 over the collected fixture corpus —
+    * classic formulation with explicit tf/df maps, mirroring the operator's
+    * rounding contract (per-term round(9), exact sum, round(6)).
+    */
+  private def referenceScores(k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val dfMap = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    docs.map { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log(1.0 + (n - dfMap(t) + 0.5) / (dfMap(t) + 0.5))
+          val w = idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+          BigDecimal(w).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+      id -> score.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("bm25 matches the classic tf/df formulation, ranked and tie-broken deterministically") {
+    val k = 25
+    val got = Search.bm25(Tables.documents(spark, sfDir), terms, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = referenceScores().toSeq
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gid, gs), (eid, es)) =>
+      assert(gid == eid, s"rank order diverged: got $gid expected $eid")
+      assert(math.abs(gs - es) < 1e-6, s"doc $gid score $gs vs $es")
+    }
+  }
+
+  test("n_terms counts matched query terms") {
+    val byId = Search.bm25(Tables.documents(spark, sfDir), terms, 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSet)
+      .toMap
+    byId.foreach { case (id, hits) =>
+      assert(hits == terms.count(docs(id).contains), s"doc $id")
+      assert(hits >= 1)
+    }
+  }
+
+  test("a term absent from the corpus contributes nothing; alone it returns no rows") {
+    val d = Tables.documents(spark, sfDir)
+    val without = Search.bm25(d, terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val padded = Search.bm25(d, terms :+ "zzzznotaword", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(without.sameElements(padded))
+    assert(Search.bm25(d, Seq("zzzznotaword"), 10).isEmpty)
+  }
+
+  test("scale shape: one scan + broadcast stats + bounded take — no corpus-sized shuffle") {
+    val plan = Search.bm25(Tables.documents(spark, sfDir), terms, 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("non-token query terms are rejected") {
+    intercept[IllegalArgumentException](
+      Search.bm25(Tables.documents(spark, sfDir), Seq("bad term!"), 5))
+    intercept[IllegalArgumentException](
+      Search.bm25(Tables.documents(spark, sfDir), Seq.empty, 5))
+  }
+}
