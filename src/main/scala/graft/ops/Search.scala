@@ -44,8 +44,12 @@ object Search {
     val tfCols = terms.indices.map(i =>
       regexp_count(text, lit("\\b" + terms(i) + "\\b"))
         .cast("long").as(s"tf$i"))
+    // persist the counted projection (doc_id + a few longs — ~48 bytes/doc,
+    // spillable), not the corpus: the stats aggregate and the scoring pass
+    // both read it, so the regex scan over the text runs exactly once
     val base = documents.select(
       col("doc_id") +: dl.as("dl") +: tfCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one single-row aggregate: collection size, total length, per-term df
     val statAggs =
