@@ -251,7 +251,8 @@ object Dedup {
     */
   def dupClusters(documents: DataFrame, threshold: Double = 0.5,
                   maxIters: Int = 10,
-                  smallGraphEdgeCap: Long = 100000L): DataFrame = {
+                  smallGraphEdgeCap: Long = 100000L,
+                  sorted: Boolean = true): DataFrame = {
     // localCheckpoint truncates lineage: each round's plan starts from the
     // materialized previous labels instead of re-analyzing the whole
     // iterative chain (which otherwise grows per round)
@@ -303,8 +304,8 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge within $maxIters label-propagation rounds — " +
         "a duplicate chain is longer than the iteration budget; raise maxIters")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (sorted) out.orderBy("doc_id") else out
   }
 
   /** Driver-side union-find over a capped edge list — exact, deterministic
@@ -339,7 +340,19 @@ object Dedup {
     * cluster minimum id, from [[dupClusters]]).
     */
   def dedupKeepList(documents: DataFrame, threshold: Double = 0.5): DataFrame =
-    dedupKeepList(documents, dupClusters(documents, threshold))
+    dedupKeepList(documents, dupClusters(documents, threshold, sorted = false))
+
+  /** Dedup as a FILTER: the surviving documents with ALL their columns —
+    * the form a composed pipeline consumes. One left-anti join against the
+    * non-keeper list; no projection to ids, no join back, no output sort
+    * (the caller orders its own final result).
+    */
+  def dedupSurvivors(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val drop = dupClusters(documents, threshold, sorted = false)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    documents.join(drop, Seq("doc_id"), "left_anti")
+  }
 
   /** Keep-list from PRECOMPUTED clusters: a pipeline that materializes
     * [[dupClusters]] (to keep cluster labels) and also needs the keep-list

@@ -31,14 +31,17 @@ object Pipelines {
              mixRates: Map[String, Int] = Map.empty,
              valHexDigits: String = "01234",
              budgetTokens: Int = 512): DataFrame = {
-    // 1. quality gate
-    val gateIds = Text.qualityScore(documents)
-      .filter(col("mean_tok_len").between(minMeanTokLen, maxMeanTokLen) &&
-        col("type_token_ratio") >= minTypeToken)
-      .select("doc_id")
-    val gated = documents.join(gateIds, "doc_id")
-    // 2. near-dup keep-list computed ON the gated corpus
-    val deduped = gated.join(Dedup.dedupKeepList(gated, jaccardThreshold), "doc_id")
+    // 1. quality gate — ratios filtered IN PLACE (narrow codegen predicate
+    // over the scan; no score-table self-join, no sort)
+    val ratios = Text.qualityRatioCols
+    val gated = documents
+      .withColumn("_mtl", ratios.head)
+      .withColumn("_ttr", ratios(2))
+      .filter(col("_mtl").between(minMeanTokLen, maxMeanTokLen) &&
+        col("_ttr") >= minTypeToken)
+      .drop("_mtl", "_ttr")
+    // 2. near-dup dedup computed ON the gated corpus — one anti-join
+    val deduped = Dedup.dedupSurvivors(gated, jaccardThreshold)
     // 3. mixture  4. split  5. packing
     val mixed = deduped.filter(Text.mixKeep(mixRates))
     val w = Window.partitionBy("source").orderBy("doc_id")

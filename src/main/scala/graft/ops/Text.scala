@@ -33,18 +33,25 @@ object Text {
     * (mean token length, stopword ratio, type-token ratio). All per-row,
     * fully pushed into codegen.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id") +: qualityRatioCols: _*)
+      .orderBy("doc_id")
+
+  /** The quality-ratio columns themselves — for pipelines that FILTER on
+    * them in place (a narrow codegen'd predicate over the corpus scan, no
+    * join back, no sort) instead of materializing a score table.
+    */
+  private[ops] def qualityRatioCols: Seq[Column] = {
     val toks  = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
     val nTok  = size(toks)
     val stops = size(regexp_extract_all(lower(col("text")),
       lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0)))
-    documents.select(
-        col("doc_id"),
-        round(length(col("text")).cast("double") / greatest(nTok, lit(1)), 6).as("mean_tok_len"),
-        round(stops.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
-        round(size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1)), 6)
-          .as("type_token_ratio"))
-      .orderBy("doc_id")
+    Seq(
+      round(length(col("text")).cast("double") / greatest(nTok, lit(1)), 6).as("mean_tok_len"),
+      round(stops.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1)), 6)
+        .as("type_token_ratio"))
   }
 
   /** Repetition signals (Gopher-style quality rules): duplicate-3-gram
