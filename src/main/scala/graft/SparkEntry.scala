@@ -167,6 +167,8 @@ object SparkEntry {
     // the fixture has no pairs in the >=0.8 regime where it is the right
     // tool; SimilaritySpec asserts its recall against the exact form.
     "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
+    // SemDeDup-style: cosine pair graph -> connected components -> min-id keepers
+    "q_semantic_keeplist" -> t("embeddings")(Similarity.semanticDedupKeepList(_, 0.4)),
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion(_)),
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
@@ -712,6 +714,27 @@ object SparkEntry {
                     / (a.nrm * b.nrm) AS sim
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    "q_semantic_keeplist" ->
+      // same pair predicate as q_cosine_pairs, closed into components by the
+      // recursive CTE (the q_dedup_keeplist pattern on the embedding graph)
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         jp AS (SELECT id_a, id_b FROM (
+                  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                           / (a.nrm * b.nrm) AS sim
+                  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+                WHERE sim >= 0.4),
+         edges AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         reach(src, dst) AS (
+           SELECT id_a, id_a FROM edges
+           UNION
+           SELECT r.src, e2.id_b FROM reach r JOIN edges e2 ON r.dst = e2.id_a),
+         cl AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         SELECT d.vec_id FROM embeddings d LEFT JOIN cl ON d.vec_id = cl.vec_id
+         WHERE cl.vec_id IS NULL OR cl.cluster_id = d.vec_id
+         ORDER BY d.vec_id""",
     "q_label_cohesion" ->
       // closed form, mirroring Similarity.labelCohesion: mean pairwise
       // cosine = (||sum of normalized vectors||^2 - n) / (n(n-1)); per-dim

@@ -252,12 +252,24 @@ object Dedup {
   def dupClusters(documents: DataFrame, threshold: Double = 0.5,
                   maxIters: Int = 10,
                   smallGraphEdgeCap: Long = 100000L,
-                  sorted: Boolean = true): DataFrame = {
+                  sorted: Boolean = true): DataFrame =
+    clusterPairs(jaccardPairs(documents, threshold, sorted = false),
+      maxIters, smallGraphEdgeCap, sorted)
+
+  /** Connected components over an ARBITRARY near-dup pair graph
+    * (`id_a`/`id_b` long columns) — the clustering engine behind
+    * [[dupClusters]], shared by any candidate generator (n-gram Jaccard,
+    * embedding cosine, SimHash) so every dedup family gets the same
+    * cluster semantics: component label = minimum member id.
+    */
+  def clusterPairs(pairGraph: DataFrame,
+                   maxIters: Int = 10,
+                   smallGraphEdgeCap: Long = 100000L,
+                   sorted: Boolean = true): DataFrame = {
     // localCheckpoint truncates lineage: each round's plan starts from the
     // materialized previous labels instead of re-analyzing the whole
     // iterative chain (which otherwise grows per round)
-    val pairs = jaccardPairs(documents, threshold, sorted = false)
-      .select("id_a", "id_b").localCheckpoint()
+    val pairs = pairGraph.select("id_a", "id_b").localCheckpoint()
     val nEdges = pairs.count() // free — pairs just materialized
     // SMALL-GRAPH FAST PATH: near-dup pair graphs are tiny relative to the
     // corpus (the fixture's 1.5k-doc corpus yields ~25 edges; even a dirty

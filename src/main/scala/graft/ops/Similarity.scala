@@ -220,7 +220,8 @@ object Similarity {
     * thresholds where near-dups ARE far from random (≥ ~0.8), use
     * [[cosinePairsLsh]] — sub-quadratic with a quantified recall knob.
     */
-  def cosineDupPairs(embeddings: DataFrame, threshold: Double, nBlocks: Int = 32): DataFrame = {
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double, nBlocks: Int = 32,
+                     sorted: Boolean = true): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val own = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
@@ -230,12 +231,33 @@ object Similarity {
       // spread the replicas over the cluster even when the input is one
       // parquet split — the join work parallelism follows this partitioning
       .repartition(nBlocks, col("blk"))
-    repl.join(own, repl("blk") === own("blk") && col("id_a") < col("id_b"))
+    val out = repl.join(own, repl("blk") === own("blk") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-      .orderBy("id_a", "id_b")
+    if (sorted) out.orderBy("id_a", "id_b") else out
+  }
+
+  /** SemDeDup-style semantic dedup: embedding near-dup pairs above
+    * `threshold` → connected components ([[Dedup.clusterPairs]] — the same
+    * clustering engine as the n-gram families, so cluster semantics never
+    * diverge) → keep the minimum vec_id per component. Returns the
+    * keep-list of surviving vec_ids.
+    *
+    * Candidate generation here is the exact block-partitioned pair join
+    * (sound at any threshold); a corpus-scale run at a real near-dup
+    * threshold (≥ ~0.8) swaps in [[cosinePairsLsh]] — one argument, same
+    * downstream clustering.
+    */
+  def semanticDedupKeepList(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val clusters = graft.ops.Dedup.clusterPairs(
+      cosineDupPairs(embeddings, threshold, sorted = false), sorted = false)
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.select("vec_id")
+      .join(drop, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
   }
 
   /** Approximate cosine near-dup pairs — the sub-quadratic 100 TB path:

@@ -142,4 +142,25 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(2) == n * (n - 1) / 2)
     }
   }
+
+  test("semanticDedupKeepList: exactly the component-minimum of the cosine pair graph survives") {
+    val e = Tables.embeddings(spark, sfDir)
+    val kept = Similarity.semanticDedupKeepList(e, 0.4).collect().map(_.getLong(0)).toSet
+    // independent driver-side union-find over the exact pair graph
+    val pairs = Similarity.cosineDupPairs(e, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val dropped = nodes.filter(v => find(v) != v).toSet
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture should contain at least one semantic dup")
+    assert(kept == all -- dropped)
+  }
 }
