@@ -155,6 +155,10 @@ object SparkEntry {
     // sharing any 3-gram with it (including themselves) are removed
     "q_decontaminate" -> t("documents")(d =>
       Dedup.decontaminate(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+    // the broadcast-Bloom form of the same guard (no oracle: sketch bits are
+    // not SQL-expressible; DedupSpec asserts containment vs the exact path)
+    "q_decontaminate_bloom" -> t("documents")(d =>
+      Dedup.decontaminateBloom(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
     "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)), // no oracle: LSH recall
     "q_simhash" -> t("documents")(Dedup.simhash), // md5-derived 48-bit — oracle-checked
     "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)),

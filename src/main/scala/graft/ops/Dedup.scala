@@ -388,35 +388,69 @@ object Dedup {
     * no document pair is ever compared. At 100 TB the benchmark shingle
     * set is small enough to broadcast, making this a map-side filter.
     */
-  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
-    // Shingles via typed flatMap, not the HOF-array + explode used by the
-    // persisted jaccard path: under explode WITHOUT a persist barrier,
-    // CollapseProject inlines the tokenization into the generator lambda
-    // and the regex re-runs per array element (interpreted HOFs have no
-    // CSE) — measured 22s instead of ~2s at sf0.1. The row-local pass is
-    // collapse-proof, still one narrow stage, and hashes with the same
-    // md5-derived 48-bit family as the fingerprint operators.
-    def hashedShingles(df: DataFrame): DataFrame = {
-      val spark = df.sparkSession
-      import spark.implicits._
-      val tokenRe = "[a-z0-9]+".r
-      df.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val toks = tokenRe.findAllIn(text).toArray
-          if (toks.length < n) Iterator.empty
-          else {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val seen = new java.util.HashSet[Long]()
-            Iterator.range(0, toks.length - n + 1).flatMap { i =>
-              val h = Text.gramHash48Local(md, toks.slice(i, i + n).mkString(" "))
-              if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
-            }
+  /** (doc_id, shingle-hash) rows via a typed flatMap, not the HOF-array +
+    * explode used by the persisted jaccard path: under explode WITHOUT a
+    * persist barrier, CollapseProject inlines the tokenization into the
+    * generator lambda and the regex re-runs per array element (interpreted
+    * HOFs have no CSE) — measured 22s instead of ~2s at sf0.1. The
+    * row-local pass is collapse-proof, still one narrow stage, and hashes
+    * with the same md5-derived 48-bit family as the fingerprint operators.
+    */
+  private def hashedShingles(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tokenRe = "[a-z0-9]+".r
+    df.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = tokenRe.findAllIn(text).toArray
+        if (toks.length < n) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val seen = new java.util.HashSet[Long]()
+          Iterator.range(0, toks.length - n + 1).flatMap { i =>
+            val h = Text.gramHash48Local(md, toks.slice(i, i + n).mkString(" "))
+            if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
           }
-        }.toDF("doc_id", "shingle")
-    }
-    val benchSh = hashedShingles(benchmark).select("shingle").distinct()
-    val contaminated = hashedShingles(train)
+        }
+      }.toDF("doc_id", "shingle")
+  }
+
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val benchSh = hashedShingles(benchmark, n).select("shingle").distinct()
+    val contaminated = hashedShingles(train, n)
       .join(benchSh, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination through a BROADCAST Bloom filter — the shape the exact
+    * semi-join takes at 100 TB when even the distinct benchmark shingle set
+    * is too big to ship to every task as join state: fold it into an
+    * O(bits) filter once, broadcast that, and contamination testing becomes
+    * a map-side predicate on the train scan (zero shuffle until the final
+    * per-doc distinct).
+    *
+    * Bloom semantics make this SAFE in exactly the direction decontamination
+    * needs: no false negatives (every truly contaminated document is still
+    * removed), and false positives only over-remove at the configured rate
+    * (`fpp` of clean shingles, union-bounded per doc). The spec asserts
+    * kept ⊆ exact-kept and dropped ⊇ exact-dropped. The filter bits are a
+    * deterministic, order-independent function of the shingle set, so the
+    * output is reproducible — but not expressible in SQL, hence no DuckDB
+    * oracle (rows-only check), same policy as the other sketch operators.
+    */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame, n: Int = 3,
+                         expectedShingles: Long = 1000000L,
+                         fpp: Double = 0.001): DataFrame = {
+    val spark = train.sparkSession
+    val bf = hashedShingles(benchmark, n).stat.bloomFilter("shingle", expectedShingles, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    import spark.implicits._
+    val contaminated = hashedShingles(train, n).as[(Long, Long)]
+      .filter(r => bcast.value.mightContainLong(r._2))
+      .toDF("doc_id", "shingle")
       .select("doc_id").distinct()
     train.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")

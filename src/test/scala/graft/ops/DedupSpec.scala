@@ -135,6 +135,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("decontaminateBloom: never keeps a contaminated doc, over-removal bounded by fpp") {
+    val documents = Tables.documents(spark, sfDir)
+    val benchmark = documents.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val exact = Dedup.decontaminate(documents, benchmark).collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(documents, benchmark).collect().map(_.getLong(0)).toSet
+    // no false negatives: everything the exact path drops, bloom drops too
+    assert(bloom.subsetOf(exact))
+    // over-removal stays rare at fpp=1e-3 on the fixture corpus
+    assert((exact -- bloom).size <= math.max(2, exact.size / 100),
+      s"bloom over-removed ${(exact -- bloom).size} of ${exact.size}")
+  }
+
   test("dedupKeepList: precomputed-clusters overload equals the standalone form") {
     val documents = Tables.documents(spark, sfDir)
     val clusters = Dedup.dupClusters(documents, 0.5)
