@@ -15,6 +15,9 @@ run / fork := true
 // logger prefixes every line with "[info] ", which breaks downstream
 // parsers that expect Bench's bare one-line JSON on stdout.
 run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time..." line for the same
+// reason: with both set, a runMain's last stdout line is the app's own.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
