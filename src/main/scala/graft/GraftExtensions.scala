@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // preference path (c): whole-plan rewrite — θ range joins become binned
     // equi joins when spark.graft.binnedRangeJoin.width is set
     ext.injectOptimizerRule(_ => new graft.plans.BinnedRangeJoinRule)
+    // preference path (c): declarative window top-k (row_number + filter)
+    // plans through the bounded-heap TopKPerGroupExec
+    ext.injectOptimizerRule(_ => new graft.plans.RowNumberTopKRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

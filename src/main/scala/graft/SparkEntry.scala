@@ -112,6 +112,20 @@ object SparkEntry {
       groupCols = Seq("l_orderkey"),
       sortSpec = Seq(("l_extendedprice", false), ("l_linenumber", true)),
       k = 2).orderBy("l_orderkey", "rn")),
+    // the DECLARATIVE window-filter idiom, auto-rewritten to the same
+    // physical operator by RowNumberTopKRule (TopK.install)
+    "q_topk_group_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.TopK.install(s)
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
     // ---- G: grouping extensions + set ops ----
     "q_rollup" -> t("orders")(Grouping.rollupRevenue),
     "q_grouping_sets" -> t("orders")(Grouping.groupingSets),
@@ -361,6 +375,13 @@ object SparkEntry {
                     ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn
            FROM lineitem)
          WHERE rn <= 2 ORDER BY l_orderkey, rn""",
+    "q_topk_group_auto" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+           FROM orders)
+         WHERE rn <= 2 ORDER BY o_custkey, rn""",
     "q_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
           FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)

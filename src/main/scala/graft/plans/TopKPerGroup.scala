@@ -129,11 +129,14 @@ case class TopKPerGroupExec(
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
+        // rank column type follows the attribute: LongType from the facade,
+        // IntegerType when substituting for a rewritten row_number()
+        val rankIsLong = rankAttr.get.dataType == org.apache.spark.sql.types.LongType
         heaps.values.iterator.asScala.flatMap { heap =>
           val rows = heap.toArray(new Array[UnsafeRow](heap.size))
           java.util.Arrays.sort(rows, ord)
           Iterator.tabulate(rows.length) { i =>
-            rankRow.setLong(0, i + 1L)
+            if (rankIsLong) rankRow.setLong(0, i + 1L) else rankRow.setInt(0, i + 1)
             outProj(joined(rows(i), rankRow)).copy()
           }
         }
@@ -150,6 +153,28 @@ case class TopKPerGroupExec(
   */
 object TopK {
 
+  /** Register the planner strategy on the session (idempotent). */
+  private[plans] def installStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.exists(_ eq TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+
+  /** Install the strategy AND the declarative-rewrite rule
+    * ([[RowNumberTopKRule]]) on a session, idempotently: afterwards the
+    * plain `row_number().over(...).filter(rn <= k)` idiom plans through
+    * [[TopKPerGroupExec]] automatically — no facade call needed. The same
+    * pair is registered globally by `GraftExtensions` for sessions built
+    * with `spark.sql.extensions`.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    installStrategy(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RowNumberTopKRule])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new RowNumberTopKRule
+    }
+  }
+
   /** Top `k` rows of each group under `sortSpec` (column name → ascending?),
     * with a 1-based `rank` long column. `sortSpec` should be a total order
     * within each group (include a unique tiebreaker) for deterministic
@@ -160,10 +185,7 @@ object TopK {
     require(k > 0, s"k must be positive, got $k")
     require(groupCols.nonEmpty && sortSpec.nonEmpty, "group and sort columns are required")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.exists(_ eq TopKPerGroupStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
-    }
+    installStrategy(spark)
     val lp = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       lp.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
