@@ -91,26 +91,41 @@ object Similarity {
     * SQL oracle; recall is asserted against [[cosineTopK]] in the suite.
     */
   /** Multi-table hyperplane-LSH signatures: one (vec, table) -> bucket row
-    * per hash table. Planes ride a broadcast TABLE, not inline literals —
-    * at high dim the literal arrays bloat the plan/codegen (4s of compile
-    * time); as rows they broadcast once and the signature is a tiny agg.
-    * Shared by [[annTopK]] and [[cosinePairsLsh]] so the bit encoding and
-    * plane seeding (which their recall math depends on) cannot diverge.
+    * per hash table, computed in ONE narrow typed pass — the plane matrix
+    * rides the task closure (a few KB), each row emits its nTables buckets
+    * directly. This replaces the earlier broadcast-planes crossJoin +
+    * groupBy formulation: same plane seeding and bit encoding (asserted by
+    * SimilaritySpec's recall floors), but zero shuffles and no per-(row,
+    * plane) intermediate. Inline literal planes were rejected earlier for
+    * codegen bloat (4s compile at high dim); the closure matrix has neither
+    * cost. Shared by [[annTopK]] and [[cosinePairsLsh]] so the encoding
+    * (which their recall math depends on) cannot diverge.
     */
   private def lshSignatures(e: DataFrame, nTables: Int, bitsPerTable: Int,
                             dim: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val allPlanes = planes(nTables * bitsPerTable, dim)
-    val planesDf = (0 until nTables).flatMap { t =>
-      (0 until bitsPerTable).map(b => (t, b, allPlanes(t * bitsPerTable + b)))
-    }.toDF("tbl", "bit", "pvec")
-    e.crossJoin(broadcast(planesDf))
-      .select(col("vec_id").as("sig_id"), col("tbl"),
-        when(dot(col("v"), col("pvec")) > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(lit(0L)).as("bitval"))
-      .groupBy(col("sig_id"), col("tbl"))
-      .agg(sum("bitval").as("bucket"))
+    val planeMatrix: Array[Array[Double]] =
+      planes(nTables * bitsPerTable, dim).map(_.toArray).toArray
+    val nT = nTables
+    val bpt = bitsPerTable
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        Iterator.tabulate(nT) { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < bpt) {
+            val p = planeMatrix(t * bpt + b)
+            var s = 0.0
+            var i = 0
+            val n = math.min(v.length, p.length)
+            while (i < n) { s += v(i) * p(i); i += 1 }
+            if (s > 0) bucket |= (1L << b)
+            b += 1
+          }
+          (id, t, bucket)
+        }
+      }.toDF("sig_id", "tbl", "bucket")
   }
 
   def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,

@@ -103,6 +103,9 @@ object PerfProbe {
     }
     time("jp_agg") { jpAgg(docs, 0.5) }
     time("bm25") { graft.ops.Search.bm25(docs, Seq("join", "vector", "dup", "spark"), 15).count() }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.count()
+    time("ann_topk") { graft.ops.Similarity.annTopK(emb, 20, 5).count() }
     spark.stop()
   }
 }

@@ -83,4 +83,18 @@ class TopKPerGroupSpec extends SparkSpec {
     val df = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
     assert(TopK.perGroup(df, Seq("g"), Seq(("v", true)), 3).isEmpty)
   }
+
+  test("composite group keys: top-1 per (status, priority) equals the window form") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderstatus", "o_orderpriority", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_orderstatus", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = orders.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") === 1).collect().map(_.toSeq).toSet
+    val got = TopK.perGroup(orders, Seq("o_orderstatus", "o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 1)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.nonEmpty)
+  }
 }
