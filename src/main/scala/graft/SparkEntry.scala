@@ -113,7 +113,12 @@ object SparkEntry {
       sortSpec = Seq(("l_extendedprice", false), ("l_linenumber", true)),
       k = 2).orderBy("l_orderkey", "rn")),
     // the DECLARATIVE window-filter idiom, auto-rewritten to the same
-    // physical operator by RowNumberTopKRule (TopK.install)
+    // physical operator by RowNumberTopKRule. NOTE: TopK.install mutates
+    // the SESSION (extraOptimizations/extraStrategies), so queries running
+    // after this one in the same session also get the rewrite where the
+    // idiom matches — the rule is equivalence-guarded, so results are
+    // unchanged, but plans of later bare row_number+filter queries would
+    // plan through TopKPerGroupExec too.
     "q_topk_group_auto" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.TopK.install(s)

@@ -33,10 +33,10 @@ object Pipelines {
              budgetTokens: Int = 512): DataFrame = {
     // 1. quality gate — ratios filtered IN PLACE (narrow codegen predicate
     // over the scan; no score-table self-join, no sort)
-    val ratios = Text.qualityRatioCols
+    val ratios = Text.qualityRatios
     val gated = documents
-      .withColumn("_mtl", ratios.head)
-      .withColumn("_ttr", ratios(2))
+      .withColumn("_mtl", ratios.meanTokLen)
+      .withColumn("_ttr", ratios.typeTokenRatio)
       .filter(col("_mtl").between(minMeanTokLen, maxMeanTokLen) &&
         col("_ttr") >= minTypeToken)
       .drop("_mtl", "_ttr")

@@ -24,10 +24,22 @@ object Search {
     * always-positive idf, `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b
     * + b·dl/avgdl))`.
     *
+    * Term frequency is exact token equality over the library's one
+    * tokenization (`[a-z0-9]+` runs) — NOT a `\b`-bounded regex, whose
+    * word-character universe includes '_' and would silently disagree with
+    * the document-length tokenization on text like `spark_sql` (tf would
+    * miss tokens that dl counts).
+    *
+    * Two-phase, like [[Windows.priceBuckets]]: corpus statistics (N, avgdl,
+    * per-term df) are ONE single-row aggregate materialized at call time,
+    * then scoring is a second narrow pass over the corpus with the stats as
+    * literals and the top-k a TakeOrderedAndProject. No persist (nothing to
+    * leak), no join of any kind, and at 100 TB the cost is exactly two
+    * scans + a bounded take.
+    *
     * Determinism contract (oracle rule): each per-term partial score is
     * rounded to 9 decimals and summed in DECIMAL(18,9) — exact and
-    * order-independent — then the total is rounded to 6. Term regexes are
-    * plain `\btoken\b` word matches, expressible identically in DuckDB.
+    * order-independent — then the total is rounded to 6.
     */
   def bm25(documents: DataFrame, queryTerms: Seq[String], k: Int = 10,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -36,37 +48,53 @@ object Search {
     require(terms.forall(_.matches("[a-z0-9]+")),
       s"query terms must be plain tokens, got: ${terms.mkString(", ")}")
 
-    val text = lower(col("text"))
-    // regexp_count, not size(regexp_extract_all): identical match counts
-    // without materializing a per-row array of every token — the counting
-    // scan stays allocation-free inside codegen
-    val dl = regexp_count(text, lit("[a-z0-9]+")).cast("long")
-    val tfCols = terms.indices.map(i =>
-      regexp_count(text, lit("\\b" + terms(i) + "\\b"))
-        .cast("long").as(s"tf$i"))
-    // persist the counted projection (doc_id + a few longs — ~48 bytes/doc,
-    // spillable), not the corpus: the stats aggregate and the scoring pass
-    // both read it, so the regex scan over the text runs exactly once
-    val base = documents.select(
-      col("doc_id") +: dl.as("dl") +: tfCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one typed row-local pass computes dl and every term's tf together
+    // (tokenizer stream → counter array): no per-term regex scans and no
+    // interpreted per-element HOF filters — same trade as the dedup
+    // shinglers, and the token-equality semantics mirror the oracle's
+    // list_filter exactly
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val termIdx = terms.zipWithIndex.toMap
+    val nTerms = terms.length
+    val counted = documents
+      .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = "[a-z0-9]+".r
+        it.map { case (id, text) =>
+          val tfs = new Array[Long](nTerms)
+          var dl = 0L
+          re.findAllIn(text).foreach { tok =>
+            dl += 1
+            termIdx.get(tok).foreach(j => tfs(j) += 1)
+          }
+          (id, dl, tfs)
+        }
+      }.toDF("doc_id", "dl", "tfs")
+    val base = counted.select(
+      col("doc_id") +: col("dl") +:
+        terms.indices.map(i => element_at(col("tfs"), i + 1).as(s"tf$i")): _*)
 
-    // one single-row aggregate: collection size, total length, per-term df
+    // phase 1: one single-row aggregate — collection size, mean length,
+    // per-term document frequency — materialized driver-side (a scalar row,
+    // the same explicitly-bounded driver materialization as priceBuckets)
     val statAggs =
       count(lit(1)).as("n") +:
       (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
       terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val statsRow = base.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val dfs = terms.indices.map(i => statsRow.getLong(2 + i))
 
     val oneMinusB = 1.0 - b
     def termScore(i: Int): Column = {
       val tf = col(s"tf$i")
-      val df = col(s"df$i")
       // identical parse shape to the SQL oracle: ln(1+(n-df+0.5)/(df+0.5))
       // * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
-      val idf = log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5)))
+      val idf = log(lit(1.0) + (lit(n) - lit(dfs(i)) + lit(0.5)) / (lit(dfs(i)) + lit(0.5)))
       val w = idf * tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))
+        (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / lit(avgdl)))
       when(tf > 0, round(w, 9)).otherwise(lit(0.0))
     }
     val scoreDec = terms.indices
@@ -74,8 +102,8 @@ object Search {
       .reduce(_ + _)
     val hits = terms.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
 
-    base.crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+    // phase 2: row-local scoring + bounded take
+    base.select(col("doc_id"),
         round(scoreDec.cast("double"), 6).as("score"),
         hits.cast("long").as("n_terms"))
       .filter(col("score") > 0)
@@ -90,7 +118,7 @@ object Search {
                     k1: Double = 1.2, b: Double = 0.75): String = {
     val terms = queryTerms.map(_.toLowerCase).distinct
     val tfs = terms.indices.map(i =>
-      s"len(regexp_extract_all(lower(text), '\\b${terms(i)}\\b')) AS tf$i").mkString(",\n                ")
+      s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i").mkString(",\n                ")
     val dfs = terms.indices.map(i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n                ")
     val oneMinusB = 1.0 - b
@@ -100,10 +128,12 @@ object Search {
          ELSE 0 END AS DECIMAL(18,9))"""
     }.mkString(" + ")
     val hits = terms.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH base AS (SELECT doc_id,
-                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl,
-                $tfs
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
               FROM documents),
+       base AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS dl,
+                $tfs
+              FROM tk),
        stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
                 $dfs
               FROM base),

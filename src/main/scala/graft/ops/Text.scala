@@ -34,20 +34,26 @@ object Text {
     * fully pushed into codegen.
     */
   def qualityScore(documents: DataFrame): DataFrame =
-    documents.select(
-        col("doc_id") +: qualityRatioCols: _*)
+    documents.select(col("doc_id"),
+        qualityRatios.meanTokLen, qualityRatios.stopwordRatio, qualityRatios.typeTokenRatio)
       .orderBy("doc_id")
 
-  /** The quality-ratio columns themselves — for pipelines that FILTER on
-    * them in place (a narrow codegen'd predicate over the corpus scan, no
-    * join back, no sort) instead of materializing a score table.
+  /** The quality-ratio columns by NAME — for pipelines that FILTER on them
+    * in place (a narrow codegen'd predicate over the corpus scan, no join
+    * back, no sort) instead of materializing a score table. Named fields,
+    * not a positional Seq: a consumer thresholding the wrong ratio should
+    * be a compile error, not a silent semantic change.
     */
-  private[ops] def qualityRatioCols: Seq[Column] = {
+  private[ops] final case class QualityRatios(meanTokLen: Column,
+                                              stopwordRatio: Column,
+                                              typeTokenRatio: Column)
+
+  private[ops] def qualityRatios: QualityRatios = {
     val toks  = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
     val nTok  = size(toks)
     val stops = size(regexp_extract_all(lower(col("text")),
       lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0)))
-    Seq(
+    QualityRatios(
       round(length(col("text")).cast("double") / greatest(nTok, lit(1)), 6).as("mean_tok_len"),
       round(stops.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
       round(size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1)), 6)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowNumber, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -55,8 +55,18 @@ class RowNumberTopKRule extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val bounds = conjuncts.flatMap(c => rankBound(c, rn).map(c -> _))
       bounds.headOption.collect { case (boundConjunct, k) if k > 0 =>
+        // When installed via extraOptimizations this rule runs AFTER
+        // InferWindowGroupLimit, which has already inserted a
+        // WindowGroupLimit under the Window. Left in place it would force
+        // the very sorts this operator removes (its physical partial/final
+        // forms each require sorted input) — strip it; the heap subsumes
+        // the group limit.
+        val realChild = child match {
+          case wgl: WindowGroupLimit => wgl.child
+          case c => c
+        }
         val topk = TopKPerGroupPlan(partitionSpec, orderSpec, k,
-          rn.asInstanceOf[AttributeReference], child)
+          rn.asInstanceOf[AttributeReference], realChild)
         val residual = conjuncts.filterNot(_ eq boundConjunct)
         val wrapped = wrap(topk)
         if (residual.isEmpty) wrapped else Filter(residual.reduce(And), wrapped)
@@ -64,12 +74,16 @@ class RowNumberTopKRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** `k` such that the predicate is exactly `rank <= k` (in any spelling). */
+  /** `k` such that the predicate is exactly `rank <= k` (in any spelling).
+    * The strict forms guard `v - 1` against Int.MinValue wraparound — an
+    * always-false `rn < Int.MinValue` must stay unrewritten, not become
+    * top-Int.MaxValue-per-group.
+    */
   private def rankBound(c: Expression, rn: Attribute): Option[Int] = c match {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
-    case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference) if a.semanticEquals(rn) => Some(v)
-    case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.semanticEquals(rn) => Some(v - 1)
+    case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
     case EqualTo(a: AttributeReference, Literal(1, IntegerType)) if a.semanticEquals(rn) => Some(1)
     case EqualTo(Literal(1, IntegerType), a: AttributeReference) if a.semanticEquals(rn) => Some(1)
     case _ => None

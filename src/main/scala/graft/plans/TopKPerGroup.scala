@@ -117,7 +117,11 @@ case class TopKPerGroupExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, revOrd)
+          // initial capacity bounded: PriorityQueue preallocates its array,
+          // so seeding every group with k slots would make memory O(groups·k)
+          // even for tiny groups (and k+1 overflows at Int.MaxValue); the
+          // queue grows on demand toward k
+          heap = new java.util.PriorityQueue[UnsafeRow](math.min(kk, 16) + 1, revOrd)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < kk) heap.add(row.copy())

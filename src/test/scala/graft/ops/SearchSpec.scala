@@ -77,6 +77,20 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("tf is token equality, not a \\b word match: spark_sql's 'spark' token counts") {
+    import spark.implicits._
+    // same dl (5 tokens each); d1 has tf=2 for 'spark' ONLY under token
+    // semantics ('spark' inside 'spark_sql' — a \b regex can't see it
+    // because '_' is a word character)
+    val d = Seq(
+      (1L, "spark_sql aa bb spark"),
+      (2L, "spark cc dd ee ff")).toDF("doc_id", "text")
+    val out = Search.bm25(d, Seq("spark"), 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) > out(2L), s"tf=2 doc must outscore tf=1 doc: $out")
+  }
+
   test("non-token query terms are rejected") {
     intercept[IllegalArgumentException](
       Search.bm25(Tables.documents(spark, sfDir), Seq("bad term!"), 5))

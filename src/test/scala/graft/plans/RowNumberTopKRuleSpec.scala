@@ -30,6 +30,14 @@ class RowNumberTopKRuleSpec extends SparkSpec {
     val df = declarative(3)
     assert(hasTopK(df), df.queryExecution.sparkPlan.toString)
     assert(!hasWindow(df))
+    // the WindowGroupLimit inserted by InferWindowGroupLimit (which runs
+    // before extraOptimizations) must be stripped — left in place its
+    // physical forms re-introduce the full per-partition sorts
+    val planStr = df.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("WindowGroupLimit"), planStr)
+    assert(df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, planStr)
     // rows identical to the un-rewritten window form (fresh plan via a
     // no-op barrier the rule cannot see through: aggregate-and-rejoin)
     val expected = {
