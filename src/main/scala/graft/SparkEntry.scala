@@ -149,6 +149,7 @@ object SparkEntry {
     "q_token_counts" -> t("documents")(Text.tokenCounts),
     "q_repetition" -> t("documents")(Text.repetitionStats),
     "q_pattern_counts" -> t("documents")(Text.patternCounts),
+    "q_redact" -> t("documents")(Text.redact),
     "q_lang_id" -> t("documents")(Text.langId),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
@@ -464,6 +465,16 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
                 CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
                 CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+         FROM documents ORDER BY doc_id""",
+    "q_redact" ->
+      // same patterns and application order as the Spark side; 'g' flag
+      // matches Spark regexp_replace's replace-all semantics
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    'https?://[^\s]+', '<URL>', 'g'),
+                  '[0-9]{6,}', '<NUM>', 'g') AS clean_text
          FROM documents ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id,

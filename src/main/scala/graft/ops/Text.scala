@@ -102,6 +102,28 @@ object Text {
         size(regexp_extract_all(col("text"), lit("[0-9]{6,}"), lit(0))).cast("long").as("n_digit_runs"))
       .orderBy("doc_id")
 
+  /** PII redaction — the write-side of [[patternCounts]]: replace emails,
+    * URLs, then long digit runs with typed placeholders, in that fixed
+    * order (URLs are redacted before digit runs so a numeric path segment
+    * collapses into `<URL>` rather than becoming a stray `<NUM>`). Pure
+    * per-row `regexp_replace` chain — codegen'd, one narrow pass at any
+    * corpus size, and expressible verbatim in the oracle (DuckDB needs the
+    * explicit 'g' flag to match Spark's replace-all semantics).
+    */
+  def redact(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val digits = "[0-9]{6,}"
+    documents.select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            url, "<URL>"),
+          digits, "<NUM>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting with a BPE-ish regex (GPT-2-style pretokenizer shape:
     * contractions, letter runs, digit runs, punctuation runs) next to plain
     * whitespace tokens. A real BPE merge table is model-specific; the

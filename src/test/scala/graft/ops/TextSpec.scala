@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions.col
 
 class TextSpec extends SparkSpec {
 
+  test("redact: emails, urls, digit runs become typed placeholders; clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at a.b+c@test.org or see https://x.io/p/12345678 ok"),
+      (2L, "account 123456789 and 12345 stay partial"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = graft.ops.Text.redact(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> or see <URL> ok")
+    // 12345 is below the 6-digit threshold; URL redaction ran before the
+    // digit pass so the path number is already inside <URL>
+    assert(out(2L) == "account <NUM> and 12345 stay partial")
+    assert(out(3L) == "nothing sensitive here")
+  }
+
   private def docs(rows: (Long, String)*) = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
