@@ -152,6 +152,8 @@ object SparkEntry {
     "q_redact" -> t("documents")(Text.redact),
     "q_lang_id" -> t("documents")(Text.langId),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
+    // per-source vocabulary audit through the custom top-k-per-group operator
+    "q_top_tokens_per_source" -> t("documents")(Text.topTokensPerSource(_, 5)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
     "q_corpus_mix" -> t("documents")(Text.corpusMix(_,
@@ -542,6 +544,16 @@ object SparkEntry {
                      i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
          SELECT bigram, COUNT(*) AS n FROM grams
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "q_top_tokens_per_source" ->
+      """WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                       FROM documents),
+         c AS (SELECT source, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+         r AS (SELECT source, token, n,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY n DESC, token) AS BIGINT) AS rn
+               FROM c)
+         SELECT source, token, n, rn FROM r WHERE rn <= 5
+         ORDER BY source, rn""",
     "q_chunk_docs" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          c AS (SELECT doc_id, i AS chunk_idx, array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text

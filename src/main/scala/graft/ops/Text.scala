@@ -231,6 +231,23 @@ object Text {
       .limit(k)
   }
 
+  /** Per-source top-k tokens — the stratified vocabulary audit next to the
+    * global [[topNgrams]]. Explode → per-(source, token) count (map-side
+    * combined) → [[graft.plans.TopK.perGroup]]: the custom bounded-heap
+    * operator replaces the row_number window, so no per-source sort of the
+    * full vocabulary ever runs and the final shuffle carries k rows per
+    * source per split.
+    */
+  def topTokensPerSource(documents: DataFrame, k: Int = 5): DataFrame = {
+    val counts = documents
+      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+      .select(col("source"), explode(col("_toks")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perGroup(counts, Seq("source"),
+        Seq(("n", false), ("token", true)), k)
+      .orderBy("source", "rn")
+  }
+
   /** Winnowing fingerprints (the MOSS algorithm): hash every word k-gram,
     * slide a window of w hashes, keep each window's minimum — guarantees
     * any shared substring of length >= w+k-1 grams yields a shared

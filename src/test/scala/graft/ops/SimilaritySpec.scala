@@ -163,4 +163,11 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped.nonEmpty, "fixture should contain at least one semantic dup")
     assert(kept == all -- dropped)
   }
+
+  test("semanticDedupKeepList: an empty pair graph (threshold > 1) keeps every vector") {
+    val e = Tables.embeddings(spark, sfDir)
+    val kept = Similarity.semanticDedupKeepList(e, 1.01).collect().map(_.getLong(0)).toSet
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all)
+  }
 }
