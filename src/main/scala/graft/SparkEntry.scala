@@ -149,7 +149,14 @@ object SparkEntry {
     "q_token_counts" -> t("documents")(Text.tokenCounts),
     "q_repetition" -> t("documents")(Text.repetitionStats),
     "q_pattern_counts" -> t("documents")(Text.patternCounts),
-    "q_redact" -> t("documents")(Text.redact),
+    // the fixture corpus carries no PII, which would make the oracle a
+    // vacuous identity check — both engines append the SAME deterministic
+    // synthetic email/URL/digit-run per doc so the hash-match exercises the
+    // actual replacement semantics
+    "q_redact" -> t("documents")(d => Text.redact(d.withColumn("text",
+      concat(col("text"), lit(" mail user"), col("doc_id").cast("string"),
+        lit("@example.com or https://ex.org/page/"), col("doc_id").cast("string"),
+        lit(" id "), lpad(col("doc_id").cast("string"), 9, "0"))))),
     "q_lang_id" -> t("documents")(Text.langId),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     // per-source vocabulary audit through the custom top-k-per-group operator
@@ -469,15 +476,20 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
          FROM documents ORDER BY doc_id""",
     "q_redact" ->
-      // same patterns and application order as the Spark side; 'g' flag
-      // matches Spark regexp_replace's replace-all semantics
-      """SELECT doc_id,
+      // same patterns, application order, and synthetic-PII augmentation as
+      // the Spark side; 'g' flag matches Spark's replace-all semantics
+      """WITH aug AS (SELECT doc_id,
+                text || ' mail user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or https://ex.org/page/' || CAST(doc_id AS VARCHAR)
+                     || ' id ' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS text
+              FROM documents)
+         SELECT doc_id,
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                     'https?://[^\s]+', '<URL>', 'g'),
                   '[0-9]{6,}', '<NUM>', 'g') AS clean_text
-         FROM documents ORDER BY doc_id""",
+         FROM aug ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id,
                 len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist|nicht|ein|zu)\b')) AS h_de,

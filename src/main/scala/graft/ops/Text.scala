@@ -89,17 +89,22 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // the one definition of each PII pattern — [[patternCounts]] counts them,
+  // [[redact]] replaces them; an edit here keeps the counts-vs-redaction
+  // correspondence intact by construction
+  private[ops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val urlRe = "https?://[^\\s]+"
+  private[ops] val digitRunRe = "[0-9]{6,}"
+
   /** Cleaning-signal pattern counts per document: emails, URLs, long digit
     * runs — the redaction/filter signals a curation pipeline thresholds on.
     */
   def patternCounts(documents: DataFrame): DataFrame =
     documents.select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"),
-          lit("https?://[^\\s]+"), lit(0))).cast("long").as("n_urls"),
-        size(regexp_extract_all(col("text"), lit("[0-9]{6,}"), lit(0))).cast("long").as("n_digit_runs"))
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(digitRunRe), lit(0))).cast("long").as("n_digit_runs"))
       .orderBy("doc_id")
 
   /** PII redaction — the write-side of [[patternCounts]]: replace emails,
@@ -110,19 +115,15 @@ object Text {
     * corpus size, and expressible verbatim in the oracle (DuckDB needs the
     * explicit 'g' flag to match Spark's replace-all semantics).
     */
-  def redact(documents: DataFrame): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val url = "https?://[^\\s]+"
-    val digits = "[0-9]{6,}"
+  def redact(documents: DataFrame): DataFrame =
     documents.select(
         col("doc_id"),
         regexp_replace(
           regexp_replace(
-            regexp_replace(col("text"), email, "<EMAIL>"),
-            url, "<URL>"),
-          digits, "<NUM>").as("clean_text"))
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+          digitRunRe, "<NUM>").as("clean_text"))
       .orderBy("doc_id")
-  }
 
   /** Token counting with a BPE-ish regex (GPT-2-style pretokenizer shape:
     * contractions, letter runs, digit runs, punctuation runs) next to plain
