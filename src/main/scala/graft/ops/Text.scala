@@ -44,11 +44,11 @@ object Text {
     * not a positional Seq: a consumer thresholding the wrong ratio should
     * be a compile error, not a silent semantic change.
     */
-  private[ops] final case class QualityRatios(meanTokLen: Column,
-                                              stopwordRatio: Column,
-                                              typeTokenRatio: Column)
+  private[graft] final case class QualityRatios(meanTokLen: Column,
+                                                stopwordRatio: Column,
+                                                typeTokenRatio: Column)
 
-  private[ops] def qualityRatios: QualityRatios = {
+  private[graft] def qualityRatios: QualityRatios = {
     val toks  = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
     val nTok  = size(toks)
     val stops = size(regexp_extract_all(lower(col("text")),
