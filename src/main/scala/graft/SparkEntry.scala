@@ -161,6 +161,9 @@ object SparkEntry {
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     // per-source vocabulary audit through the custom top-k-per-group operator
     "q_top_tokens_per_source" -> t("documents")(Text.topTokensPerSource(_, 5)),
+    // vocabSize 100 < fixture vocabulary, so the OOV smoothing path is
+    // genuinely exercised by the oracle
+    "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
     "q_corpus_mix" -> t("documents")(Text.corpusMix(_,
@@ -556,6 +559,21 @@ object SparkEntry {
                      i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
          SELECT bigram, COUNT(*) AS n FROM grams
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "q_surprisal" ->
+      // same vocab truncation (top-100 by count desc, token asc), OOV
+      // floor of count 1, per-token round(9) + exact decimal sum, mean
+      // rounded to 6 — mirrors Text.unigramSurprisal step for step
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                       FROM documents),
+         cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+         vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 100),
+         sc AS (SELECT t.doc_id,
+                  CAST(round(-ln(COALESCE(v.c, 1) / n), 9) AS DECIMAL(18,9)) AS s
+                FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN tot)
+         SELECT doc_id, round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal,
+                COUNT(*) AS n_tokens
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_top_tokens_per_source" ->
       """WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
                        FROM documents),

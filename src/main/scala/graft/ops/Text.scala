@@ -232,6 +232,56 @@ object Text {
       .limit(k)
   }
 
+  /** Unigram surprisal scoring (the CCNet-style quality signal): each
+    * document's mean −ln p(token) under the corpus unigram distribution,
+    * with the vocabulary capped at the `vocabSize` most frequent tokens
+    * and out-of-vocabulary tokens floored at count 1 (≈ add-one
+    * smoothing). Low surprisal ≈ commonplace text; high ≈ rare/garbled —
+    * a standard filtering axis next to [[qualityScore]].
+    *
+    * Scale shape: one groupBy builds the token counts, the top-K
+    * vocabulary is an explicitly BOUNDED driver materialization (the same
+    * capped-driver-work contract as `maxDriverKeys` — CCNet ships exactly
+    * such a truncated table), and scoring is then ONE narrow typed pass
+    * with the broadcast vocabulary: no token-level join against a
+    * zipf-skewed key, which is what a naive formulation would shuffle on.
+    *
+    * Determinism: per-token surprisal is rounded to 9 decimals and summed
+    * as exact decimals (order-independent), the mean rounded to 6 — the
+    * oracle mirrors each step.
+    */
+  def unigramSurprisal(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
+    require(vocabSize > 0)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.select(
+      explode(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum("c")).head().getLong(0).toDouble
+    val vocab = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(vocab)
+    val tokenRe = wordRe.r
+    documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ts = tokenRe.findAllIn(text).toArray
+        if (ts.isEmpty) Iterator.empty
+        else {
+          var acc = BigDecimal(0)
+          ts.foreach { tok =>
+            val c = bc.value.getOrElse(tok, 1L)
+            acc += BigDecimal(-math.log(c / total))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          }
+          val mean = BigDecimal(acc.toDouble / ts.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single((id, mean, ts.length.toLong))
+        }
+      }
+      .toDF("doc_id", "mean_surprisal", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Per-source top-k tokens — the stratified vocabulary audit next to the
     * global [[topNgrams]]. Explode → per-(source, token) count (map-side
     * combined) → [[graft.plans.TopK.perGroup]]: the custom bounded-heap

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions.col
 
 class TextSpec extends SparkSpec {
 
+  test("unigramSurprisal: hand-computed probabilities, OOV floor, common text scores lower") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the"),
+      (2L, "the zzz"),
+      (3L, "")).toDF("doc_id", "text")
+    // corpus: the×4, zzz×1 → N=5; vocabSize=1 keeps only 'the' (c=4);
+    // 'zzz' floors to c=1
+    val out = graft.ops.Text.unigramSurprisal(d, vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def s(c: Double) = BigDecimal(-math.log(c / 5.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = BigDecimal((s(4) * 3).toDouble / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal((s(4) + s(1)).toDouble / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == (exp1, 3L))
+    assert(out(2L) == (exp2, 2L))
+    assert(!out.contains(3L), "token-less docs are excluded")
+    assert(out(1L)._1 < out(2L)._1, "rare-token doc must score higher surprisal")
+  }
+
   test("redact: emails, urls, digit runs become typed placeholders; clean text untouched") {
     import spark.implicits._
     val d = Seq(
