@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  private val wordRe = "[A-Za-z0-9]+"
+  private[graft] val wordRe = "[A-Za-z0-9]+"
 
   /** Per-document text statistics: char/token counts and quality ratios.
     * Ratios are plain per-row double arithmetic (order-independent), rounded
@@ -256,15 +256,27 @@ object Text {
     import spark.implicits._
     val toks = documents.select(
       explode(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("tok"))
+    // two driver actions read cnt (the total and the vocab top-K) — persist
+    // so the corpus tokenize+aggregate lineage runs once, not twice
     val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = cnt.agg(sum("c")).head().getLong(0).toDouble
-    val vocab = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocab) = try {
+      val totalRow = cnt.agg(sum("c")).head()
+      // sum over an EMPTY aggregate is null: a token-less corpus scores
+      // nothing rather than NPE-ing on the driver
+      if (totalRow.isNullAt(0)) (0.0, Map.empty[String, Long])
+      else (totalRow.getLong(0).toDouble,
+        cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally cnt.unpersist()
+    if (total == 0.0) {
+      return Seq.empty[(Long, Double, Long)].toDF("doc_id", "mean_surprisal", "n_tokens")
+    }
     val bc = spark.sparkContext.broadcast(vocab)
     val tokenRe = wordRe.r
     documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ts = tokenRe.findAllIn(text).toArray
+        val ts = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
         if (ts.isEmpty) Iterator.empty
         else {
           var acc = BigDecimal(0)

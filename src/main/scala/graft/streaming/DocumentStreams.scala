@@ -38,8 +38,9 @@ object DocumentStreams {
         col("_ttr") >= minTypeToken)
       .drop("_mtl", "_ttr")
       // dedup on the digest, not the body: stream state carries 32 bytes
-      // per in-horizon document (same trade as batch hashDedup)
-      .withColumn("digest", sha2(col("text"), 256))
+      // per in-horizon document (unhex folds sha2's 64-char hex string to
+      // the raw 32-byte binary — same trade as batch hashDedup)
+      .withColumn("digest", unhex(sha2(col("text"), 256)))
       .dropDuplicatesWithinWatermark("digest")
   }
 
@@ -54,7 +55,7 @@ object DocumentStreams {
       .withWatermark("ingest_ts", watermark)
       .groupBy(window(col("ingest_ts"), window_).as("w"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("long"))
+        sum(size(regexp_extract_all(col("text"), lit(Text.wordRe), lit(0))).cast("long"))
           .as("total_tokens"))
       .select(col("w.start").as("w_start"), col("source"),
         col("n_docs"), col("total_tokens"))

@@ -25,6 +25,17 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._1 < out(2L)._1, "rare-token doc must score higher surprisal")
   }
 
+  test("unigramSurprisal: null text and token-less corpora yield empty results, not NPEs") {
+    import spark.implicits._
+    val withNull = Seq((1L, "the the"), (2L, null: String)).toDF("doc_id", "text")
+    val scored = graft.ops.Text.unigramSurprisal(withNull, 10).collect()
+    assert(scored.map(_.getLong(0)).toSeq == Seq(1L))
+    val tokenless = Seq((1L, "!!! ???"), (2L, null: String)).toDF("doc_id", "text")
+    assert(graft.ops.Text.unigramSurprisal(tokenless, 10).isEmpty)
+    assert(graft.ops.Text.unigramSurprisal(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 10).isEmpty)
+  }
+
   test("redact: emails, urls, digit runs become typed placeholders; clean text untouched") {
     import spark.implicits._
     val d = Seq(

@@ -17,8 +17,8 @@ class DocumentStreamsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  // mean_tok_len for "alpha beta gamma delta" = 22/4 = 5.5 (passes 4..9);
-  // the shouty doc's mean token length (1.83) fails the lower bound
+  // mean_tok_len for `good` = 35 chars / 6 tokens ≈ 5.83 (passes 4..9);
+  // `junk` = 21 chars / 11 tokens ≈ 1.91 fails the lower bound
   private val good = "alpha beta gamma delta epsilon zeta"
   private val junk = "a b a b a b a b a b a"
 
