@@ -164,6 +164,7 @@ object SparkEntry {
     // vocabSize 100 < fixture vocabulary, so the OOV smoothing path is
     // genuinely exercised by the oracle
     "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
+    "q_compress_ratio" -> t("documents")(Text.compressionRatio), // no oracle: zlib bytes aren't SQL
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
     "q_corpus_mix" -> t("documents")(Text.corpusMix(_,

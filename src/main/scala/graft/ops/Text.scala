@@ -232,6 +232,42 @@ object Text {
       .limit(k)
   }
 
+  /** Compression-ratio quality signal: deflate (zlib level 6) each
+    * document and report compressed/raw size — near-duplicate boilerplate
+    * and template spam compress far below prose, making this the cheap
+    * repetition detector used alongside the Gopher rules. One typed
+    * `mapPartitions` pass with a single `Deflater` instance per task
+    * (reset per row — codec-state reuse is the point of the partition
+    * scope, same pattern as [[Multimodal.extractFeatures]]). Deterministic
+    * for a fixed zlib level but not SQL-expressible → registered rows-only
+    * with behavior asserted in TextSpec.
+    */
+  def compressionRatio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+          if (raw.isEmpty) (id, 0L, 1.0)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished()) compressed += deflater.deflate(buf)
+            (id, raw.length.toLong,
+              BigDecimal(compressed.toDouble / raw.length)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "compress_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Unigram surprisal scoring (the CCNet-style quality signal): each
     * document's mean −ln p(token) under the corpus unigram distribution,
     * with the vocabulary capped at the `vocabSize` most frequent tokens

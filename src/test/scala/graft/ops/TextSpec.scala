@@ -25,6 +25,24 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._1 < out(2L)._1, "rare-token doc must score higher surprisal")
   }
 
+  test("compressionRatio: repetitive text compresses far below prose; edge inputs defined") {
+    import spark.implicits._
+    val repetitive = "spam spam spam spam " * 50
+    val prose = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "violinists argue about parquet footers and shuffle partitions in oslo"
+    val d = Seq((1L, repetitive), (2L, prose), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.compressionRatio(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 < 0.1, s"boilerplate should compress hard: ${out(1L)}")
+    assert(out(2L)._2 > out(1L)._2 * 3, s"prose ${out(2L)} vs spam ${out(1L)}")
+    assert(out(3L) == (0L, 1.0) && out(4L) == (0L, 1.0))
+    // deterministic across invocations (fixed zlib level)
+    val again = graft.ops.Text.compressionRatio(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == out)
+  }
+
   test("unigramSurprisal: null text and token-less corpora yield empty results, not NPEs") {
     import spark.implicits._
     val withNull = Seq((1L, "the the"), (2L, null: String)).toDF("doc_id", "text")
