@@ -166,6 +166,7 @@ object SparkEntry {
     "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
     "q_compress_ratio" -> t("documents")(Text.compressionRatio), // no oracle: zlib bytes aren't SQL
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
+    "q_dup_passages" -> t("documents")(Text.duplicatePassageStats(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
     "q_corpus_mix" -> t("documents")(Text.corpusMix(_,
       (10 to 19).map(i => s"src$i" -> 4).toMap)),
@@ -593,6 +594,20 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
                 CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
          FROM c ORDER BY doc_id, chunk_idx""",
+    "q_dup_passages" ->
+      // 32-token non-overlapping chunks (stride = chunk size), md5 per
+      // chunk, docfreq >= 2 marks a passage shared with ANOTHER document
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         c AS (SELECT doc_id, array_to_string(t[i*32+1 : i*32+32], ' ') AS chunk_text
+               FROM toks, unnest(generate_series(0, CAST(greatest(ceil((len(t) - 32) / 32.0), 0) AS INT))) AS u(i)
+               WHERE len(t) > 0),
+         h AS (SELECT doc_id, md5(chunk_text) AS hh FROM c),
+         df AS (SELECT hh, COUNT(DISTINCT doc_id) AS docfreq FROM h GROUP BY hh)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+                round(CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
+         FROM h JOIN df USING (hh)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_train_split" ->
       """SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                              IN ('0','1','2','3','4') THEN 'val' ELSE 'train' END AS split

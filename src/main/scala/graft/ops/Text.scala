@@ -398,11 +398,12 @@ object Text {
     * (materialized token array + HOF slices, a handful per doc), one narrow
     * pass at corpus scale.
     */
-  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32, overlap: Int = 8,
+                     sorted: Boolean = true): DataFrame = {
     require(overlap < chunkTokens)
     val stride = chunkTokens - overlap
     val toks = col("_toks")
-    documents
+    val out = documents
       .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
       .filter(size(toks) > 0)
       .select(col("doc_id"),
@@ -412,7 +413,34 @@ object Text {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         col("col").as("chunk_text"),
         size(split(col("col"), " ")).cast("long").as("n_tokens"))
-      .orderBy("doc_id", "chunk_idx")
+    if (sorted) out.orderBy("doc_id", "chunk_idx") else out
+  }
+
+  /** Duplicated-passage statistics (the C4/RefinedWeb-style sub-document
+    * dedup axis): window each document into non-overlapping token chunks
+    * ([[chunkDocuments]] with overlap 0), hash each chunk, and report per
+    * document how many of its passages also appear in OTHER documents
+    * (document frequency ≥ 2 on the chunk hash — a doc repeating its own
+    * passage is repetition, not cross-corpus duplication). High
+    * dup_fraction marks template/boilerplate documents whose pairwise
+    * Jaccard may still sit below the near-dup threshold.
+    *
+    * Scale shape: the shuffle carries (md5, doc_id) pairs — 16-byte hashes,
+    * never passage text — through one distinct-count aggregate and one join
+    * back; everything else is row-local.
+    */
+  def duplicatePassageStats(documents: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    val hashed = chunkDocuments(documents, chunkTokens, overlap = 0, sorted = false)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+    val df = hashed.groupBy("h")
+      .agg(countDistinct("doc_id").as("docfreq"))
+    hashed.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6).as("dup_fraction"))
+      .orderBy("doc_id")
   }
 
   /** Deterministic corpus mixture: downsample each source to its configured

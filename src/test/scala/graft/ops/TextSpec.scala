@@ -25,6 +25,22 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._1 < out(2L)._1, "rare-token doc must score higher surprisal")
   }
 
+  test("duplicatePassageStats: shared passages count, self-repeats and unique text do not") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta" // one 4-token chunk
+    val d = Seq(
+      (1L, s"$shared one two three four"),          // chunk0 shared with doc 2, chunk1 unique
+      (2L, s"$shared five six seven eight"),        // chunk0 shared with doc 1
+      (3L, "nine ten eleven twelve nine ten eleven twelve"), // self-repeat only: docfreq 1
+      (4L, "unique tokens entirely here")).toDF("doc_id", "text")
+    val out = graft.ops.Text.duplicatePassageStats(d, chunkTokens = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (2L, 1L, 0.5))
+    assert(out(2L) == (2L, 1L, 0.5))
+    assert(out(3L) == (2L, 0L, 0.0), "a doc repeating its own passage is not cross-corpus dup")
+    assert(out(4L) == (1L, 0L, 0.0))
+  }
+
   test("compressionRatio: repetitive text compresses far below prose; edge inputs defined") {
     import spark.implicits._
     val repetitive = "spam spam spam spam " * 50
