@@ -248,6 +248,10 @@ object Text {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // release the native zlib buffers when the task ends — Deflater
+        // holds ~256KB off-heap that GC pressure does not reclaim promptly
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
@@ -394,9 +398,9 @@ object Text {
 
   /** Document chunking for training: split each document into token windows
     * of `chunkTokens` with `overlap` tokens of context carry-over — the
-    * standard pre-tokenization windowing before sequence packing. Row-local
-    * (materialized token array + HOF slices, a handful per doc), one narrow
-    * pass at corpus scale.
+    * standard pre-tokenization windowing before sequence packing. One
+    * row-local typed pass, a handful of windows per doc, no shuffle at any
+    * corpus size.
     */
   def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32, overlap: Int = 8,
                      sorted: Boolean = true): DataFrame = {
@@ -432,13 +436,16 @@ object Text {
     * dup_fraction marks template/boilerplate documents whose pairwise
     * Jaccard may still sit below the near-dup threshold.
     *
-    * Scale shape: the shuffle carries (md5, doc_id) pairs — 16-byte hashes,
-    * never passage text — through one distinct-count aggregate and one join
-    * back; everything else is row-local.
+    * Scale shape: the shuffle carries (xxhash64, doc_id) pairs — 8-byte
+    * hashes, never passage text — through one distinct-count aggregate and
+    * one join back; everything else is row-local. The chunk+hash pass is
+    * persisted because BOTH sides of the docfreq join read it (the same
+    * one-pass contract as jaccardPairs' shingle cache).
     */
   def duplicatePassageStats(documents: DataFrame, chunkTokens: Int = 32): DataFrame = {
     val hashed = chunkDocuments(documents, chunkTokens, overlap = 0, sorted = false)
-      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+      .select(col("doc_id"), xxhash64(col("chunk_text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = hashed.groupBy("h")
       .agg(countDistinct("doc_id").as("docfreq"))
     hashed.join(df, "h")

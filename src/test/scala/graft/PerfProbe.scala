@@ -107,30 +107,11 @@ object PerfProbe {
     emb.count()
     time("ann_topk") { graft.ops.Similarity.annTopK(emb, 20, 5).count() }
 
-    // HOF chunker vs typed chunker
-    def typedChunks(documents: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
-      import spark.implicits._
-      val stride = chunkTokens - overlap
-      val tokenRe = "[a-z0-9]+".r
-      documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val toks = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
-          if (toks.isEmpty) Iterator.empty
-          else {
-            val nChunks = math.max(math.ceil((toks.length - chunkTokens) / stride.toDouble), 0).toInt + 1
-            Iterator.tabulate(nChunks) { i =>
-              val chunk = toks.slice(i * stride, i * stride + chunkTokens)
-              (id, i.toLong, chunk.mkString(" "), chunk.length.toLong)
-            }
-          }
-        }.toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
-    }
-    time("chunk_hof") { graft.ops.Text.chunkDocuments(docs, sorted = false).count() }
-    time("chunk_typed") { typedChunks(docs, 32, 8).count() }
-    // equivalence check
-    val a = graft.ops.Text.chunkDocuments(docs, sorted = false).collect().map(_.toSeq).toSet
-    val b = typedChunks(docs, 32, 8).collect().map(_.toSeq).toSet
-    println(s"PROBE chunk_equal ${a == b} (${a.size} vs ${b.size})")
+    // production chunker + passage stats (the A/B against the old HOF
+    // formulation lives in git history — chunkDocuments IS the typed form
+    // now, so re-timing a copy here would be a self-comparison)
+    time("chunk") { graft.ops.Text.chunkDocuments(docs, sorted = false).count() }
+    time("dup_passages") { graft.ops.Text.duplicatePassageStats(docs).count() }
     spark.stop()
   }
 }
