@@ -64,7 +64,7 @@ object Search {
         it.map { case (id, text) =>
           val tfs = new Array[Long](nTerms)
           var dl = 0L
-          re.findAllIn(text).foreach { tok =>
+          if (text != null) re.findAllIn(text).foreach { tok =>
             dl += 1
             termIdx.get(tok).foreach(j => tfs(j) += 1)
           }
@@ -84,6 +84,11 @@ object Search {
       terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val statsRow = base.agg(statAggs.head, statAggs.tail: _*).head()
     val n = statsRow.getLong(0)
+    // an empty corpus aggregates to n=0 with a null avgdl — nothing can
+    // score, so return the empty result instead of NPE-ing on the read
+    if (n == 0) {
+      return Seq.empty[(Long, Double, Long)].toDF("doc_id", "score", "n_terms")
+    }
     val avgdl = statsRow.getDouble(1)
     val dfs = terms.indices.map(i => statsRow.getLong(2 + i))
 

@@ -91,6 +91,14 @@ class SearchSpec extends SparkSpec {
     assert(out(1L) > out(2L), s"tf=2 doc must outscore tf=1 doc: $out")
   }
 
+  test("empty corpus and null text are handled, not NPEs") {
+    import spark.implicits._
+    assert(Search.bm25(Seq.empty[(Long, String)].toDF("doc_id", "text"), terms, 5).isEmpty)
+    val withNull = Seq((1L, "join the join"), (2L, null: String)).toDF("doc_id", "text")
+    val out = Search.bm25(withNull, Seq("join"), 5).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("non-token query terms are rejected") {
     intercept[IllegalArgumentException](
       Search.bm25(Tables.documents(spark, sfDir), Seq("bad term!"), 5))
