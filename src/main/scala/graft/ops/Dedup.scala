@@ -402,7 +402,7 @@ object Dedup {
     val tokenRe = "[a-z0-9]+".r
     df.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = tokenRe.findAllIn(text).toArray
+        val toks = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
         if (toks.length < n) Iterator.empty
         else {
           val md = java.security.MessageDigest.getInstance("MD5")

@@ -370,7 +370,7 @@ object Text {
     val tokenRe = "[a-z0-9]+".r
     documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = tokenRe.findAllIn(text).toArray
+        val toks = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
         if (toks.length < k + w - 1) Iterator.empty
         else {
           // md5-derived 48-bit gram hash — identical to gramHash48, so the

@@ -11,6 +11,21 @@ import org.apache.spark.sql.DataFrame
   */
 class EdgeCasesSpec extends SparkSpec {
 
+  test("null text is survivable by every typed text pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, null: String)).toDF("doc_id", "text")
+    // shingle-based: null doc simply yields no shingles / no pairs
+    assert(graft.ops.Dedup.jaccardPairs(d, 0.5).collect().isEmpty)
+    assert(graft.ops.Dedup.decontaminate(d, d.filter(col("doc_id") === 1L))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // winnowing: null doc emits no fingerprints
+    assert(graft.ops.Text.winnowing(d).collect().forall(_.getLong(0) == 1L))
+    // chunking: null doc contributes no chunks
+    assert(graft.ops.Text.chunkDocuments(d).collect().forall(_.getLong(0) == 1L))
+  }
+
   private def emptyDocs: DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, String)].toDF("doc_id", "text")
