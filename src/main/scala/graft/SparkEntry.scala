@@ -138,6 +138,7 @@ object SparkEntry {
     "q_cube" -> t("lineitem")(Grouping.cubeQuantity),
     "q_count_distinct" -> t("orders")(Grouping.distinctCounts),
     "q_percentiles" -> t("orders")(Grouping.percentiles),
+    "q_histogram" -> t("orders")(Grouping.histogram(_, "o_totalprice", 10)),
     "q_approx_percentiles" -> t("orders")(Grouping.approxPercentiles), // no oracle: sketch
     "q_approx_distinct" -> t("orders")(Grouping.approxDistinctCounts), // no oracle: HLL estimate
     "q_intersect" -> ((s, dir) => Grouping.intersectNations(Tables.customer(s, dir), Tables.supplier(s, dir))),
@@ -429,6 +430,17 @@ object SparkEntry {
                 round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
                 round(quantile_cont(o_totalprice, 0.9), 4) AS p90
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_histogram" ->
+      // identical two-pass arithmetic: double min/max bounds, equal widths,
+      // max clamped into the last bin
+      """WITH b AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+                           CAST(MAX(o_totalprice) AS DOUBLE) AS hi FROM orders),
+         w AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS width FROM b),
+         k AS (SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) / width) AS BIGINT), 9) AS bucket
+               FROM orders, w)
+         SELECT bucket, round(lo + bucket * width, 6) AS bucket_lo,
+                round(lo + (bucket + 1) * width, 6) AS bucket_hi, COUNT(*) AS n
+         FROM k, w GROUP BY bucket, lo, width ORDER BY bucket""",
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",

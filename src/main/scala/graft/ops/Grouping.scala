@@ -76,6 +76,38 @@ object Grouping {
         round(expr("percentile_approx(o_totalprice, 0.9, 10000)"), 4).as("p90_approx"))
       .orderBy("o_orderstatus")
 
+  /** Equal-width histogram over a numeric column — the distribution audit
+    * next to [[percentiles]]. Two-pass, like `Windows.priceBuckets`: a
+    * single-row min/max aggregate, then a row-local bucket assignment and
+    * one groupBy — no sort, no window, bounded output (`nBins` rows). The
+    * max value is clamped into the last bin (the standard closed-top
+    * convention, mirrored by the oracle).
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val bounds = df.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi")).head()
+    if (bounds.isNullAt(0)) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Double, Double, Long)]
+        .toDF("bucket", "bucket_lo", "bucket_hi", "n")
+    }
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / nBins else 1.0
+    val bucket = least(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(width)).cast("long"),
+      lit(nBins - 1L))
+    df.select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * lit(width), 6).as("bucket_lo"),
+        round(lit(lo) + (col("bucket") + 1) * lit(width), 6).as("bucket_hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
   /** INTERSECT — customer nations that also host suppliers. */
   def intersectNations(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_nationkey").as("nationkey"))

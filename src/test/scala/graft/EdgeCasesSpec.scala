@@ -11,6 +11,22 @@ import org.apache.spark.sql.DataFrame
   */
 class EdgeCasesSpec extends SparkSpec {
 
+  test("histogram: counts sum to rows, max lands in last bin, degenerate inputs defined") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0).toDF("v")
+    val h = graft.ops.Grouping.histogram(d, "v", 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.map(_._4).sum == 6)
+    assert(h.map(_._1).max == 3, "max value must clamp into the last bin")
+    assert(h.forall { case (b, lo, hi, _) => lo == b * 2.5 && hi == (b + 1) * 2.5 })
+    // constant column: width falls back to 1, everything in bucket 0
+    val const = graft.ops.Grouping.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 5).collect()
+    assert(const.length == 1 && const.head.getLong(0) == 0 && const.head.getLong(3) == 3)
+    // empty input: empty histogram, not an NPE on the bounds read
+    assert(graft.ops.Grouping.histogram(Seq.empty[Double].toDF("v"), "v", 5).isEmpty)
+  }
+
   test("null text is survivable by every typed text pass") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
