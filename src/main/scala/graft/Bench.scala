@@ -2,9 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: times every registered query at the scale
-  * factor in SPARK_GRAFT_SF_DIR. Emits the full per-query JSON line (with
-  * an explicit `errors` object — a failing query must be a visible error,
-  * never a fast "-1 s" timing) SANDWICHED between two copies of a short
+  * factor in SPARK_GRAFT_SF_DIR.
+  *
+  * Noise robustness (round 4): a single wall-clock pass per query cannot
+  * support a 2x gate on a shared host — round 3's driver capture read
+  * 208.9 s where an identical-config controlled re-run measured 66.5 s.
+  * So each query now runs SPARK_GRAFT_BENCH_REPS times (default 3) and
+  * the reported per-query number (and the headline total) is the MIN
+  * across reps — the run least polluted by host load. The first-run
+  * times are kept in a separate "first_runs" map so cold-start cost
+  * stays observable, and a fixed calibration workload is timed the same
+  * way and emitted as "calib_sec" in every line so captures taken under
+  * different host load can be normalized against each other.
+  *
+  * Output protocol: the full per-query JSON line (with an explicit
+  * `errors` object — a failing query must be a visible error, never a
+  * fast "-1 s" timing) is SANDWICHED between two copies of a short
   * total-only line: round 1's driver truncated the long line in its tail
   * capture, and the duplicated short line guarantees a complete parseable
   * JSON line survives whichever end of the output a capture keeps.
@@ -13,6 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,19 +44,39 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     core.Tables.load(spark, sfDir, "events").count() // nanos-ts handling path
-    val results: Seq[(String, Either[String, Double])] =
+
+    def timeOnce(run: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Fixed calibration workload: a deterministic shuffle-bearing aggregate
+    // over the largest fixture table. Its best-of-reps time scales with the
+    // host's current effective throughput, so two captures of the same
+    // commit can be compared via their calib_sec ratio.
+    def calibrate(): Double = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (1 to reps).map { _ =>
+        timeOnce(() => li.groupBy("l_returnflag", "l_linestatus")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity")).count())
+      }.min
+    }
+    val calib = calibrate()
+
+    // (name, first-run seconds, min-across-reps seconds) or error
+    val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
+          val times = (1 to reps).map(_ => timeOnce(() => fn(spark, sfDir).count()))
+          name -> Right((times.head, times.min))
         } catch { case e: Throwable =>
           name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
         }
       }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(m)) => k -> m }
-    val total = ok.map(_._2).sum
+    val total = ok.map(_._2._2).sum
+    val totalFirst = ok.map(_._2._1).sum
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -51,13 +85,16 @@ object Bench {
         case c => c.toString
       } + "\""
     val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""n_queries":${results.size},"n_errors":${errs.size}}"""
+      s""""n_queries":${results.size},"n_errors":${errs.size},"reps":$reps,""" +
+      s""""calib_sec":$calib,"total_first_run":$totalFirst}"""
     // short line BEFORE and AFTER the long per-query line: whichever end a
     // log-tail capture keeps, one complete parseable JSON line survives
     println(shortLine)
-    val qs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, (_, mn)) => s""""$k":$mn""" }.mkString("{", ",", "}")
+    val firsts = ok.map { case (k, (f, _)) => s""""$k":$f""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""first_runs":$firsts,"errors":$es,"sf":${jstr(sfDir)},"reps":$reps,"calib_sec":$calib}""")
     println(shortLine)
     spark.stop()
   }
