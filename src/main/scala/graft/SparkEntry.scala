@@ -113,17 +113,18 @@ object SparkEntry {
       sortSpec = Seq(("l_extendedprice", false), ("l_linenumber", true)),
       k = 2).orderBy("l_orderkey", "rn")),
     // the DECLARATIVE window-filter idiom, auto-rewritten to the same
-    // physical operator by RowNumberTopKRule. NOTE: TopK.install mutates
-    // the SESSION (extraOptimizations/extraStrategies), so queries running
-    // after this one in the same session also get the rewrite where the
-    // idiom matches — the rule is equivalence-guarded, so results are
-    // unchanged, but plans of later bare row_number+filter queries would
-    // plan through TopKPerGroupExec too.
+    // physical operator by RowNumberTopKRule. TopK.install mutates session
+    // state (extraOptimizations/extraStrategies), so it runs on a CLONED
+    // session (newSession: same SparkContext + shared state, fresh session
+    // state) — later bare row_number+filter queries in the caller's session
+    // keep their unmodified window plans; physical plans must not depend on
+    // query execution order.
     "q_topk_group_auto" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.plans.TopK.install(s)
+      val s2 = s.newSession()
+      graft.plans.TopK.install(s2)
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, dir)
+      Tables.orders(s2, dir)
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
@@ -194,35 +195,67 @@ object SparkEntry {
     // not SQL-expressible; DedupSpec asserts containment vs the exact path)
     "q_decontaminate_bloom" -> t("documents")(d =>
       Dedup.decontaminateBloom(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
-    "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)), // no oracle: LSH recall
+    // md5-derived 48-bit base hash + prime-field affine permutations —
+    // every stage ANSI-SQL-reproducible, so this sketch carries a REAL
+    // value oracle (generated beside the operator)
+    "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)),
     "q_simhash" -> t("documents")(Dedup.simhash), // md5-derived 48-bit — oracle-checked
     "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)),
     "q_bm25" -> t("documents")(Search.bm25(_, bm25Terms, 15)),
     // ---- H: similarity search ----
     "q_embed_norms" -> t("embeddings")(Similarity.norms),
     "q_cosine_topk" -> t("embeddings")(Similarity.cosineTopK(_, 20, 5)),
-    // cosinePairsLsh is deliberately NOT registered: at the fixture's 0.4
-    // threshold LSH candidates approach all-pairs (see its scaladoc) and
-    // the fixture has no pairs in the >=0.8 regime where it is the right
-    // tool; SimilaritySpec asserts its recall against the exact form.
     "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
+    // the sub-quadratic 100 TB embedding-dedup path, registered in its
+    // HONEST regime: >=0.9 threshold over a corpus with genuine near-dups
+    // (deterministic perturbed copies — the fixture's natural pairs top out
+    // near 0.6, see cosinePairsLsh scaladoc for why low thresholds admit no
+    // sound pruning). 8x8-bit tables: ~6% of the pair space touched as
+    // candidates, exact cosine verification → no false positives; recall
+    // floor asserted in SimilaritySpec. No oracle: LSH recall.
+    "q_cosine_pairs_lsh" -> t("embeddings")(e =>
+      Similarity.cosinePairsLsh(Similarity.withSyntheticNearDups(e), 0.9,
+        nTables = 8, bitsPerTable = 8)),
     // SemDeDup-style: cosine pair graph -> connected components -> min-id keepers
     "q_semantic_keeplist" -> t("embeddings")(Similarity.semanticDedupKeepList(_, 0.4)),
+    // the same keep-list keyed on the LSH pair generator — the composition
+    // a 100 TB run uses. LSH pairs are a subset of exact pairs (exact
+    // verification), so survivors ⊇ exact survivors (spec-asserted).
+    // No oracle: LSH recall.
+    "q_semantic_keeplist_lsh" -> t("embeddings")(e => {
+      val aug = Similarity.withSyntheticNearDups(e)
+      Similarity.semanticDedupKeepList(aug,
+        Similarity.cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8, sorted = false))
+    }),
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion(_)),
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
     // ---- H: multimodal plumbing ----
     "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
-    "q_media_features" -> ((s, dir) => { // no oracle: stub-codec features
+    // REAL codec path (round 4): each doc's text bytes become the pixel
+    // payload of an 8x8 binary-PPM (P6) image; decodeImages parses the
+    // actual format and the per-channel means are a pure function of known
+    // bytes => full DuckDB oracle (fixture text is pure ASCII, so DuckDB's
+    // ord() sees the same byte values the decoder reads)
+    "q_media_features" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) => Multimodal.MediaRow(id, "image",
-          text.getBytes("UTF-8"), Multimodal.MediaMeta(640, 480, 3, 0, 0, 0L)) }
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("n_bytes"), col("content_hash"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+        .map { case (id, text) =>
+          val base = (Option(text).getOrElse("") + " ")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val px = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < px.length) { px(i) = base(i % base.length); i += 1 }
+          Multimodal.MediaRow(id, "image", Multimodal.PpmCodec.encode(8, 8, px),
+            Multimodal.MediaMeta(8, 8, 3, 0, 0, 0L))
+        }
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
         .orderBy("media_id")
     }),
     // ---- I: events / time-series ----
@@ -764,6 +797,7 @@ object SparkEntry {
            SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach
          GROUP BY src ORDER BY doc_id""",
+    "q_minhash_pairs" -> ops.Dedup.minhashOracleSql(0.5, 16, 4),
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -868,6 +902,23 @@ object SparkEntry {
     "q_payload_digest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_media_features" ->
+      // mirrors the PPM construction + decode: payload byte i = ASCII code
+      // of (text || ' ') at position i mod len; 8x8 RGB triplets; channel
+      // mean = exact integer sum / 64 pixels, divided once in double
+      """WITH px AS (SELECT doc_id, text || ' ' AS payload FROM documents),
+         b AS (SELECT doc_id, list_transform(generate_series(0, 191),
+                 i -> ord(substring(payload, (i % length(payload)) + 1, 1))) AS bytes FROM px),
+         ch AS (SELECT doc_id,
+                  list_sum(list_transform(generate_series(1, 64), j -> bytes[3*j-2])) AS sr,
+                  list_sum(list_transform(generate_series(1, 64), j -> bytes[3*j-1])) AS sg,
+                  list_sum(list_transform(generate_series(1, 64), j -> bytes[3*j])) AS sb
+                FROM b)
+         SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+                round(CAST(sr AS DOUBLE) / 64, 6) AS mean_r,
+                round(CAST(sg AS DOUBLE) / 64, 6) AS mean_g,
+                round(CAST(sb AS DOUBLE) / 64, 6) AS mean_b
+         FROM ch ORDER BY media_id""",
     "q_events_tumbling" ->
       s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,
                  COUNT(*) AS n, ${DS("value")} AS sum_value

@@ -67,6 +67,45 @@ object Dedup {
   private def shingles(arrs: DataFrame): DataFrame =
     arrs.select(col("doc_id"), explode(col("sh")).as("shingle"))
 
+  /** [[shingleArrays]] over the md5-derived 48-bit PORTABLE hash family
+    * ([[Text.gramHash48]]) instead of xxhash64 — same row-local
+    * LinkedHashSet pass, but every hash is reproducible in ANSI SQL, so
+    * operators built on it (MinHash signatures) carry real value oracles.
+    * Jaccard over the hashed sets is unchanged while the family is
+    * collision-free on the vocabulary (48 uniform bits: ~v²/2⁴⁹ expected
+    * collisions — negligible even at 100 TB vocabularies, and both engines
+    * hash identically so the comparison never drifts).
+    */
+  private[graft] def shingleArrays48(documents: DataFrame, n: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tokenRe = wordRe.r
+    documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          if (text == null) (id, Array.empty[Long])
+          else {
+            val toks = tokenRe.findAllIn(text).toArray
+            val m = toks.length - n + 1
+            val seen = new java.util.LinkedHashSet[java.lang.Long]()
+            var i = 0
+            while (i < m) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              seen.add(Text.gramHash48Local(md, sb.toString))
+              i += 1
+            }
+            val out = new Array[Long](seen.size)
+            val itr = seen.iterator(); var k = 0
+            while (itr.hasNext) { out(k) = itr.next(); k += 1 }
+            (id, out)
+          }
+        }
+      }.toDF("doc_id", "sh")
+  }
+
   /** Exact dedup, oracle-comparable form: one keeper (min doc_id) per
     * distinct text + the duplicate count. `dropDuplicates` keeps an
     * arbitrary row, which is nondeterministic under parallelism; a dedup
@@ -112,9 +151,12 @@ object Dedup {
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5,
                    orderByDocFreq: Boolean = true,
                    sorted: Boolean = true): DataFrame = {
-    // one shingling pass, cached: prefix generation and verify both read it
-    val arrs = shingleArrays(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one shingling pass, cached: prefix generation and verify both read it.
+    // The cache is scoped to the first consuming action (all consumers run
+    // inside that one job tree) — without the release hook, every call in a
+    // long-lived session would pin its blocks forever.
+    val arrs = Helpers.releaseAfterFirstAction(shingleArrays(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Prefix filtering is EXACT under any global total order of shingles.
     // Default df-ascending (rarest-first): keeps common shingles out of
     // prefixes so the candidate join stays near-linear — measured ~30%
@@ -170,31 +212,53 @@ object Dedup {
     if (sorted) verified.orderBy("id_a", "id_b") else verified
   }
 
+  /** MinHash LSH parameters shared by the operator and its generated
+    * oracle: signatures are affine permutations m_i(h) = (a_i·(h mod p) +
+    * b_i) mod p over the prime field p = 2³¹−1, applied to the md5-derived
+    * 48-bit shingle hash. Products stay < 2⁶² — exact in 64-bit integer
+    * arithmetic on BOTH engines, which is what makes the signature (and
+    * therefore the whole operator) value-oracle-able in DuckDB. The (a, b)
+    * coefficients come from one seeded generator, inlined as literals into
+    * both the Spark plan and the generated SQL.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private[graft] def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(k)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
+      rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
   /** MinHash signature + LSH banding near-dup detection (approximate
     * candidate generation, exact verification).
     *
-    * k hash functions are affine permutations of one xxhash64:
-    * h_i(s) = a_i * xxhash64(s) + b_i (wrapping 64-bit arithmetic — a full
-    * bijection, so min over shingles is a valid MinHash). Signature = k
-    * per-doc minima (one hash-aggregate). Banding: k = bands × rows; docs
-    * sharing any band bucket are candidates (groupBy band-hash join), then
-    * candidates are verified with exact Jaccard so the output has no false
-    * positives. False-negative probability for J=0.8 with 16×4 banding:
-    * (1 - (1-0.8^4))^16 ≈ 2e-4.
+    * Signature = k per-doc minima of the affine permutation family above
+    * (one hash-aggregate). Banding: k = bands × rows; docs sharing any band
+    * bucket are candidates (band-bucket equi-join — bucket = md5 of the
+    * band's row values, an engine-portable scalar key), then candidates are
+    * verified with exact Jaccard over the full hashed shingle sets, so the
+    * output has no false positives. False-negative probability for J=0.8
+    * with 16×4 banding: (1 - (1-0.8⁴))^16 ≈ 2e-4. Every stage is
+    * reproducible in ANSI SQL (md5-derived base hash, prime-field affine
+    * permutations, md5 band buckets), so unlike the usual sketch policy
+    * this query carries a REAL value oracle — [[minhashOracleSql]] is
+    * generated beside the operator.
     */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    bands: Int = 16, rows: Int = 4): DataFrame = {
     val k = bands * rows
-    val arrs = shingleArrays(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coeffs = minhashCoeffs(k)
+    val arrs = Helpers.releaseAfterFirstAction(shingleArrays48(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = shingles(arrs)
-    // hash family: fold the function index into xxhash64 (ANSI-safe — no
-    // wrapping arithmetic), one independent hash per index
-    val sigCols = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
+    val sigCols = (0 until k).map { i =>
+      val (a, b) = coeffs(i)
+      min(pmod(lit(a) * pmod(col("shingle"), lit(MinhashP)) + lit(b), lit(MinhashP))).as(s"m$i")
+    }
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*).as("bucket"))
+        md5(concat_ws(",", (bnd * rows until (bnd + 1) * rows)
+          .map(i => col(s"m$i").cast("string")): _*).cast("binary")).as("bucket"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -217,6 +281,43 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The matching DuckDB oracle for [[minhashPairs]] — generated beside the
+    * operator (same pattern as [[Search.bm25OracleSql]]) so the hash family,
+    * affine coefficients, banding, and verification arithmetic can never
+    * drift from the Spark side. Band membership is expressed as raw
+    * row-value equality per band, which is exactly what the Spark side's
+    * md5 band-bucket equi-join computes (the bucket is injective on the
+    * comma-separated row values).
+    */
+  def minhashOracleSql(threshold: Double = 0.5, bands: Int = 16, rows: Int = 4): String = {
+    val k = bands * rows
+    val coeffs = minhashCoeffs(k)
+    val gram = "CAST('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12) AS BIGINT)"
+    val mins = (0 until k).map { i =>
+      val (a, b) = coeffs(i)
+      s"MIN(($a * (h % $MinhashP) + $b) % $MinhashP) AS m$i"
+    }.mkString(",\n                ")
+    val bandCond = (0 until bands).map { bnd =>
+      val eqs = (bnd * rows until (bnd + 1) * rows).map(i => s"a.m$i = b.m$i").mkString(" AND ")
+      s"($eqs)"
+    }.mkString("\n                OR ")
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       sets AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)), i -> $gram)) AS hs FROM toks),
+       sh AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       sig AS (SELECT doc_id,
+                $mins
+              FROM sh GROUP BY doc_id),
+       cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b
+                ON a.doc_id < b.doc_id AND (
+                $bandCond)),
+       j AS (SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                     (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+             FROM cand JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id)
+       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
   }
 
   /** Fuzzy (edit-distance) verification on top of Jaccard candidates: pairs

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Shared expression helpers for deterministic, oracle-comparable output.
   *
@@ -30,4 +32,53 @@ object Helpers {
     */
   def davg(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double") / count(c)
+
+  /** Scope a persisted intermediate to its first consuming action.
+    *
+    * An operator that persists a shared intermediate but returns a LAZY
+    * frame has no in-band unpersist point, and `DataFrame.persist` entries
+    * are held by the session's CacheManager forever (the driver-side
+    * ContextCleaner only reaps raw RDDs, not SQL cache entries) — so a
+    * long-lived session accumulates MEMORY_AND_DISK blocks per call. This
+    * registers a QueryExecutionListener that fires after the first
+    * completed action (success OR failure) whose analyzed plan contains the
+    * cached frame's plan, unpersists it, and deregisters itself — i.e. the
+    * cache lives exactly from first materialization to the end of the
+    * action that consumed it, which is the whole lifetime it is useful for
+    * in a compute-once operator (every consumer of the shared intermediate
+    * runs inside that one job tree).
+    *
+    * Residual: if the returned frame is NEVER consumed, the (empty,
+    * unmaterialized) cache registration and the listener remain until
+    * session close — bounded by abandoned calls, with no storage behind it.
+    * A SECOND action on the same returned frame recomputes without the
+    * cache: correct, just uncached — callers that iterate an operator's
+    * result should persist the RESULT, not rely on internal caches.
+    */
+  def releaseAfterFirstAction(cached: DataFrame): DataFrame = {
+    val spark = cached.sparkSession
+    val target = cached.queryExecution.analyzed
+    val lm = spark.listenerManager
+    val listener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        // the consumer was built FROM the cached frame, so its analyzed plan
+        // embeds the cached plan as a subtree (cache substitution happens
+        // later, at physical planning)
+        val touches =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => false }
+        if (touches && done.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          lm.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    lm.register(listener)
+    cached
+  }
 }

@@ -20,6 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** One typed row-local pass computing per-doc length and every query
+    * term's frequency together (tokenizer stream → counter array): no
+    * per-term regex scans and no interpreted per-element HOF filters — the
+    * same trade as the dedup shinglers, and the token-equality semantics
+    * mirror the oracle's list_filter exactly. Shared by [[bm25]] and
+    * [[bm25Lazy]] so the counting semantics cannot diverge. Output columns:
+    * doc_id, dl, tf0..tfN.
+    */
+  private def termCounts(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val termIdx = terms.zipWithIndex.toMap
+    val nTerms = terms.length
+    val counted = documents
+      .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = "[a-z0-9]+".r
+        it.map { case (id, text) =>
+          val tfs = new Array[Long](nTerms)
+          var dl = 0L
+          if (text != null) re.findAllIn(text).foreach { tok =>
+            dl += 1
+            termIdx.get(tok).foreach(j => tfs(j) += 1)
+          }
+          (id, dl, tfs)
+        }
+      }.toDF("doc_id", "dl", "tfs")
+    counted.select(
+      col("doc_id") +: col("dl") +:
+        terms.indices.map(i => element_at(col("tfs"), i + 1).as(s"tf$i")): _*)
+  }
+
   /** BM25 top-k: standard Robertson/Okapi scoring with the Lucene-style
     * always-positive idf, `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b
     * + b·dl/avgdl))`.
@@ -48,32 +80,9 @@ object Search {
     require(terms.forall(_.matches("[a-z0-9]+")),
       s"query terms must be plain tokens, got: ${terms.mkString(", ")}")
 
-    // one typed row-local pass computes dl and every term's tf together
-    // (tokenizer stream → counter array): no per-term regex scans and no
-    // interpreted per-element HOF filters — same trade as the dedup
-    // shinglers, and the token-equality semantics mirror the oracle's
-    // list_filter exactly
     val spark = documents.sparkSession
     import spark.implicits._
-    val termIdx = terms.zipWithIndex.toMap
-    val nTerms = terms.length
-    val counted = documents
-      .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
-      .mapPartitions { it =>
-        val re = "[a-z0-9]+".r
-        it.map { case (id, text) =>
-          val tfs = new Array[Long](nTerms)
-          var dl = 0L
-          if (text != null) re.findAllIn(text).foreach { tok =>
-            dl += 1
-            termIdx.get(tok).foreach(j => tfs(j) += 1)
-          }
-          (id, dl, tfs)
-        }
-      }.toDF("doc_id", "dl", "tfs")
-    val base = counted.select(
-      col("doc_id") +: col("dl") +:
-        terms.indices.map(i => element_at(col("tfs"), i + 1).as(s"tf$i")): _*)
+    val base = termCounts(documents, terms)
 
     // phase 1: one single-row aggregate — collection size, mean length,
     // per-term document frequency — materialized driver-side (a scalar row,
@@ -109,6 +118,55 @@ object Search {
 
     // phase 2: row-local scoring + bounded take
     base.select(col("doc_id"),
+        round(scoreDec.cast("double"), 6).as("score"),
+        hits.cast("long").as("n_terms"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Composition form of [[bm25]]: IDENTICAL scoring, but the corpus
+    * statistics stay a 1-row DataFrame broadcast into the scoring pass
+    * instead of being collected at call time — so building the query runs
+    * NO Spark job (the everything-is-lazy contract every other operator
+    * keeps; the eager form trades that for literal stats the optimizer can
+    * constant-fold, which is the faster standalone shape and the one the
+    * bench registers). Use this form inside composed pipelines where a
+    * hidden job at construction time would be a surprise; SearchSpec
+    * asserts the two forms row-identical.
+    */
+  def bm25Lazy(documents: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, "at least one query term")
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"query terms must be plain tokens, got: ${terms.mkString(", ")}")
+    val base = termCounts(documents, terms)
+    val statAggs =
+      count(lit(1)).as("n") +:
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+      terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val oneMinusB = 1.0 - b
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i")
+      // same arithmetic as the eager form, with n/df/avgdl as broadcast
+      // columns: n and df are longs, so (n - df + 0.5) is the same
+      // long-long-double promotion the literal form evaluates
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val w = idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, round(w, 9)).otherwise(lit(0.0))
+    }
+    val scoreDec = terms.indices
+      .map(i => termScore(i).cast("decimal(18,9)"))
+      .reduce(_ + _)
+    val hits = terms.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    // the 1-row stats side broadcasts; the empty-corpus case needs no guard
+    // here — an empty base crossJoin empty stats is empty, and nothing was
+    // read driver-side
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
         round(scoreDec.cast("double"), 6).as("score"),
         hits.cast("long").as("n_terms"))
       .filter(col("score") > 0)

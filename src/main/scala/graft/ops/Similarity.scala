@@ -265,14 +265,50 @@ object Similarity {
     * threshold (≥ ~0.8) swaps in [[cosinePairsLsh]] — one argument, same
     * downstream clustering.
     */
-  def semanticDedupKeepList(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val clusters = graft.ops.Dedup.clusterPairs(
-      cosineDupPairs(embeddings, threshold, sorted = false), sorted = false)
+  def semanticDedupKeepList(embeddings: DataFrame, threshold: Double): DataFrame =
+    semanticDedupKeepList(embeddings,
+      cosineDupPairs(embeddings, threshold, sorted = false))
+
+  /** [[semanticDedupKeepList]] from an ARBITRARY precomputed pair graph —
+    * the composition point the 100 TB path plugs into: pass
+    * [[cosinePairsLsh]] output (sub-quadratic candidates, exact verified
+    * sims) instead of the exact all-pairs join, same downstream clustering.
+    * Because LSH pairs are a SUBSET of the exact pairs (verification is
+    * exact — only recall is probabilistic), every document this form drops
+    * is also dropped by the exact form: LSH survivors ⊇ exact survivors,
+    * asserted in SimilaritySpec.
+    */
+  def semanticDedupKeepList(embeddings: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = graft.ops.Dedup.clusterPairs(pairs, sorted = false)
     val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.select("vec_id")
       .join(drop, Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
+  }
+
+  /** Deterministic near-duplicate augmentation: every vector gets a
+    * perturbed copy v'ᵢ = vᵢ + α·v₍ᵢ₊₁ mod d₎ under `idOffset`. For
+    * near-orthogonal shift (any non-degenerate corpus), cos(v, v′) ≈
+    * 1/√(1+α²) ≈ 0.97 at the default α — squarely in the ≥0.9 regime where
+    * LSH near-dup detection is the right tool. The fixture corpus has no
+    * natural pairs above ~0.6, so the registered high-threshold LSH queries
+    * run on this augmented corpus: a corpus WITH near-dups is the honest
+    * demonstration regime for the 100 TB path (content-free perturbation,
+    * no randomness — reproducible across engines and scale factors).
+    */
+  def withSyntheticNearDups(embeddings: DataFrame, idOffset: Long = 1000000L,
+                            alpha: Double = 0.25): DataFrame = {
+    val d = size(col("embedding"))
+    val pert = embeddings.select(
+      (col("vec_id") + idOffset).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + lit(alpha) * element_at(col("embedding"),
+          (pmod(i + 1, d) + 1).cast("int"))).as("embedding"),
+      col("label"))
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("embedding"), col("label"))
+      .unionByName(pert)
   }
 
   /** Approximate cosine near-dup pairs — the sub-quadratic 100 TB path:
@@ -289,7 +325,8 @@ object Similarity {
     * rows-only; recall vs [[cosineDupPairs]] is asserted in SimilaritySpec.
     */
   def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
-                     nTables: Int = 24, bitsPerTable: Int = 2, dim: Int = 64): DataFrame = {
+                     nTables: Int = 24, bitsPerTable: Int = 2, dim: Int = 64,
+                     sorted: Boolean = true): DataFrame = {
     // no persist: e is a narrow scan+cast+norm projection — recomputing it
     // per consumer is cheaper than pinning an uncollectable cache entry
     // for the application lifetime (this function returns a lazy frame and
@@ -303,14 +340,14 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-      .orderBy("id_a", "id_b")
+    if (sorted) out.orderBy("id_a", "id_b") else out
   }
 
   final case class EmbeddingRow(vec_id: Long, embedding: Array[Float], label: Int)

@@ -443,9 +443,10 @@ object Text {
     * one-pass contract as jaccardPairs' shingle cache).
     */
   def duplicatePassageStats(documents: DataFrame, chunkTokens: Int = 32): DataFrame = {
-    val hashed = chunkDocuments(documents, chunkTokens, overlap = 0, sorted = false)
-      .select(col("doc_id"), xxhash64(col("chunk_text")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = Helpers.releaseAfterFirstAction(
+      chunkDocuments(documents, chunkTokens, overlap = 0, sorted = false)
+        .select(col("doc_id"), xxhash64(col("chunk_text")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df = hashed.groupBy("h")
       .agg(countDistinct("doc_id").as("docfreq"))
     hashed.join(df, "h")

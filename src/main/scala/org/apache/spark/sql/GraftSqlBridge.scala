@@ -21,4 +21,17 @@ object GraftSqlBridge {
     */
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Whether the session's shared CacheManager holds NO live SQL cache
+    * entries — the observability hook behind the scoped-persist contract
+    * (graft.ops.Helpers.releaseAfterFirstAction): specs assert an operator
+    * leaves no orphaned cache entry behind once its first consuming action
+    * completes.
+    */
+  def sqlCacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Drop every SQL cache entry (test isolation for cache-hygiene specs). */
+  def clearSqlCache(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.clearCache()
 }

@@ -147,6 +147,54 @@ class DedupSpec extends SparkSpec {
       s"bloom over-removed ${(exact -- bloom).size} of ${exact.size}")
   }
 
+  test("scoped persist: jaccard/minhash/passage caches are released after the first consuming action") {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.clearSqlCache(spark) // isolate from any earlier suite's cache state
+    val documents = Tables.documents(spark, sfDir)
+    Dedup.jaccardPairs(documents, 0.5).count()
+    Dedup.minhashPairs(documents, 0.5).count()
+    Text.duplicatePassageStats(documents).count()
+    // the release listener fires on the async listener bus after each action
+    val deadline = System.currentTimeMillis() + 30000
+    while (!GraftSqlBridge.sqlCacheIsEmpty(spark) && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(GraftSqlBridge.sqlCacheIsEmpty(spark),
+      "persisted shingle/passage intermediates were not released after consumption")
+  }
+
+  test("minhashPairs matches its generated DuckDB oracle's candidate semantics driver-side") {
+    // independent reimplementation of the portable signature family: the
+    // md5-derived 48-bit gram hash + prime-field affine minima + banding,
+    // computed driver-side from raw text — pins the oracle arithmetic
+    // (coefficients, modulus, band grouping) without needing DuckDB here
+    val d = Tables.documents(spark, sfDir)
+    val p = 2147483647L
+    val coeffs = Dedup.minhashCoeffs(64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sets = d.select("doc_id", "text").collect().map { r =>
+      val toks = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toArray
+      val hs = toks.sliding(3).filter(_.length == 3)
+        .map(g => Text.gramHash48Local(md, g.mkString(" "))).toSet
+      r.getLong(0) -> hs
+    }.filter(_._2.nonEmpty)
+    val sigs = sets.map { case (id, hs) =>
+      id -> coeffs.map { case (a, b) => hs.map(h => (a * (h % p) + b) % p).min }.toArray
+    }
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (ia, sa) = sigs(i); (ib, sb) = sigs(j)
+      if (0 until 16).exists(bd => (bd * 4 until bd * 4 + 4).forall(x => sa(x) == sb(x)))
+      (la, ha) = (ia, sets(i)._2); (lb, hb) = (ib, sets(j)._2)
+      inter = ha.intersect(hb).size.toDouble
+      jac = inter / (ha.size + hb.size - inter)
+      if jac >= 0.5
+    } yield (math.min(sigs(i)._1, sigs(j)._1), math.max(sigs(i)._1, sigs(j)._1))).toSet
+    val got = Dedup.minhashPairs(d, 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"minhash pairs diverged: extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("dedupKeepList: precomputed-clusters overload equals the standalone form") {
     val documents = Tables.documents(spark, sfDir)
     val clusters = Dedup.dupClusters(documents, 0.5)

@@ -28,6 +28,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).features.length == 8)
   }
 
+  test("PpmCodec: byte-exact decode of a hand-built P6 image, comments and all") {
+    // 2x1 image, red then blue, maxval 255, with a header comment — built
+    // by hand so the decoder is pinned to the public netpbm byte layout,
+    // not to our own encoder
+    val px = Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val raw = ("P6\n# a comment\n2 1\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++ px
+    val img = PpmCodec.decode(raw).get
+    assert(img.width == 2 && img.height == 1 && img.maxVal == 255)
+    assert(img.pixels.toSeq == px.toSeq)
+    val (mr, mg, mb) = PpmCodec.channelMeans(img)
+    assert(mr == 127.5 && mg == 0.0 && mb == 127.5)
+  }
+
+  test("PpmCodec: encode/decode round-trips; garbage and truncation decode to None") {
+    val px = Array.tabulate(8 * 8 * 3)(i => (i % 251).toByte)
+    val enc = PpmCodec.encode(8, 8, px)
+    val dec = PpmCodec.decode(enc).get
+    assert(dec.width == 8 && dec.height == 8 && dec.pixels.toSeq == px.toSeq)
+    assert(PpmCodec.decode("not an image".getBytes).isEmpty)
+    assert(PpmCodec.decode(enc.dropRight(1)).isEmpty, "truncated pixel data must not decode")
+    assert(PpmCodec.decode(Array[Byte]('P', '6')).isEmpty)
+    assert(PpmCodec.decode(null).isEmpty)
+  }
+
+  test("extractFeatures: PPM images get REAL decoded features; others fall back to byte stats") {
+    val px = Array.tabulate(4 * 2 * 3)(i => (10 * i).toByte)
+    val ds = media(
+      row(1L, "image", PpmCodec.encode(4, 2, px), w = 4, h = 2),
+      row(2L, "audio", Array[Byte](9, 9, 9, 9)))
+    val out = extractFeatures(ds).collect().sortBy(_.media_id)
+    val imgFeats = out(0).features
+    assert(imgFeats.length == 6)
+    assert(imgFeats(0) == 4.0f && imgFeats(1) == 2.0f && imgFeats(5) == 255.0f)
+    val img = PpmCodec.decode(PpmCodec.encode(4, 2, px)).get
+    val (mr, mg, mb) = PpmCodec.channelMeans(img)
+    assert(imgFeats(2) == mr.toFloat && imgFeats(3) == mg.toFloat && imgFeats(4) == mb.toFloat)
+    assert(out(1).features.length == 8) // byte-stat fallback shape
+  }
+
+  test("decodeImages: drops undecodable rows, means match a driver-side recompute") {
+    val pxA = Array.tabulate(8 * 8 * 3)(i => ((i * 7) % 256).toByte)
+    val ds = media(
+      row(1L, "image", PpmCodec.encode(8, 8, pxA), w = 8, h = 8),
+      row(2L, "image", Array[Byte](1, 2, 3))) // not a PPM: dropped
+    val out = decodeImages(ds).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    def mean(off: Int) = (off until pxA.length by 3).map(pxA(_) & 0xFF).sum / 64.0
+    assert(r.getLong(1) == 8 && r.getLong(2) == 8)
+    assert(r.getDouble(3) == mean(0) && r.getDouble(4) == mean(1) && r.getDouble(5) == mean(2))
+  }
+
   test("sampleFrames: every stride-th frame of videos only") {
     val ds = media(
       row(1L, "video", Array[Byte](5, 5), frames = 10),

@@ -99,6 +99,34 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("bm25Lazy: row-identical to the eager form") {
+    val d = Tables.documents(spark, sfDir)
+    val eager = Search.bm25(d, terms, 25).collect().toSeq
+    val lzy = Search.bm25Lazy(d, terms, 25).collect().toSeq
+    assert(eager == lzy)
+    assert(eager.nonEmpty)
+  }
+
+  test("bm25Lazy: building the frame runs no Spark job (everything-is-lazy contract)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    // load the table BEFORE arming the listener: spark.read.parquet may run
+    // its own footer/schema job, which is table loading, not the operator
+    val d = Tables.documents(spark, sfDir)
+    d.schema
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = Search.bm25Lazy(d, terms, 10)
+      Thread.sleep(1000) // listener bus is async; give submissions time to surface
+      assert(counter.get() == 0,
+        s"bm25Lazy construction submitted ${counter.get()} job(s)")
+      assert(df.columns.toSeq == Seq("doc_id", "score", "n_terms"))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("non-token query terms are rejected") {
     intercept[IllegalArgumentException](
       Search.bm25(Tables.documents(spark, sfDir), Seq("bad term!"), 5))

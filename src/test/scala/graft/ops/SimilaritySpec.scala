@@ -117,6 +117,37 @@ class SimilaritySpec extends SparkSpec {
       s"LSH recall too low: ${lsh.size} of ${exact.size}")
   }
 
+  test("cosinePairsLsh high-threshold regime: near-total recall on the synthetic near-dup corpus") {
+    val aug = Similarity.withSyntheticNearDups(Tables.embeddings(spark, sfDir))
+    val exact = Similarity.cosineDupPairs(aug, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the augmentation plants ~one >=0.9 pair per vector (cos ≈ 1/√(1+α²))
+    assert(exact.size >= 400, s"expected planted pairs, got ${exact.size}")
+    // exact verification => no false positives, identical sims
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, v) => assert(v == exact(k)) }
+    // (L=8, b=8) at cos≈0.97: per-pair detection ≥0.99; deterministic seed
+    assert(lsh.size >= math.ceil(exact.size * 0.95).toInt,
+      s"LSH recall too low: ${lsh.size} of ${exact.size}")
+  }
+
+  test("semanticDedupKeepList over LSH pairs: survivors are a superset of the exact form's") {
+    val aug = Similarity.withSyntheticNearDups(Tables.embeddings(spark, sfDir))
+    val exactKept = Similarity.semanticDedupKeepList(aug, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val lshKept = Similarity.semanticDedupKeepList(aug,
+        Similarity.cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8, sorted = false))
+      .collect().map(_.getLong(0)).toSet
+    // every LSH edge is a real edge (exact verification), so every doc the
+    // LSH form drops is also dropped by the exact form — never the reverse
+    assert(exactKept.subsetOf(lshKept))
+    // and near-total recall keeps the over-retention tiny
+    assert((lshKept -- exactKept).size <= math.max(5, exactKept.size / 20),
+      s"LSH kept ${(lshKept -- exactKept).size} extra survivors")
+  }
+
   test("labelCohesion: closed form matches the pairwise formulation") {
     val e = Tables.embeddings(spark, sfDir)
     val closed = Similarity.labelCohesion(e).collect()

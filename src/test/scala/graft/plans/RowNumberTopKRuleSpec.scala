@@ -98,6 +98,30 @@ class RowNumberTopKRuleSpec extends SparkSpec {
     assert(!hasTopK(global) && hasWindow(global))
   }
 
+  test("registered q_topk_group_auto leaves the calling session's planner untouched") {
+    // a FRESH session stands in for the caller (the shared test session has
+    // TopK installed by the suites above — deliberately)
+    val caller = spark.newSession()
+    def bare: DataFrame = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(caller, sfDir)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+    }
+    assert(!hasTopK(bare), "fresh session unexpectedly has the rewrite")
+    val out = graft.SparkEntry.queries("q_topk_group_auto")(caller, sfDir)
+    assert(out.count() > 0)
+    // the registered query itself planned through the custom operator (on
+    // its cloned session) ...
+    assert(hasTopK(out), out.queryExecution.sparkPlan.toString)
+    // ... but the caller's planner is unchanged: bare window-filter queries
+    // keep their WindowExec plan regardless of execution order
+    assert(!hasTopK(bare) && hasWindow(bare),
+      "q_topk_group_auto leaked optimizer/strategy state into the calling session")
+  }
+
   test("does not fire without an upper bound on the rank") {
     TopK.install(spark)
     val w = Window.partitionBy("o_custkey")
