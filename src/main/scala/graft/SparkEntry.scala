@@ -258,6 +258,34 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy("media_id")
     }),
+    // REAL audio codec path (round 5): each doc's text bytes become the
+    // sample stream of a 64-frame stereo 16-bit PCM WAV; decodeAudio parses
+    // the actual RIFF/WAVE format and the per-channel means are a pure
+    // function of known bytes => full DuckDB oracle (fixture text is pure
+    // ASCII, so DuckDB's ord() sees the same byte values the encoder read)
+    "q_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val base = (Option(text).getOrElse("") + " ")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val samples = new Array[Short](64 * 2) // 64 frames, stereo, interleaved
+          var j = 0
+          while (j < samples.length) {
+            samples(j) = (((base(j % base.length) & 0xFF) - 64) * 256).toShort
+            j += 1
+          }
+          Multimodal.MediaRow(id, "audio", Multimodal.WavCodec.encode(8000, 2, samples),
+            Multimodal.MediaMeta(0, 0, 2, 8000, 64, 8L))
+        }
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("sample_rate"), col("n_channels"),
+          col("n_frames"), col("duration_ms"),
+          round(element_at(col("channel_means"), 1), 6).as("mean_left"),
+          round(element_at(col("channel_means"), 2), 6).as("mean_right"))
+        .orderBy("media_id")
+    }),
     // ---- I: events / time-series ----
     "q_events_tumbling" -> t("events")(Events.tumbling),
     "q_events_sliding" -> t("events")(Events.sliding),
@@ -918,6 +946,25 @@ object SparkEntry {
                 round(CAST(sr AS DOUBLE) / 64, 6) AS mean_r,
                 round(CAST(sg AS DOUBLE) / 64, 6) AS mean_g,
                 round(CAST(sb AS DOUBLE) / 64, 6) AS mean_b
+         FROM ch ORDER BY media_id""",
+    "q_audio_features" ->
+      // mirrors the WAV construction + decode: 128 interleaved 16-bit
+      // samples, sample j = (ASCII code of (text || ' ') at position
+      // j mod len - 64) * 256; channel means = exact integer sum over 64
+      // frames (left = even j, right = odd j), divided once in double
+      """WITH px AS (SELECT doc_id, text || ' ' AS payload FROM documents),
+         s AS (SELECT doc_id, list_transform(generate_series(0, 127),
+                 j -> (ord(substring(payload, (j % length(payload)) + 1, 1)) - 64) * 256) AS smp
+               FROM px),
+         ch AS (SELECT doc_id,
+                  list_sum(list_transform(generate_series(1, 64), f -> smp[2*f-1])) AS sl,
+                  list_sum(list_transform(generate_series(1, 64), f -> smp[2*f])) AS sr
+                FROM s)
+         SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(2 AS INTEGER) AS n_channels, CAST(64 AS BIGINT) AS n_frames,
+                CAST(8 AS BIGINT) AS duration_ms,
+                round(CAST(sl AS DOUBLE) / 64, 6) AS mean_left,
+                round(CAST(sr AS DOUBLE) / 64, 6) AS mean_right
          FROM ch ORDER BY media_id""",
     "q_events_tumbling" ->
       s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,

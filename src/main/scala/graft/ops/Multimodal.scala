@@ -84,10 +84,13 @@ object Multimodal {
       def int(): Int = {
         var v = 0
         var any = false
-        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && v < (1 << 24)) {
-          v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+        var over = false
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          if (v >= (1 << 24)) over = true // cap exceeded: keep consuming, reject field
+          else v = v * 10 + (bytes(i) - '0')
+          i += 1; any = true
         }
-        if (any) v else -1
+        if (any && !over) v else -1
       }
       skipWs(); val w = int()
       skipWs(); val h = int()
@@ -116,11 +119,118 @@ object Multimodal {
     }
   }
 
-  /** Byte-level stand-in for the kinds with no in-container codec (audio,
-    * video): deterministic pseudo-features from a rolling hash of the
+  /** Real decoder for the binary WAV (RIFF/WAVE) PCM audio format — public
+    * Microsoft/IBM spec, zero dependencies: `RIFF <size> WAVE` followed by a
+    * chunk walk (`fmt ` with PCM format tag 1, then `data` with raw
+    * samples); unknown chunks are skipped with even-byte padding, exactly as
+    * the spec requires. 8-bit samples are unsigned centered at 128 (stored
+    * sign-corrected), 16-bit samples are signed little-endian. Tested
+    * byte-exact in MultimodalSpec; feeds the oracle-backed
+    * `q_audio_features` (same pattern as [[PpmCodec]]/`q_media_features`).
+    */
+  object WavCodec {
+    /** Interleaved sign-corrected samples: frame f, channel c at
+      * `samples(f * nChannels + c)`.
+      */
+    final case class Audio(sampleRate: Int, nChannels: Int, bitsPerSample: Int,
+                           samples: Array[Int]) {
+      def nFrames: Int = samples.length / nChannels
+      def durationMs: Long = nFrames.toLong * 1000L / sampleRate
+    }
+
+    /** Canonical 44-byte-header 16-bit PCM writer (what every minimal WAV
+      * tool emits): RIFF header + `fmt ` + `data`, all sizes little-endian.
+      */
+    def encode(sampleRate: Int, nChannels: Int, samples: Array[Short]): Array[Byte] = {
+      require(nChannels > 0 && samples.length % nChannels == 0,
+        s"sample count ${samples.length} not a multiple of $nChannels channels")
+      val dataSize = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(16)                       // PCM fmt chunk size
+      bb.putShort(1)                      // audio format: PCM
+      bb.putShort(nChannels.toShort)
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * nChannels * 2) // byte rate
+      bb.putShort((nChannels * 2).toShort)  // block align
+      bb.putShort(16)                     // bits per sample
+      bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(dataSize)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    /** None for anything that is not a complete integer-PCM RIFF/WAVE
+      * payload (8- or 16-bit) — callers treat that as "not audio I can
+      * decode", never as an error.
+      */
+    def decode(bytes: Array[Byte]): Option[Audio] = {
+      if (bytes == null || bytes.length < 12) return None
+      def ascii(at: Int, s: String): Boolean = {
+        var j = 0
+        while (j < s.length) { if (bytes(at + j) != s.charAt(j)) return false; j += 1 }
+        true
+      }
+      def le32(at: Int): Long =
+        (bytes(at) & 0xFFL) | ((bytes(at + 1) & 0xFFL) << 8) |
+          ((bytes(at + 2) & 0xFFL) << 16) | ((bytes(at + 3) & 0xFFL) << 24)
+      def le16(at: Int): Int = (bytes(at) & 0xFF) | ((bytes(at + 1) & 0xFF) << 8)
+      if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+      var pos = 12
+      var fmtTag = -1; var nCh = -1; var rate = -1; var bits = -1
+      var dataAt = -1; var dataLen = -1
+      while (pos + 8 <= bytes.length && (dataAt < 0 || fmtTag < 0)) {
+        val size = le32(pos + 4)
+        if (size < 0 || size > bytes.length - pos - 8) return None
+        val sz = size.toInt
+        if (ascii(pos, "fmt ")) {
+          if (sz < 16) return None
+          fmtTag = le16(pos + 8)
+          nCh = le16(pos + 10)
+          rate = le32(pos + 12).toInt
+          bits = le16(pos + 22)
+        } else if (ascii(pos, "data")) {
+          dataAt = pos + 8; dataLen = sz
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned: odd sizes pad one byte
+      }
+      if (fmtTag != 1 || dataAt < 0 || nCh <= 0 || rate <= 0 ||
+        (bits != 8 && bits != 16)) return None
+      val bytesPerSample = bits / 8
+      val n = dataLen / (bytesPerSample * nCh) * nCh // whole frames only
+      if (n <= 0) return None
+      val out = new Array[Int](n)
+      var s = 0
+      while (s < n) {
+        out(s) =
+          if (bits == 8) (bytes(dataAt + s) & 0xFF) - 128 // unsigned, centered
+          else le16(dataAt + s * 2).toShort.toInt          // signed LE
+        s += 1
+      }
+      Some(Audio(rate, nCh, bits, out))
+    }
+
+    /** Per-channel sample means: exact integer sums, ONE double division —
+      * the arithmetic the SQL oracle mirrors (sum of samples / frame count).
+      */
+    def channelMeans(a: Audio): Array[Double] = {
+      val sums = new Array[Long](a.nChannels)
+      var i = 0
+      while (i < a.samples.length) { sums(i % a.nChannels) += a.samples(i); i += 1 }
+      sums.map(_ / a.nFrames.toDouble)
+    }
+  }
+
+  /** Byte-level stand-in for the one kind with no in-container codec
+    * (video): deterministic pseudo-features from a rolling hash of the
     * payload. Honest placeholder — swapping in a real decoder touches only
     * this object; the batching/schema plumbing around it is shared with the
-    * real PPM path.
+    * real PPM/WAV paths.
     */
   object ByteStatCodec {
     /** 8-dim deterministic pseudo-embedding from a rolling hash. */
@@ -150,20 +260,28 @@ object Multimodal {
   /** Batched decode/feature-extract over binary payloads: one codec "init"
     * per partition, rows streamed through it. Images that parse as PPM get
     * REAL decoded features [width, height, meanR, meanG, meanB, maxval];
-    * everything else falls back to the byte-stat placeholder.
+    * audio that parses as RIFF/WAVE PCM gets REAL decoded features
+    * [sampleRate, nChannels, nFrames, meanCh0..]; everything else falls back
+    * to the byte-stat placeholder.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (once per task, not per row)
       rows.map { r =>
-        val feats = (if (r.kind == "image") PpmCodec.decode(r.content) else None) match {
-          case Some(img) =>
+        val decoded: Option[Array[Float]] = r.kind match {
+          case "image" => PpmCodec.decode(r.content).map { img =>
             val (mr, mg, mb) = PpmCodec.channelMeans(img)
             Array(img.width.toFloat, img.height.toFloat,
               mr.toFloat, mg.toFloat, mb.toFloat, img.maxVal.toFloat)
-          case None => ByteStatCodec.decodeFeatures(r.content)
+          }
+          case "audio" => WavCodec.decode(r.content).map { a =>
+            Array(a.sampleRate.toFloat, a.nChannels.toFloat, a.nFrames.toFloat) ++
+              WavCodec.channelMeans(a).map(_.toFloat)
+          }
+          case _ => None
         }
+        val feats = decoded.getOrElse(ByteStatCodec.decodeFeatures(r.content))
         MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
           ByteStatCodec.frameHash(r.content, 0), feats)
       }
@@ -187,6 +305,30 @@ object Multimodal {
         PpmCodec.decode(r.content).map { img =>
           val (mr, mg, mb) = PpmCodec.channelMeans(img)
           ImageStats(r.media_id, img.width.toLong, img.height.toLong, mr, mg, mb)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class AudioStats(media_id: Long, sample_rate: Int, n_channels: Int,
+                              n_frames: Long, duration_ms: Long,
+                              channel_means: Array[Double])
+
+  /** Decode-and-summarize for audio payloads: parse each binary RIFF/WAVE
+    * PCM blob and emit format fields plus per-channel sample means (exact
+    * integer sums, one double division — raw, unrounded; callers round for
+    * presentation). Rows that do not parse as PCM WAV are dropped (flatMap),
+    * mirroring a pipeline's decode-or-discard step. This is the
+    * oracle-backed surface: every output value is a pure function of known
+    * payload bytes.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavCodec.decode(r.content).map { a =>
+          AudioStats(r.media_id, a.sampleRate, a.nChannels, a.nFrames.toLong,
+            a.durationMs, WavCodec.channelMeans(a))
         }
       }
     }.toDF()

@@ -53,11 +53,81 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmCodec.decode(null).isEmpty)
   }
 
+  test("PpmCodec: oversized header fields reject the payload instead of misparsing") {
+    // width overflows the 2^24 parser cap: the field must be rejected as a
+    // whole (decode => None), not truncated mid-number into two ints
+    val raw = ("P6\n999999999 1\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++ Array[Byte](1, 2, 3)
+    assert(PpmCodec.decode(raw).isEmpty)
+  }
+
+  test("WavCodec: byte-exact decode of a hand-built RIFF payload, skipped chunks and all") {
+    // built by hand so the decoder is pinned to the public RIFF/WAVE byte
+    // layout, not to our own encoder: a LIST chunk (with odd size => pad
+    // byte) sits between fmt and data; 16-bit stereo, 2 frames
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + (8 + 3 + 1) + 8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(12 + 24 + 12 + 16 - 8); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(8000); bb.putInt(32000); bb.putShort(4); bb.putShort(16)
+    bb.put("LIST".getBytes); bb.putInt(3); bb.put(Array[Byte]('a', 'b', 'c', 0)) // odd size + pad
+    bb.put("data".getBytes); bb.putInt(8)
+    Seq[Short](100, -200, 3000, -32768).foreach(bb.putShort)
+    val a = WavCodec.decode(bb.array()).get
+    assert(a.sampleRate == 8000 && a.nChannels == 2 && a.bitsPerSample == 16)
+    assert(a.nFrames == 2 && a.durationMs == 0L)
+    assert(a.samples.toSeq == Seq(100, -200, 3000, -32768))
+    assert(WavCodec.channelMeans(a).toSeq == Seq((100 + 3000) / 2.0, (-200 + -32768) / 2.0))
+  }
+
+  test("WavCodec: 8-bit samples are unsigned centered at 128") {
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 4); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(4000); bb.putInt(4000); bb.putShort(1); bb.putShort(8)
+    bb.put("data".getBytes); bb.putInt(4)
+    bb.put(Array[Byte](0, 128.toByte, 255.toByte, 100))
+    val a = WavCodec.decode(bb.array()).get
+    assert(a.bitsPerSample == 8 && a.nChannels == 1 && a.nFrames == 4)
+    assert(a.samples.toSeq == Seq(-128, 0, 127, -28))
+  }
+
+  test("WavCodec: encode/decode round-trips; garbage and truncation decode to None") {
+    val samples = Array.tabulate(64 * 2)(i => ((i * 517) % 65536 - 32768).toShort)
+    val enc = WavCodec.encode(8000, 2, samples)
+    val dec = WavCodec.decode(enc).get
+    assert(dec.sampleRate == 8000 && dec.nChannels == 2 && dec.nFrames == 64)
+    assert(dec.samples.toSeq == samples.map(_.toInt).toSeq)
+    assert(WavCodec.decode("not audio at all".getBytes).isEmpty)
+    assert(WavCodec.decode(enc.dropRight(1)).isEmpty, "truncated data chunk must not decode")
+    assert(WavCodec.decode(enc.take(12)).isEmpty)
+    assert(WavCodec.decode(null).isEmpty)
+    // non-PCM format tag (e.g. IEEE float = 3) must be rejected
+    val f = enc.clone(); f(20) = 3; assert(WavCodec.decode(f).isEmpty)
+  }
+
+  test("decodeAudio: drops undecodable rows, means match a driver-side recompute") {
+    val samples = Array.tabulate(16 * 2)(i => ((i * 911) % 65536 - 32768).toShort)
+    val ds = media(
+      row(1L, "audio", WavCodec.encode(16000, 2, samples)),
+      row(2L, "audio", Array[Byte](1, 2, 3))) // not a WAV: dropped
+    val out = decodeAudio(ds).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    def mean(ch: Int) = (ch until samples.length by 2).map(samples(_).toInt).sum / 16.0
+    assert(r.getInt(1) == 16000 && r.getInt(2) == 2)
+    assert(r.getLong(3) == 16L && r.getLong(4) == 1L) // 16 frames at 16 kHz = 1 ms
+    assert(r.getSeq[Double](5).toSeq == Seq(mean(0), mean(1)))
+  }
+
   test("extractFeatures: PPM images get REAL decoded features; others fall back to byte stats") {
     val px = Array.tabulate(4 * 2 * 3)(i => (10 * i).toByte)
+    val wav = WavCodec.encode(8000, 1, Array[Short](1000, -1000, 500, 500))
     val ds = media(
       row(1L, "image", PpmCodec.encode(4, 2, px), w = 4, h = 2),
-      row(2L, "audio", Array[Byte](9, 9, 9, 9)))
+      row(2L, "audio", Array[Byte](9, 9, 9, 9)),
+      row(3L, "audio", wav))
     val out = extractFeatures(ds).collect().sortBy(_.media_id)
     val imgFeats = out(0).features
     assert(imgFeats.length == 6)
@@ -65,7 +135,9 @@ class MultimodalSpec extends SparkSpec {
     val img = PpmCodec.decode(PpmCodec.encode(4, 2, px)).get
     val (mr, mg, mb) = PpmCodec.channelMeans(img)
     assert(imgFeats(2) == mr.toFloat && imgFeats(3) == mg.toFloat && imgFeats(4) == mb.toFloat)
-    assert(out(1).features.length == 8) // byte-stat fallback shape
+    assert(out(1).features.length == 8) // undecodable audio: byte-stat fallback shape
+    // real WAV: [sampleRate, nChannels, nFrames, meanCh0]
+    assert(out(2).features.toSeq == Seq(8000.0f, 1.0f, 4.0f, 250.0f))
   }
 
   test("decodeImages: drops undecodable rows, means match a driver-side recompute") {
