@@ -75,6 +75,11 @@ object Bench {
       }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(m)) => k -> m }
+    // Metric lineage: "value"/"queries" are min-across-reps as of round 4
+    // (noise-robust); BENCH_r01..r03 captured single-pass wall clock, which
+    // lives on as "total_first_run"/"queries_first_run" — compare pre-r04
+    // captures against THOSE keys, not "value", or a trend read mixes two
+    // different statistics.
     val total = ok.map(_._2._2).sum
     val totalFirst = ok.map(_._2._1).sum
     def jstr(s: String): String =

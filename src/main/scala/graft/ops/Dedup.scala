@@ -213,13 +213,19 @@ object Dedup {
   }
 
   /** MinHash LSH parameters shared by the operator and its generated
-    * oracle: signatures are affine permutations m_i(h) = (a_i·(h mod p) +
-    * b_i) mod p over the prime field p = 2³¹−1, applied to the md5-derived
-    * 48-bit shingle hash. Products stay < 2⁶² — exact in 64-bit integer
-    * arithmetic on BOTH engines, which is what makes the signature (and
-    * therefore the whole operator) value-oracle-able in DuckDB. The (a, b)
-    * coefficients come from one seeded generator, inlined as literals into
-    * both the Spark plan and the generated SQL.
+    * oracle: signatures are affine maps m_i(h) = (a_i·(h mod p) + b_i)
+    * mod p over the prime field p = 2³¹−1, applied to the md5-derived
+    * 48-bit shingle hash. Note this is an APPROXIMATE (non-bijective)
+    * MinHash family, not a true permutation of the shingle universe: the
+    * initial `h mod p` collapses the 48-bit hash space ~2¹⁷-to-1, so
+    * collision probability is slightly inflated vs exact Jaccard. That
+    * affects candidate recall only — exact verification downstream (and
+    * the matching oracle) keeps the output correct. Products stay < 2⁶² —
+    * exact in 64-bit integer arithmetic on BOTH engines, which is what
+    * makes the signature (and therefore the whole operator)
+    * value-oracle-able in DuckDB. The (a, b) coefficients come from one
+    * seeded generator, inlined as literals into both the Spark plan and
+    * the generated SQL.
     */
   private val MinhashP = 2147483647L // 2^31 - 1
   private[graft] def minhashCoeffs(k: Int): Seq[(Long, Long)] = {

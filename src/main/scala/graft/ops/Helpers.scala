@@ -54,6 +54,15 @@ object Helpers {
     * A SECOND action on the same returned frame recomputes without the
     * cache: correct, just uncached — callers that iterate an operator's
     * result should persist the RESULT, not rely on internal caches.
+    *
+    * Probe-action gotcha: the listener bus is async and release keys on
+    * the FIRST completed action embedding the cached plan — so a caller
+    * that probes the returned frame (`isEmpty`, `head`, a `count` for
+    * logging) before the real action spends the cache on the probe, and
+    * back-to-back calls whose identical plans dedupe in CacheManager can
+    * release early for the sibling. Both stay correct (recompute, not
+    * corruption); if a caller needs N guaranteed cached consumptions it
+    * should persist/unpersist explicitly at its own scope.
     */
   def releaseAfterFirstAction(cached: DataFrame): DataFrame = {
     val spark = cached.sparkSession
