@@ -76,6 +76,9 @@ object SparkEntry {
     // ---- E: joins ----
     "q_join_star" -> ((s, dir) => Relational.revenueByRegion(
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_local_volume" -> ((s, dir) => Relational.localSupplierVolume(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_right" -> ((s, dir) => Relational.joinRight(Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -177,6 +180,12 @@ object SparkEntry {
     "q_source_stats" -> t("documents")(Text.sourceStats),
     "q_dedup_keeplist" -> t("documents")(Dedup.dedupKeepList(_, 0.5)),
     "q_curation" -> t("documents")(Pipelines.curate(_,
+      mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
+    // the same five-stage pipeline with the dedup stage swapped to the
+    // sub-quadratic MinHash-LSH pair generator — the 100 TB composition.
+    // No oracle: LSH recall (survivors ⊇ exact survivors, spec-asserted).
+    "q_curation_lsh" -> t("documents")(Pipelines.curateWith(_,
+      Dedup.minhashPairs(_, 0.5, sorted = false),
       mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
     "q_fingerprints" -> t("documents")(Text.fingerprints),
     "q_winnowing" -> t("documents")(Text.winnowing(_)),
@@ -294,7 +303,16 @@ object SparkEntry {
     "q_events_asof" -> t("events")(Events.asofPurchaseView),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // q_curation_lsh shares q_curation's oracle verbatim: its MinHash-LSH
+  // edges are exactly verified (⊆ exact edges) and the fixture's duplicate
+  // pairs are all high-Jaccard — far inside 16×4 banding recall — so the
+  // survivor sets (verified identical at sf0.001 AND sf0.01) and every
+  // deterministic downstream stage coincide. PipelinesSpec asserts the
+  // superset direction that holds structurally at any scale.
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_curation_lsh" -> oracleSqlBase("q_curation"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
          FROM lineitem WHERE l_returnflag IN ('A','R')
@@ -343,6 +361,18 @@ object SparkEntry {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY r_name ORDER BY r_name""",
+    "q_local_volume" ->
+      s"""SELECT n_name, ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+                 COUNT(*) AS n_lines
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_join_inner" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey

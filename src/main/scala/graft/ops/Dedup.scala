@@ -250,7 +250,8 @@ object Dedup {
     * generated beside the operator.
     */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
-                   bands: Int = 16, rows: Int = 4): DataFrame = {
+                   bands: Int = 16, rows: Int = 4,
+                   sorted: Boolean = true): DataFrame = {
     val k = bands * rows
     val coeffs = minhashCoeffs(k)
     val arrs = Helpers.releaseAfterFirstAction(shingleArrays48(documents)
@@ -277,7 +278,7 @@ object Dedup {
     // exact verification on candidates ONLY (never the full pair space):
     // join each candidate pair back to its two shingle sets and compute
     // exact Jaccard — LSH is a pre-filter, not the answer (SURVEY.md §7.4)
-    cand
+    val verified = cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       // |A∪B| = |A|+|B|-|A∩B|: one set-build per pair instead of two
@@ -286,7 +287,7 @@ object Dedup {
         round(col("_inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
+    if (sorted) verified.orderBy("id_a", "id_b") else verified
   }
 
   /** The matching DuckDB oracle for [[minhashPairs]] — generated beside the
@@ -466,8 +467,19 @@ object Dedup {
     * non-keeper list; no projection to ids, no join back, no output sort
     * (the caller orders its own final result).
     */
-  def dedupSurvivors(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val drop = dupClusters(documents, threshold, sorted = false)
+  def dedupSurvivors(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    dedupSurvivors(documents, jaccardPairs(documents, threshold, sorted = false))
+
+  /** Survivors from an ARBITRARY near-dup pair graph (`id_a`/`id_b`) — the
+    * pluggable form: pass [[minhashPairs]] output and the same anti-join
+    * becomes the sub-quadratic 100 TB composition (every generator shares
+    * [[clusterPairs]]'s cluster-min keeper semantics). Because LSH edges
+    * are exactly verified (⊆ the exact pair graph), survivors from an LSH
+    * graph are always a SUPERSET of the exact-graph survivors — asserted
+    * in PipelinesSpec.
+    */
+  def dedupSurvivors(documents: DataFrame, pairGraph: DataFrame): DataFrame = {
+    val drop = clusterPairs(pairGraph, sorted = false)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     documents.join(drop, Seq("doc_id"), "left_anti")

@@ -30,7 +30,31 @@ object Pipelines {
              jaccardThreshold: Double = 0.5,
              mixRates: Map[String, Int] = Map.empty,
              valHexDigits: String = "01234",
-             budgetTokens: Int = 512): DataFrame = {
+             budgetTokens: Int = 512): DataFrame =
+    curateWith(documents, Dedup.jaccardPairs(_, jaccardThreshold, sorted = false),
+      minMeanTokLen, maxMeanTokLen, minTypeToken, mixRates, valHexDigits, budgetTokens)
+
+  /** [[curate]] with a PLUGGABLE near-dup pair generator — the 100 TB
+    * composition point: pass `Dedup.minhashPairs(_, t, sorted = false)` and
+    * the dedup stage becomes sub-quadratic MinHash-LSH candidate generation
+    * (exactly verified) instead of the exact prefix-filtered all-pairs scan,
+    * with every other stage unchanged. The generator runs ON the gated
+    * corpus, so upstream filtering always pays off in the pair stage.
+    * Because LSH edges are verified-exact, the LSH pipeline's survivor set
+    * is a superset of the exact pipeline's (see the pair-graph overload of
+    * `Dedup.dedupSurvivors`); all downstream stages are deterministic
+    * row-wise functions, so rows
+    * shared by both outputs are value-identical except `pack_id`, whose
+    * running token budget shifts when the survivor set grows.
+    */
+  def curateWith(documents: DataFrame,
+                 pairGenerator: DataFrame => DataFrame,
+                 minMeanTokLen: Double = 4.0,
+                 maxMeanTokLen: Double = 9.0,
+                 minTypeToken: Double = 0.3,
+                 mixRates: Map[String, Int] = Map.empty,
+                 valHexDigits: String = "01234",
+                 budgetTokens: Int = 512): DataFrame = {
     // 1. quality gate — ratios filtered IN PLACE (narrow codegen predicate
     // over the scan; no score-table self-join, no sort)
     val ratios = Text.qualityRatios
@@ -41,7 +65,7 @@ object Pipelines {
         col("_ttr") >= minTypeToken)
       .drop("_mtl", "_ttr")
     // 2. near-dup dedup computed ON the gated corpus — one anti-join
-    val deduped = Dedup.dedupSurvivors(gated, jaccardThreshold)
+    val deduped = Dedup.dedupSurvivors(gated, pairGenerator(gated))
     // 3. mixture  4. split  5. packing
     val mixed = deduped.filter(Text.mixKeep(mixRates))
     val w = Window.partitionBy("source").orderBy("doc_id")

@@ -206,6 +206,52 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(k)
 
+  /** E — TPC-H Q5-shaped "local supplier volume": revenue per nation from
+    * lineitems where the supplier and the ordering customer sit in the same
+    * nation of one region, over an order-date window. Six tables at three
+    * join depths — the join-ordering/broadcast-selection exercise beyond
+    * the star schema of [[revenueByRegion]].
+    *
+    * Scale shape: nation⋈region is a genuine dim (≤ dozens of rows) and is
+    * broadcast-pruned FIRST, so customer and supplier are each cut to one
+    * region before any big join. orders is date-filtered at the scan
+    * (pushed predicate), then orders⋈customer shuffles on custkey,
+    * ⋈lineitem shuffles on orderkey. The region-pruned supplier side is
+    * deliberately UNHINTED: at fixture scale Catalyst/AQE broadcast it; at
+    * 100 TB (~10⁸ suppliers after pruning) it exceeds any broadcast budget
+    * and AQE keeps the shuffle join — sizing decisions stay with the
+    * optimizer, where they belong. The same-nation predicate
+    * (c_nationkey = s_nationkey) rides the supplier equi-join.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                          supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                          regionName: String = "ASIA",
+                          from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val natInRegion = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(natInRegion), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val supp = supplier
+      .join(broadcast(natInRegion), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** J — scalar function surface in one pass: string, date, arithmetic,
     * array and JSON constructors (all codegen'd built-ins; SURVEY.md §2-J).
     */

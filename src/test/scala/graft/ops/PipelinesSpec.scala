@@ -28,4 +28,29 @@ class PipelinesSpec extends SparkSpec {
       assert(total <= 512 + maxDoc, s"pack overflow: $total")
     }
   }
+
+  test("curateWith(minhashPairs): LSH survivors are a superset; shared rows value-identical") {
+    val docs = Tables.documents(spark, sfDir)
+    val rates = (10 to 19).map(i => s"src$i" -> 8).toMap
+    val exact = Pipelines.curate(docs, mixRates = rates).collect()
+    val lsh = Pipelines.curateWith(docs,
+      Dedup.minhashPairs(_, 0.5, sorted = false), mixRates = rates).collect()
+    // LSH edges are exactly verified (⊆ exact edges), and a doc dropped
+    // under the LSH graph is non-min in an LSH cluster ⊆ its exact
+    // cluster, so it is dropped under the exact graph too: dropped(LSH) ⊆
+    // dropped(exact) ⇒ survivors(LSH) ⊇ survivors(exact)
+    val exactIds = exact.map(_.getLong(0)).toSet
+    val lshIds = lsh.map(_.getLong(0)).toSet
+    assert(exactIds.subsetOf(lshIds),
+      s"exact-survivor ids missing from LSH run: ${exactIds.diff(lshIds).take(5)}")
+    // downstream stages are deterministic row-wise: shared rows agree on
+    // every column except pack_id (the running token budget shifts when
+    // the survivor set grows)
+    val lshByIdNoPack = lsh.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    exact.foreach { r =>
+      assert(lshByIdNoPack(r.getLong(0)) == ((r.getString(1), r.getLong(2), r.getString(3))))
+    }
+    // report (not assert) whether the two pipelines coincide on the fixture
+    info(s"fixture: exact=${exactIds.size} lsh=${lshIds.size} identical=${exactIds == lshIds}")
+  }
 }
