@@ -34,4 +34,12 @@ object GraftSqlBridge {
   /** Drop every SQL cache entry (test isolation for cache-hygiene specs). */
   def clearSqlCache(spark: SparkSession): Unit =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.clearCache()
+
+  /** Number of registered QueryExecutionListeners — cache-hygiene specs use
+    * this to pin the bounded residual of a never-consumed scoped-persist
+    * frame (exactly one pending release listener) and its disappearance
+    * once the frame is finally consumed.
+    */
+  def queryListenerCount(spark: SparkSession): Int =
+    spark.listenerManager.listListeners().length
 }

@@ -147,19 +147,50 @@ class DedupSpec extends SparkSpec {
       s"bloom over-removed ${(exact -- bloom).size} of ${exact.size}")
   }
 
-  test("scoped persist: jaccard/minhash/passage caches are released after the first consuming action") {
+  test("scoped persist: every scoped-persist operator releases its cache after the first consuming action") {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.clearSqlCache(spark) // isolate from any earlier suite's cache state
     val documents = Tables.documents(spark, sfDir)
-    Dedup.jaccardPairs(documents, 0.5).count()
-    Dedup.minhashPairs(documents, 0.5).count()
-    Text.duplicatePassageStats(documents).count()
-    // the release listener fires on the async listener bus after each action
+    // one consuming action per operator family that persists internally:
+    // the shared awaitSqlCacheEmpty helper asserts nothing is left behind
+    val consumers: Seq[(String, () => Unit)] = Seq(
+      "jaccardPairs" -> (() => Dedup.jaccardPairs(documents, 0.5).count()),
+      "minhashPairs" -> (() => Dedup.minhashPairs(documents, 0.5).count()),
+      "dedupKeepList" -> (() => Dedup.dedupKeepList(documents, 0.5).count()),
+      "duplicatePassageStats" -> (() => Text.duplicatePassageStats(documents).count()),
+      "curateWith(minhash)" -> (() => Pipelines.curateWith(documents,
+        Dedup.minhashPairs(_, 0.5, sorted = false)).count()))
+    consumers.foreach { case (name, run) =>
+      run()
+      assert(awaitSqlCacheEmpty(),
+        s"$name left a persisted intermediate in the SQL cache after consumption")
+    }
+  }
+
+  test("never-consumed scoped-persist frame: bounded residual, self-healing on late consumption") {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.clearSqlCache(spark)
+    assert(awaitSqlCacheEmpty())
+    val before = GraftSqlBridge.queryListenerCount(spark)
+    val documents = Tables.documents(spark, sfDir)
+    val abandoned = Dedup.jaccardPairs(documents, 0.5)
+    // building (never consuming) leaves the documented bounded residual:
+    // one pending release listener + an UNMATERIALIZED cache registration —
+    // no storage blocks behind it
+    assert(GraftSqlBridge.queryListenerCount(spark) == before + 1,
+      "exactly one release listener should be pending")
+    assert(!GraftSqlBridge.sqlCacheIsEmpty(spark),
+      "the persist registration exists until consumed (documented residual)")
+    assert(!spark.sparkContext.getRDDStorageInfo.exists(i => i.isCached && i.memSize > 0),
+      "an unconsumed frame must not hold storage")
+    // late consumption heals it: the listener fires, releases, deregisters
+    abandoned.count()
+    assert(awaitSqlCacheEmpty(), "late consumption must release the cache")
     val deadline = System.currentTimeMillis() + 30000
-    while (!GraftSqlBridge.sqlCacheIsEmpty(spark) && System.currentTimeMillis() < deadline)
-      Thread.sleep(200)
-    assert(GraftSqlBridge.sqlCacheIsEmpty(spark),
-      "persisted shingle/passage intermediates were not released after consumption")
+    while (GraftSqlBridge.queryListenerCount(spark) != before &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(GraftSqlBridge.queryListenerCount(spark) == before,
+      "the release listener must deregister itself after firing")
   }
 
   test("minhashPairs matches its generated DuckDB oracle's candidate semantics driver-side") {
