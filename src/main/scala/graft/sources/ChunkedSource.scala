@@ -7,7 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -26,7 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (bqfetch/bqfetch.py:483-484) — so filtered rows never reach Spark,
   *  - `SupportsPushDownRequiredColumns`: column pruning at the source, the
   *    projection pushdown the reference never does (it always SELECT *,
-  *    bqfetch/bqfetch.py:176-178).
+  *    bqfetch/bqfetch.py:176-178),
+  *  - `SupportsPushDownAggregates`: COUNT/MIN/MAX (optionally grouped by
+  *    chunk) are absorbed into the scan and answered from chunk-range
+  *    metadata in O(1) per partition — the connector-native form of the
+  *    reference's table-size metadata queries (bqfetch/bqfetch.py:125-139,
+  *    `SELECT COUNT(*)` / INFORMATION_SCHEMA size probes). Pushdown is
+  *    PARTIAL (one pre-aggregated row per chunk, merged by Spark), which is
+  *    the shape that scales: no single node sees all chunks.
   *
   * The row stream itself is synthetic and deterministic (this environment
   * has no network); swapping the generator loop for an Arrow stream reader
@@ -63,11 +71,54 @@ private class ChunkedTable(numRows: Long, numChunks: Int) extends Table with Sup
     new ChunkedScanBuilder(numRows, numChunks)
 }
 
+/** Aggregate functions the source can answer from chunk metadata. */
+private object AggSpec extends Enumeration {
+  val CountRows, MinId, MaxId, MinChunk, MaxChunk = Value
+}
+
 private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ChunkedSource.schema
+  private var aggSpecs: Seq[AggSpec.Value] = Nil
+  private var aggByChunk = false
+
+  private def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+                    name: String): Boolean = e match {
+    case r: NamedReference => r.fieldNames.toSeq == Seq(name)
+    case _ => false
+  }
+
+  /** Accept COUNT(*)/COUNT(col)/MIN/MAX over id or chunk, ungrouped or
+    * grouped by chunk — everything the reader can answer from its id-range
+    * bounds without generating a single row. Complete pushdown stays OFF:
+    * each partition returns a pre-aggregated row and Spark's final
+    * aggregation merges them (the only shape that survives many chunks).
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groupOk = aggregation.groupByExpressions match {
+      case Array() => true
+      case Array(g) if isCol(g, "chunk") => aggByChunk = true; true
+      case _ => false
+    }
+    if (!groupOk) { aggByChunk = false; return false }
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggSpec.CountRows)
+      // our columns are all non-null, so COUNT(col) == COUNT(*)
+      case c: Count if !c.isDistinct &&
+        ChunkedSource.schema.fieldNames.exists(isCol(c.column, _)) =>
+        Some(AggSpec.CountRows)
+      case m: Min if isCol(m.column, "id") => Some(AggSpec.MinId)
+      case m: Max if isCol(m.column, "id") => Some(AggSpec.MaxId)
+      case m: Min if isCol(m.column, "chunk") => Some(AggSpec.MinChunk)
+      case m: Max if isCol(m.column, "chunk") => Some(AggSpec.MaxChunk)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) { aggByChunk = false; false }
+    else { aggSpecs = specs.flatten; true }
+  }
 
   /** Accept id-range/equality filters (evaluated in the reader); everything
     * else stays in Spark.
@@ -87,7 +138,9 @@ private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ChunkedScan(numRows, numChunks, pushed, required)
+  override def build(): Scan =
+    if (aggSpecs.nonEmpty) new ChunkedAggScan(numRows, numChunks, pushed, aggSpecs, aggByChunk)
+    else new ChunkedScan(numRows, numChunks, pushed, required)
 }
 
 private class ChunkedScan(numRows: Long, numChunks: Int,
@@ -143,6 +196,80 @@ private class ChunkedReaderFactory(filters: Array[Filter], required: StructType)
           case "payload" => UTF8String.fromString(s"row-$id-of-chunk-${p.chunk}")
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Pushed-aggregate scan: output schema is [group cols ++ agg cols] (the
+  * order V2ScanRelationPushDown rewrites against, positionally), and every
+  * partition answers from its filter-folded id-range bounds — a metadata
+  * read, no row generation.
+  */
+private class ChunkedAggScan(numRows: Long, numChunks: Int, filters: Array[Filter],
+                             specs: Seq[AggSpec.Value], byChunk: Boolean)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val aggFields = specs.map {
+      case AggSpec.CountRows => StructField("count(*)", LongType, nullable = false)
+      case AggSpec.MinId     => StructField("min(id)", LongType)
+      case AggSpec.MaxId     => StructField("max(id)", LongType)
+      case AggSpec.MinChunk  => StructField("min(chunk)", IntegerType)
+      case AggSpec.MaxChunk  => StructField("max(chunk)", IntegerType)
+    }
+    StructType((if (byChunk) Seq(StructField("chunk", IntegerType, nullable = false))
+                else Nil) ++ aggFields)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_chunked AGGPUSHED=[${specs.mkString(",")}] groupByChunk=$byChunk " +
+      s"pushed=[${filters.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, math.ceil(numRows.toDouble / numChunks).toLong)
+    (0 until numChunks).map { c =>
+      ChunkPartition(c, c * per, math.min(numRows, (c + 1) * per)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChunkedAggReaderFactory(filters, specs, byChunk)
+}
+
+private class ChunkedAggReaderFactory(filters: Array[Filter],
+                                      specs: Seq[AggSpec.Value], byChunk: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChunkPartition]
+    var lo = p.startId
+    var hi = p.endId
+    filters.foreach {
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    // one pre-aggregated row per non-empty chunk; empty chunks emit
+    // nothing (Spark's final merge yields count=0 / null min-max globally)
+    val empty = hi <= lo
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted && !empty; emitted = true; r }
+      override def get(): InternalRow = {
+        val aggVals: Seq[Any] = specs.map {
+          case AggSpec.CountRows => java.lang.Long.valueOf(hi - lo)
+          case AggSpec.MinId     => java.lang.Long.valueOf(lo)
+          case AggSpec.MaxId     => java.lang.Long.valueOf(hi - 1)
+          case AggSpec.MinChunk  => java.lang.Integer.valueOf(p.chunk)
+          case AggSpec.MaxChunk  => java.lang.Integer.valueOf(p.chunk)
+        }
+        val values = (if (byChunk) Seq(java.lang.Integer.valueOf(p.chunk)) else Nil) ++ aggVals
+        new GenericInternalRow(values.toArray[Any])
       }
       override def close(): Unit = ()
     }

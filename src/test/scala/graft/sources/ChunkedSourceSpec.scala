@@ -37,6 +37,53 @@ class ChunkedSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.collect().length == 100)
   }
 
+  private def aggScanOf(df: org.apache.spark.sql.DataFrame) =
+    collect(df.queryExecution.executedPlan) { case s: BatchScanExec => s }
+      .map(_.scan.description()).find(_.contains("AGGPUSHED"))
+
+  test("COUNT/MIN/MAX are absorbed into the scan (metadata-query analog)") {
+    val df = read(1000, 4).agg(count(lit(1)).as("n"),
+      min("id").as("lo"), max("id").as("hi"))
+    val desc = aggScanOf(df)
+    assert(desc.isDefined, df.queryExecution.executedPlan.toString)
+    assert(desc.get.contains("CountRows") && desc.get.contains("MinId") &&
+      desc.get.contains("MaxId"), desc.get)
+    assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((1000L, 0L, 999L)))
+  }
+
+  test("pushed aggregates compose with pushed filters (count over an id range)") {
+    val df = read(1000, 4).filter(col("id") >= 100 && col("id") < 200)
+      .agg(count(lit(1)).as("n"), max("id").as("hi"))
+    val desc = aggScanOf(df)
+    assert(desc.isDefined && desc.get.contains("GreaterThanOrEqual(id,100)"), desc)
+    assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((100L, 199L)))
+  }
+
+  test("group-by chunk pushes down; partial rows merge to per-chunk counts") {
+    val df = read(1000, 4).groupBy("chunk")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"))
+    val desc = aggScanOf(df)
+    assert(desc.isDefined && desc.get.contains("groupByChunk=true"), desc)
+    val got = df.collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0 -> ((250L, 0L)), 1 -> ((250L, 250L)),
+      2 -> ((250L, 500L)), 3 -> ((250L, 750L))))
+  }
+
+  test("unsupported aggregates fall back to the row-scan path, still correct") {
+    val df = read(1000, 4).agg(sum("id").as("s"), countDistinct("chunk").as("d"))
+    assert(aggScanOf(df).isEmpty, "SUM/COUNT DISTINCT must not be claimed by the source")
+    assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1000L * 999L / 2, 4L)))
+  }
+
+  test("empty filtered range: pushed count merges to zero, min/max to null") {
+    val df = read(1000, 4).filter(col("id") > 5000)
+      .agg(count(lit(1)).as("n"), max("id").as("hi"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
   test("chunked source joins with engine operators like any relation") {
     val df = read(500, 8)
     val agg = df.filter(col("id") % 2 === 0)
