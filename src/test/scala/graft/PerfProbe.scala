@@ -35,6 +35,30 @@ object PerfProbe {
       ts
     }
 
+    // recall-sweep mode: `Test/runMain graft.PerfProbe recall` — the
+    // ANN tuning curve (recall@k vs exact brute-force top-k) for the
+    // PERF.md table: annTopK over nTables×bitsPerTable, ivfTopK over
+    // nProbe, each with wall time, at the bench fixture scale
+    if (args.headOption.contains("recall")) {
+      import graft.core.Tables
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      val exact = Similarity.cosineTopK(emb, 20, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rec = got.intersect(exact).size.toDouble / exact.size
+        println(f"PROBE recall $name%-24s recall=$rec%.3f time=$secs%.2fs")
+      }
+      for (nt <- Seq(4, 8, 16); bpt <- Seq(4, 6, 8))
+        recallOf(s"ann nT=$nt bpt=$bpt", Similarity.annTopK(emb, 20, 5, nt, bpt))
+      for (np <- Seq(1, 2, 4, 8))
+        recallOf(s"ivf nCells=16 nProbe=$np", Similarity.ivfTopK(emb, 20, 5, 16, np))
+      spark.stop(); return
+    }
+
     // ad-hoc mode: `Test/runMain graft.PerfProbe q_x q_y` times just those
     if (args.nonEmpty) { args.foreach(timeQ(_)); spark.stop(); return }
 
