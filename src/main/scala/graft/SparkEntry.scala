@@ -295,6 +295,33 @@ object SparkEntry {
           round(element_at(col("channel_means"), 2), 6).as("mean_right"))
         .orderBy("media_id")
     }),
+    // REAL video codec path (round 5): each doc's text bytes become two
+    // 8x8 YUV420 frames of a Y4M stream; decodeVideo parses the actual
+    // YUV4MPEG2 format and the per-plane frame means are a pure function
+    // of known bytes => full DuckDB oracle
+    "q_video_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val base = (Option(text).getOrElse("") + " ")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val frames = (0 until 2).map { f =>
+            val fb = new Array[Byte](96) // 8x8 luma + two 4x4 chroma planes
+            var i = 0
+            while (i < 96) { fb(i) = base((f * 96 + i) % base.length); i += 1 }
+            fb
+          }
+          Multimodal.MediaRow(id, "video", Multimodal.Y4mCodec.encode(8, 8, 25, frames),
+            Multimodal.MediaMeta(8, 8, 3, 0, 2, 80L))
+        }
+      Multimodal.decodeVideo(media)
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          round(col("mean_y"), 6).as("mean_y"),
+          round(col("mean_u"), 6).as("mean_u"),
+          round(col("mean_v"), 6).as("mean_v"))
+        .orderBy("media_id", "frame_idx")
+    }),
     // ---- I: events / time-series ----
     "q_events_tumbling" -> t("events")(Events.tumbling),
     "q_events_sliding" -> t("events")(Events.sliding),
@@ -996,6 +1023,27 @@ object SparkEntry {
                 round(CAST(sl AS DOUBLE) / 64, 6) AS mean_left,
                 round(CAST(sr AS DOUBLE) / 64, 6) AS mean_right
          FROM ch ORDER BY media_id""",
+    "q_video_features" ->
+      // mirrors the Y4M construction + decode: frame f's byte i = ASCII
+      // code of (text || ' ') at position (96f + i) mod len; per-plane
+      // means = exact integer sums over the 64-byte luma / 16-byte chroma
+      // planes, divided once in double
+      """WITH px AS (SELECT doc_id, text || ' ' AS payload FROM documents),
+         f AS (SELECT doc_id, payload, unnest(generate_series(0, 1)) AS fidx FROM px),
+         b AS (SELECT doc_id, fidx, list_transform(generate_series(0, 95),
+                 i -> ord(substring(payload, ((fidx * 96 + i) % length(payload)) + 1, 1))) AS bytes
+               FROM f),
+         ch AS (SELECT doc_id, fidx,
+                  list_sum(list_transform(generate_series(1, 64), j -> bytes[j])) AS sy,
+                  list_sum(list_transform(generate_series(65, 80), j -> bytes[j])) AS su,
+                  list_sum(list_transform(generate_series(81, 96), j -> bytes[j])) AS sv
+                FROM b)
+         SELECT doc_id AS media_id, CAST(fidx AS INTEGER) AS frame_idx,
+                CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+                round(CAST(sy AS DOUBLE) / 64, 6) AS mean_y,
+                round(CAST(su AS DOUBLE) / 16, 6) AS mean_u,
+                round(CAST(sv AS DOUBLE) / 16, 6) AS mean_v
+         FROM ch ORDER BY media_id, frame_idx""",
     "q_events_tumbling" ->
       s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,
                  COUNT(*) AS n, ${DS("value")} AS sum_value

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,13 +10,13 @@ import org.apache.spark.sql.types._
   * binary columns with typed metadata; decode/feature-extract/resize/
   * frame-sample as batched partition-level transforms).
   *
-  * The IMAGE path is a real codec: [[PpmCodec]] parses the binary PPM (P6)
-  * format — a public, dependency-free format (netpbm) — and extracts
-  * per-channel statistics from the actual pixel bytes, so the image-feature
-  * query carries a full value oracle. Audio/video decoding has no
-  * in-container codec, so those kinds fall back to the honest byte-level
-  * stand-in [[ByteStatCodec]]; swapping in a real decoder touches only that
-  * object.
+  * All three media kinds decode through REAL codecs for public,
+  * dependency-free formats: [[PpmCodec]] (binary PPM/P6 images, netpbm),
+  * [[WavCodec]] (RIFF/WAVE PCM audio), [[Y4mCodec]] (YUV4MPEG2 raw video).
+  * Each extracts statistics from the actual payload bytes, so the
+  * per-kind feature queries (`q_media_features`, `q_audio_features`,
+  * `q_video_features`) all carry full value oracles. [[ByteStatCodec]]
+  * remains only as the undecodable-payload fallback.
   *
   * Scale notes: decode runs inside `mapPartitions` so per-partition codec
   * state (a decoder instance) is initialized once per task, not per row —
@@ -226,11 +228,114 @@ object Multimodal {
     }
   }
 
-  /** Byte-level stand-in for the one kind with no in-container codec
-    * (video): deterministic pseudo-features from a rolling hash of the
-    * payload. Honest placeholder — swapping in a real decoder touches only
-    * this object; the batching/schema plumbing around it is shared with the
-    * real PPM/WAV paths.
+  /** Real decoder for the Y4M (YUV4MPEG2) uncompressed video format —
+    * public mjpegtools spec, zero dependencies: an ASCII stream header
+    * `YUV4MPEG2 W<w> H<h> F<n>:<d> ... [C<cs>]\n`, then per frame a
+    * `FRAME[ params]\n` marker followed by raw planar YUV bytes (8-bit
+    * 4:2:0 by default: w·h luma + 2·(w/2)·(h/2) chroma; C444 = three full
+    * planes). Tested byte-exact in MultimodalSpec; feeds the oracle-backed
+    * `q_video_features` (same pattern as [[PpmCodec]]/[[WavCodec]]).
+    */
+  object Y4mCodec {
+    /** One decoded frame's exact per-plane byte sums (means = sum/size —
+      * the one-division arithmetic the SQL oracle mirrors).
+      */
+    final case class Frame(ySum: Long, uSum: Long, vSum: Long)
+    final case class Video(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                           is444: Boolean, frames: Array[Frame]) {
+      def lumaSize: Int = width * height
+      def chromaSize: Int = if (is444) width * height else (width / 2) * (height / 2)
+    }
+
+    /** Canonical C420jpeg writer: frames are concatenated planar YUV420
+      * payloads of exactly w·h + 2·(w/2)·(h/2) bytes each.
+      */
+    def encode(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val frameSize = width * height + 2 * (width / 2) * (height / 2)
+      require(frames.forall(_.length == frameSize),
+        s"each YUV420 frame needs $frameSize bytes")
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val header = s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 C420jpeg\n".getBytes(ascii)
+      val marker = "FRAME\n".getBytes(ascii)
+      val out = new java.io.ByteArrayOutputStream(
+        header.length + frames.size * (marker.length + frameSize))
+      out.write(header)
+      frames.foreach { f => out.write(marker); out.write(f) }
+      out.toByteArray
+    }
+
+    /** None for anything that is not a complete 8-bit C420/C444 stream —
+      * callers treat that as "not video I can decode", never as an error.
+      * Frame payloads are folded to per-plane sums while scanning (a real
+      * pipeline's reduce-as-you-decode; full pixel buffers never live past
+      * the plane scan).
+      */
+    def decode(bytes: Array[Byte]): Option[Video] = {
+      val magic = "YUV4MPEG2 "
+      if (bytes == null || bytes.length < magic.length) return None
+      var i = 0
+      while (i < magic.length) { if (bytes(i) != magic.charAt(i)) return None; i += 1 }
+      val eol = {
+        var j = i
+        while (j < bytes.length && bytes(j) != '\n') j += 1
+        if (j >= bytes.length) return None else j
+      }
+      val params = new String(bytes, i, eol - i,
+        java.nio.charset.StandardCharsets.US_ASCII).split(' ').filter(_.nonEmpty)
+      var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420jpeg"
+      params.foreach { p =>
+        val tag = p.head; val v = p.tail
+        tag match {
+          case 'W' => w = v.toIntOption.getOrElse(-1)
+          case 'H' => h = v.toIntOption.getOrElse(-1)
+          case 'F' => v.split(':') match {
+            case Array(a, b) =>
+              fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+            case _ => return None
+          }
+          case 'C' => cs = v
+          case _ => // Ip, A1:1, Xapp-specific: irrelevant to the pixel layout
+        }
+      }
+      // 8-bit layouts only — "C420p10"/"C422" etc. must reject, not be
+      // misread as 8-bit planes (the subsampling-position variants share
+      // one byte layout)
+      val is444 = cs == "444"
+      if (!is444 && !Set("420", "420jpeg", "420mpeg2", "420paldv").contains(cs)) return None
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+      if (!is444 && ((w % 2) != 0 || (h % 2) != 0)) return None
+      val ySize = w * h
+      val cSize = if (is444) ySize else (w / 2) * (h / 2)
+      val marker = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val frames = ArrayBuffer.empty[Frame]
+      var pos = eol + 1
+      while (pos < bytes.length) {
+        if (pos + marker.length > bytes.length ||
+          !marker.indices.forall(k => bytes(pos + k) == marker(k))) return None
+        pos += marker.length
+        while (pos < bytes.length && bytes(pos) != '\n') pos += 1 // frame params
+        if (pos >= bytes.length) return None
+        pos += 1
+        if (pos + ySize + 2L * cSize > bytes.length) return None // truncated frame
+        def planeSum(at: Int, n: Int): Long = {
+          var s = 0L; var k = at
+          val end = at + n
+          while (k < end) { s += bytes(k) & 0xFF; k += 1 }
+          s
+        }
+        frames += Frame(planeSum(pos, ySize),
+          planeSum(pos + ySize, cSize), planeSum(pos + ySize + cSize, cSize))
+        pos += ySize + 2 * cSize
+      }
+      if (frames.isEmpty) None
+      else Some(Video(w, h, fn, fd, is444, frames.toArray))
+    }
+  }
+
+  /** Byte-level fallback for payloads none of the real codecs accept:
+    * deterministic pseudo-features from a rolling hash. With PPM, WAV and
+    * Y4M all real, this survives only as the undecodable-payload path in
+    * [[extractFeatures]] and as the cheap per-frame content hash.
     */
   object ByteStatCodec {
     /** 8-dim deterministic pseudo-embedding from a rolling hash. */
@@ -260,9 +365,10 @@ object Multimodal {
   /** Batched decode/feature-extract over binary payloads: one codec "init"
     * per partition, rows streamed through it. Images that parse as PPM get
     * REAL decoded features [width, height, meanR, meanG, meanB, maxval];
-    * audio that parses as RIFF/WAVE PCM gets REAL decoded features
-    * [sampleRate, nChannels, nFrames, meanCh0..]; everything else falls back
-    * to the byte-stat placeholder.
+    * audio that parses as RIFF/WAVE PCM gets [sampleRate, nChannels,
+    * nFrames, meanCh0..]; video that parses as Y4M gets [width, height,
+    * nFrames, meanLuma]; everything else falls back to the byte-stat
+    * placeholder.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -278,6 +384,10 @@ object Multimodal {
           case "audio" => WavCodec.decode(r.content).map { a =>
             Array(a.sampleRate.toFloat, a.nChannels.toFloat, a.nFrames.toFloat) ++
               WavCodec.channelMeans(a).map(_.toFloat)
+          }
+          case "video" => Y4mCodec.decode(r.content).map { v =>
+            val mean = v.frames.map(_.ySum).sum / (v.frames.length * v.lumaSize.toDouble)
+            Array(v.width.toFloat, v.height.toFloat, v.frames.length.toFloat, mean.toFloat)
           }
           case _ => None
         }
@@ -329,6 +439,31 @@ object Multimodal {
         WavCodec.decode(r.content).map { a =>
           AudioStats(r.media_id, a.sampleRate, a.nChannels, a.nFrames.toLong,
             a.durationMs, WavCodec.channelMeans(a))
+        }
+      }
+    }.toDF()
+  }
+
+  final case class VideoFrameStats(media_id: Long, frame_idx: Int, width: Int, height: Int,
+                                   mean_y: Double, mean_u: Double, mean_v: Double)
+
+  /** Decode-and-summarize for video payloads: parse each Y4M stream and
+    * emit one row per frame with per-plane pixel means (exact integer
+    * sums, one double division — raw, unrounded). Rows that do not parse
+    * as Y4M are dropped (flatMap). This is the oracle-backed surface:
+    * every output value is a pure function of known payload bytes.
+    */
+  def decodeVideo(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Y4mCodec.decode(r.content).toSeq.flatMap { v =>
+          val ySz = v.lumaSize.toDouble
+          val cSz = v.chromaSize.toDouble
+          v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+            VideoFrameStats(r.media_id, idx, v.width, v.height,
+              f.ySum / ySz, f.uSum / cSz, f.vSum / cSz)
+          }
         }
       }
     }.toDF()

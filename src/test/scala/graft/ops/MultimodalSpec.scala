@@ -107,6 +107,69 @@ class MultimodalSpec extends SparkSpec {
     val f = enc.clone(); f(20) = 3; assert(WavCodec.decode(f).isEmpty)
   }
 
+  test("Y4mCodec: byte-exact decode of a hand-built YUV4MPEG2 stream, frame params and all") {
+    // built by hand so the decoder is pinned to the public mjpegtools byte
+    // layout, not to our own encoder: 2x2 C420, extra X param in the
+    // stream header, a per-frame parameter on the second FRAME marker
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val f1 = Array[Byte](10, 20, 30, 40, 5, 7)            // 4 luma + 1 U + 1 V
+    val f2 = Array[Byte](50, 60, 70, 80, 9, 11)
+    val raw = "YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C420jpeg Xgraft\n".getBytes(ascii) ++
+      "FRAME\n".getBytes(ascii) ++ f1 ++
+      "FRAME Ixyz\n".getBytes(ascii) ++ f2
+    val v = Y4mCodec.decode(raw).get
+    assert(v.width == 2 && v.height == 2 && v.fpsNum == 30 && v.fpsDen == 1 && !v.is444)
+    assert(v.frames.length == 2)
+    assert(v.frames(0) == Y4mCodec.Frame(100, 5, 7))
+    assert(v.frames(1) == Y4mCodec.Frame(260, 9, 11))
+  }
+
+  test("Y4mCodec: C444 planes are full-resolution") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val frame = Array.tabulate(12)(i => (i + 1).toByte) // 3 planes of 2x2
+    val raw = "YUV4MPEG2 W2 H2 F25:1 C444\n".getBytes(ascii) ++
+      "FRAME\n".getBytes(ascii) ++ frame
+    val v = Y4mCodec.decode(raw).get
+    assert(v.is444 && v.chromaSize == 4)
+    assert(v.frames(0) == Y4mCodec.Frame(1 + 2 + 3 + 4, 5 + 6 + 7 + 8, 9 + 10 + 11 + 12))
+  }
+
+  test("Y4mCodec: encode/decode round-trips; garbage and truncation decode to None") {
+    val frames = Seq(Array.tabulate(96)(i => (i * 3).toByte),
+      Array.tabulate(96)(i => (255 - i).toByte))
+    val enc = Y4mCodec.encode(8, 8, 25, frames)
+    val v = Y4mCodec.decode(enc).get
+    assert(v.width == 8 && v.height == 8 && v.frames.length == 2)
+    def sums(f: Array[Byte]) = Y4mCodec.Frame(
+      f.take(64).map(_ & 0xFF).map(_.toLong).sum,
+      f.slice(64, 80).map(_ & 0xFF).map(_.toLong).sum,
+      f.slice(80, 96).map(_ & 0xFF).map(_.toLong).sum)
+    assert(v.frames.toSeq == frames.map(sums))
+    assert(Y4mCodec.decode("not video".getBytes).isEmpty)
+    assert(Y4mCodec.decode(enc.dropRight(1)).isEmpty, "truncated frame must not decode")
+    assert(Y4mCodec.decode(enc.take(30)).isEmpty, "header without frames must not decode")
+    assert(Y4mCodec.decode(null).isEmpty)
+    // 10-bit colorspace must be rejected, not misread as 8-bit planes
+    val raw10 = new String(enc.takeWhile(_ != '\n'), "US-ASCII")
+      .replace("C420jpeg", "C420p10") + "\n"
+    assert(Y4mCodec.decode(raw10.getBytes ++ enc.dropWhile(_ != '\n').drop(1)).isEmpty)
+  }
+
+  test("decodeVideo: drops undecodable rows, per-frame means match a driver-side recompute") {
+    val frames = Seq(Array.tabulate(96)(i => (i * 7).toByte))
+    val ds = media(
+      row(1L, "video", Y4mCodec.encode(8, 8, 25, frames)),
+      row(2L, "video", Array[Byte](1, 2, 3))) // not Y4M: dropped
+    val out = decodeVideo(ds).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    val f = frames.head.map(_ & 0xFF)
+    assert(r.getInt(1) == 0 && r.getInt(2) == 8 && r.getInt(3) == 8)
+    assert(r.getDouble(4) == f.take(64).sum / 64.0)
+    assert(r.getDouble(5) == f.slice(64, 80).sum / 16.0)
+    assert(r.getDouble(6) == f.slice(80, 96).sum / 16.0)
+  }
+
   test("decodeAudio: drops undecodable rows, means match a driver-side recompute") {
     val samples = Array.tabulate(16 * 2)(i => ((i * 911) % 65536 - 32768).toShort)
     val ds = media(
