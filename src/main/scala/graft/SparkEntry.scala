@@ -105,6 +105,7 @@ object SparkEntry {
     "q_window_range" -> t("orders")(Windows.revenueNearby),
     "q_window_firstlast" -> t("orders")(Windows.firstLastOrder),
     "q_window_ntile" -> t("part")(Windows.priceQuartiles),
+    "q_window_pctrank" -> t("part")(Windows.relativeStanding),
     "q_price_buckets" -> t("part")(Windows.priceBuckets),
     "q_sort_within" -> t("orders")(Windows.partitionSortedOrders(_)),
     "q_topk" -> t("orders")(Windows.topKOrders(_, 25)),
@@ -213,6 +214,10 @@ object SparkEntry {
     "q_bm25" -> t("documents")(Search.bm25(_, bm25Terms, 15)),
     // ---- H: similarity search ----
     "q_embed_norms" -> t("embeddings")(Similarity.norms),
+    // int8 storage quantization: the stats columns carry a full value
+    // oracle; the code arrays are spec-checked (arrays don't hash-compare
+    // portably across engines)
+    "q_quantize_int8" -> t("embeddings")(Similarity.quantizeInt8(_).drop("codes")),
     "q_cosine_topk" -> t("embeddings")(Similarity.cosineTopK(_, 20, 5)),
     "q_cosine_pairs" -> t("embeddings")(Similarity.cosineDupPairs(_, 0.4)),
     // the sub-quadratic 100 TB embedding-dedup path, registered in its
@@ -465,6 +470,13 @@ object SparkEntry {
       """SELECT p_partkey, p_brand,
                 CAST(NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
          FROM part ORDER BY p_partkey""",
+    "q_window_pctrank" ->
+      """SELECT p_partkey, p_brand,
+                round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                round(CUME_DIST() OVER w, 6) AS cume
+         FROM part
+         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+         ORDER BY p_partkey""",
     "q_price_buckets" ->
       """WITH b AS (SELECT quantile_cont(p_retailprice, 0.25) AS b1,
                            quantile_cont(p_retailprice, 0.5) AS b2,
@@ -925,6 +937,29 @@ object SparkEntry {
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
          FROM embeddings ORDER BY vec_id""",
+    "q_quantize_int8" ->
+      // mirrors quantizeInt8: exact per-dimension [min,max] bounds, code =
+      // round((x-min)/scale) with scale = (max-min)/255 (scale 1 on
+      // constant dims), reconstruction min + code*scale; squared-recon
+      // sums and max error run left-to-right over list positions in
+      // double — the same order the Scala loop uses
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+         bd AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+         bl AS (SELECT list(mn ORDER BY pos) AS mns,
+                       list(CASE WHEN mx > mn THEN (mx - mn) / 255 ELSE 1 END ORDER BY pos) AS scs
+                FROM bd),
+         r AS (SELECT vec_id, v,
+                 list_transform(generate_series(1, len(v)),
+                   i -> mns[i] + round((v[i] - mns[i]) / scs[i]) * scs[i]) AS rx
+               FROM e, bl),
+         a AS (SELECT vec_id,
+                 sqrt(list_sum(list_transform(rx, z -> z * z))) AS qnorm,
+                 list_max(list_transform(generate_series(1, len(v)),
+                   i -> abs(rx[i] - v[i]))) AS max_err
+               FROM r)
+         SELECT vec_id, round(qnorm, 6) AS qnorm, round(max_err, 6) AS max_abs_err
+         FROM a ORDER BY vec_id""",
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),

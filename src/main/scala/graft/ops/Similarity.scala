@@ -43,6 +43,62 @@ object Similarity {
     embeddings.select(col("vec_id"), round(norm(asDouble(col("embedding"))), 6).as("l2_norm"))
       .orderBy("vec_id")
 
+  /** Scalar int8 quantization for embedding storage — the 4× compression a
+    * 100 TB embedding corpus ships with (float32 → uint8 per dimension).
+    * Two passes, both narrow:
+    *
+    *   1. exact per-dimension [min, max] bounds as ONE hash aggregate of
+    *      2·dim agg expressions over `element_at` — the corpus is never
+    *      exploded to (row, dim) pairs and never shuffles (partial
+    *      aggregation reduces each partition to one bounds row);
+    *   2. a typed map with the bounds in the task closure: code q_i =
+    *      round((x_i − min_i)/scale_i), scale_i = (max_i − min_i)/255,
+    *      reconstruction r_i = min_i + q_i·scale_i.
+    *
+    * Emits the quantized codes plus the accounting a pipeline stores with
+    * them: reconstructed L2 norm and max absolute reconstruction error —
+    * pure deterministic double arithmetic, summed left-to-right, so the
+    * stats carry a full DuckDB value oracle (`q_quantize_int8`; the code
+    * arrays themselves are spec-checked, arrays don't hash-compare
+    * portably). Like the histogram/BM25 stats pattern, the bounds pass is
+    * an eager job at construction — the documented two-pass trade.
+    */
+  def quantizeInt8(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val boundsRow = e.agg(
+      array((1 to dim).map(i => min(element_at(col("v"), i))): _*).as("mns"),
+      array((1 to dim).map(i => max(element_at(col("v"), i))): _*).as("mxs")).head()
+    val mns = boundsRow.getSeq[Double](0).toArray
+    val mxs = boundsRow.getSeq[Double](1).toArray
+    // constant dimensions (max == min) quantize to code 0 with scale 1 so
+    // reconstruction is exact and no division by zero occurs
+    val scs = Array.tabulate(dim)(i => if (mxs(i) > mns(i)) (mxs(i) - mns(i)) / 255.0 else 1.0)
+    e.as[(Long, Array[Double])].mapPartitions { it =>
+      it.map { case (id, v) =>
+        val codes = new Array[Int](v.length)
+        var s2 = 0.0
+        var maxErr = 0.0
+        var i = 0
+        while (i < v.length) {
+          val q = math.round((v(i) - mns(i)) / scs(i)).toInt
+          codes(i) = q
+          val r = mns(i) + q * scs(i)
+          s2 += r * r
+          val err = math.abs(r - v(i))
+          if (err > maxErr) maxErr = err
+          i += 1
+        }
+        (id, codes, math.sqrt(s2), maxErr)
+      }
+    }.toDF("vec_id", "codes", "qnorm", "max_abs_err")
+      .select(col("vec_id"), col("codes"),
+        round(col("qnorm"), 6).as("qnorm"),
+        round(col("max_abs_err"), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   /** Exact brute-force top-k cosine neighbors for a query subset.
     * Plan shape: the query side (small) is broadcast, the corpus streams —
     * one narrow pass over the corpus per batch of queries, then a bounded

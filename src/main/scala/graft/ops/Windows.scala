@@ -71,6 +71,21 @@ object Windows {
       .orderBy("p_partkey")
   }
 
+  /** percent_rank + cume_dist — relative standing within a partitioned
+    * window (per brand, so no global single-task sort; same scale contract
+    * as [[priceQuartiles]]). The tiebreaker key makes the frame total-
+    * ordered, which both engines' definitions then agree on exactly:
+    * percent_rank = (rank−1)/(n−1), cume_dist = rank/n.
+    */
+  def relativeStanding(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
+    part
+      .select(col("p_partkey"), col("p_brand"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("p_partkey")
+  }
+
   /** Global price quartile buckets WITHOUT a global window: aggregate the
     * three quartile boundaries (exact `percentile` — a distributed partial
     * aggregate), broadcast the 1-row result, bucket each row by comparison.

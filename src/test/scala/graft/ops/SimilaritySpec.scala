@@ -18,6 +18,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out((2L, 3L)) == 0.0)
   }
 
+  test("quantizeInt8: codes in [0,255], exact on constant dims, matches a driver-side recompute") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 10.0f, 7.0f)),
+      (2L, Seq(1.0f, 10.0f, -3.0f)),
+      (3L, Seq(0.5f, 10.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, dim = 3).collect()
+    val codes = out.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // dim 1 spans [0,1]: scale 1/255, code = round(x*255)
+    assert(codes(1L)(0) == 0 && codes(2L)(0) == 255 && codes(3L)(0) == 128)
+    // dim 2 is CONSTANT: code 0, scale 1 => reconstruction exact
+    assert(codes.values.forall(_.apply(1) == 0))
+    // per-vector error bound: half of the largest dimension scale
+    val maxScale = math.max(1.0 / 255, 13.0 / 255) // dim spans: [0,1], const, [-3,10]
+    out.foreach(r => assert(r.getDouble(3) <= maxScale / 2 + 1e-9,
+      s"vec ${r.getLong(0)} err ${r.getDouble(3)} exceeds scale/2"))
+    // driver recompute of vec 2's reconstructed norm
+    val recon2 = Seq(0.0 + 255 * (1.0 / 255), 10.0, -3.0 + math.round((-3.0 + 3.0) / (13.0 / 255)) * (13.0 / 255))
+    val expNorm = BigDecimal(math.sqrt(recon2.map(x => x * x).sum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.find(_.getLong(0) == 2L).get.getDouble(2) == expNorm)
+  }
+
+  test("quantizeInt8 on the fixture: error bounded by half the widest dimension span / 255") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.quantizeInt8(e).collect()
+    assert(out.length == e.count())
+    val errs = out.map(_.getDouble(3))
+    assert(errs.forall(_ >= 0.0))
+    // embeddings are unit-ish vectors: every dimension spans < 2.5, so no
+    // per-vector error can exceed 2.5/255/2
+    assert(errs.max <= 2.5 / 255 / 2 + 1e-9, s"max err ${errs.max}")
+  }
+
   test("norms: all positive, matches hand-computed value") {
     import spark.implicits._
     val df = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")

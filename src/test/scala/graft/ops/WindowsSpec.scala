@@ -25,6 +25,30 @@ class WindowsSpec extends SparkSpec {
     windows.foreach(ps => assert(ps.nonEmpty, "unpartitioned window in plan"))
   }
 
+  test("relativeStanding: pct_rank/cume span (0..1], partitioned window, SQL-definition exact") {
+    val part = Tables.part(spark, sfDir)
+    val out = Windows.relativeStanding(part).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    out.groupBy(_._1).foreach { case (brand, rows) =>
+      assert(rows.map(_._2).min == 0.0, s"$brand: first row must have pct_rank 0")
+      assert(rows.map(_._3).max == 1.0, s"$brand: last row must have cume_dist 1")
+      assert(rows.forall { case (_, pr, cd) => pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0 })
+      // (rank-1)/(n-1) and rank/n against a driver recompute on one brand
+      val n = rows.length
+      if (n > 1) {
+        val expected = (0 until n).map(i =>
+          (BigDecimal(i.toDouble / (n - 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal((i + 1).toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        assert(rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq == expected,
+          s"$brand standing mismatch")
+      }
+    }
+    val windows = Windows.relativeStanding(part).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty), "unpartitioned window in plan")
+  }
+
   test("priceBuckets: value-based global quartiles, monotone in price, no window in plan") {
     val part = Tables.part(spark, sfDir)
     val priced = Windows.priceBuckets(part)
