@@ -272,6 +272,175 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Deterministic per-subspace k-means for product quantization: Lloyd
+    * iterations over a driver-side sample, first-`ks` init in sample order,
+    * ties to the lowest centroid index, empty cells keep their previous
+    * centroid — every step is order-fixed, so the codebooks (and everything
+    * encoded with them) are bit-reproducible across runs and partitionings.
+    */
+  private def pqTrain(sample: Array[Array[Double]], m: Int, ks: Int,
+                      iters: Int): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val xs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cents = xs.take(ks).map(_.clone)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks)(new Array[Double](sub))
+        val cnts = new Array[Int](ks)
+        xs.foreach { x =>
+          val c = pqNearest(x, cents)
+          cnts(c) += 1
+          var i = 0
+          while (i < sub) { sums(c)(i) += x(i); i += 1 }
+        }
+        cents = Array.tabulate(ks) { c =>
+          if (cnts(c) > 0) {
+            val v = sums(c)
+            var i = 0
+            while (i < sub) { v(i) /= cnts(c); i += 1 }
+            v
+          } else cents(c)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Argmin squared-L2 over centroids; strict `<` breaks ties to the lowest
+    * index, keeping assignment deterministic.
+    */
+  private def pqNearest(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < x.length) { val t = x(i) - ct(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization top-k (ADC) — the third standard ANN scale path
+    * next to hyperplane LSH ([[annTopK]]) and IVF ([[ivfTopK]]), and the
+    * one that shrinks the CORPUS, not just the candidate set: each unit-
+    * normalized vector is split into `m` subvectors, each encoded as its
+    * nearest of `ks` per-subspace k-means centroids → m·log2(ks) bits per
+    * vector (m=8, ks=16 → 4 bytes vs 256, a 64× memory cut), so a 100 TB
+    * float corpus becomes a ~1.6 TB code table that fits executor memory.
+    *
+    * Search is asymmetric distance computation: per query, one m×ks lookup
+    * table of exact query-subvector · centroid inner products (queries are
+    * NOT quantized); a corpus vector's approximate cosine is then m table
+    * adds. Plan shape: codebooks are trained driver-side on a deterministic
+    * sample (sample-trained codebooks are the production practice — the
+    * sample, not the corpus, bounds training cost), and encode + score +
+    * per-partition top-k run in ONE narrow typed pass with codebooks and
+    * query tables riding the task closure — no shuffle until the final
+    * (nQueries × partitions × k)-row candidate union is re-ranked. At
+    * 100 TB the codes become a write-once index column and only the
+    * re-rank (kilobytes per query) ever crosses the wire.
+    *
+    * Quantized scores → no SQL oracle; the suite asserts recall floors vs
+    * [[cosineTopK]], partitioning-invariance, and the memory arithmetic.
+    */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+             m: Int = 8, ks: Int = 16, trainIters: Int = 5,
+             sampleN: Int = 256): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .as[(Long, Array[Double])]
+    // two tiny eager jobs at construction (documented trade, as in the
+    // histogram/BM25 stats pattern): the training sample and the query rows
+    val sample = e.orderBy("vec_id").limit(sampleN).collect().map(_._2)
+    val codebooks = pqTrain(sample, m, ks, trainIters)
+    val queries = e.filter(col("vec_id") < nQueries).collect().sortBy(_._1)
+    val sub = sample.head.length / m
+    // per-query ADC tables: lut(q)(s*ks + c) = <query subvector s, centroid c>
+    val luts = queries.map { case (_, q) =>
+      val t = new Array[Double](m * ks)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ks) {
+          val ct = codebooks(s)(c)
+          var d = 0.0
+          var i = 0
+          while (i < sub) { d += q(s * sub + i) * ct(i); i += 1 }
+          t(s * ks + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      t
+    }
+    val qids = queries.map(_._1)
+    val kk = k
+    val mm = m
+    val kss = ks
+    // encode + score + bound in one pass: per-partition top-k heaps per
+    // query, ordered (score desc, cid asc) so the emitted candidate set is
+    // partitioning-invariant after the global re-rank
+    val candidates = e.mapPartitions { it =>
+      val heaps = Array.fill(qids.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+      it.foreach { case (id, u) =>
+        val codes = new Array[Int](mm)
+        var s = 0
+        while (s < mm) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kss) {
+            val ct = codebooks(s)(c)
+            var d = 0.0
+            var i = 0
+            while (i < ct.length) { val t = u(s * ct.length + i) - ct(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        var q = 0
+        while (q < qids.length) {
+          if (qids(q) != id) {
+            val lut = luts(q)
+            var adc = 0.0
+            var s2 = 0
+            while (s2 < mm) { adc += lut(s2 * kss + codes(s2)); s2 += 1 }
+            val h = heaps(q)
+            if (h.size < kk) h.enqueue((adc, id))
+            else if (adc > h.head._1 || (adc == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((adc, id))
+            }
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        h.iterator.map { case (adc, id) => (qids(q), id, adc) }
+      }
+    }.toDF("qid", "cid", "adc")
+    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+    candidates
+      .select(col("qid"), col("cid"), round(col("adc"), 6).as("adc"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine above threshold —
     * EXACT, as a block-partitioned equi-join.
     *
