@@ -79,6 +79,14 @@ object SparkEntry {
     "q_local_volume" -> ((s, dir) => Relational.localSupplierVolume(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_volume_shipping" -> ((s, dir) => Relational.volumeShipping(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q_returned_items" -> ((s, dir) => Relational.returnedItems(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+      Tables.nation(s, dir))),
+    "q_promo_effect" -> ((s, dir) => Relational.promoRevenue(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_right" -> ((s, dir) => Relational.joinRight(Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -164,6 +172,9 @@ object SparkEntry {
         lit("@example.com or https://ex.org/page/"), col("doc_id").cast("string"),
         lit(" id "), lpad(col("doc_id").cast("string"), 9, "0"))))),
     "q_lang_id" -> t("documents")(Text.langId),
+    "q_gopher_rules" -> t("documents")(Text.gopherRules(_)),
+    "q_heavy_hitters" -> t("documents")(Text.heavyHitters(_)),
+    "q_temperature_mix" -> t("documents")(Text.temperatureMixture(_)),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
     // per-source vocabulary audit through the custom top-k-per-group operator
     "q_top_tokens_per_source" -> t("documents")(Text.topTokensPerSource(_, 5)),
@@ -245,6 +256,7 @@ object SparkEntry {
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
+    "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // no oracle: quantized scores
     // ---- H: multimodal plumbing ----
     "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
     // REAL codec path (round 4): each doc's text bytes become the pixel
@@ -405,6 +417,44 @@ object SparkEntry {
             AND o_orderdate >= TIMESTAMP '1996-01-01'
             AND o_orderdate < TIMESTAMP '1998-01-01'
           GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          GROUP BY supp_nation, cust_nation, l_year
+          ORDER BY supp_nation, cust_nation, l_year""",
+    "q_returned_items" ->
+      s"""WITH agg AS (
+            SELECT o_custkey, ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND l_returnflag = 'R'
+            GROUP BY o_custkey)
+          SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal, revenue
+          FROM agg JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_promo_effect" ->
+      s"""SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS ship_month,
+                 ${DS("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)} AS promo_revenue,
+                 ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS total_revenue,
+                 round(100.0 * ${DS("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)}
+                       / ${DS("l_extendedprice * (1.0 - l_discount)", 6)}, 6) AS promo_share
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY ship_month ORDER BY ship_month""",
     "q_join_inner" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -655,6 +705,52 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
          FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
          ORDER BY event_id""",
+    "q_gopher_rules" ->
+      // same rule constants as Text.gopherRules defaults; RE2 and Java
+      // regex agree on the (?m) line-anchored patterns
+      """WITH s AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+                round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS mean_word_len,
+                round(CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
+                      / greatest(len(string_split(text, chr(10))), 1), 6) AS bullet_line_ratio,
+                round(CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS DOUBLE)
+                      / greatest(len(string_split(text, chr(10))), 1), 6) AS ellipsis_line_ratio,
+                CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+         FROM documents)
+         SELECT doc_id, n_words, mean_word_len, bullet_line_ratio, ellipsis_line_ratio, n_stop_hits,
+                (n_words >= 40 AND n_words <= 100000
+                 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                 AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+                 AND n_stop_hits >= 1) AS keep
+         FROM s ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      // exact counterpart of the two-pass Misra-Gries plan (k=40): the
+      // Spark side's candidate superset + exact verify equals this
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+         tot AS (SELECT COUNT(*) AS n_total FROM toks),
+         cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+         SELECT tok, cnt, round(CAST(cnt AS DOUBLE) / n_total, 6) AS share
+         FROM cnt, tot WHERE cnt * 40 > n_total ORDER BY cnt DESC, tok""",
+    "q_temperature_mix" ->
+      // integer-exact quota math (sqrt weight, DIV allocation) + the md5
+      // within-source ranking — mirrors Text.temperatureMixture step for step
+      """WITH stats AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS vol FROM documents GROUP BY source),
+         w AS (SELECT source, CAST(floor(sqrt(CAST(vol AS DOUBLE))) AS BIGINT) AS wgt FROM stats),
+         t AS (SELECT source, (200 * wgt) // (SELECT SUM(wgt) FROM w) AS n_target FROM w),
+         r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+               FROM documents)
+         SELECT doc_id, source, rn FROM r JOIN t USING (source)
+         WHERE rn <= n_target ORDER BY source, rn""",
     "q_fingerprints" ->
       // gram hash = first 12 md5 hex digits as a 48-bit integer — the
       // engine-portable hash family Text.gramHash48 mirrors bit-for-bit

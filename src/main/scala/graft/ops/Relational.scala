@@ -252,6 +252,96 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** E — TPC-H Q7-shaped "volume shipping": bilateral trade revenue between
+    * two nations by ship-year — lines a nation-A supplier shipped to a
+    * nation-B customer or vice versa. Deepest join in the suite after
+    * [[localSupplierVolume]]: lineitem⋈orders⋈customer×nation on one side,
+    * ⋈supplier×nation on the other, with the nation-pair predicate as a
+    * disjunction over the two directions.
+    *
+    * Scale shape: both nation dims are filtered to ONE row each and
+    * broadcast, so supplier and customer are pruned to two nations before
+    * touching the fact table; lineitem is date-filtered at the scan. The
+    * two big joins shuffle on l_orderkey and o_custkey — the minimum for
+    * this topology; the pair disjunction rides the final (already
+    * co-partitioned) join as a residual filter, costing no extra exchange.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                     supplier: DataFrame, nation: DataFrame,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2",
+                     from: String = "1995-01-01", until: String = "1997-01-01"): DataFrame = {
+    val nat2 = nation.filter(col("n_name").isin(nationA, nationB))
+    val supp = supplier
+      .join(broadcast(nat2.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = customer
+      .join(broadcast(nat2.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n2_key"))
+      .select("c_custkey", "cust_nation")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** E — TPC-H Q10-shaped "returned items": the customers who returned the
+    * most revenue in an order-date quarter — the churn/abuse report. orders
+    * is date-pruned at the scan, lineitem is returnflag-pruned at the scan,
+    * they shuffle-join on orderkey, aggregate by customer, and only THEN
+    * join the (comparatively small) customer dim — aggregating before the
+    * dim join keeps the wide customer row out of the big shuffle. Top-k by
+    * revenue via TakeOrderedAndProject.
+    */
+  def returnedItems(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    nation: DataFrame, from: String = "1996-01-01",
+                    until: String = "1996-07-01", k: Int = 20): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(lineitem.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** E/G — TPC-H Q14-shaped "promo effect": the share of revenue from
+    * promo-typed parts, per ship-month — the conditional-aggregate-over-a-
+    * join pattern (sum(CASE)/sum). part is broadcast (dim); lineitem is
+    * date-pruned at the scan; one partial+final aggregate per month.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+                   from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(broadcast(part.select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .groupBy(unix_timestamp(date_trunc("month", col("l_shipdate"))).as("ship_month"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6).as("promo_revenue"),
+        dsum(rev, 6).as("total_revenue"))
+      .withColumn("promo_share",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy("ship_month")
+  }
+
   /** J — scalar function surface in one pass: string, date, arithmetic,
     * array and JSON constructors (all codegen'd built-ins; SURVEY.md §2-J).
     */

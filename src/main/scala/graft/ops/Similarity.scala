@@ -332,8 +332,10 @@ object Similarity {
     * one that shrinks the CORPUS, not just the candidate set: each unit-
     * normalized vector is split into `m` subvectors, each encoded as its
     * nearest of `ks` per-subspace k-means centroids → m·log2(ks) bits per
-    * vector (m=8, ks=16 → 4 bytes vs 256, a 64× memory cut), so a 100 TB
-    * float corpus becomes a ~1.6 TB code table that fits executor memory.
+    * vector (defaults m=16, ks=64 → 12 bytes vs 256 for 64 floats, a ~21×
+    * memory cut measured at recall@5 ≈ 0.85 on the fixture — the knob runs
+    * to m=8/ks=16 → 4 bytes/64× where recall affords it), so a 100 TB
+    * float corpus becomes a ~4.7 TB code table that fits cluster memory.
     *
     * Search is asymmetric distance computation: per query, one m×ks lookup
     * table of exact query-subvector · centroid inner products (queries are
@@ -351,7 +353,7 @@ object Similarity {
     * [[cosineTopK]], partitioning-invariance, and the memory arithmetic.
     */
   def pqTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-             m: Int = 8, ks: Int = 16, trainIters: Int = 5,
+             m: Int = 16, ks: Int = 64, trainIters: Int = 5,
              sampleN: Int = 256): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -89,6 +89,50 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style RULE filter (Rae et al. 2021, table A1 shape): the
+    * boolean per-document gates a curation pipeline ANDs together, next to
+    * the graded ratios of [[qualityScore]]. Word-count bounds, mean word
+    * length bounds, bullet-line and ellipsis-line ratios, and a ≥2-distinct-
+    * stopwords requirement. Every term is a per-row codegen'd expression
+    * (regex counts + arithmetic — no explode, no shuffle), so the filter
+    * rides the corpus scan at any scale, and every term is expressible
+    * verbatim in the oracle dialect (RE2 and Java regex agree on the
+    * `(?m)` line-anchored patterns used here).
+    */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 40, maxWords: Int = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+                  minStopHits: Int = 1): DataFrame = {
+    val nWords = size(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+    // total alphanumeric chars / words — portable mean word length without
+    // an array aggregate (regexp_replace strips everything that is not a
+    // token character)
+    val tokChars = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val meanLen = round(tokChars.cast("double") / greatest(nWords, lit(1)), 6)
+    val nLines = size(split(col("text"), "\n"))
+    val bulletLines = size(regexp_extract_all(col("text"), lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
+    val ellipsisLines = size(regexp_extract_all(col("text"), lit("(?m)\\.\\.\\.$"), lit(0)))
+    val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stopWords.map(w =>
+      when(lower(col("text")).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    documents.select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        round(bulletLines.cast("double") / greatest(nLines, lit(1)), 6).as("bullet_line_ratio"),
+        round(ellipsisLines.cast("double") / greatest(nLines, lit(1)), 6).as("ellipsis_line_ratio"),
+        stopHits.cast("long").as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+        col("bullet_line_ratio") <= maxBulletRatio &&
+        col("ellipsis_line_ratio") <= maxEllipsisRatio &&
+        col("n_stop_hits") >= minStopHits)
+      .orderBy("doc_id")
+  }
+
   // the one definition of each PII pattern — [[patternCounts]] counts them,
   // [[redact]] replaces them; an edit here keeps the counts-vs-redaction
   // correspondence intact by construction
@@ -230,6 +274,59 @@ object Text {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
+  }
+
+  /** EXACT corpus-wide heavy hitters (tokens with frequency > N/k) in two
+    * bounded-memory passes — the frequent-items report that a naive
+    * `groupBy(token)` answers with an all-token shuffle, done instead with
+    * a shuffle that carries only candidates:
+    *
+    * pass 1 — per-partition Misra-Gries summaries with k-1 counters
+    * (`mapPartitions`, O(k) memory per task, no shuffle). Any token with
+    * global count > N/k has partition count > N_p/k in at least one
+    * partition (sum(N_p) = N), and MG's undercount is bounded by N_p/k, so
+    * the union of partition summaries is a guaranteed superset of the true
+    * heavy hitters — ≤ (k-1)·partitions candidate tokens total.
+    *
+    * pass 2 — exact counts for candidates only: broadcast the candidate
+    * set, semi-join the token stream (map-side filter), one hash aggregate
+    * whose shuffle carries ≤ (k-1)·partitions groups, then keep
+    * cnt·k > N. Output is EXACT (not an estimate) — hence the DuckDB
+    * oracle — while memory and shuffle stay O(k) regardless of vocabulary
+    * size: the 100 TB shape for "what dominates my corpus".
+    */
+  def heavyHitters(documents: DataFrame, k: Int = 40): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.select(
+      explode(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("tok"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k - 1 => counters(t) = 1L
+          case None => // decrement-all step: drop zeros, new token not inserted
+            val dead = List.newBuilder[String]
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1
+              if (c == 0) dead += key else counters(key) = c
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("_n_total"))
+    toks
+      .join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total)) // 1-row side
+      .filter(col("cnt") * k > col("_n_total"))
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast("double") / col("_n_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("tok"))
   }
 
   /** Compression-ratio quality signal: deflate (zlib level 6) each
@@ -477,6 +574,42 @@ object Text {
     documents.filter(mixKeep(rates))
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
       .orderBy("source")
+
+  /** Temperature-weighted mixture sampling (T=2): draw a deterministic
+    * sample whose per-source allocation follows sqrt-damped data volume —
+    * the standard multilingual/multi-source rebalancing step (up-weight
+    * small sources, down-weight dominant ones) between the hard keep-rates
+    * of [[corpusMix]] and a uniform [[perSourceSample]].
+    *
+    * Every step is INTEGER-exact so the result is engine-portable with no
+    * float-boundary risk: per-source char volume is an exact long sum;
+    * the damped weight is floor(sqrt(volume)) (IEEE sqrt is correctly
+    * rounded — identical on both engines); the per-source quota is
+    * integer `targetTotal·w DIV Σw`; and the within-source draw is the
+    * md5 ranking of [[perSourceSample]]. Scale shape: the quota table is
+    * one row per source (broadcast); the ranking window partitions by
+    * source — no global sort, no driver state.
+    */
+  def temperatureMixture(documents: DataFrame, targetTotal: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetTotal > 0)
+    val stats = documents.groupBy("source")
+      .agg(sum(col("n_chars")).cast("long").as("_vol"))
+      .withColumn("_w", floor(sqrt(col("_vol").cast("double"))).cast("long"))
+    val wTotal = stats.agg(sum("_w").as("_wt"))
+    val quotas = stats.crossJoin(broadcast(wTotal)) // 1-row side
+      .select(col("source").as("_src"),
+        expr(s"($targetTotal * _w) DIV _wt").as("_n_target"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), col("source") === col("_src"))
+      .filter(col("rn") <= col("_n_target"))
+      .select("doc_id", "source", "rn")
+      .orderBy("source", "rn")
+  }
 
   /** Deterministic train/validation split: bucket by the first md5 hex
     * digit of the id — pseudorandom, reproducible, engine-portable (md5 is

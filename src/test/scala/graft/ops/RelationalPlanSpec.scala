@@ -26,6 +26,23 @@ class RelationalPlanSpec extends SparkSpec {
     assert(ordersScanPushed, s"o_orderdate range must reach the parquet scan:\n$plan")
   }
 
+  test("q_volume_shipping / q_returned_items / q_promo_effect: no BNLJ/cartesian, fact filters pushed") {
+    for ((name, pushedCol) <- Seq(
+        "q_volume_shipping" -> "l_shipdate",
+        "q_returned_items" -> "o_orderdate",
+        "q_promo_effect" -> "l_shipdate")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s"$name:\n$plan")
+      assert(plan.collect { case j: CartesianProductExec => j }.isEmpty, s"$name:\n$plan")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$name: dim side should broadcast:\n$plan")
+      val pushed = plan.collect { case s: FileSourceScanExec => s }
+        .flatMap(_.metadata.get("PushedFilters"))
+        .exists(f => f.contains(pushedCol))
+      assert(pushed, s"$name: $pushedCol must reach the parquet scan:\n$plan")
+    }
+  }
+
   test("q_local_volume: values match a same-session SQL re-statement") {
     import graft.core.Tables
     Seq("customer" -> Tables.customer(spark, sfDir), "orders" -> Tables.orders(spark, sfDir),

@@ -235,4 +235,64 @@ class TextSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
     assert(out.head.getLong(1) == 99L)
   }
+
+  test("gopherRules: each rule gates independently; a clean doc passes") {
+    val prose = ("the quick brown fox jumps over a lazy dog and runs far away " * 5).trim
+    val d = docs(
+      (1L, prose),                                  // clean: passes all gates
+      (2L, "short text with the"),                  // too few words
+      (3L, ("- item one\n* item two\n• item three\n" * 10) + "the end"), // bullet-heavy
+      (4L, ("this line trails off with the dots...\n" * 10).trim),            // ellipsis-heavy
+      (5L, prose.replaceAll("\\b(the|a|and)\\b", "xx"))) // no stopwords
+    val out = Text.gopherRules(d, minWords = 40).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(6), "clean doc must pass")
+    assert(!out(2L).getBoolean(6), "short doc must fail")
+    assert(!out(3L).getBoolean(6), "bullet-heavy doc must fail")
+    assert(out(3L).getDouble(3) > 0.9, "bullet line ratio detected")
+    assert(!out(4L).getBoolean(6), "ellipsis-heavy doc must fail")
+    assert(out(4L).getDouble(4) > 0.3, "ellipsis line ratio detected")
+    assert(!out(5L).getBoolean(6), "stopword-free doc must fail")
+    assert(out(5L).getLong(5) == 0L)
+  }
+
+  test("heavyHitters: exact equality with brute-force counts at several k, across partitionings") {
+    import spark.implicits._
+    // skewed synthetic corpus: token t_i appears ~ 1000/i times (Zipf-ish)
+    val words = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val rng = new scala.util.Random(7)
+    val shuffled = rng.shuffle(words)
+    val d = shuffled.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val n = words.size.toLong
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (k <- Seq(5, 12, 40); parts <- Seq(1, 7)) {
+      val got = Text.heavyHitters(d.repartition(parts), k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = exact.filter { case (_, c) => c * k > n }
+      assert(got == want, s"k=$k parts=$parts")
+    }
+  }
+
+  test("temperatureMixture: integer quotas honored, deterministic, sqrt-damped toward small sources") {
+    import spark.implicits._
+    // two sources with a 100:1 char-volume skew — sqrt damping must give
+    // the small source far more than 1% of the sample
+    val d = ((1 to 400).map(i => (i.toLong, "x" * 1000, "big")) ++
+      (401 to 500).map(i => (i.toLong, "x" * 40, "small")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val out = Text.temperatureMixture(d, targetTotal = 100)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact integer quota math: vol_big=400000, vol_small=4000
+    // w = floor(sqrt(vol)): 632, 63 → targets = 100*w DIV 695
+    assert(bySource("big") == 100L * 632 / 695)
+    assert(bySource("small") == 100L * 63 / 695)
+    assert(bySource("small") > 1L, "sqrt damping up-weights the small source")
+    // deterministic: same rows on re-run
+    val again = Text.temperatureMixture(d, targetTotal = 100)
+    assert(out.collect().toSeq == again.collect().toSeq)
+  }
 }
