@@ -106,6 +106,8 @@ object SparkEntry {
     }),
     "q_join_cross" -> ((s, dir) => Relational.crossCount(Tables.nation(s, dir), Tables.region(s, dir))),
     "q_scalar_funcs" -> t("orders")(Relational.scalarFunctions),
+    // Z-order clustering: per-bucket bounding-box (data-skipping) stats
+    "q_zorder" -> t("lineitem")(Layout.zorderStats(_, "l_partkey", "l_suppkey")),
     // ---- F: windows / sorts / limits ----
     "q_window_rank" -> t("orders")(Windows.topOrdersPerCustomer(_, 3)),
     "q_window_lag" -> t("orders")(Windows.orderPriceDelta),
@@ -182,6 +184,10 @@ object SparkEntry {
     // genuinely exercised by the oracle
     "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
     "q_compress_ratio" -> t("documents")(Text.compressionRatio), // no oracle: zlib bytes aren't SQL
+    // learned-BPE vocabulary + tokenization: deterministic but iterative
+    // (not SQL-expressible) → rows-only, hand-computed merges in BpeSpec
+    "q_bpe_merges" -> t("documents")(Bpe.train(_, 30)),
+    "q_bpe_encode" -> t("documents")(Bpe.encode(_, 30)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_dup_passages" -> t("documents")(Text.duplicatePassageStats(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
@@ -428,9 +434,9 @@ object SparkEntry {
           JOIN customer ON o_custkey = c_custkey
           JOIN nation n2 ON c_nationkey = n2.n_nationkey
           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-            AND l_shipdate < TIMESTAMP '1997-01-01'
-            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate < TIMESTAMP '1999-01-01'
+            AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+              OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
           GROUP BY supp_nation, cust_nation, l_year
           ORDER BY supp_nation, cust_nation, l_year""",
     "q_returned_items" ->
@@ -455,6 +461,9 @@ object SparkEntry {
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1997-01-01'
           GROUP BY ship_month ORDER BY ship_month""",
+    // generated beside the operator from the same constants (the
+    // minhashOracleSql pattern) — operator and oracle cannot drift
+    "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
     "q_join_inner" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning and tokenization (Sennrich et al.
+  * 2016 — the subword scheme under the GPT/Llama tokenizer family), as the
+  * learned-counterpart to the fixed pretokenizer proxy in
+  * [[Text.tokenCounts]].
+  *
+  * Scale shape — the 100 TB discipline is the same as
+  * [[Text.unigramSurprisal]]'s CCNet pattern: the only corpus-wide work is
+  * ONE map-side-combined word-count aggregate (the shuffle carries
+  * (word, partial count), never token instances); merge learning then runs
+  * on the word-FREQUENCY table truncated to `maxVocabWords` — an explicitly
+  * bounded driver materialization (Zipf coverage makes the truncation
+  * standard practice; production BPE trainers all learn from a frequency
+  * table, not the raw corpus). Encoding is one narrow typed pass with the
+  * merge table broadcast and a per-partition word→length memo, so repeated
+  * words (the common case by Zipf) tokenize once per task.
+  *
+  * Deterministic by construction (count-desc / pair-lexicographic
+  * tie-breaks), but iterative — not SQL-expressible, so the registered
+  * queries are rows-only with hand-computed merge sequences asserted in
+  * BpeSpec (the q_compress_ratio precedent).
+  */
+object Bpe {
+
+  /** End-of-word marker (Sennrich's `</w>`): lets a merge distinguish
+    * word-final from word-internal occurrences, and makes "whole word
+    * becomes one token" expressible.
+    */
+  private[ops] val EndOfWord = "</w>"
+
+  /** Learn `nMerges` merge rules from the corpus word-frequency table.
+    * Returns (rank, left, right, merged, pair_count): rank is merge order,
+    * pair_count the weighted adjacent-pair count that won the round.
+    * Learning stops early when no pair occurs at least twice.
+    */
+  def train(documents: DataFrame, nMerges: Int = 50,
+            maxVocabWords: Int = 10000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rules = trainRules(documents, nMerges, maxVocabWords)
+    rules.zipWithIndex
+      .map { case ((l, r, c), i) => (i.toLong, l, r, l + r, c) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** The merge list itself — shared by [[train]] (as a DataFrame) and
+    * [[encode]] (broadcast). Driver-side over the BOUNDED frequency table.
+    */
+  private[ops] def trainRules(documents: DataFrame, nMerges: Int,
+                              maxVocabWords: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(maxVocabWords > 0, s"maxVocabWords must be > 0, got $maxVocabWords")
+    val wordCounts = documents
+      .select(explode(regexp_extract_all(lower(col("text")), lit(Text.wordRe), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocabWords) // bounded driver materialization (Zipf coverage)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // word representations: chars + end-of-word marker
+    var reps: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ EndOfWord, c)
+    }
+    val rules = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reps.foreach { case (pieces, c) =>
+        var i = 0
+        while (i < pieces.length - 1) {
+          val k = (pieces(i), pieces(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      // best = highest count, ties broken lexicographically — deterministic
+      val best = pairCounts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, kv @ (k, c)) => acc match {
+          case Some((bk, bc)) if c < bc || (c == bc && Ordering[(String, String)].gteq(k, bk)) => acc
+          case _ => Some(kv)
+        }
+      }
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          rules += ((l, r, c))
+          val merged = l + r
+          reps = reps.map { case (pieces, cnt) =>
+            if (pieces.length < 2) (pieces, cnt)
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < pieces.length) {
+                if (i < pieces.length - 1 && pieces(i) == l && pieces(i + 1) == r) {
+                  out += merged; i += 2
+                } else { out += pieces(i); i += 1 }
+              }
+              (out.result(), cnt)
+            }
+          }
+        case _ => exhausted = true
+      }
+      round += 1
+    }
+    rules.result()
+  }
+
+  /** Tokenize with a learned merge table: per word, repeatedly apply the
+    * LOWEST-rank applicable merge (the standard BPE encode order — NOT
+    * left-to-right greedy, so encoding agrees with training exactly).
+    * Returns per-document learned-BPE token counts next to the char-level
+    * floor, in one narrow pass (merge table broadcast, per-partition memo).
+    */
+  def encode(documents: DataFrame, nMerges: Int = 50,
+             maxVocabWords: Int = 10000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      trainRules(documents, nMerges, maxVocabWords)
+        .zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val tokenRe = Text.wordRe.r
+    documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        val rk = bc.value
+        def encodeWord(w: String): Int = memo.getOrElseUpdate(w, {
+          var pieces = w.map(_.toString).toVector :+ EndOfWord
+          var done = false
+          while (!done && pieces.length > 1) {
+            var bestI = -1
+            var bestRank = Int.MaxValue
+            var i = 0
+            while (i < pieces.length - 1) {
+              rk.get((pieces(i), pieces(i + 1))) match {
+                case Some(r) if r < bestRank => bestRank = r; bestI = i
+                case _ =>
+              }
+              i += 1
+            }
+            if (bestI < 0) done = true
+            else pieces = (pieces.take(bestI) :+ (pieces(bestI) + pieces(bestI + 1))) ++
+              pieces.drop(bestI + 2)
+          }
+          pieces.length
+        })
+        it.map { case (id, text) =>
+          val ws = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
+          var nTok = 0L
+          var nChar = 0L
+          ws.foreach { w => nTok += encodeWord(w); nChar += w.length + 1 } // +1: </w>
+          (id, nTok, nChar)
+        }
+      }
+      .toDF("doc_id", "n_bpe_tokens", "n_char_floor")
+      .orderBy("doc_id")
+  }
+}

@@ -396,6 +396,12 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .repartition(nParts, col("id_a"))
       .localCheckpoint()
+    // edges is now materialized (localCheckpoint is eager for Datasets) and
+    // lineage-truncated — the pairs checkpoint is fully superseded; release
+    // its blocks NOW instead of waiting for a GC-triggered ContextCleaner
+    // sweep (over an iterative session the un-released rounds otherwise
+    // accumulate as resident storage)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(pairs)
     // seed labels with min(id, min neighbor) — one propagation round folded
     // into initialization (cliques, the common near-dup shape, converge
     // immediately; chains still iterate)
@@ -414,10 +420,17 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
       val changed = next.filter(col("label") =!= col("_old")).count()
+      // next is checkpointed (lineage-free) — the previous round's labels
+      // checkpoint is superseded; release it so resident storage stays at
+      // ONE labels generation regardless of round count
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(labels)
       labels = next.select("id", "label")
       converged = changed == 0
       i += 1
     }
+    // edges served its last join; only the final labels checkpoint (the
+    // returned frame's backing store) stays resident
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
     // a silent stop mid-propagation would return WRONG cluster ids for any
     // component with diameter > maxIters — fail loudly instead (rounds are
     // cheap on the pair graph; callers raise maxIters, never ignore this)
@@ -437,6 +450,9 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the collected array is all this path needs — release the pairs
+    // checkpoint blocks (the returned frame is built from driver data)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(pairs)
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var root = x

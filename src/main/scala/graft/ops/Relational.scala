@@ -268,8 +268,8 @@ object Relational {
     */
   def volumeShipping(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
                      supplier: DataFrame, nation: DataFrame,
-                     nationA: String = "NATION_1", nationB: String = "NATION_2",
-                     from: String = "1995-01-01", until: String = "1997-01-01"): DataFrame = {
+                     nationA: String = "NATION_18", nationB: String = "NATION_19",
+                     from: String = "1995-01-01", until: String = "1999-01-01"): DataFrame = {
     val nat2 = nation.filter(col("n_name").isin(nationA, nationB))
     val supp = supplier
       .join(broadcast(nat2.select(col("n_nationkey"), col("n_name").as("supp_nation"))),

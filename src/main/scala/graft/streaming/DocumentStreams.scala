@@ -59,4 +59,68 @@ object DocumentStreams {
           .as("total_tokens"))
       .select(col("w.start").as("w_start"), col("source"),
         col("n_docs"), col("total_tokens"))
+
+  final case class TokenWindowRow(w_start: java.sql.Timestamp, tok: String)
+  final case class MgState(counters: Map[String, Long], total: Long)
+  final case class HeavyHitterEstimate(w_start: java.sql.Timestamp, tok: String,
+                                       est_count: Long, n_window: Long,
+                                       guaranteed: Boolean)
+
+  /** Live heavy hitters: a windowed Misra-Gries summary over the token
+    * stream — the streaming front-end of the batch two-pass
+    * [[graft.ops.Text.heavyHitters]]. State per window is the k-1-counter
+    * summary plus a token total (O(k), NOT vocabulary-sized), updated per
+    * micro-batch via `flatMapGroupsWithState` keyed by window start.
+    *
+    * The MG guarantees survive streaming untouched, and the emission
+    * carries them explicitly: `est_count` undercounts a true count by at
+    * most `n_window`/k, so every true heavy hitter (count > n/k) is
+    * PRESENT among the candidates, and any candidate with
+    * `guaranteed = est_count·k > n_window` is CERTAINLY one (the estimate
+    * only undercounts). The spec sandwiches both bounds against the exact
+    * batch operator. Emitted in Update mode (each micro-batch refreshes a
+    * window's candidate set — a live dashboard consumes the latest row per
+    * (window, token)); production eviction of closed windows would add an
+    * event-time timeout, left out here for the same test-driver reason as
+    * [[EventStreams.runningUserTotals]].
+    */
+  def tokenHeavyHittersStream(docs: DataFrame, k: Int = 40,
+                              window_ : String = "5 minutes"): org.apache.spark.sql.Dataset[HeavyHitterEstimate] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 1, s"k must be > 1, got $k")
+    docs
+      .select(window(col("ingest_ts"), window_).as("w"),
+        explode(regexp_extract_all(lower(col("text")), lit(Text.wordRe), lit(0))).as("tok"))
+      .select(col("w.start").as("w_start"), col("tok")).as[TokenWindowRow]
+      .groupByKey(_.w_start)
+      .flatMapGroupsWithState[MgState, HeavyHitterEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (wStart: java.sql.Timestamp, rows: Iterator[TokenWindowRow], state: GroupState[MgState]) =>
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          counters ++= prev.counters
+          var total = prev.total
+          rows.foreach { r =>
+            total += 1
+            counters.get(r.tok) match {
+              case Some(c) => counters(r.tok) = c + 1
+              case None if counters.size < k - 1 => counters(r.tok) = 1L
+              case None =>
+                val dead = List.newBuilder[String]
+                counters.keysIterator.foreach { key =>
+                  val c = counters(key) - 1
+                  if (c == 0) dead += key else counters(key) = c
+                }
+                dead.result().foreach(counters.remove)
+            }
+          }
+          state.update(MgState(counters.toMap, total))
+          val n = total
+          counters.iterator.map { case (tok, est) =>
+            HeavyHitterEstimate(wStart, tok, est, n, est * k > n)
+          }
+      }
+  }
 }

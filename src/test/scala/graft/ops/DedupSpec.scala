@@ -172,6 +172,12 @@ class DedupSpec extends SparkSpec {
     GraftSqlBridge.clearSqlCache(spark)
     assert(awaitSqlCacheEmpty())
     val before = GraftSqlBridge.queryListenerCount(spark)
+    // storage DELTA, not global emptiness: earlier tests may legitimately
+    // hold a resident localCheckpoint (a distributed clusterPairs result's
+    // backing store) until the ContextCleaner GCs it — only NEW storage
+    // would indict the unconsumed frame
+    val storedBefore = spark.sparkContext.getRDDStorageInfo
+      .filter(i => i.isCached && i.memSize > 0).map(_.id).toSet
     val documents = Tables.documents(spark, sfDir)
     val abandoned = Dedup.jaccardPairs(documents, 0.5)
     // building (never consuming) leaves the documented bounded residual:
@@ -181,8 +187,10 @@ class DedupSpec extends SparkSpec {
       "exactly one release listener should be pending")
     assert(!GraftSqlBridge.sqlCacheIsEmpty(spark),
       "the persist registration exists until consumed (documented residual)")
-    assert(!spark.sparkContext.getRDDStorageInfo.exists(i => i.isCached && i.memSize > 0),
-      "an unconsumed frame must not hold storage")
+    val newStorage = spark.sparkContext.getRDDStorageInfo
+      .filter(i => i.isCached && i.memSize > 0).map(_.id).toSet -- storedBefore
+    assert(newStorage.isEmpty,
+      s"an unconsumed frame must not hold storage (new cached RDDs: $newStorage)")
     // late consumption heals it: the listener fires, releases, deregisters
     abandoned.count()
     assert(awaitSqlCacheEmpty(), "late consumption must release the cache")

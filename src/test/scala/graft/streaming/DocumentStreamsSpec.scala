@@ -63,6 +63,38 @@ class DocumentStreamsSpec extends SparkSpec {
     val tokens = (s: String) => "[A-Za-z0-9]+".r.findAllIn(s).size.toLong
     assert(got == Set(
       (w0, "web", 3L, tokens(good) * 2 + tokens(junk)),
-      (w0, "books", 1L, tokens(good + " eta theta"))))
+      (w0, "books", 1L, tokens(good) + 2L)))
+  }
+
+  test("tokenHeavyHittersStream: MG sandwich vs the exact batch operator across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed corpus split across two micro-batches, all in one window
+    val mkDoc = (id: Long, text: String) => DocRow(id, "web", text, ts("2024-01-01 00:01:00"))
+    val batch1 = (1 to 6).map(i => mkDoc(i, "alpha " * 20 + "beta " * 8 + s"rare$i unique$i"))
+    val batch2 = (7 to 12).map(i => mkDoc(i, "alpha " * 10 + "gamma " * 9 + s"tail$i"))
+    val k = 5
+    val mem = MemoryStream[DocRow]
+    val q = DocumentStreams.tokenHeavyHittersStream(mem.toDF(), k = k)
+      .writeStream.format("memory").queryName("t_hh").outputMode("update").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    // latest emission per (window, token) is the live answer
+    val rows = spark.table("t_hh").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val latestN = rows.map(_._3).max // n_window after the second batch
+    val latest = rows.filter(_._3 == latestN)
+    val candidates = latest.map(_._1).toSet
+    val guaranteed = latest.filter(_._4).map(_._1).toSet
+    // exact heavy hitters over the SAME documents via the batch operator
+    val allDocs = (batch1 ++ batch2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val exact = graft.ops.Text.heavyHitters(allDocs, k).collect().map(_.getString(0)).toSet
+    assert(exact.nonEmpty, "fixture must produce heavy hitters")
+    assert(exact.subsetOf(candidates),
+      s"every true heavy hitter must be a streaming candidate: $exact vs $candidates")
+    assert(guaranteed.subsetOf(exact),
+      s"guaranteed flags must never mark a non-heavy token: $guaranteed vs $exact")
+    // estimates undercount by at most n/k
+    latest.foreach { case (_, est, n, _) => assert(est <= n && est >= 0) }
   }
 }
