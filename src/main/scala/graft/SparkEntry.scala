@@ -197,6 +197,19 @@ object SparkEntry {
     "q_source_sample" -> t("documents")(Text.perSourceSample(_)),
     "q_source_stats" -> t("documents")(Text.sourceStats),
     "q_dedup_keeplist" -> t("documents")(Dedup.dedupKeepList(_, 0.5)),
+    // incremental (batch-over-corpus) dedup: the fixture has no exact dups,
+    // so both engines construct the same deterministic re-ingestion — docs
+    // 0-19 reappear under +1000 ids (cross-corpus dups) and docs 250-259
+    // under +2000 ids (intra-batch dups); only original 250-499 survive
+    "q_dedup_incremental" -> t("documents")(d => {
+      val existing = d.filter(col("doc_id") < 250)
+      val incoming = d.filter(col("doc_id") >= 250)
+        .unionByName(d.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 1000))
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+          .withColumn("doc_id", col("doc_id") + 2000))
+      Dedup.incrementalDedup(incoming, existing)
+    }),
     "q_curation" -> t("documents")(Pipelines.curate(_,
       mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
     // the same five-stage pipeline with the dedup stage swapped to the
@@ -347,6 +360,7 @@ object SparkEntry {
     }),
     // ---- I: events / time-series ----
     "q_events_tumbling" -> t("events")(Events.tumbling),
+    "q_events_funnel" -> t("events")(Events.funnel(_)),
     "q_events_sliding" -> t("events")(Events.sliding),
     "q_events_sessions" -> t("events")(Events.sessions),
     "q_events_sessions_lag" -> t("events")(Events.sessionsViaLag(_)),
@@ -788,6 +802,16 @@ object SparkEntry {
     "q_dedup_hash" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents
          GROUP BY sha256(text) ORDER BY keeper_id""",
+    "q_dedup_incremental" ->
+      """WITH existing AS (SELECT * FROM documents WHERE doc_id < 250),
+         incoming AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 250
+           UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20
+           UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260),
+         keepers AS (SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id FROM incoming GROUP BY 1)
+         SELECT doc_id, digest FROM keepers
+         WHERE digest NOT IN (SELECT sha256(text) FROM existing)
+         ORDER BY doc_id""",
     "q_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1188,6 +1212,25 @@ object SparkEntry {
       s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,
                  COUNT(*) AS n, ${DS("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_funnel" ->
+      // strictly-after stage ordering, first-completion semantics —
+      // mirrors Events.funnel stage by stage
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS m1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS m2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.m1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS m3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.m2 GROUP BY e.user_id)
+         SELECT s1.user_id,
+                CAST(floor(epoch(m1)) AS BIGINT) AS t1,
+                CAST(floor(epoch(m2)) AS BIGINT) AS t2,
+                CAST(floor(epoch(m3)) AS BIGINT) AS t3,
+                1 + (m2 IS NOT NULL)::BIGINT + (m3 IS NOT NULL)::BIGINT AS stages_reached
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
     "q_events_sliding" ->
       s"""SELECT w_start, COUNT(*) AS n, ${DS("value")} AS sum_value FROM (
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start, value FROM events

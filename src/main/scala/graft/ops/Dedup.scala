@@ -129,6 +129,34 @@ object Dedup {
       .select("keeper_id", "n_copies")
       .orderBy("keeper_id")
 
+  /** Incremental (batch-over-corpus) exact dedup — the daily-crawl shape:
+    * a new batch arrives against a corpus that is already deduplicated,
+    * and only the batch may be touched. Two stages, both digest-keyed so
+    * no document body ever shuffles:
+    *
+    * 1. intra-batch: min-id keeper per digest within `incoming` (the same
+    *    deterministic rule as [[hashDedup]]);
+    * 2. cross-corpus: anti-join the keepers against the existing corpus'
+    *    digest set.
+    *
+    * At 100 TB the existing-digest side is the WHOLE corpus — but it is a
+    * 32-byte-per-doc column that a production deployment stores bucketed
+    * by digest, so this anti-join co-locates without a corpus-side
+    * shuffle and only the (small) daily batch moves. Output: the batch
+    * survivors with their digests, ready to append.
+    */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val incomingKeepers = incoming
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+    val existingDigests = existing
+      .select(sha2(col("text"), 256).as("digest"))
+    incomingKeepers
+      .join(existingDigests, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin
     * family): order every document's shingles by global document frequency
     * (rarest first), index only each document's prefix of length

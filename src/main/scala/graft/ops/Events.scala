@@ -130,4 +130,41 @@ object Events {
         unix_timestamp(col("last_view_ts")).as("view_ts"))
       .orderBy("purchase_id")
   }
+
+  /** Ordered funnel analysis: per user, the earliest time each stage was
+    * reached STRICTLY AFTER the previous stage (first view, first click
+    * after that view, first purchase after that click, …) — the product-
+    * analytics staple. A user's `stages_reached` counts consecutive
+    * completed stages; later-stage events occurring before an earlier
+    * stage do not count (ordering is the point of a funnel).
+    *
+    * Plan shape: one filtered aggregate per stage, each joined to the
+    * previous stage's per-user time. Every aggregate and join keys on
+    * user_id, so after the first shuffle the rest are co-partitioned — at
+    * 100 TB the cost is one exchange of the (type-filtered) event stream
+    * per stage, with no window over the full event history and no
+    * per-user event-list materialization.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val all = stages.tail.zipWithIndex.foldLeft(first) { case (acc, (stage, i)) =>
+      val prevT = s"t${i + 1}"
+      val curT = s"t${i + 2}"
+      val nxt = events.filter(col("event_type") === stage)
+        .select(col("user_id"), col("ts").as("_ts"))
+        .join(acc.select(col("user_id"), col(prevT)), Seq("user_id"))
+        .filter(col("_ts") > col(prevT))
+        .groupBy("user_id").agg(min("_ts").as(curT))
+      acc.join(nxt, Seq("user_id"), "left")
+    }
+    val tCols = stages.indices.map(i => unix_timestamp(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    val reached = stages.indices.map(i =>
+      when(col(s"t${i + 1}").isNotNull, 1).otherwise(0): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+    all.select(col("user_id") +: tCols :+ reached.cast("long").as("stages_reached"): _*)
+      .orderBy("user_id")
+  }
 }

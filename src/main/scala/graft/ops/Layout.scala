@@ -74,6 +74,35 @@ object Layout {
       .orderBy("bucket")
   }
 
+  /** Write-side of the Z-order story: lay `df` out as `nFiles` parquet
+    * files range-partitioned and sorted by the interleaved key, so every
+    * file carries a tight min/max footer range in BOTH clustering columns
+    * — the layout `zorderStats` measures, actually materialized. This is
+    * `OPTIMIZE ZORDER BY` for plain parquet: `repartitionByRange` over the
+    * key (a sampled range exchange — no global single-task sort) +
+    * `sortWithinPartitions` (files are also internally ordered, helping
+    * row-group pruning) + one write job.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
+                    nFiles: Int = 16, bits: Int = 8): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val bounds = df.agg(
+      min(col(colA).cast("long")).as("_amin"), max(col(colA).cast("long")).as("_amax"),
+      min(col(colB).cast("long")).as("_bmin"), max(col(colB).cast("long")).as("_bmax"))
+    val top = (1 << bits) - 1
+    def norm(c: String, mn: String, mx: String): Column =
+      expr(s"CASE WHEN $mx > $mn THEN ((CAST($c AS BIGINT) - $mn) * $top) DIV ($mx - $mn) ELSE 0 END")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_zkey", zOrderKey(
+        norm(colA, "_amin", "_amax").cast("int"),
+        norm(colB, "_bmin", "_bmax").cast("int"), bits))
+      .drop("_amin", "_amax", "_bmin", "_bmax")
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** The DuckDB restatement of [[zorderStats]], generated from the same
     * constants so operator and oracle cannot drift. `table` must expose
     * `colA`/`colB`.

@@ -201,6 +201,24 @@ class DedupSpec extends SparkSpec {
       "the release listener must deregister itself after firing")
   }
 
+  test("incrementalDedup: intra-batch min-id keepers, cross-corpus drops, novel content survives") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha corpus text"), (2L, "beta corpus text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha corpus text"),  // cross-corpus dup → dropped
+      (11L, "gamma new text"),     // novel, intra-batch dup pair with 12
+      (12L, "gamma new text"),     // loses to 11 (min id)
+      (13L, "delta new text")      // novel singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, existing).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L, 13L))
+    // digests ride along for appending to the corpus digest store
+    assert(out.forall(_.getString(1).length == 64))
+    // idempotence: re-running the survivors against existing+survivors drops everything
+    val appended = existing.unionByName(incoming.filter(col("doc_id").isin(11L, 13L)))
+    assert(Dedup.incrementalDedup(incoming, appended).collect().isEmpty)
+  }
+
   test("minhashPairs matches its generated DuckDB oracle's candidate semantics driver-side") {
     // independent reimplementation of the portable signature family: the
     // md5-derived 48-bit gram hash + prime-field affine minima + banding,

@@ -95,4 +95,29 @@ class EventsSpec extends SparkSpec {
     val purchases = e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
     assert(Events.asofPurchaseView(e).count() == purchases)
   }
+
+  test("funnel: strictly-after ordering, first completions, partial and out-of-order users") {
+    val e = ev(
+      // user 1: full funnel in order
+      (1L, "2024-01-01 00:01:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:02:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 00:01:30", 1L, "click", 0.0), // earlier click also after view: wins as first
+      (4L, "2024-01-01 00:03:00", 1L, "purchase", 5.0),
+      // user 2: purchase BEFORE any view → stage 3 not reached, click missing too
+      (5L, "2024-01-01 00:00:30", 2L, "purchase", 5.0),
+      (6L, "2024-01-01 00:01:00", 2L, "view", 0.0),
+      // user 3: view then click, no purchase
+      (7L, "2024-01-01 00:01:00", 3L, "view", 0.0),
+      (8L, "2024-01-01 00:04:00", 3L, "click", 0.0),
+      // user 4: click only — never enters the funnel (no view)
+      (9L, "2024-01-01 00:01:00", 4L, "click", 0.0))
+    val out = Events.funnel(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == ts("2024-01-01 00:01:30").getTime / 1000, "first click AFTER view wins")
+    assert(out(2L)._1 == 1L, "pre-view purchase must not count")
+    assert(out(3L)._1 == 2L)
+    assert(!out.contains(4L), "users without the entry stage are outside the funnel")
+  }
 }

@@ -29,6 +29,38 @@ class LayoutSpec extends SparkSpec {
     assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
   }
 
+  test("writeZOrdered: per-file footer ranges bound both dimensions tighter than the unordered layout") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val d = (1 to 8000).map(_ => (rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    def fileBoxes(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("x").as("ax"), max("x").as("bx"), min("y").as("ay"), max("y").as("by"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    try {
+      Layout.writeZOrdered(d, "x", "y", s"$dir/z", nFiles = 16)
+      val zBoxes = fileBoxes(s"$dir/z")
+      assert(zBoxes.length == 16, s"expected 16 files, got ${zBoxes.length}")
+      // same row count round-trips
+      assert(spark.read.parquet(s"$dir/z").count() == 8000L)
+      d.repartition(16).write.parquet(s"$dir/naive")
+      val nBoxes = fileBoxes(s"$dir/naive")
+      def area(bs: Array[(Long, Long, Long, Long)]) =
+        bs.map { case (ax, bx, ay, by) => (bx - ax + 1).toDouble * (by - ay + 1) }.sum
+      // hash-partitioned files each span ~the full domain; Z-ordered files
+      // must cut total bbox area by a wide margin (4x is conservative —
+      // ideal tiling gives ~16x)
+      assert(area(zBoxes) * 4 < area(nBoxes),
+        s"z=${area(zBoxes)} naive=${area(nBoxes)}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("zorderStats: Z-buckets bound BOTH dimensions — total bbox area beats single-column bucketing") {
     import spark.implicits._
     // uniform grid: the adversarial case for single-column layout
