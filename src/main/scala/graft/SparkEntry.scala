@@ -183,6 +183,7 @@ object SparkEntry {
     // vocabSize 100 < fixture vocabulary, so the OOV smoothing path is
     // genuinely exercised by the oracle
     "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
+    "q_surprisal_bigram" -> t("documents")(Text.bigramSurprisal(_)),
     "q_compress_ratio" -> t("documents")(Text.compressionRatio), // no oracle: zlib bytes aren't SQL
     // learned-BPE vocabulary + tokenization: deterministic but iterative
     // (not SQL-expressible) → rows-only, hand-computed merges in BpeSpec
@@ -361,6 +362,7 @@ object SparkEntry {
     // ---- I: events / time-series ----
     "q_events_tumbling" -> t("events")(Events.tumbling),
     "q_events_funnel" -> t("events")(Events.funnel(_)),
+    "q_events_zscore" -> t("events")(Events.zscoreAnomalies(_)),
     "q_events_sliding" -> t("events")(Events.sliding),
     "q_events_sessions" -> t("events")(Events.sessions),
     "q_events_sessions_lag" -> t("events")(Events.sessionsViaLag(_)),
@@ -847,6 +849,9 @@ object SparkEntry {
          SELECT doc_id, round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal,
                 COUNT(*) AS n_tokens
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // generated beside the operator (the minhash pattern): same vocab/bigram
+    // truncation, interpolation constants, and rounding discipline
+    "q_surprisal_bigram" -> Text.bigramSurprisalOracleSql(),
     "q_top_tokens_per_source" ->
       """WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
                        FROM documents),
@@ -1212,6 +1217,18 @@ object SparkEntry {
       s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,
                  COUNT(*) AS n, ${DS("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_zscore" ->
+      // moments from exact-decimal sums; the anomaly flag derives from the
+      // ROUNDED z on both engines (threshold ties cannot flip)
+      s"""WITH st AS (SELECT event_type AS et, COUNT(*) AS n,
+                 ${DS("value", 6)} AS s, ${DS("value * value", 6)} AS s2
+              FROM events GROUP BY 1),
+          d AS (SELECT et, s / n AS mean, sqrt((s2 - s * s / n) / (n - 1)) AS std FROM st)
+          SELECT event_id, event_type, value,
+                 round((value - mean) / std, 6) AS z,
+                 abs(round((value - mean) / std, 6)) > 3.0 AS is_anomaly
+          FROM events JOIN d ON event_type = et
+          ORDER BY event_id""",
     "q_events_funnel" ->
       // strictly-after stage ordering, first-completion semantics —
       // mirrors Events.funnel stage by stage

@@ -131,6 +131,30 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** Per-type z-score anomaly flags: each event's value standardized
+    * against its event_type's mean/std — the monitoring staple. Moments
+    * come from ONE hash aggregate with exact-decimal Σv and Σv² (engine-
+    * portable; the sample-variance closed form (Σv² − (Σv)²/n)/(n−1) is
+    * then identical double arithmetic on both engines), broadcast back as
+    * a tiny per-type table. The flag is computed FROM THE ROUNDED z on
+    * both sides, so a value sitting exactly on the threshold cannot flip
+    * between engines. One scan + one broadcast join: no window, no second
+    * pass over the events at any scale.
+    */
+  def zscoreAnomalies(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("_et"))
+      .agg(count(lit(1)).as("_n"),
+        dsum(col("value"), 6).as("_s"),
+        dsum(col("value") * col("value"), 6).as("_s2"))
+      .withColumn("_mean", col("_s") / col("_n"))
+      .withColumn("_std", sqrt((col("_s2") - col("_s") * col("_s") / col("_n")) / (col("_n") - 1)))
+    events.join(broadcast(stats), col("event_type") === col("_et"))
+      .withColumn("z", round((col("value") - col("_mean")) / col("_std"), 6))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"),
+        (abs(col("z")) > threshold).as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
   /** Ordered funnel analysis: per user, the earliest time each stage was
     * reached STRICTLY AFTER the previous stage (first view, first click
     * after that view, first purchase after that click, …) — the product-

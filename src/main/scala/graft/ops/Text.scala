@@ -431,6 +431,124 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM surprisal — the second-order sibling of
+    * [[unigramSurprisal]]: each token's probability is
+    * λ·c(prev,tok)/c(prev) + (1−λ)·c(tok)/N under a CLOSED top-K
+    * vocabulary (bigrams are kept only when both tokens are in-vocab, so
+    * the conditional can never exceed 1), with the document's first token
+    * scored unigram-only. Low scores mark formulaic n-gram-predictable
+    * text more sharply than the unigram axis.
+    *
+    * Scale shape mirrors the CCNet pattern twice over: one token-count
+    * aggregate and one bigram-count aggregate (both map-side combined);
+    * the top-K vocab and top-B bigram tables are bounded driver
+    * materializations broadcast into ONE narrow typed scoring pass — no
+    * token-level join against a zipf-skewed key anywhere.
+    *
+    * Determinism: per-token surprisal rounded to 9 decimals, exact-decimal
+    * sum, mean rounded to 6; λ and 1−λ are evaluated as the same double
+    * expressions on both engines ([[bigramSurprisalOracleSql]] is GENERATED
+    * from the same constants — the minhash-oracle pattern).
+    */
+  def bigramSurprisal(documents: DataFrame, vocabSize: Int = 100,
+                      bigramVocab: Int = 500, lambda: Double = 0.7): DataFrame = {
+    require(vocabSize > 0 && bigramVocab > 0, "vocab sizes must be positive")
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents
+      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+    val toks = base.select(explode(col("_toks")).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocab) = try {
+      val totalRow = cnt.agg(sum("c")).head()
+      if (totalRow.isNullAt(0)) (0.0, Map.empty[String, Long])
+      else (totalRow.getLong(0).toDouble,
+        cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally cnt.unpersist()
+    if (total == 0.0) {
+      return Seq.empty[(Long, Double, Long)].toDF("doc_id", "mean_surprisal", "n_tokens")
+    }
+    val grams = filter(
+      transform(col("_toks"), (_, i) => when(i <= size(col("_toks")) - 2,
+        concat_ws(" ", element_at(col("_toks"), i + 1), element_at(col("_toks"), i + 2)))),
+      c => c.isNotNull)
+    val vocabKeys = vocab.keySet.toSeq
+    val bigMap = base.select(explode(grams).as("bg"))
+      .withColumn("_w1", substring_index(col("bg"), " ", 1))
+      .withColumn("_w2", substring_index(col("bg"), " ", -1))
+      .filter(col("_w1").isin(vocabKeys: _*) && col("_w2").isin(vocabKeys: _*))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("bg")).limit(bigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcU = spark.sparkContext.broadcast(vocab)
+    val bcB = spark.sparkContext.broadcast(bigMap)
+    val tokenRe = wordRe.r
+    val lam = lambda
+    val n = total
+    documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ts = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
+        if (ts.isEmpty) Iterator.empty
+        else {
+          var acc = BigDecimal(0)
+          var i = 0
+          while (i < ts.length) {
+            val cu = bcU.value.getOrElse(ts(i), 1L).toDouble
+            val p =
+              if (i == 0) cu / n
+              else {
+                val cprev = bcU.value.getOrElse(ts(i - 1), 1L).toDouble
+                val cb = bcB.value.getOrElse(ts(i - 1) + " " + ts(i), 0L).toDouble
+                lam * cb / cprev + (1.0 - lam) * cu / n
+              }
+            acc += BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            i += 1
+          }
+          val mean = BigDecimal(acc.toDouble / ts.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single((id, mean, ts.length.toLong))
+        }
+      }
+      .toDF("doc_id", "mean_surprisal", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB restatement of [[bigramSurprisal]], generated from the same
+    * constants so operator and oracle cannot drift.
+    */
+  def bigramSurprisalOracleSql(vocabSize: Int = 100, bigramVocab: Int = 500,
+                               lambda: Double = 0.7): String =
+    s"""WITH tt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       toks AS (SELECT doc_id, unnest(t) AS tok FROM tt),
+       cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+       tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+       vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT $vocabSize),
+       bgall AS (SELECT t[i-1] AS w1, t[i] AS w2
+                 FROM tt, LATERAL unnest(generate_series(2, len(t))) AS g(i)
+                 WHERE len(t) >= 2),
+       big AS (SELECT w1 || ' ' || w2 AS bg, COUNT(*) AS cb
+               FROM bgall JOIN vocab v1 ON w1 = v1.tok JOIN vocab v2 ON w2 = v2.tok
+               GROUP BY 1 ORDER BY cb DESC, bg LIMIT $bigramVocab),
+       pos AS (SELECT doc_id, i, t[i] AS tok, CASE WHEN i > 1 THEN t[i-1] END AS prev
+               FROM tt, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+       p AS (SELECT pos.doc_id,
+               CASE WHEN prev IS NULL THEN COALESCE(v2.c, 1) / n
+                    ELSE $lambda * COALESCE(b.cb, 0) / COALESCE(v1.c, 1)
+                         + (1.0 - $lambda) * COALESCE(v2.c, 1) / n
+               END AS prob
+             FROM pos
+             LEFT JOIN vocab v2 ON pos.tok = v2.tok
+             LEFT JOIN vocab v1 ON pos.prev = v1.tok
+             LEFT JOIN big b ON pos.prev || ' ' || pos.tok = b.bg
+             CROSS JOIN tot),
+       sc AS (SELECT doc_id, CAST(round(-ln(prob), 9) AS DECIMAL(18,9)) AS s FROM p)
+       SELECT doc_id, round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal,
+              COUNT(*) AS n_tokens
+       FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
   /** Per-source top-k tokens — the stratified vocabulary audit next to the
     * global [[topNgrams]]. Explode → per-(source, token) count (map-side
     * combined) → [[graft.plans.TopK.perGroup]]: the custom bounded-heap

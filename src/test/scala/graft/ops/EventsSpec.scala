@@ -96,6 +96,22 @@ class EventsSpec extends SparkSpec {
     assert(Events.asofPurchaseView(e).count() == purchases)
   }
 
+  test("zscoreAnomalies: hand-computed moments; flag derives from the rounded z") {
+    // 20 zeros + one spike of 100: mean = 100/21, sample std ≈ 21.822,
+    // spike z ≈ 4.365 (> 3), zeros z ≈ -0.218 (clean)
+    val rows = (1 to 20).map(i => (i.toLong, "2024-01-01 00:01:00", 1L, "a", 0.0)) :+
+      ((21L, "2024-01-01 00:02:00", 1L, "a", 100.0))
+    val out = Events.zscoreAnomalies(ev(rows: _*)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    val n = 21.0
+    val mean = 100.0 / n
+    val std = math.sqrt((100.0 * 100.0 - 100.0 * 100.0 / n) / (n - 1))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(21L) == ((r6((100.0 - mean) / std), true)))
+    assert(out(1L) == ((r6((0.0 - mean) / std), false)))
+    assert(out.count(_._2._2) == 1, "exactly the spike is anomalous")
+  }
+
   test("funnel: strictly-after ordering, first completions, partial and out-of-order users") {
     val e = ev(
       // user 1: full funnel in order

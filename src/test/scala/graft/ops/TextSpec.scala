@@ -236,6 +236,26 @@ class TextSpec extends SparkSpec {
     assert(out.head.getLong(1) == 99L)
   }
 
+  test("bigramSurprisal: hand-computed interpolated probabilities; first token unigram-only") {
+    // corpus: "the cat" x3, "the dog" x1 → N=8; c(the)=4, c(cat)=3, c(dog)=1
+    // bigrams (all in-vocab): "the cat":3, "the dog":1
+    val d = docs((1L, "the cat"), (2L, "the cat"), (3L, "the cat"), (4L, "the dog"))
+    val out = Text.bigramSurprisal(d, vocabSize = 10, bigramVocab = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val n = 8.0
+    val lam = 0.7
+    def s9(p: Double) = BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean2(a: BigDecimal, b: BigDecimal) =
+      BigDecimal((a + b).toDouble / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pThe = 4.0 / n
+    val pCatGivenThe = lam * 3.0 / 4.0 + (1.0 - lam) * 3.0 / n
+    val pDogGivenThe = lam * 1.0 / 4.0 + (1.0 - lam) * 1.0 / n
+    assert(out(1L) == ((mean2(s9(pThe), s9(pCatGivenThe)), 2L)))
+    assert(out(4L) == ((mean2(s9(pThe), s9(pDogGivenThe)), 2L)))
+    // the predictable continuation scores LOWER than the rare one
+    assert(out(1L)._1 < out(4L)._1)
+  }
+
   test("gopherRules: each rule gates independently; a clean doc passes") {
     val prose = ("the quick brown fox jumps over a lazy dog and runs far away " * 5).trim
     val d = docs(
