@@ -243,6 +243,7 @@ object SparkEntry {
     "q_simhash" -> t("documents")(Dedup.simhash), // md5-derived 48-bit — oracle-checked
     "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)),
     "q_bm25" -> t("documents")(Search.bm25(_, bm25Terms, 15)),
+    "q_hybrid_rrf" -> t("documents")(Search.hybridRrf(_, bm25Terms)),
     // ---- H: similarity search ----
     "q_embed_norms" -> t("embeddings")(Similarity.norms),
     // int8 storage quantization: the stats columns carry a full value
@@ -1039,6 +1040,8 @@ object SparkEntry {
          SELECT d.doc_id FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
          WHERE cont.doc_id IS NULL ORDER BY d.doc_id""",
     "q_bm25" -> ops.Search.bm25OracleSql(bm25Terms, 15),
+    // built AROUND the generated bm25 oracle — the lexical leg cannot drift
+    "q_hybrid_rrf" -> ops.Search.hybridRrfOracleSql(bm25Terms),
     // 48-bit SimHash over the md5-derived portable hash family: per-token
     // hash = first 12 md5 hex digits; each of the 48 bits votes ±1 weighted
     // by term frequency; sign of the vote forms the fingerprint bit

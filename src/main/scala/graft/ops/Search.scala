@@ -205,4 +205,71 @@ object Search {
        FROM sc WHERE round(CAST(s AS DOUBLE), 6) > 0
        ORDER BY score DESC, doc_id LIMIT $k"""
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009): fuse the [[bm25]] lexical ranking with a quality-prior ranking
+    * (type-token ratio — the [[Text.qualityRatios]] signal, ranked
+    * descending) by rrf = Σ 1/(c + rank), the standard score-free way to
+    * combine rankers with incomparable scales. Documents in only one pool
+    * contribute that pool's term alone.
+    *
+    * Plan shape: each ranker produces a BOUNDED pool (top `poolK` rows —
+    * already a `TakeOrderedAndProject`), whose ranks are assigned by a
+    * driver-side zipWithIndex over ≤ poolK collected rows (the same
+    * explicitly-bounded driver materialization as the BM25 stats row —
+    * deliberately NOT an unpartitioned row_number window). The fusion
+    * itself is a tiny outer join of two ≤ poolK-row tables.
+    */
+  def hybridRrf(documents: DataFrame, queryTerms: Seq[String], k: Int = 15,
+                poolK: Int = 50, c: Int = 60): DataFrame = {
+    require(poolK >= k, s"pool must cover the output: poolK=$poolK < k=$k")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def ranked(pool: DataFrame): DataFrame =
+      pool.collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), i + 1L) }.toSeq.toDF("doc_id", "rank")
+    val lex = ranked(bm25(documents, queryTerms, poolK).select("doc_id"))
+      .withColumnRenamed("rank", "rank_lex")
+    val quality = ranked(
+      graft.ops.Text.qualityScore(documents)
+        .select(col("doc_id"), col("type_token_ratio"))
+        .orderBy(col("type_token_ratio").desc, col("doc_id"))
+        .limit(poolK).select("doc_id"))
+      .withColumnRenamed("rank", "rank_q")
+    lex.join(quality, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(c) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_q")), lit(0.0)), 6).as("rrf"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_q"), lit(0L)).as("rank_q"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The DuckDB restatement of [[hybridRrf]] — built AROUND the generated
+    * [[bm25OracleSql]] so the lexical leg cannot drift from the registered
+    * `q_bm25` semantics.
+    */
+  def hybridRrfOracleSql(queryTerms: Seq[String], k: Int = 15,
+                         poolK: Int = 50, c: Int = 60): String =
+    s"""WITH lex AS (
+         SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+         FROM (${bm25OracleSql(queryTerms, poolK)}) bm),
+       q AS (
+         SELECT doc_id, CAST(row_number() OVER (ORDER BY ttr DESC, doc_id) AS BIGINT) AS rank_q
+         FROM (
+           SELECT doc_id,
+                  round(CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+                        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS ttr
+           FROM documents ORDER BY ttr DESC, doc_id LIMIT $poolK) t),
+       fused AS (
+         SELECT COALESCE(lex.doc_id, q.doc_id) AS doc_id,
+                round(COALESCE(CAST(1.0 AS DOUBLE) / ($c + rank_lex), 0.0)
+                      + COALESCE(CAST(1.0 AS DOUBLE) / ($c + rank_q), 0.0), 6) AS rrf,
+                COALESCE(rank_lex, 0) AS rank_lex,
+                COALESCE(rank_q, 0) AS rank_q
+         FROM lex FULL OUTER JOIN q ON lex.doc_id = q.doc_id)
+       SELECT doc_id, rrf, rank_lex, rank_q FROM fused
+       ORDER BY rrf DESC, doc_id LIMIT $k"""
 }

@@ -104,18 +104,21 @@ object Text {
                   minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
                   maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
                   minStopHits: Int = 1): DataFrame = {
-    val nWords = size(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+    // null text gates like empty text (every rule DEFINED per row — a null
+    // keep flag would poison the AND in a downstream filter)
+    val txt = coalesce(col("text"), lit(""))
+    val nWords = size(regexp_extract_all(lower(txt), lit(wordRe), lit(0)))
     // total alphanumeric chars / words — portable mean word length without
     // an array aggregate (regexp_replace strips everything that is not a
     // token character)
-    val tokChars = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val tokChars = length(regexp_replace(lower(txt), "[^a-z0-9]", ""))
     val meanLen = round(tokChars.cast("double") / greatest(nWords, lit(1)), 6)
-    val nLines = size(split(col("text"), "\n"))
-    val bulletLines = size(regexp_extract_all(col("text"), lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
-    val ellipsisLines = size(regexp_extract_all(col("text"), lit("(?m)\\.\\.\\.$"), lit(0)))
+    val nLines = size(split(txt, "\n"))
+    val bulletLines = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
+    val ellipsisLines = size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0)))
     val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopHits = stopWords.map(w =>
-      when(lower(col("text")).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      when(lower(txt).rlike("\\b" + w + "\\b"), 1).otherwise(0))
       .reduce(_ + _)
     documents.select(
         col("doc_id"),

@@ -75,6 +75,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Text.langId(emptyDocs).isEmpty)
     assert(Text.fingerprints(emptyDocs).isEmpty)
     assert(Text.topNgrams(emptyDocs).isEmpty)
+    assert(Text.gopherRules(emptyDocs).isEmpty)
+    assert(Text.heavyHitters(emptyDocs).isEmpty)
+    assert(Text.unigramSurprisal(emptyDocs).isEmpty)
+    assert(Text.bigramSurprisal(emptyDocs).isEmpty)
+    assert(Bpe.train(emptyDocs).isEmpty)
+    assert(Bpe.encode(emptyDocs).isEmpty)
+  }
+
+  test("round-5 text additions survive null and empty-string text") {
+    import spark.implicits._
+    val d = Seq((1L, "the alpha beta alpha the beta alpha"),
+      (2L, null: String), (3L, "")).toDF("doc_id", "text")
+    // per-row gates: null/empty rows are rows too — defined, not dropped
+    val gopher = Text.gopherRules(d).collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(gopher.keySet == Set(1L, 2L, 3L))
+    assert(!gopher(3L), "empty text cannot pass the word-count gate")
+    // corpus aggregates: null/empty docs contribute nothing
+    val hh = Text.heavyHitters(d, 3).collect().map(_.getString(0))
+    assert(hh.contains("alpha"))
+    assert(Text.bigramSurprisal(d).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "token-less docs are excluded from surprisal, not scored")
+    assert(Bpe.encode(d, 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .view.filterKeys(_ != 1L).values.forall(_ == 0L), "null/empty docs encode to zero tokens")
   }
 
   test("events family on empty events") {
@@ -82,6 +105,8 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Events.sessions(emptyEvents).isEmpty)
     assert(Events.sessionsViaLag(emptyEvents).isEmpty)
     assert(Events.asofPurchaseView(emptyEvents).isEmpty)
+    assert(Events.funnel(emptyEvents).isEmpty)
+    assert(Events.zscoreAnomalies(emptyEvents).isEmpty)
   }
 
   test("similarity family on empty embeddings") {

@@ -133,4 +133,27 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Search.bm25(Tables.documents(spark, sfDir), Seq.empty, 5))
   }
+
+  test("hybridRrf: rrf arithmetic from the two pool ranks; single-pool docs score one term") {
+    val d = Tables.documents(spark, sfDir)
+    val terms = Seq("join", "vector")
+    val poolK = 20
+    val out = Search.hybridRrf(d, terms, k = 10, poolK = poolK).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val (rrf, rl, rq) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      val expect = r6((if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rq > 0) 1.0 / (60 + rq) else 0.0))
+      assert(rrf == expect, s"doc ${r.getLong(0)}: $rrf != $expect")
+      assert(rl >= 0 && rl <= poolK && rq >= 0 && rq <= poolK)
+      assert(rl > 0 || rq > 0, "a fused doc must appear in at least one pool")
+    }
+    // descending rrf with doc_id tiebreak
+    val pairs = out.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (s, id) => (-s, id) }))
+    // determinism across runs (driver-side rank assignment is stable)
+    val again = Search.hybridRrf(d, terms, k = 10, poolK = poolK).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
