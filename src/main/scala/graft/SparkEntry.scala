@@ -87,6 +87,10 @@ object SparkEntry {
       Tables.nation(s, dir))),
     "q_promo_effect" -> ((s, dir) => Relational.promoRevenue(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_market_share" -> ((s, dir) => Relational.marketShare(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
+      Tables.part(s, dir))),
     "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_right" -> ((s, dir) => Relational.joinRight(Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -481,6 +485,24 @@ object SparkEntry {
     // generated beside the operator from the same constants (the
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
+    "q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 ${DS("CASE WHEN n2.n_name = 'NATION_19' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)} AS nation_revenue,
+                 ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS total_revenue,
+                 round(${DS("CASE WHEN n2.n_name = 'NATION_19' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)}
+                       / ${DS("l_extendedprice * (1.0 - l_discount)", 6)}, 6) AS mkt_share
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+          GROUP BY o_year ORDER BY o_year""",
     "q_join_inner" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey

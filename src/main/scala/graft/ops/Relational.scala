@@ -320,6 +320,54 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(k)
 
+  /** E — TPC-H Q8-shaped "market share": a target nation's share of the
+    * revenue that suppliers earn from one region's customers for one part
+    * type, by order year. The deepest composite in the suite — seven
+    * relations, nation joined in TWO roles (customer region pruning and
+    * supplier attribution) — exercising join ordering, double broadcast
+    * pruning, and the sum(CASE)/sum share pattern at depth.
+    *
+    * Scale shape: region⋈nation prunes customers FIRST (broadcast), part
+    * is type-filtered and broadcast, the supplier-nation dim is broadcast
+    * unfiltered (attribution needs all nations); the fact joins shuffle on
+    * their keys, and the share division happens on two exact-decimal sums.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                  part: DataFrame, targetNation: String = "NATION_19",
+                  regionName: String = "ASIA", pType: String = "STANDARD",
+                  from: String = "1995-01-01", until: String = "1999-01-01"): DataFrame = {
+    val custInRegion = customer
+      .join(broadcast(nation
+        .join(broadcast(region.filter(col("r_name") === regionName)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("_snk"))
+      .select("s_suppkey", "supp_nation")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(custInRegion, col("o_custkey") === col("c_custkey"))
+      .join(lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.filter(col("p_type") === pType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === targetNation, rev).otherwise(lit(0.0)), 6).as("nation_revenue"),
+        dsum(rev, 6).as("total_revenue"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 6))
+      .orderBy("o_year")
+  }
+
   /** E/G — TPC-H Q14-shaped "promo effect": the share of revenue from
     * promo-typed parts, per ship-month — the conditional-aggregate-over-a-
     * join pattern (sum(CASE)/sum). part is broadcast (dim); lineitem is

@@ -78,12 +78,21 @@ private object AggSpec extends Enumeration {
 
 private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ChunkedSource.schema
   private var aggSpecs: Seq[AggSpec.Value] = Nil
   private var aggByChunk = false
+  private var limit: Int = Int.MaxValue
+
+  /** PARTIAL limit pushdown (the default `isPartiallyPushed`): each
+    * partition stops generating after `limit` rows — the reader's id range
+    * is clamped to `lo + limit` — and Spark's own GlobalLimit takes the
+    * final k across partitions. For the reference this is the LIMIT-in-
+    * row_restriction analog: a bounded preview never materializes a chunk.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   private def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
                     name: String): Boolean = e match {
@@ -140,17 +149,19 @@ private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
 
   override def build(): Scan =
     if (aggSpecs.nonEmpty) new ChunkedAggScan(numRows, numChunks, pushed, aggSpecs, aggByChunk)
-    else new ChunkedScan(numRows, numChunks, pushed, required)
+    else new ChunkedScan(numRows, numChunks, pushed, required, limit)
 }
 
 private class ChunkedScan(numRows: Long, numChunks: Int,
-                          filters: Array[Filter], required: StructType)
+                          filters: Array[Filter], required: StructType,
+                          limit: Int = Int.MaxValue)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_chunked pushed=[${filters.mkString(",")}] columns=[${required.fieldNames.mkString(",")}]"
+    s"graft_chunked pushed=[${filters.mkString(",")}] columns=[${required.fieldNames.mkString(",")}]" +
+      (if (limit != Int.MaxValue) s" limit=$limit" else "")
 
   /** One InputPartition per chunk — contiguous id ranges, the analog of
     * the reference's per-chunk temp table + stream.
@@ -163,12 +174,13 @@ private class ChunkedScan(numRows: Long, numChunks: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChunkedReaderFactory(filters, required)
+    new ChunkedReaderFactory(filters, required, limit)
 }
 
 private case class ChunkPartition(chunk: Int, startId: Long, endId: Long) extends InputPartition
 
-private class ChunkedReaderFactory(filters: Array[Filter], required: StructType)
+private class ChunkedReaderFactory(filters: Array[Filter], required: StructType,
+                                   limit: Int = Int.MaxValue)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -185,6 +197,9 @@ private class ChunkedReaderFactory(filters: Array[Filter], required: StructType)
       case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
       case _ =>
     }
+    // partial limit: this partition never generates more than `limit` rows
+    // (applied after filter folding — the bound is on ROWS RETURNED)
+    if (limit != Int.MaxValue) hi = math.min(hi, lo + limit)
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
       private var id = lo - 1

@@ -30,7 +30,8 @@ class RelationalPlanSpec extends SparkSpec {
     for ((name, pushedCol) <- Seq(
         "q_volume_shipping" -> "l_shipdate",
         "q_returned_items" -> "o_orderdate",
-        "q_promo_effect" -> "l_shipdate")) {
+        "q_promo_effect" -> "l_shipdate",
+        "q_market_share" -> "o_orderdate")) {
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
       assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s"$name:\n$plan")
       assert(plan.collect { case j: CartesianProductExec => j }.isEmpty, s"$name:\n$plan")

@@ -84,6 +84,19 @@ class ChunkedSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
 
+  test("LIMIT pushes down partially: readers clamp their ranges, global limit stays exact") {
+    val df = read(1000, 4).limit(7)
+    assert(df.count() == 7)
+    val scan = collect(df.queryExecution.executedPlan) { case s: BatchScanExec => s }.head
+    assert(scan.scan.description().contains("limit=7"), scan.scan.description())
+    // composes with pushed filters: the clamp applies AFTER range folding
+    val filtered = read(1000, 4).filter(col("id") >= 100).limit(5)
+    assert(filtered.collect().map(_.getLong(0)).forall(_ >= 100))
+    assert(filtered.count() == 5)
+    // a limit wider than the table is harmless
+    assert(read(10, 2).limit(100).count() == 10)
+  }
+
   test("chunked source joins with engine operators like any relation") {
     val df = read(500, 8)
     val agg = df.filter(col("id") % 2 === 0)
