@@ -223,6 +223,12 @@ object SparkEntry {
     "q_curation_lsh" -> t("documents")(Pipelines.curateWith(_,
       Dedup.minhashPairs(_, 0.5, sorted = false),
       mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
+    // the same pipeline with the BOOLEAN Gopher rule gate in place of the
+    // graded ratio thresholds — gate AND generator are both pluggable
+    "q_curation_gopher" -> t("documents")(Pipelines.curateWithGate(_,
+      Text.gopherKeep(),
+      Dedup.jaccardPairs(_, 0.5, sorted = false),
+      mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
     "q_fingerprints" -> t("documents")(Text.fingerprints),
     "q_winnowing" -> t("documents")(Text.winnowing(_)),
     "q_json_extract" -> t("events")(Text.jsonExtract),
@@ -972,6 +978,69 @@ object SparkEntry {
          gate AS (SELECT doc_id FROM s0
                   WHERE round(CAST(nc AS DOUBLE) / greatest(len(tk), 1), 6) BETWEEN 4.0 AND 9.0
                     AND round(CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 6) >= 0.3),
+         docs AS (SELECT d.* FROM documents d JOIN gate USING (doc_id)),
+         toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM docs),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT id_a, id_b FROM (
+                  SELECT id_a, id_b,
+                         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+                WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         reach(src, dst) AS (
+           SELECT id_a, id_a FROM edges
+           UNION
+           SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+         cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         dd AS (SELECT d.* FROM docs d LEFT JOIN cl ON d.doc_id = cl.doc_id
+                WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id),
+         mixed AS (SELECT * FROM dd
+                   WHERE CASE WHEN source IN ('src10','src11','src12','src13','src14',
+                                              'src15','src16','src17','src18','src19')
+                         THEN strpos('0123456789abcdef',
+                                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 8
+                         ELSE TRUE END),
+         t2 AS (SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4') THEN 'val' ELSE 'train' END AS split
+                FROM mixed),
+         c2 AS (SELECT doc_id, source, n_tokens, split,
+                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t2)
+         SELECT doc_id, source, n_tokens, split, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+         FROM c2 ORDER BY doc_id""",
+    "q_curation_gopher" ->
+      // q_curation with the gate CTE swapped for the Gopher boolean rules
+      // (same constants as q_gopher_rules); stages 2-5 identical
+      """WITH RECURSIVE
+         s0 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+                  round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS mwl,
+                  round(CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
+                        / greatest(len(string_split(text, chr(10))), 1), 6) AS blr,
+                  round(CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS DOUBLE)
+                        / greatest(len(string_split(text, chr(10))), 1), 6) AS elr,
+                  (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS stops
+                FROM documents),
+         gate AS (SELECT doc_id FROM s0
+                  WHERE n_words >= 40 AND n_words <= 100000
+                    AND mwl >= 2.0 AND mwl <= 12.0
+                    AND blr <= 0.9 AND elr <= 0.3 AND stops >= 1),
          docs AS (SELECT d.* FROM documents d JOIN gate USING (doc_id)),
          toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM docs),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

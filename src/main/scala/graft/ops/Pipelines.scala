@@ -47,6 +47,21 @@ object Pipelines {
     * shared by both outputs are value-identical except `pack_id`, whose
     * running token budget shifts when the survivor set grows.
     */
+  /** [[curateWith]] with a PLUGGABLE quality gate as well — pass
+    * `Text.gopherKeep()` to run the boolean Gopher rule gates instead of
+    * the graded ratio thresholds; every downstream stage is unchanged.
+    * Any per-row boolean Column over the documents schema is a valid gate
+    * (it is applied IN PLACE, so it stays a narrow codegen predicate over
+    * the corpus scan).
+    */
+  def curateWithGate(documents: DataFrame,
+                     gate: org.apache.spark.sql.Column,
+                     pairGenerator: DataFrame => DataFrame,
+                     mixRates: Map[String, Int] = Map.empty,
+                     valHexDigits: String = "01234",
+                     budgetTokens: Int = 512): DataFrame =
+    curateTail(documents.filter(gate), pairGenerator, mixRates, valHexDigits, budgetTokens)
+
   def curateWith(documents: DataFrame,
                  pairGenerator: DataFrame => DataFrame,
                  minMeanTokLen: Double = 4.0,
@@ -64,6 +79,15 @@ object Pipelines {
       .filter(col("_mtl").between(minMeanTokLen, maxMeanTokLen) &&
         col("_ttr") >= minTypeToken)
       .drop("_mtl", "_ttr")
+    curateTail(gated, pairGenerator, mixRates, valHexDigits, budgetTokens)
+  }
+
+  /** Stages 2-5, shared by every gate/generator combination. */
+  private def curateTail(gated: DataFrame,
+                         pairGenerator: DataFrame => DataFrame,
+                         mixRates: Map[String, Int],
+                         valHexDigits: String,
+                         budgetTokens: Int): DataFrame = {
     // 2. near-dup dedup computed ON the gated corpus — one anti-join
     val deduped = Dedup.dedupSurvivors(gated, pairGenerator(gated))
     // 3. mixture  4. split  5. packing

@@ -99,11 +99,15 @@ object Text {
     * verbatim in the oracle dialect (RE2 and Java regex agree on the
     * `(?m)` line-anchored patterns used here).
     */
-  def gopherRules(documents: DataFrame,
-                  minWords: Int = 40, maxWords: Int = 100000,
-                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
-                  maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
-                  minStopHits: Int = 1): DataFrame = {
+  /** The Gopher rule signals by NAME (rounded, per-row, null-text-safe) —
+    * the named-fields-not-positions discipline of [[QualityRatios]].
+    */
+  private[graft] final case class GopherSignals(nWords: Column, meanWordLen: Column,
+                                                bulletLineRatio: Column,
+                                                ellipsisLineRatio: Column,
+                                                stopHits: Column)
+
+  private[graft] def gopherSignals: GopherSignals = {
     // null text gates like empty text (every rule DEFINED per row — a null
     // keep flag would poison the AND in a downstream filter)
     val txt = coalesce(col("text"), lit(""))
@@ -112,27 +116,50 @@ object Text {
     // an array aggregate (regexp_replace strips everything that is not a
     // token character)
     val tokChars = length(regexp_replace(lower(txt), "[^a-z0-9]", ""))
-    val meanLen = round(tokChars.cast("double") / greatest(nWords, lit(1)), 6)
     val nLines = size(split(txt, "\n"))
     val bulletLines = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
     val ellipsisLines = size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0)))
     val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = stopWords.map(w =>
-      when(lower(txt).rlike("\\b" + w + "\\b"), 1).otherwise(0))
-      .reduce(_ + _)
+    GopherSignals(
+      nWords.cast("long"),
+      round(tokChars.cast("double") / greatest(nWords, lit(1)), 6),
+      round(bulletLines.cast("double") / greatest(nLines, lit(1)), 6),
+      round(ellipsisLines.cast("double") / greatest(nLines, lit(1)), 6),
+      stopWords.map(w => when(lower(txt).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+        .reduce(_ + _).cast("long"))
+  }
+
+  /** The Gopher keep-predicate as ONE reusable boolean column — what
+    * [[gopherRules]] reports per-rule and [[graft.ops.Pipelines]] applies
+    * in place (the mixKeep/splitExpr single-definition pattern).
+    */
+  private[graft] def gopherKeep(minWords: Int = 40, maxWords: Int = 100000,
+                                minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                                maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+                                minStopHits: Int = 1): Column = {
+    val s = gopherSignals
+    s.nWords >= minWords && s.nWords <= maxWords &&
+      s.meanWordLen >= minMeanLen && s.meanWordLen <= maxMeanLen &&
+      s.bulletLineRatio <= maxBulletRatio &&
+      s.ellipsisLineRatio <= maxEllipsisRatio &&
+      s.stopHits >= minStopHits
+  }
+
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 40, maxWords: Int = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+                  minStopHits: Int = 1): DataFrame = {
+    val s = gopherSignals
     documents.select(
         col("doc_id"),
-        nWords.cast("long").as("n_words"),
-        meanLen.as("mean_word_len"),
-        round(bulletLines.cast("double") / greatest(nLines, lit(1)), 6).as("bullet_line_ratio"),
-        round(ellipsisLines.cast("double") / greatest(nLines, lit(1)), 6).as("ellipsis_line_ratio"),
-        stopHits.cast("long").as("n_stop_hits"))
-      .withColumn("keep",
-        col("n_words") >= minWords && col("n_words") <= maxWords &&
-        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
-        col("bullet_line_ratio") <= maxBulletRatio &&
-        col("ellipsis_line_ratio") <= maxEllipsisRatio &&
-        col("n_stop_hits") >= minStopHits)
+        s.nWords.as("n_words"),
+        s.meanWordLen.as("mean_word_len"),
+        s.bulletLineRatio.as("bullet_line_ratio"),
+        s.ellipsisLineRatio.as("ellipsis_line_ratio"),
+        s.stopHits.as("n_stop_hits"),
+        gopherKeep(minWords, maxWords, minMeanLen, maxMeanLen,
+          maxBulletRatio, maxEllipsisRatio, minStopHits).as("keep"))
       .orderBy("doc_id")
   }
 

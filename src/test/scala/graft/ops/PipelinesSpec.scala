@@ -53,4 +53,20 @@ class PipelinesSpec extends SparkSpec {
     // report (not assert) whether the two pipelines coincide on the fixture
     info(s"fixture: exact=${exactIds.size} lsh=${lshIds.size} identical=${exactIds == lshIds}")
   }
+
+  test("curateWithGate(gopherKeep) equals manual gate + curate tail composition") {
+    import graft.core.Tables
+    val d = Tables.documents(spark, sfDir)
+    val piped = Pipelines.curateWithGate(d, Text.gopherKeep(),
+      Dedup.jaccardPairs(_, 0.5, sorted = false)).collect()
+    assert(piped.nonEmpty)
+    // gate column agrees with the reported keep flag of gopherRules
+    val keepIds = Text.gopherRules(d).filter(org.apache.spark.sql.functions.col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    val gatedIds = d.filter(Text.gopherKeep()).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gatedIds == keepIds, "in-place gate must equal the reported keep flag")
+    // pipeline output is a subset of the gated corpus
+    assert(piped.map(_.getLong(0)).toSet.subsetOf(gatedIds))
+  }
 }
