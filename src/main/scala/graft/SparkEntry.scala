@@ -109,6 +109,21 @@ object SparkEntry {
         .orderBy("err_id", "purchase_id")
     }),
     "q_join_cross" -> ((s, dir) => Relational.crossCount(Tables.nation(s, dir), Tables.region(s, dir))),
+    // skew-mitigation paths ARE semantics-preserving — their oracle is the
+    // PLAIN join/aggregate SQL, which is the whole point of registering them
+    "q_join_salted" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      val dim = Tables.orders(s, dir).select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      Skew.saltedJoin(fact, dim, "k")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_salted_distinct" -> ((s, dir) =>
+      Skew.saltedCountDistinct(Tables.orders(s, dir), "o_orderstatus", "o_custkey")
+        .orderBy("o_orderstatus")),
     "q_scalar_funcs" -> t("orders")(Relational.scalarFunctions),
     // Z-order clustering: per-bucket bounding-box (data-skipping) stats
     "q_zorder" -> t("lineitem")(Layout.zorderStats(_, "l_partkey", "l_suppkey")),
@@ -491,6 +506,15 @@ object SparkEntry {
     // generated beside the operator from the same constants (the
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
+    "q_join_salted" ->
+      // the UNSALTED join — salting must be invisible in the result
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_salted_distinct" ->
+      // the plain COUNT(DISTINCT) — the two-phase salted form must agree
+      """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                  ${DS("CASE WHEN n2.n_name = 'NATION_19' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)} AS nation_revenue,
