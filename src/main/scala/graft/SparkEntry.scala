@@ -132,6 +132,7 @@ object SparkEntry {
     "q_window_lag" -> t("orders")(Windows.orderPriceDelta),
     "q_window_running" -> t("orders")(Windows.runningRevenue),
     "q_window_range" -> t("orders")(Windows.revenueNearby),
+    "q_window_smooth" -> t("orders")(Windows.smoothedPrice),
     "q_window_firstlast" -> t("orders")(Windows.firstLastOrder),
     "q_window_ntile" -> t("part")(Windows.priceQuartiles),
     "q_window_pctrank" -> t("part")(Windows.relativeStanding),
@@ -389,6 +390,7 @@ object SparkEntry {
     "q_events_tumbling" -> t("events")(Events.tumbling),
     "q_events_funnel" -> t("events")(Events.funnel(_)),
     "q_events_zscore" -> t("events")(Events.zscoreAnomalies(_)),
+    "q_events_cohort" -> t("events")(Events.cohortRetention),
     "q_events_sliding" -> t("events")(Events.sliding),
     "q_events_sessions" -> t("events")(Events.sessions),
     "q_events_sessions_lag" -> t("events")(Events.sessionsViaLag(_)),
@@ -622,6 +624,14 @@ object SparkEntry {
          FROM (SELECT *, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s FROM orders)
          WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
                       RANGE BETWEEN 604800 PRECEDING AND 604800 FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_smooth" ->
+      """SELECT o_custkey, o_orderkey,
+                round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                      / COUNT(*) OVER w, 6) AS smoothed_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
     "q_window_firstlast" ->
       """SELECT o_custkey, o_orderkey,
@@ -1335,6 +1345,15 @@ object SparkEntry {
       s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,
                  COUNT(*) AS n, ${DS("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_cohort" ->
+      // ISO-Monday week truncation + integer-exact offset on both engines
+      """WITH cohorts AS (SELECT user_id, date_trunc('week', MIN(ts)) AS c FROM events GROUP BY user_id),
+         activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+         SELECT CAST(floor(epoch(c)) AS BIGINT) AS cohort_week,
+                (CAST(floor(epoch(w)) AS BIGINT) - CAST(floor(epoch(c)) AS BIGINT)) // 604800 AS week_offset,
+                COUNT(*) AS n_users
+         FROM activity JOIN cohorts USING (user_id)
+         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset""",
     "q_events_zscore" ->
       // moments from exact-decimal sums; the anomaly flag derives from the
       // ROUNDED z on both engines (threshold ties cannot flip)

@@ -131,6 +131,34 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** Weekly cohort retention — the product-analytics matrix next to
+    * [[funnel]]: users grouped by first-seen week (the cohort), counted in
+    * every subsequent week they were active, keyed by week offset.
+    *
+    * Plan shape: one aggregate finds each user's cohort week, one distinct
+    * projects (user, active-week) pairs; both key on user_id so the join
+    * is co-partitioned after the first shuffle, and the final aggregate is
+    * over (cohort, offset) — cardinality weeks², never user-sized. Week
+    * truncation (`date_trunc("week")` = ISO Monday) and the offset
+    * (epoch-second difference DIV 604800) are integer-exact on both
+    * engines.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("_cohort"))
+    val activity = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("_week"))
+      .distinct()
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("_cw", unix_timestamp(col("_cohort")))
+      .withColumn("_ww", unix_timestamp(col("_week")))
+      .groupBy(
+        col("_cw").as("cohort_week"),
+        expr("(_ww - _cw) DIV 604800").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Per-type z-score anomaly flags: each event's value standardized
     * against its event_type's mean/std — the monitoring staple. Moments
     * come from ONE hash aggregate with exact-decimal Σv and Σv² (engine-

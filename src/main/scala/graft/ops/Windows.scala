@@ -151,4 +151,22 @@ object Windows {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
       .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Centered sliding frame — the smoothing window the frame family was
+    * missing next to running (unbounded-preceding) and range (time-bound):
+    * each order's price averaged with its ±2 neighbors in per-customer
+    * date order (ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING). Exact-decimal
+    * sum / count keeps the mean bit-stable vs the oracle; the window
+    * partitions by customer — no global sort.
+    */
+  def smoothedPrice(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 2)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .over(w).cast("double") / count(lit(1)).over(w), 6).as("smoothed_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
 }

@@ -96,6 +96,24 @@ class EventsSpec extends SparkSpec {
     assert(Events.asofPurchaseView(e).count() == purchases)
   }
 
+  test("cohortRetention: cohorts by first-seen week, offsets count distinct active weeks") {
+    // 2024-01-01 and 2024-01-08 are Mondays (ISO week starts)
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),  // user 1: cohort wk0
+      (2L, "2024-01-09 10:00:00", 1L, "view", 0.0),  //   active wk1 too
+      (3L, "2024-01-10 11:00:00", 1L, "click", 0.0), //   same week — ONE activity row
+      (4L, "2024-01-08 10:00:00", 2L, "view", 0.0),  // user 2: cohort wk1
+      (5L, "2024-01-03 09:00:00", 3L, "view", 0.0))  // user 3: cohort wk0, only wk0
+    val out = Events.cohortRetention(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wk0 = ts("2024-01-01 00:00:00").getTime / 1000
+    val wk1 = ts("2024-01-08 00:00:00").getTime / 1000
+    assert(out == Map(
+      (wk0, 0L) -> 2L,  // users 1 and 3 active in their cohort week
+      (wk0, 1L) -> 1L,  // only user 1 returns the next week (once, despite 2 events)
+      (wk1, 0L) -> 1L)) // user 2's own cohort
+  }
+
   test("zscoreAnomalies: hand-computed moments; flag derives from the rounded z") {
     // 20 zeros + one spike of 100: mean = 100/21, sample std ≈ 21.822,
     // spike z ≈ 4.365 (> 3), zeros z ≈ -0.218 (clean)

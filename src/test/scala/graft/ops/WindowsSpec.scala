@@ -75,4 +75,19 @@ class WindowsSpec extends SparkSpec {
     assert(rows.length == orders.count())
     assert(rows.sameElements(rows.sorted), "emitted order is not globally sorted")
   }
+
+  test("smoothedPrice: centered +-2 frame, truncated at partition edges") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = (1 to 5).map(i =>
+        (1L, i.toLong, Timestamp.valueOf(f"2024-01-0$i 00:00:00"), i * 10.0)) :+
+      ((2L, 9L, Timestamp.valueOf("2024-01-01 00:00:00"), 70.0))
+    val df = d.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Windows.smoothedPrice(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 1L)) == (10.0 + 20 + 30) / 3)       // left edge: 3-row frame
+    assert(out((1L, 3L)) == (10.0 + 20 + 30 + 40 + 50) / 5) // full 5-row frame
+    assert(out((1L, 5L)) == (30.0 + 40 + 50) / 3)       // right edge
+    assert(out((2L, 9L)) == 70.0, "singleton partition averages itself")
+  }
 }
