@@ -91,6 +91,27 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
       Tables.part(s, dir))),
+    // ---- E+: subquery / decorrelation family (Q2/Q4/Q11/Q13/Q16/Q17/Q18/Q19/Q21/Q22 shapes) ----
+    "q_big_orders" -> ((s, dir) => Subqueries.bigOrders(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
+    "q_priority_exists" -> ((s, dir) => Subqueries.orderPriorityCheck(
+      Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_important_parts" -> t("lineitem")(Subqueries.importantParts(_)),
+    "q_order_count_dist" -> ((s, dir) => Subqueries.orderCountDistribution(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_supplier_counts" -> ((s, dir) => Subqueries.supplierCounts(
+      Tables.lineitem(s, dir), Tables.part(s, dir), Tables.supplier(s, dir))),
+    "q_small_qty_revenue" -> ((s, dir) => Subqueries.smallQuantityRevenue(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_disjunctive_join" -> ((s, dir) => Subqueries.disjunctiveRevenue(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_min_cost_supplier" -> ((s, dir) => Subqueries.minCostSupplier(
+      Tables.lineitem(s, dir), Tables.part(s, dir), Tables.supplier(s, dir),
+      Tables.nation(s, dir))),
+    "q_sole_blame" -> ((s, dir) => Subqueries.soleBlame(
+      Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q_idle_customers" -> ((s, dir) => Subqueries.idleCustomers(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_right" -> ((s, dir) => Relational.joinRight(Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -216,6 +237,8 @@ object SparkEntry {
       (10 to 19).map(i => s"src$i" -> 4).toMap)),
     "q_pack_sequences" -> t("documents")(Text.packSequences(_)),
     "q_source_sample" -> t("documents")(Text.perSourceSample(_)),
+    "q_priority_sample" -> t("documents")(Text.prioritySample(_)),
+    "q_quality_fit" -> t("documents")(Text.diversityFit),
     "q_source_stats" -> t("documents")(Text.sourceStats),
     "q_dedup_keeplist" -> t("documents")(Dedup.dedupKeepList(_, 0.5)),
     // incremental (batch-over-corpus) dedup: the fixture has no exact dups,
@@ -301,6 +324,9 @@ object SparkEntry {
     }),
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion(_)),
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
+    "q_knn_graph" -> t("embeddings")(Similarity.knnGraph(_, 5)),
+    // sub-quadratic kNN-graph path; no oracle: LSH recall (spec-asserted)
+    "q_knn_graph_lsh" -> t("embeddings")(Similarity.knnGraphLsh(_, 5)),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
     "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // no oracle: quantized scores
@@ -535,6 +561,97 @@ object SparkEntry {
             AND o_orderdate >= TIMESTAMP '1995-01-01'
             AND o_orderdate < TIMESTAMP '1999-01-01'
           GROUP BY o_year ORDER BY o_year""",
+    "q_big_orders" ->
+      s"""WITH q AS (
+            SELECT l_orderkey AS qk, ${DS("l_quantity")} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING ${DS("l_quantity")} > 200.0)
+          SELECT c_custkey, c_name, o_orderkey,
+                 CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
+                 round(o_totalprice, 2) AS o_totalprice, sum_qty
+          FROM orders JOIN q ON o_orderkey = qk
+          JOIN customer ON o_custkey = c_custkey
+          ORDER BY sum_qty DESC, o_orderkey LIMIT 100""",
+    "q_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_important_parts" ->
+      s"""WITH v AS (
+            SELECT l_partkey, ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS part_value
+            FROM lineitem GROUP BY l_partkey)
+          SELECT l_partkey, part_value FROM v
+          WHERE part_value > 0.0008 * (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE) FROM v)
+          ORDER BY part_value DESC, l_partkey""",
+    "q_order_count_dist" ->
+      """WITH counts AS (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN (
+             SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+             ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT c_count, COUNT(*) AS custdist FROM counts
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_supplier_counts" ->
+      """SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size BETWEEN 1 AND 25
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type
+         ORDER BY supplier_cnt DESC, p_brand, p_type""",
+    "q_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#13'
+           AND l_quantity < 0.5 * (
+             SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)
+             FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""",
+    "q_disjunctive_join" ->
+      s"""SELECT ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+                 COUNT(*) AS n_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+             OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""",
+    "q_min_cost_supplier" ->
+      """WITH offers AS (
+           SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer_price
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT p_partkey, p_name, s_name, n_name,
+                round(s_acctbal, 2) AS s_acctbal, offer_price AS min_price
+         FROM offers
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_type = 'PROMO' AND p_size >= 45
+           AND offer_price = (SELECT MIN(o2.offer_price) FROM offers o2
+                              WHERE o2.l_partkey = offers.l_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""",
+    "q_sole_blame" ->
+      """WITH rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+            al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+         SELECT s_name, numwait FROM (
+           SELECT l_suppkey, COUNT(*) AS numwait
+           FROM rl l1
+           WHERE EXISTS (SELECT 1 FROM al l2
+                         WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM rl l3
+                             WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+           GROUP BY l_suppkey) w
+         JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY numwait DESC, s_name""",
+    "q_idle_customers" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_custs, ${DS("c_acctbal")} AS total_bal
+          FROM customer
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal)
+                             FROM customer WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_join_inner" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1232,6 +1349,45 @@ object SparkEntry {
          r AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM p)
          SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r
          WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                        / (a.nrm * b.nrm) AS sim
+               FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, neighbor_id, sim,
+                      CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+               FROM s)
+         SELECT vec_id, neighbor_id, round(sim, 6) AS sim, rn
+         FROM r WHERE rn <= 5 ORDER BY vec_id, rn""",
+    "q_priority_sample" ->
+      """SELECT doc_id, source, greatest(n_chars, 1) AS w,
+                CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+                  / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+         FROM documents ORDER BY priority, doc_id LIMIT 100""",
+    "q_quality_fit" ->
+      """WITH s AS (SELECT source,
+                len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS x,
+                round(CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+                      / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS y
+           FROM documents),
+         a AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(y * y AS DECIMAL(18,12))) AS DOUBLE) AS syy
+               FROM s GROUP BY source),
+         d AS (SELECT source, n, sx, sy, sxy, sxx, syy,
+                 n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+                 n * sxy - sx * sy AS cov
+               FROM a)
+         SELECT source, CAST(n AS BIGINT) AS n_docs,
+                CASE WHEN dx <> 0 THEN cov / dx END AS slope,
+                CASE WHEN dx <> 0 THEN (sy - (cov / dx) * sx) / n END AS intercept,
+                CASE WHEN dx <> 0 AND dy <> 0 THEN (cov * cov) / (dx * dy) END AS r2
+         FROM d ORDER BY source""",
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)

@@ -577,6 +577,74 @@ object Similarity {
     if (sorted) out.orderBy("id_a", "id_b") else out
   }
 
+  /** Exact k-nearest-neighbor graph: every vector's top-k cosine neighbors
+    * — the similarity structure curation pipelines build once and reuse
+    * (SemDeDup clustering, diversity sampling, graph-based filtering).
+    *
+    * Pair generation is the same block-partitioned equi-join as
+    * [[cosineDupPairs]] (no BNLJ, n²/nBlocks per task), computed ONCE per
+    * unordered pair and mirrored into both directions before the per-node
+    * top-k window — dot products are symmetric, so this halves the join
+    * work against a naive `a ≠ b` self-join. Quadratic by definition: like
+    * `q_cosine_pairs` this is the fixture-scale oracle anchor; the 100 TB
+    * path is [[knnGraphLsh]], same output shape with bucketed candidates.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, nBlocks: Int = 32): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val own = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      pmod(col("vec_id"), lit(nBlocks.toLong)).as("blk"))
+    val repl = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .withColumn("blk", explode(array((0 until nBlocks).map(b => lit(b.toLong)): _*)))
+      .repartition(nBlocks, col("blk"))
+    val und = repl.join(own, repl("blk") === own("blk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+    val directed = und.unionByName(
+      und.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("sim")))
+    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b"))
+    directed
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+      .orderBy("vec_id", "rn")
+  }
+
+  /** Sub-quadratic k-NN graph — the 100 TB path for [[knnGraph]]:
+    * multi-table hyperplane-LSH buckets generate candidate edges (same
+    * [[lshSignatures]] machinery as [[annTopK]]/[[cosinePairsLsh]], so the
+    * recall math is shared), exact cosine + per-node top-k run on
+    * candidates only. A node's emitted neighbors are a subset of its exact
+    * top candidates with EXACT similarities; recall vs [[knnGraph]] is
+    * asserted in SimilaritySpec (rows-only by declared LSH-recall policy).
+    * Nodes whose buckets collide with nothing emit no rows — at corpus
+    * scale raise L for recall, b for bucket selectivity.
+    */
+  def knnGraphLsh(embeddings: DataFrame, k: Int = 5,
+                  nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val sigs = lshSignatures(e, nTables, bitsPerTable, dim)
+      .withColumnRenamed("sig_id", "vec_id")
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val sim = cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b"))
+    sim.select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+      .orderBy("vec_id", "rn")
+  }
+
   final case class EmbeddingRow(vec_id: Long, embedding: Array[Float], label: Int)
 
   /** Per-label embedding centroid via the typed [[graft.functions.VecMeanAggregator]]

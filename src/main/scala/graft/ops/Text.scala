@@ -817,6 +817,89 @@ object Text {
       .orderBy("source", "rn")
   }
 
+  /** Weighted corpus sample via deterministic PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, "Priority sampling for estimation of arbitrary
+    * subset sums", JACM 2007): each document draws priority
+    * u/w — u a 48-bit md5-derived uniform ([[gramHash48]] family), w its
+    * weight (here `n_chars`, i.e. sample ∝ length) — and the n smallest
+    * priorities win. Inclusion probability is ≈ min(1, w/τ) with τ the
+    * (n+1)-th priority, so heavy documents are favored exactly as
+    * weight-proportional sampling wants, yet the draw is reproducible,
+    * engine-portable, and growth-stable (a doc's priority never changes
+    * when the corpus grows — same contract as [[trainValSplit]]).
+    *
+    * Everything is integer hashing plus ONE double division (IEEE
+    * correctly-rounded on every engine — the reason this uses u/w order
+    * rather than the Efraimidis–Spirakis u^(1/w) key, whose pow/log are
+    * not bit-portable across runtimes). Plan: narrow projection →
+    * TakeOrderedAndProject(n) — no global sort, no shuffle beyond the
+    * top-n reduction.
+    */
+  def prioritySample(documents: DataFrame, n: Int = 100): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+    documents
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars").cast("long"), lit(1L)).as("w"))
+      .withColumn("priority", u.cast("double") / col("w").cast("double"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(n)
+  }
+
+  /** Distributed closed-form least squares: per-group simple linear
+    * regression from one aggregation pass — slope, intercept, r² via the
+    * normal equations over exact-decimal sums (Sx, Sy, Sxy, Sxx, Syy).
+    * The model-calibration primitive a curation pipeline runs to answer
+    * "does X predict quality signal Y per source?" without ever leaving
+    * the engine: the fit is algebraic (partial-aggregable map-side), so at
+    * 100 TB it costs exactly one hash aggregate — no iteration, no driver
+    * math, no sampling.
+    *
+    * Portability contract (the [[graft.ops.Helpers.dsum]] discipline): x
+    * must be integral-valued and y fixed-decimal (≤ 6 places) so every sum
+    * is exact in DECIMAL; the slope/intercept/r² divisions then run in
+    * double over identical operands on any engine. Degenerate groups
+    * (constant x or constant y) yield null slope/r² rather than ±Inf.
+    */
+  def linearFit(data: DataFrame, x: Column, y: Column, group: Column): DataFrame = {
+    val fitted = data
+      .select(group.as("grp"), x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("double").as("_n"),
+        Helpers.dsum(col("_x"), 6).as("_sx"),
+        Helpers.dsum(col("_y"), 6).as("_sy"),
+        Helpers.dsum(col("_x") * col("_y"), 6).as("_sxy"),
+        Helpers.dsum(col("_x") * col("_x"), 6).as("_sxx"),
+        Helpers.dsum(col("_y") * col("_y"), 12).as("_syy"))
+      .withColumn("_dx", col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_dy", col("_n") * col("_syy") - col("_sy") * col("_sy"))
+      .withColumn("_cov", col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+    fitted
+      .select(col("grp"),
+        col("_n").cast("long").as("n_docs"),
+        when(col("_dx") =!= 0.0, col("_cov") / col("_dx")).as("slope"),
+        when(col("_dx") =!= 0.0,
+          (col("_sy") - (col("_cov") / col("_dx")) * col("_sx")) / col("_n")).as("intercept"),
+        when(col("_dx") =!= 0.0 && col("_dy") =!= 0.0,
+          (col("_cov") * col("_cov")) / (col("_dx") * col("_dy"))).as("r2"))
+      .orderBy("grp")
+  }
+
+  /** [[linearFit]] instantiated on the quality surface: per source, does
+    * document length (token count) predict lexical diversity
+    * (type-token ratio)? The negative slope this finds on any natural
+    * corpus is the classic TTR-length effect — the calibration a
+    * length-normalized diversity filter needs.
+    */
+  def diversityFit(documents: DataFrame): DataFrame = {
+    val nTok = size(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+    linearFit(
+      documents.select(col("source"), nTok.as("_nt"),
+        qualityRatios.typeTokenRatio),
+      col("_nt"), col("type_token_ratio"), col("source"))
+      .withColumnRenamed("grp", "source")
+  }
+
   /** Per-source corpus statistics — the audit table a mixture design reads
     * first: document counts, token totals, mean document length. One hash
     * aggregate; token totals in exact decimal for engine portability.

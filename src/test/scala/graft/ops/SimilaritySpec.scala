@@ -261,4 +261,36 @@ class SimilaritySpec extends SparkSpec {
     val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == all)
   }
+
+  test("knnGraph: exactly k ranked neighbors per node; agrees with cosineTopK on the query prefix") {
+    val e = Tables.embeddings(spark, sfDir)
+    val g = Similarity.knnGraph(e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val n = e.count()
+    assert(g.groupBy(_._1).size == n, "every node must appear")
+    g.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length == 5, s"node $id: ${rows.length} neighbors")
+      assert(rows.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+    // the independent brute-force ranker (broadcast-queries formulation)
+    // must produce identical edges for the nodes it covers
+    val ct = Similarity.cosineTopK(e, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(g.filter(_._1 < 5).toSet == ct)
+  }
+
+  test("knnGraphLsh: top-1 sim never beats exact; top-1 recall floor at (L=8, b=4)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact1 = Similarity.knnGraph(e, k = 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val lsh1 = Similarity.knnGraphLsh(e, k = 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    lsh1.foreach { case (id, (_, sim)) =>
+      assert(sim <= exact1(id)._2 + 1e-9, s"node $id: LSH sim beats exact optimum")
+    }
+    val hits = lsh1.count { case (id, (nb, _)) => exact1(id)._1 == nb }
+    // same hash family as annTopK (~0.8 expected top-1 recall at the
+    // fixture's ~0.45 neighbor cosines); conservative floor at half
+    assert(hits * 2 >= lsh1.size, s"kNN-graph LSH top-1 recall too low: $hits of ${lsh1.size}")
+  }
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+
+/** Plan + value audit for the subquery/decorrelation family: EXISTS must
+  * plan as a semi join, NOT EXISTS / NOT IN as an anti join, scalar
+  * subqueries as 1-row broadcasts (the only sanctioned BNLJ), correlated
+  * aggregates as group-by + equi-join — and never a CartesianProduct.
+  */
+class SubqueriesSpec extends SparkSpec {
+
+  private val family = Seq(
+    "q_big_orders", "q_priority_exists", "q_important_parts",
+    "q_order_count_dist", "q_supplier_counts", "q_small_qty_revenue",
+    "q_disjunctive_join", "q_min_cost_supplier", "q_sole_blame",
+    "q_idle_customers")
+
+  test("whole family: rows at sf0.001, no CartesianProduct, BNLJ only for 1-row scalar broadcasts") {
+    for (name <- family) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.sparkPlan
+      assert(plan.collect { case j: CartesianProductExec => j }.isEmpty, s"$name:\n$plan")
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      // the scalar-subquery composites carry exactly one 1-row aggregate
+      // broadcast; everything else must have zero BNLJ
+      val allowed = Map("q_important_parts" -> 1, "q_idle_customers" -> 1)
+      assert(bnlj.size <= allowed.getOrElse(name, 0), s"$name: unexpected BNLJ:\n$plan")
+      assert(df.limit(1).count() == 1, s"$name must select rows at sf0.001")
+    }
+  }
+
+  test("q_priority_exists: Catalyst rewrites EXISTS to a left-semi join with the date range pushed") {
+    val plan = SparkEntry.queries("q_priority_exists")(spark, sfDir).queryExecution.sparkPlan
+    val semis = plan.collect { case j: BaseJoinExec if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"EXISTS must become a semi join:\n$plan")
+    val pushed = plan.collect { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters"))
+      .exists(f => f.contains("o_orderdate") && f.contains("GreaterThanOrEqual"))
+    assert(pushed, s"o_orderdate range must reach the parquet scan:\n$plan")
+  }
+
+  test("q_sole_blame: one semi + one anti join, both over key-only pre-deduped pairs") {
+    val plan = SparkEntry.queries("q_sole_blame")(spark, sfDir).queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec if j.joinType == LeftSemi => j }.nonEmpty,
+      s"participation EXISTS must be a semi join:\n$plan")
+    assert(plan.collect { case j: BaseJoinExec if j.joinType == LeftAnti => j }.nonEmpty,
+      s"sole-return NOT EXISTS must be an anti join:\n$plan")
+  }
+
+  test("q_idle_customers / q_supplier_counts: NOT EXISTS / NOT IN plan as anti joins") {
+    for (name <- Seq("q_idle_customers", "q_supplier_counts")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      assert(plan.collect { case j: BaseJoinExec if j.joinType == LeftAnti => j }.nonEmpty,
+        s"$name:\n$plan")
+    }
+  }
+
+  test("q_disjunctive_join: equi key separates from the OR residual — broadcast hash join, no BNLJ") {
+    val plan = SparkEntry.queries("q_disjunctive_join")(spark, sfDir).queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"the partkey equi half must drive a hash join:\n$plan")
+    assert(bhj.exists(_.condition.nonEmpty),
+      s"the brand/size/quantity disjunction must ride as a residual condition:\n$plan")
+  }
+
+  test("q_small_qty_revenue: correlated scalar AVG decorrelates; SQL and DataFrame forms agree") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions._
+    import Helpers._
+    val plan = SparkEntry.queries("q_small_qty_revenue")(spark, sfDir).queryExecution.sparkPlan
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty, plan.toString)
+    // hand-decorrelated DataFrame re-statement: per-part avg joined back
+    val li = Tables.lineitem(spark, sfDir)
+    val perPart = li.groupBy(col("l_partkey").as("ap_partkey")).agg(davg(col("l_quantity")).as("avg_qty"))
+    val want = li
+      .join(broadcast(Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#13").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      .collect().toSeq
+    val got = SparkEntry.queries("q_small_qty_revenue")(spark, sfDir).collect().toSeq
+    assert(got == want, s"SQL-subquery form $got != decorrelated DataFrame form $want")
+  }
+
+  test("q_min_cost_supplier: ties keep every achieving supplier; min is per-part") {
+    val rows = SparkEntry.queries("q_min_cost_supplier")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("min_price")))
+    // one min price per part, regardless of how many suppliers achieve it
+    rows.groupBy(_._1).foreach { case (pk, grp) =>
+      assert(grp.map(_._2).distinct.size == 1, s"part $pk has multiple 'min' prices")
+    }
+  }
+}

@@ -315,4 +315,57 @@ class TextSpec extends SparkSpec {
     val again = Text.temperatureMixture(d, targetTotal = 100)
     assert(out.collect().toSeq == again.collect().toSeq)
   }
+
+  test("prioritySample: deterministic, exact size, and weight-biased toward long documents") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val s1 = Text.prioritySample(d, 50).collect()
+    val s2 = Text.prioritySample(d, 50).collect()
+    assert(s1.toSeq == s2.toSeq, "md5-derived priorities must be reproducible")
+    assert(s1.length == 50)
+    // E[w | sampled] ≈ E[w²]/E[w] > E[w]: a length-weighted draw must
+    // overrepresent long documents vs the corpus mean
+    val meanSampled = s1.map(_.getAs[Long]("w")).sum.toDouble / s1.length
+    val corpusMean = d.agg(org.apache.spark.sql.functions.avg(
+      org.apache.spark.sql.functions.greatest(col("n_chars"),
+        org.apache.spark.sql.functions.lit(1L)))).head().getDouble(0)
+    assert(meanSampled > corpusMean,
+      s"sample mean weight $meanSampled should exceed corpus mean $corpusMean")
+  }
+
+  test("linearFit: closed form matches local least squares; constant-x group degrades to nulls") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 2.9), ("a", 3.0, 4.1), ("a", 4.0, 5.0),
+      ("b", 2.0, 7.0), ("b", 2.0, 9.0)
+    ).toDF("g", "x", "y")
+    val out = Text.linearFit(df, col("x"), col("y"), col("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // local reference fit for group a
+    val xs = Seq(1.0, 2.0, 3.0, 4.0); val ys = Seq(2.0, 2.9, 4.1, 5.0)
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val a = out("a")
+    assert(math.abs(a.getAs[Double]("slope") - slope) < 1e-9)
+    assert(math.abs(a.getAs[Double]("intercept") - icept) < 1e-9)
+    assert(a.getAs[Double]("r2") > 0.98, "near-linear data must fit tightly")
+    val b = out("b")
+    assert(b.isNullAt(b.fieldIndex("slope")) && b.isNullAt(b.fieldIndex("r2")),
+      "constant x has no defined fit")
+  }
+
+  test("diversityFit: finds the negative TTR-length slope on every fixture source") {
+    val fit = Text.diversityFit(graft.core.Tables.documents(spark, sfDir)).collect()
+    assert(fit.nonEmpty)
+    fit.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("slope")), s"${r.getString(0)}: degenerate fit")
+      assert(r.getAs[Double]("slope") < 0.0,
+        s"${r.getString(0)}: TTR should fall with document length")
+      assert(r.getAs[Double]("r2") > 0.5, s"${r.getString(0)}: fit should be strong on the fixture")
+    }
+  }
 }
