@@ -63,9 +63,14 @@ object Bench {
     }
     val calib = calibrate()
 
+    // local-iteration filter (same contract as Verify): comma-separated
+    // query names; unset = all. Official driver captures never set it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // (name, first-run seconds, min-across-reps seconds) or error
     val results: Seq[(String, Either[String, (Double, Double)])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .sortBy(_._1).map { case (name, fn) =>
         try {
           val times = (1 to reps).map(_ => timeOnce(() => fn(spark, sfDir).count()))
           name -> Right((times.head, times.min))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.VectorExpressions
-import graft.functions.VectorExpressions.{DotProduct, L2Norm}
+import graft.functions.VectorExpressions.{DotProduct, L2Norm, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: makes the native vector expressions
   * available from SQL text in any session built with
@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "vec_norm"),
       (children: Seq[Expression]) => VectorExpressions.normBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => VectorExpressions.intersectSizeBuilder(children)))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
@@ -124,6 +124,68 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** sorted_intersect_size(a, b) = |A ∩ B| for two SORTED-ascending
+    * distinct long arrays (the shape `Dedup.shingleArrays*` emit) — a
+    * single allocation-free merge scan instead of `size(array_intersect)`,
+    * which builds an OpenHashSet AND materializes the intersection array
+    * per pair only to take its length. On the dedup verify stage the pair
+    * count is what scales, so the per-pair constant is the hot path.
+    *
+    * PRECONDITION (unchecked, documented): both arrays sorted ascending
+    * with distinct elements. On unsorted input the merge undercounts —
+    * callers own the invariant, which shingleArrays guarantees at build
+    * time. Null array → null; null element → null (same discipline as
+    * [[DotProduct]]).
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (nx, ny) = (x.numElements(), y.numElements())
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        if (x.isNullAt(i) || y.isNullAt(j)) return null
+        val u = x.getLong(i); val v = y.getLong(j)
+        if (u < v) i += 1
+        else if (u > v) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val u = ctx.freshName("u"); val v = ctx.freshName("v")
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |int $i = 0, $j = 0, $c = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  long $u = $a.getLong($i);
+           |  long $v = $b.getLong($j);
+           |  if ($u < $v) $i++;
+           |  else if ($u > $v) $j++;
+           |  else { $c++; $i++; $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column-API entry points. Any numeric-array input is accepted — a Cast
     * to array<double> is inserted at analysis (no-op when already double),
     * so calling these directly on the fixture's array<float> embedding
@@ -137,6 +199,14 @@ object VectorExpressions {
   def vec_norm(a: Column): Column =
     GraftSqlBridge.column(L2Norm(asDoubleArray(GraftSqlBridge.expression(a))))
 
+  private def asLongArray(e: Expression): Expression =
+    Cast(e, ArrayType(LongType, containsNull = true))
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectSize(
+      asLongArray(GraftSqlBridge.expression(a)),
+      asLongArray(GraftSqlBridge.expression(b))))
+
   /** Expression builders for SQL registration (GraftExtensions) — same
     * analysis-time cast discipline as the Column API.
     */
@@ -148,5 +218,11 @@ object VectorExpressions {
   def normBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 1, s"vec_norm expects 1 argument, got ${children.length}")
     L2Norm(asDoubleArray(children.head))
+  }
+
+  def intersectSizeBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"sorted_intersect_size expects 2 arguments, got ${children.length}")
+    SortedIntersectSize(asLongArray(children(0)), asLongArray(children(1)))
   }
 }

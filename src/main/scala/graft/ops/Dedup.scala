@@ -57,6 +57,10 @@ object Dedup {
             val out = new Array[Long](seen.size)
             val itr = seen.iterator(); var k = 0
             while (itr.hasNext) { out(k) = itr.next(); k += 1 }
+            // sorted ascending: set semantics make order free, and the
+            // sorted form is the SortedIntersectSize precondition — the
+            // verify stage's merge scan replaces a per-pair hash build
+            java.util.Arrays.sort(out)
             (id, out)
           }
         }
@@ -100,6 +104,10 @@ object Dedup {
             val out = new Array[Long](seen.size)
             val itr = seen.iterator(); var k = 0
             while (itr.hasNext) { out(k) = itr.next(); k += 1 }
+            // sorted ascending: set semantics make order free, and the
+            // sorted form is the SortedIntersectSize precondition — the
+            // verify stage's merge scan replaces a per-pair hash build
+            java.util.Arrays.sort(out)
             (id, out)
           }
         }
@@ -195,8 +203,10 @@ object Dedup {
     // itself is the bottleneck.
     val prefix =
       if (!orderByDocFreq) {
+        // sh is sorted ascending at build time (shingleArrays invariant),
+        // so the hash-order prefix is a plain slice — no per-row sort
         arrs.select(col("doc_id"), size(col("sh")).as("n_sh"),
-            explode(slice(array_sort(col("sh")), lit(1),
+            explode(slice(col("sh"), lit(1),
               greatest(lit(0), (size(col("sh")) -
                 ceil(lit(threshold) * size(col("sh"))) + 1).cast("int"))))
               .as("shingle"))
@@ -231,8 +241,9 @@ object Dedup {
     val verified = cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      // |A∪B| = |A|+|B|-|A∩B|: one set-build per pair instead of two
-      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A|+|B|-|A∩B|; sorted arrays → allocation-free codegen
+      // merge scan (SortedIntersectSize) instead of a per-pair hash build
+      .withColumn("_inter", graft.functions.VectorExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         round(col("_inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
@@ -309,8 +320,9 @@ object Dedup {
     val verified = cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      // |A∪B| = |A|+|B|-|A∩B|: one set-build per pair instead of two
-      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A|+|B|-|A∩B|; sorted arrays → allocation-free codegen
+      // merge scan (SortedIntersectSize) instead of a per-pair hash build
+      .withColumn("_inter", graft.functions.VectorExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         round(col("_inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
