@@ -6,10 +6,11 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,13 +63,17 @@ object ChunkedSource {
     StructField("payload", StringType, nullable = false)))
 }
 
-private class ChunkedTable(numRows: Long, numChunks: Int) extends Table with SupportsRead {
+private class ChunkedTable(numRows: Long, numChunks: Int) extends Table
+  with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_chunked($numRows rows, $numChunks chunks)"
   override def schema(): StructType = ChunkedSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChunkedScanBuilder(numRows, numChunks)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ChunkedWriteBuilder(info)
 }
 
 /** Aggregate functions the source can answer from chunk metadata. */
@@ -289,4 +294,84 @@ private class ChunkedAggReaderFactory(filters: Array[Filter],
       override def close(): Unit = ()
     }
   }
+}
+
+/** The write half of the connector: the full DataSourceV2 two-phase commit
+  * protocol — per-task buffering `DataWriter`s, rows shipped to the driver
+  * as `WriterCommitMessage`s, and an ATOMIC driver-side publish in
+  * `BatchWrite.commit` (nothing is visible until every task committed;
+  * a failed/aborted job leaves the sink exactly as it was). `truncate()`
+  * implements overwrite mode.
+  *
+  * The destination is an in-JVM store keyed by the `target` option — the
+  * test double standing where a remote service client would (the same
+  * deliberate synthetic-endpoint trade as the read half's generator loop;
+  * reference bqfetch/bqfetch.py:85-93 `create_table` / temp-table writes).
+  * What this demonstrates is the PROTOCOL a real connector needs: task
+  * commit messages, idempotent driver commit, abort semantics. Shipping
+  * rows via commit messages is the textbook shape for small sinks; a
+  * volume sink would write from the task and ship only manifests.
+  */
+object ChunkedSink {
+  final case class SinkRow(id: Long, chunk: Int, payload: String)
+  private val store =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[SinkRow]]()
+
+  def rows(target: String): Vector[SinkRow] =
+    store.getOrDefault(target, Vector.empty)
+  def exists(target: String): Boolean = store.containsKey(target)
+  def drop(target: String): Unit = store.remove(target)
+  def clearAll(): Unit = store.clear()
+
+  private[sources] def publish(target: String, rows: Vector[SinkRow],
+                               truncate: Boolean): Unit =
+    store.compute(target, (_, prev) => {
+      val base = if (truncate || prev == null) Vector.empty else prev
+      base ++ rows
+    })
+}
+
+private class ChunkedWriteBuilder(info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ChunkedBatchWrite(
+      Option(info.options.get("target")).getOrElse("default"), doTruncate)
+  }
+}
+
+private case class ChunkedCommit(rows: Array[ChunkedSink.SinkRow])
+  extends WriterCommitMessage
+
+private class ChunkedBatchWrite(target: String, truncate: Boolean)
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ChunkedWriterFactory
+  /** Driver-side atomic publish: runs once, after EVERY task committed —
+    * partial task output can never become visible (tasks only buffer).
+    * Deterministic order: tasks arrive unordered, so rows are sorted by id
+    * before publishing (the sink is a set-semantics table keyed by id).
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .flatMap(_.asInstanceOf[ChunkedCommit].rows)
+      .toVector.sortBy(r => (r.id, r.chunk))
+    ChunkedSink.publish(target, rows, truncate)
+  }
+  /** Nothing was published, task buffers die with their tasks — the sink
+    * is untouched by construction. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private object ChunkedWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = ArrayBuffer.empty[ChunkedSink.SinkRow]
+      override def write(row: InternalRow): Unit =
+        buf += ChunkedSink.SinkRow(row.getLong(0), row.getInt(1), row.getString(2))
+      override def commit(): WriterCommitMessage = ChunkedCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }

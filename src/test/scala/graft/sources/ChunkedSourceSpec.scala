@@ -103,4 +103,79 @@ class ChunkedSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .groupBy("chunk").agg(count(lit(1)).as("n"))
     assert(agg.collect().map(_.getLong(1)).sum == 250)
   }
+
+  // ---- write path: the DSv2 two-phase commit protocol ----
+
+  private def freshTarget(name: String): String = {
+    val t = s"spec_${name}_${System.nanoTime()}"
+    graft.sources.ChunkedSink.drop(t); t
+  }
+
+  private def sinkDf(rows: Seq[(Long, Int, String)]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("id", "chunk", "payload")
+  }
+
+  test("write: append publishes atomically on commit; round-trips through the store") {
+    val t = freshTarget("append")
+    sinkDf(Seq((1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c")))
+      .repartition(3) // exercise multiple task writers + commit messages
+      .write.format("graft.sources.ChunkedSource")
+      .option("target", t).mode("append").save()
+    assert(graft.sources.ChunkedSink.rows(t).map(r => (r.id, r.chunk, r.payload)) ==
+      Vector((1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c")))
+    // second append accumulates
+    sinkDf(Seq((4L, 1, "d"))).write.format("graft.sources.ChunkedSource")
+      .option("target", t).mode("append").save()
+    assert(graft.sources.ChunkedSink.rows(t).map(_.id) == Vector(1L, 2L, 3L, 4L))
+    graft.sources.ChunkedSink.drop(t)
+  }
+
+  test("write: overwrite truncates the target before publishing") {
+    val t = freshTarget("overwrite")
+    sinkDf(Seq((1L, 0, "old"))).write.format("graft.sources.ChunkedSource")
+      .option("target", t).mode("append").save()
+    sinkDf(Seq((9L, 2, "new"))).write.format("graft.sources.ChunkedSource")
+      .option("target", t).mode("overwrite").save()
+    assert(graft.sources.ChunkedSink.rows(t).map(r => (r.id, r.payload)) ==
+      Vector((9L, "new")))
+    graft.sources.ChunkedSink.drop(t)
+  }
+
+  test("write: a failing task aborts the job and the sink is untouched (atomicity)") {
+    val t = freshTarget("abort")
+    sinkDf(Seq((1L, 0, "keep"))).write.format("graft.sources.ChunkedSource")
+      .option("target", t).mode("append").save()
+    val before = graft.sources.ChunkedSink.rows(t)
+    val poisoned = sinkDf(Seq((2L, 0, "x"), (3L, 0, "boom")))
+      .withColumn("chunk",
+        when(col("payload") === "boom",
+          (lit(1) / lit(0)).cast("int")).otherwise(col("chunk")))
+    // division by zero under ANSI off yields null -> null.getInt fails in
+    // the writer; either way the JOB must fail and publish must not happen
+    val failed = try {
+      poisoned.na.drop().write.format("graft.sources.ChunkedSource")
+        .option("target", t).mode("append").save()
+      false
+    } catch { case _: Throwable => true }
+    if (!failed) {
+      // na.drop removed the poison row — force a real task failure instead
+      val spark2 = spark
+      import spark2.implicits._
+      val thrown = try {
+        spark2.range(2).map { i =>
+          if (i == 1) throw new RuntimeException("task failure")
+          (i, 0, "z")
+        }.toDF("id", "chunk", "payload")
+          .write.format("graft.sources.ChunkedSource")
+          .option("target", t).mode("append").save()
+        false
+      } catch { case _: Throwable => true }
+      assert(thrown, "poisoned write job must fail")
+    }
+    assert(graft.sources.ChunkedSink.rows(t) == before,
+      "a failed job must leave the sink exactly as it was")
+    graft.sources.ChunkedSink.drop(t)
+  }
 }
