@@ -151,6 +151,10 @@ object SparkEntry {
       Skew.saltedCountDistinct(Tables.orders(s, dir), "o_orderstatus", "o_custkey")
         .orderBy("o_orderstatus")),
     "q_scalar_funcs" -> t("orders")(Relational.scalarFunctions),
+    // typed cogroup (KeyValueGroupedDataset) — deliberately computes a
+    // join-expressible rollup so the typed path carries a plain-SQL oracle
+    "q_cogroup_rollup" -> ((s, dir) => Typed.customerOrderRollup(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
     // Z-order clustering: per-bucket bounding-box (data-skipping) stats
     "q_zorder" -> t("lineitem")(Layout.zorderStats(_, "l_partkey", "l_suppkey")),
     // ---- F: windows / sorts / limits ----
@@ -540,6 +544,11 @@ object SparkEntry {
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
     "q_pagerank" -> Graph.pageRankOracleSql(),
+    "q_cogroup_rollup" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+                CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_price
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "q_join_salted" ->
       // the UNSALTED join — salting must be invisible in the result
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${DS("l_extendedprice")} AS sum_price

@@ -22,12 +22,14 @@ import org.apache.spark.sql.types.DecimalType
 object Graph {
 
   /** Damped PageRank, `iters` fixed synchronous iterations:
-    * r⁰ = 1/n;  r^{t+1}(v) = (1−d)/n + d·Σ_{u→v} r^t(u)/outdeg(u).
-    *
-    * PRECONDITION: every node reachable as `dst` must also have at least
-    * one out-edge (no dangling mass — true by construction for symmetric/
-    * undirected graphs, which is how the registered query feeds it; a
-    * dangling extension would add the lost-mass redistribution term).
+    * r⁰ = 1/n;  r^{t+1}(v) = (1−d)/n + d·(Σ_{u→v} r^t(u)/outdeg(u) + D^t/n)
+    * where D^t is the total rank on DANGLING nodes (no out-edges) —
+    * the standard lost-mass redistribution, so ranks stay a probability
+    * vector on arbitrary directed graphs. Dangling nodes are detected
+    * once at construction; when there are none (every symmetric graph,
+    * e.g. the registered co-purchase query) the correction term is
+    * omitted ENTIRELY, leaving those plans — and their oracle
+    * arithmetic — exactly as before.
     *
     * Scale shape: edges are deduped, lineage-truncated (localCheckpoint)
     * and hash-partitioned once; each iteration is one join (edges ⋈ ranks,
@@ -61,6 +63,12 @@ object Graph {
       .repartition(nParts, col("node"))
       .localCheckpoint()
     val n = nodes.count().toDouble // construction job (see scaladoc)
+    // dangling detection — one cheap key-only anti-join job; a symmetric
+    // graph has none and skips the per-iteration correction entirely
+    val dangling = nodes
+      .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = dangling.limit(1).count() > 0
     // both constants derived with the same double ops the oracle writes:
     // 1/n and (1 - d)/n — identical IEEE sequences on both engines
     val teleport = (1.0 - damping) / n
@@ -82,11 +90,27 @@ object Graph {
           (col("rank") / col("outdeg")).cast(DecimalType(28, 18)).as("c"))
         .groupBy("node")
         .agg(sum("c").as("csum"))
-      val plan = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + lit(damping) *
-            coalesce(col("csum").cast("double"), lit(0.0))).as("rank"))
+      val plan = if (!hasDangling) {
+        nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) + lit(damping) *
+              coalesce(col("csum").cast("double"), lit(0.0))).as("rank"))
+      } else {
+        // lost-mass term: exact-decimal sum of dangling ranks, spread
+        // uniformly — a 1-row broadcast, the dispersion/scalar-subquery
+        // BNLJ pattern
+        val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank").cast(DecimalType(28, 18))), lit(0))
+            .cast("double").as("dmass"))
+        nodes
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(dangMass))
+          .select(col("node"),
+            (lit(teleport) + lit(damping) *
+              (coalesce(col("csum").cast("double"), lit(0.0)) +
+                col("dmass") / lit(n))).as("rank"))
+      }
       if (i % checkpointEvery == 0 || i == iters) {
         val ck = plan.localCheckpoint()
         lastCkpt.foreach(org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
@@ -96,6 +120,7 @@ object Graph {
     }
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(nodes)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(dangling)
     // the two engines' DECIMAL(28,18) casts round their last place
     // differently, leaving a bounded ~1e-18 absolute drift after any
     // number of iterations (each round re-quantizes, so it never

@@ -45,6 +45,17 @@ class GraphSpec extends SparkSpec {
     assert(a == b, "decimal-exact contribution sums must make ranks partitioning-invariant")
   }
 
+  test("pageRank: dangling mass is redistributed — probability vector on a directed chain") {
+    // 1 -> 2 -> 3, node 3 dangling: without redistribution mass leaks to
+    // (1-d) levels; with it the ranks stay a probability vector
+    val ranks = Graph.pageRank(edges((1L, 2L), (2L, 3L)), iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-8,
+      s"dangling mass must be redistributed: ${ranks.values.sum}")
+    // downstream of the chain accumulates rank: 3 > 2 > 1's share of inflow
+    assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L))
+  }
+
   test("pageRank: rejects degenerate parameters") {
     intercept[IllegalArgumentException](Graph.pageRank(edges((1L, 2L)), iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(edges((1L, 2L)), damping = 1.0))
