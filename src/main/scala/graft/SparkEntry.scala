@@ -97,6 +97,8 @@ object SparkEntry {
     "q_priority_exists" -> ((s, dir) => Subqueries.orderPriorityCheck(
       Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_important_parts" -> t("lineitem")(Subqueries.importantParts(_)),
+    "q_corr_matrix" -> t("lineitem")(Stats.corrMatrix(_,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_order_count_dist" -> ((s, dir) => Subqueries.orderCountDistribution(
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_supplier_counts" -> ((s, dir) => Subqueries.supplierCounts(
@@ -544,6 +546,8 @@ object SparkEntry {
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
     "q_pagerank" -> Graph.pageRankOracleSql(),
+    "q_corr_matrix" -> Stats.corrOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_cogroup_rollup" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
                 CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_price

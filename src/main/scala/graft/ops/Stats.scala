@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-statistics surface: the exact-arithmetic siblings of
+  * [[Text.linearFit]] for relational profiling. Everything follows the
+  * engine-portability discipline — exact DECIMAL sums, then double
+  * arithmetic over identical operands — so the outputs carry full value
+  * oracles (generated beside the operator, the minhashOracleSql pattern).
+  */
+object Stats {
+
+  /** Pairwise Pearson correlation over `cols` in ONE aggregation pass:
+    * every Σx, Σx², Σxy lands in a single partial-aggregable hash
+    * aggregate (k + k + k(k−1)/2 terms), the 1-row result explodes into
+    * one row per column pair — no per-pair scan, no driver math, no
+    * second job. DECIMAL(30,6) sums: exact for fixture magnitudes up to
+    * ~1e24 (a 100 TB lineitem's Σprice² fits with 8 digits to spare).
+    * Degenerate pairs (a constant column) yield null r rather than ±Inf.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    def ds(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggCols =
+      Seq(count(lit(1)).cast("double").as("_n")) ++
+        cols.map(c => ds(col(c)).as(s"_s_$c")) ++
+        cols.map(c => ds(col(c) * col(c)).as(s"_ss_$c")) ++
+        pairs.map { case (a, b) => ds(col(a) * col(b)).as(s"_sp_${a}_$b") }
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val n = col("_n")
+    val pairStructs = pairs.map { case (a, b) =>
+      val cov = n * col(s"_sp_${a}_$b") - col(s"_s_$a") * col(s"_s_$b")
+      val dx = n * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")
+      val dy = n * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b")
+      struct(
+        lit(a).as("col_x"), lit(b).as("col_y"),
+        n.cast("long").as("n_rows"),
+        when(dx > 0.0 && dy > 0.0, cov / sqrt(dx * dy)).as("r"))
+    }
+    agg.select(explode(array(pairStructs: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_x", "col_y")
+  }
+
+  /** Generated DuckDB oracle for [[corrMatrix]] — same sums, same double
+    * sequence, one UNION ALL branch per pair off a shared aggregate CTE.
+    */
+  def corrOracleSql(table: String, cols: Seq[String]): String = {
+    def ds(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggExprs =
+      Seq("CAST(COUNT(*) AS DOUBLE) AS _n") ++
+        cols.map(c => s"${ds(c)} AS _s_$c") ++
+        cols.map(c => s"${ds(s"$c * $c")} AS _ss_$c") ++
+        pairs.map { case (a, b) => s"${ds(s"$a * $b")} AS _sp_${a}_$b" }
+    val branches = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(_n AS BIGINT) AS n_rows,
+         |  CASE WHEN (_n * _ss_$a - _s_$a * _s_$a) > 0 AND (_n * _ss_$b - _s_$b * _s_$b) > 0
+         |       THEN (_n * _sp_${a}_$b - _s_$a * _s_$b)
+         |            / sqrt((_n * _ss_$a - _s_$a * _s_$a) * (_n * _ss_$b - _s_$b * _s_$b))
+         |  END AS r
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT ${aggExprs.mkString(",\n  ")} FROM $table)
+       |$branches
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  test("corrMatrix: perfect linear dependence = ±1, constant column = null, matches local Pearson") {
+    val spark2 = spark
+    import spark2.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val df = xs.map(x => (x, 2.0 * x + 1.0, -3.0 * x, 7.0, x * x))
+      .toDF("x", "lin", "neg", "const", "sq")
+    val out = Stats.corrMatrix(df, Seq("x", "lin", "neg", "const", "sq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(math.abs(out(("x", "lin")).getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "neg")).getDouble(3) + 1.0) < 1e-12)
+    assert(out(("x", "const")).isNullAt(3), "constant column has no correlation")
+    // local reference for the nonlinear pair
+    val ys = xs.map(x => x * x)
+    val n = xs.length.toDouble
+    val r = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+      math.sqrt((n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        (n * ys.map(b => b * b).sum - ys.sum * ys.sum))
+    assert(math.abs(out(("x", "sq")).getDouble(3) - r) < 1e-12)
+    assert(out.values.forall(_.getLong(2) == 5L))
+  }
+
+  test("corrMatrix: one aggregate pass — a single exchange in the plan") {
+    val df = graft.core.Tables.lineitem(spark, sfDir)
+    val plan = Stats.corrMatrix(df, Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e } ++
+      (plan match { case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      case _ => Nil })
+    // global aggregate: one exchange to the single reduce task, nothing else
+    assert(shuffles.size <= 1, s"corrMatrix must be one aggregation pass:\n$plan")
+  }
+}
