@@ -44,4 +44,37 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(salted == plain)
   }
+
+  test("AQE splits a skewed join partition at runtime (the re-plan path next to manual salting)") {
+    // isolated session: skew thresholds tuned down to fixture scale, and
+    // broadcast disabled so the join stays a sort-merge join AQE can split
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    // one hot key carrying ~95% of the left side, with a padded payload so
+    // its partition crosses the (lowered) skew threshold
+    val left = (0 until 40000).map(i => (if (i % 20 == 0) i.toLong % 50 + 1 else 0L, "x" * 64))
+      .toDF("k", "pad")
+    val right = (0L to 50L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val joined = left.join(right, "k")
+    // execute THIS frame's own queryExecution so AQE finalizes it (count()
+    // would spawn a separate execution and leave this plan un-adapted)
+    assert(joined.collect().length == 40000)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val adaptive = joined.queryExecution.executedPlan
+      .collect { case a: AdaptiveSparkPlanExec => a }
+    assert(adaptive.nonEmpty, "AQE must own the join plan")
+    // the skewed join sits inside query-stage leaves, which collect() does
+    // not descend into — assert on the finalized plan's rendering
+    val rendered = adaptive.head.executedPlan.toString
+    assert(rendered.contains("skew=true") && rendered.contains("AQEShuffleRead skewed"),
+      s"the hot-key partition must be split by OptimizeSkewedJoin:\n$rendered")
+  }
 }
