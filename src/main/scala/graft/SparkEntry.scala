@@ -114,6 +114,9 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "q_idle_customers" -> ((s, dir) => Subqueries.idleCustomers(
       Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_forecast_revenue" -> t("lineitem")(Subqueries.forecastRevenue(_)),
+    "q_top_supplier" -> ((s, dir) => Subqueries.topSupplier(
+      Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_right" -> ((s, dir) => Relational.joinRight(Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -663,6 +666,22 @@ object SparkEntry {
            GROUP BY l_suppkey) w
          JOIN supplier ON l_suppkey = s_suppkey
          ORDER BY numwait DESC, s_name""",
+    "q_forecast_revenue" ->
+      s"""SELECT ${DS("l_extendedprice * l_discount", 6)} AS revenue_effect,
+                 COUNT(*) AS n_lines
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""",
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+            SELECT l_suppkey, ${DS("l_extendedprice * (1.0 - l_discount)", 6)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+          ORDER BY s_suppkey""",
     "q_idle_customers" ->
       s"""SELECT c_nationkey, COUNT(*) AS n_custs, ${DS("c_acctbal")} AS total_bal
           FROM customer

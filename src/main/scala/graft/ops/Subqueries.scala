@@ -216,6 +216,47 @@ object Subqueries {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** TPC-H Q6-shaped "forecast revenue change": the canonical
+    * filter-then-aggregate — revenue delta if discounts in a band on
+    * small-quantity lines were dropped, over one ship-year. No joins at
+    * all: three pushable predicates and one exact-decimal aggregate, the
+    * query shape where scan pruning IS the whole performance story.
+    */
+  def forecastRevenue(lineitem: DataFrame,
+                      from: String = "1996-01-01", until: String = "1997-01-01",
+                      discLo: Double = 0.05, discHi: Double = 0.07,
+                      maxQty: Double = 24.0): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue_effect"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q15-shaped "top supplier": supplier(s) achieving the MAXIMUM
+    * revenue in a ship-date window — the argmax-via-scalar-subquery
+    * shape. The max is a 1-row aggregate broadcast over the same
+    * per-supplier aggregate (one fact scan, the [[importantParts]]
+    * pattern); equality on the exact-decimal revenue keeps ties.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue").as("_mr"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("_mr"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q22-shaped "idle high-balance customers": customers whose
     * balance beats the average positive balance (scalar subquery → 1-row
     * broadcast) and who placed no order since a cutoff (NOT EXISTS →

@@ -125,4 +125,62 @@ object EventStreams {
           Iterator.single(next)
       }
   }
+
+  // ---- custom state, Spark-4 API: transformWithState ----
+
+  final case class SpendAlert(user_id: Long, total: Double, event_id: Long)
+
+  /** Threshold-crossing alert via `transformWithState` — the arbitrary-
+    * state API that supersedes `flatMapGroupsWithState` in Spark 4
+    * (typed composable state handles, timers, TTL; requires the RocksDB
+    * state store provider). One `ValueState[Double]` per user holds the
+    * cumulative spend; the processor emits EXACTLY ONE alert per user,
+    * carrying the event whose arrival crossed the threshold.
+    *
+    * Attribution note: within one micro-batch the engine hands the group's
+    * rows in no guaranteed order, so WHICH event is credited with the
+    * crossing is batch-deterministic only across batches (the total
+    * itself is order-free — addition over the batch). The spec drives one
+    * event per batch where attribution matters.
+    */
+  class SpendThresholdProcessor(threshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SpendAlert] {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SpendAlert] = {
+      var cur = if (total.exists()) total.get() else 0.0
+      val out = scala.collection.mutable.ArrayBuffer.empty[SpendAlert]
+      rows.foreach { r =>
+        val was = cur
+        cur += r.value
+        if (was < threshold && cur >= threshold)
+          out += SpendAlert(userId, cur, r.event_id)
+      }
+      total.update(cur)
+      out.iterator
+    }
+  }
+
+  /** `spendAlerts(stream)`: the query-shaped entry point over
+    * [[SpendThresholdProcessor]]. State shards by user exactly like the
+    * flatMapGroupsWithState form; `TimeMode.None` (no timers) keeps the
+    * demo minimal — a production evictor would register event-time timers
+    * against the watermark.
+    */
+  def spendAlerts(events: Dataset[EventRow], threshold: Double): Dataset[SpendAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendThresholdProcessor(threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

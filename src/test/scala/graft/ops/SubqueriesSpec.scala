@@ -16,7 +16,7 @@ class SubqueriesSpec extends SparkSpec {
     "q_big_orders", "q_priority_exists", "q_important_parts",
     "q_order_count_dist", "q_supplier_counts", "q_small_qty_revenue",
     "q_disjunctive_join", "q_min_cost_supplier", "q_sole_blame",
-    "q_idle_customers")
+    "q_idle_customers", "q_forecast_revenue", "q_top_supplier")
 
   test("whole family: rows at sf0.001, no CartesianProduct, BNLJ only for 1-row scalar broadcasts") {
     for (name <- family) {
@@ -26,7 +26,8 @@ class SubqueriesSpec extends SparkSpec {
       val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
       // the scalar-subquery composites carry exactly one 1-row aggregate
       // broadcast; everything else must have zero BNLJ
-      val allowed = Map("q_important_parts" -> 1, "q_idle_customers" -> 1)
+      val allowed = Map("q_important_parts" -> 1, "q_idle_customers" -> 1,
+        "q_top_supplier" -> 1)
       assert(bnlj.size <= allowed.getOrElse(name, 0), s"$name: unexpected BNLJ:\n$plan")
       assert(df.limit(1).count() == 1, s"$name must select rows at sf0.001")
     }

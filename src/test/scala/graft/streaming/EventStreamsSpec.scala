@@ -90,6 +90,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == Set((1L, 2L, 3.0), (2L, 2L, 12.0)))
   }
 
+  test("transformWithState: one threshold alert per user, state survives across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider —
+    // per-query conf, read at query start; restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventRow]
+      val q = EventStreams.spendAlerts(mem.toDS(), threshold = 10.0)
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").start()
+      def ev(id: Long, user: Long, v: Double) =
+        EventRow(id, Timestamp.valueOf("2024-01-01 00:00:00"), user, "purchase", v)
+      // one event per batch so crossing attribution is deterministic
+      mem.addData(ev(1, 1L, 4.0)); q.processAllAvailable()  // u1: 4  (no alert)
+      mem.addData(ev(2, 1L, 5.0)); q.processAllAvailable()  // u1: 9  (no alert)
+      mem.addData(ev(3, 1L, 2.5)); q.processAllAvailable()  // u1: 11.5 -> alert on event 3
+      mem.addData(ev(4, 2L, 25.0)); q.processAllAvailable() // u2: 25 -> alert on event 4
+      mem.addData(ev(5, 1L, 99.0)); q.processAllAvailable() // u1 already alerted: nothing
+      q.stop()
+      val alerts = spark.table("t_tws")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(alerts == Set((1L, 11.5, 3L), (2L, 25.0, 4L)),
+        s"exactly one crossing alert per user: $alerts")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join pairs purchases with in-window views per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
