@@ -160,6 +160,11 @@ object SparkEntry {
     // join-expressible rollup so the typed path carries a plain-SQL oracle
     "q_cogroup_rollup" -> ((s, dir) => Typed.customerOrderRollup(
       Tables.customer(s, dir), Tables.orders(s, dir))),
+    // mergeable-sketch rollup: weekly distincts from UNIONED daily HLL
+    // sketches. No oracle (Datasketches estimates aren't reproducible in
+    // the oracle dialect); SketchesSpec asserts merged == direct sketch
+    // bit-equality and closeness to exact COUNT(DISTINCT)
+    "q_hll_rollup" -> t("events")(Sketches.weeklyDistinctUsers(_)),
     // Z-order clustering: per-bucket bounding-box (data-skipping) stats
     "q_zorder" -> t("lineitem")(Layout.zorderStats(_, "l_partkey", "l_suppkey")),
     // ---- F: windows / sorts / limits ----
