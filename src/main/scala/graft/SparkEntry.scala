@@ -140,6 +140,14 @@ object SparkEntry {
     // fully oracle-able (generated, iteration-unrolled SQL)
     "q_pagerank" -> ((s, dir) => Graph.pageRank(Graph.copurchaseEdges(
       Tables.orders(s, dir), Tables.lineitem(s, dir)))),
+    // WEIGHTED + dangling-corrected PageRank on the ~25-node directed
+    // nation-trade graph (supplier nation -> customer nation, line-count
+    // weights); at small SFs some nations host no shipping suppliers, so
+    // the dangling redistribution is genuinely on the exercised path
+    "q_pagerank_trade" -> ((s, dir) => Graph.pageRank(
+      Graph.tradeEdges(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir)),
+      weightCol = Some("w"))),
     // skew-mitigation paths ARE semantics-preserving — their oracle is the
     // PLAIN join/aggregate SQL, which is the whole point of registering them
     "q_join_salted" -> ((s, dir) => {
@@ -554,6 +562,7 @@ object SparkEntry {
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
     "q_pagerank" -> Graph.pageRankOracleSql(),
+    "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_corr_matrix" -> Stats.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_cogroup_rollup" ->

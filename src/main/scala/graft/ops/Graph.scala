@@ -42,11 +42,26 @@ object Graph {
     */
   def pageRank(edgeList: DataFrame, iters: Int = 10,
                damping: Double = 0.85, sorted: Boolean = true,
-               checkpointEvery: Int = 3): DataFrame = {
+               checkpointEvery: Int = 3,
+               weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1 && checkpointEvery >= 1)
-    val e = edgeList.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
-      .localCheckpoint()
+    // weighted form: contribution_u→v = r_u · w_uv / W_u with W_u the
+    // weighted out-degree. The unweighted path runs THROUGH the weighted
+    // arithmetic with w ≡ 1: r·1.0/W is bit-identical to r/W and
+    // sum(1.0) to count, so the unweighted oracle is untouched. Weighted
+    // input is normalized by summing duplicate (src, dst) weights
+    // (long-exact).
+    val e0 = weightCol match {
+      case Some(w) =>
+        edgeList.select(col("src").cast("long"), col("dst").cast("long"),
+            col(w).cast("long").as("w"))
+          .groupBy("src", "dst").agg(sum("w").as("w"))
+      case None =>
+        edgeList.select(col("src").cast("long"), col("dst").cast("long"))
+          .distinct()
+          .withColumn("w", lit(1L))
+    }
+    val e = e0.localCheckpoint()
     // size the iteration's partitioning from the measured edge count (the
     // clusterPairs formula): a fixture-scale graph on 32 shuffle partitions
     // pays pure scheduler overhead × iterations; at 100 TB the same
@@ -56,7 +71,7 @@ object Graph {
     val edges = e.repartition(nParts, col("src")).localCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
     val outdeg = edges.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .agg(sum("w").cast("double").as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -87,7 +102,8 @@ object Graph {
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"),
-          (col("rank") / col("outdeg")).cast(DecimalType(28, 18)).as("c"))
+          (col("rank") * col("w").cast("double") / col("outdeg"))
+            .cast(DecimalType(28, 18)).as("c"))
         .groupBy("node")
         .agg(sum("c").as("csum"))
       val plan = if (!hasDangling) {
@@ -152,6 +168,65 @@ object Graph {
       .unionByName(pairs.select(col("part").as("src"), col("cust").as("dst")))
   }
 
+  /** Directed, WEIGHTED nation-trade graph: supplier-nation → customer-
+    * nation edges weighted by line count. Genuinely exercises both the
+    * weighted contribution (w/W_out) and — at small scale factors, where
+    * some nations host customers but no shipping suppliers — the dangling
+    * correction. ~25 nodes: graph analytics cost is iteration overhead,
+    * not data, so this rides the bench cheaply while the co-purchase
+    * query covers the larger-graph shape.
+    */
+  def tradeEdges(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                 supplier: DataFrame): DataFrame =
+    lineitem.select("l_orderkey", "l_suppkey")
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Generated DuckDB oracle for the WEIGHTED [[pageRank]] over
+    * [[tradeEdges]]. The dangling term is written unconditionally: when
+    * no dangling node exists it contributes exactly +0.0, which is
+    * bit-invisible — so one SQL shape covers both operator branches.
+    */
+  def tradeRankOracleSql(iters: Int = 10, damping: Double = 0.85): String = {
+    val d = damping.toString
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT node,
+         |  (CAST(1.0 AS DOUBLE) - $d) / n + $d * (COALESCE(c, CAST(0.0 AS DOUBLE)) + dm / n) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,18))) AS DOUBLE),
+         |                              CAST(0.0 AS DOUBLE)) AS dm
+         |              FROM r${i - 1} r
+         |              WHERE r.node NOT IN (SELECT src FROM edges)) dmt
+         |  LEFT JOIN (SELECT dst AS cnode,
+         |               CAST(SUM(CAST(r.rank * CAST(w AS DOUBLE) / outdeg AS DECIMAL(28,18))) AS DOUBLE) AS c
+         |             FROM edges JOIN r${i - 1} r ON edges.src = r.node
+         |             JOIN deg ON edges.src = deg.dsrc
+         |             GROUP BY dst) s ON node = cnode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src AS dsrc, CAST(SUM(w) AS DOUBLE) AS outdeg
+       |        FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node, round(rank, 9) AS rank FROM r$iters
+       |ORDER BY round(rank, 9) DESC, node""".stripMargin
+  }
+
   /** Generated DuckDB oracle for [[pageRank]] over [[copurchaseEdges]] —
     * the iterations unrolled as chained CTEs (recursive CTEs cannot
     * aggregate in the recursive term), every arithmetic step written with
@@ -170,7 +245,7 @@ object Graph {
          |             JOIN deg ON edges.src = deg.dsrc
          |             GROUP BY dst) s ON node = cnode)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS cust, l_partkey + $partOffset AS part
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'

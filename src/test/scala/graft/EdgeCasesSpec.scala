@@ -126,4 +126,45 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.cosineDupPairs(oneVec, 0.0).isEmpty)
     assert(Similarity.norms(oneVec).count() == 1)
   }
+
+  test("round-5 additions: empty inputs return empty results, not exceptions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emptyDocs = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "source", "n_chars")
+    assert(Text.prioritySample(emptyDocs, 10).collect().isEmpty)
+    assert(Text.diversityFit(emptyDocs).collect().isEmpty)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(emptyEdges, iters = 2).collect().isEmpty)
+    val emptyEmb = Seq.empty[(Long, Array[Double], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.knnGraph(emptyEmb, 3).collect().isEmpty)
+    assert(Similarity.knnGraphLsh(emptyEmb, 3).collect().isEmpty)
+    val emptyCust = Seq.empty[Long].toDF("c_custkey")
+    val emptyOrd = Seq.empty[(Long, Double)].toDF("o_custkey", "o_totalprice")
+    assert(Typed.customerOrderRollup(emptyCust, emptyOrd).collect().isEmpty)
+    // corrMatrix: the global aggregate emits one all-null-sums row; every
+    // pair must surface null r, never a divide-by-zero or NPE
+    val cm = Stats.corrMatrix(Seq.empty[(Double, Double)].toDF("a", "b"), Seq("a", "b"))
+      .collect()
+    assert(cm.length == 1 && cm.head.isNullAt(3) && cm.head.getLong(2) == 0L)
+  }
+
+  test("round-5 additions: degenerate small inputs stay well-defined") {
+    import spark.implicits._
+    // single-node graph with a self-loop: rank 1.0 (all mass on the node)
+    val ranks = Graph.pageRank(Seq((1L, 1L)).toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 1 && math.abs(ranks(1L) - 1.0) < 1e-9)
+    // kNN with k larger than the corpus: every node gets all others
+    val emb = Seq(
+      (1L, Array(1.0, 0.0), 0), (2L, Array(0.0, 1.0), 0), (3L, Array(1.0, 1.0), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.knnGraph(emb, k = 10).collect()
+    assert(g.length == 6, "3 nodes x 2 neighbors each when k exceeds corpus")
+    // priority sample larger than the corpus returns every row
+    val docs = Seq((1L, "t", "s", 5L), (2L, "u", "s", 9L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    assert(Text.prioritySample(docs, 100).collect().length == 2)
+  }
 }

@@ -56,6 +56,26 @@ class GraphSpec extends SparkSpec {
     assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L))
   }
 
+  test("pageRank weighted: heavier edges attract proportionally more rank") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1 sends 9/10 of its mass to 2 and 1/10 to 3; both return everything
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val ranks = Graph.pageRank(e, iters = 30, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 9-decimal output rounding: up to n half-ulps of slack on the sum
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-8)
+    assert(ranks(2L) > 2 * ranks(3L), s"the w=9 edge must dominate: $ranks")
+    // w = 1 everywhere must equal the unweighted form bit-for-bit (the
+    // identity the unchanged q_pagerank oracle depends on)
+    val uw = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val w1 = uw.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val a = Graph.pageRank(uw, iters = 5).collect().toSeq
+    val b = Graph.pageRank(w1, iters = 5, weightCol = Some("w")).collect().toSeq
+    assert(a == b)
+  }
+
   test("pageRank: rejects degenerate parameters") {
     intercept[IllegalArgumentException](Graph.pageRank(edges((1L, 2L)), iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(edges((1L, 2L)), damping = 1.0))
