@@ -138,8 +138,11 @@ object SparkEntry {
     // damped PageRank over the symmetric customer<->part co-purchase graph;
     // decimal-exact contribution sums make 10 iterations bit-stable and
     // fully oracle-able (generated, iteration-unrolled SQL)
+    // 5 iterations on the 3.5k-node co-purchase graph (per-round overhead
+    // dominates at fixture scale — PERF.md); the trade query below keeps
+    // the full 10-iteration demonstration on its 25-node graph
     "q_pagerank" -> ((s, dir) => Graph.pageRank(Graph.copurchaseEdges(
-      Tables.orders(s, dir), Tables.lineitem(s, dir)))),
+      Tables.orders(s, dir), Tables.lineitem(s, dir)), iters = 5)),
     // WEIGHTED + dangling-corrected PageRank on the ~25-node directed
     // nation-trade graph (supplier nation -> customer nation, line-count
     // weights); at small SFs some nations host no shipping suppliers, so
@@ -561,7 +564,7 @@ object SparkEntry {
     // generated beside the operator from the same constants (the
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
-    "q_pagerank" -> Graph.pageRankOracleSql(),
+    "q_pagerank" -> Graph.pageRankOracleSql(iters = 5),
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_corr_matrix" -> Stats.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
