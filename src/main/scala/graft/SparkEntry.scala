@@ -268,6 +268,20 @@ object SparkEntry {
     "q_pack_sequences" -> t("documents")(Text.packSequences(_)),
     "q_source_sample" -> t("documents")(Text.perSourceSample(_)),
     "q_priority_sample" -> t("documents")(Text.prioritySample(_)),
+    "q_nucleus_select" -> t("documents")(Text.nucleusSelect(_)),
+    // snapshot diff against a deterministically perturbed "new" corpus:
+    // md5-bucket 0-1 removed, 2-3 changed, 4 duplicated under offset ids —
+    // the same construction written in the oracle SQL
+    "q_snapshot_diff" -> t("documents")(d => {
+      val hx = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val kept = d.filter(!hx.isin("0", "1"))
+        .select(col("doc_id"),
+          when(hx.isin("2", "3"), concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = d.filter(hx === "4")
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Text.snapshotDiff(d, kept.unionByName(added))
+    }),
     "q_quality_fit" -> t("documents")(Text.diversityFit),
     "q_source_stats" -> t("documents")(Text.sourceStats),
     "q_dedup_keeplist" -> t("documents")(Dedup.dedupKeepList(_, 0.5)),
@@ -566,6 +580,41 @@ object SparkEntry {
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
     "q_pagerank" -> Graph.pageRankOracleSql(iters = 5),
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
+    "q_nucleus_select" ->
+      """WITH w AS (
+           SELECT doc_id, source, greatest(n_chars, 1) AS w FROM documents),
+         c AS (
+           SELECT doc_id, source, w,
+                  CAST(SUM(w) OVER (PARTITION BY source ORDER BY w DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
+                  CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS total_w
+           FROM w)
+         SELECT doc_id, source, w, cum_w FROM c
+         WHERE CAST(cum_w - w AS DOUBLE) < 0.5 * CAST(total_w AS DOUBLE)
+         ORDER BY source, cum_w, doc_id""",
+    "q_snapshot_diff" ->
+      """WITH h AS (
+           SELECT doc_id, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+           FROM documents),
+         new_corpus AS (
+           SELECT doc_id,
+                  CASE WHEN hx IN ('2','3') THEN text || ' v2' ELSE text END AS text
+           FROM h WHERE hx NOT IN ('0','1')
+           UNION ALL
+           SELECT doc_id + 5000000, text FROM h WHERE hx = '4'),
+         o AS (SELECT doc_id AS old_id, sha256(text) AS old_digest FROM documents),
+         n AS (SELECT doc_id AS new_id, sha256(text) AS new_digest FROM new_corpus)
+         SELECT COALESCE(old_id, new_id) AS doc_id,
+                CASE WHEN old_id IS NULL THEN 'added'
+                     WHEN new_id IS NULL THEN 'removed'
+                     WHEN old_digest <> new_digest THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON old_id = new_id
+         WHERE (CASE WHEN old_id IS NULL THEN 'added'
+                     WHEN new_id IS NULL THEN 'removed'
+                     WHEN old_digest <> new_digest THEN 'changed'
+                     ELSE 'unchanged' END) <> 'unchanged'
+         ORDER BY doc_id, status""",
     "q_corr_matrix" -> Stats.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_cogroup_rollup" ->

@@ -759,6 +759,65 @@ object Text {
       .orderBy("source", "rn")
   }
 
+  /** Top-p (nucleus) data selection per source: rank documents by weight
+    * (here length — substitute any quality score) and keep the smallest
+    * prefix whose cumulative weight reaches `p` of the source's total —
+    * the data-selection analog of nucleus sampling: concentrates the
+    * budget on the heaviest documents while the tail is dropped wholesale.
+    *
+    * All integer arithmetic: cumulative and total weights are long sums,
+    * and the keep predicate `cum_w - w < p·total` (strict prefix BEFORE
+    * crossing, plus the crossing row) multiplies once in double on
+    * integer-exact operands — engine-portable with no rounding knife-edge
+    * beyond the documented p·total tie (measure-zero for non-decimal p).
+    * Scale shape: one window per source (cumsum) + a per-source total via
+    * the same partition — no global sort, no driver state.
+    */
+  def nucleusSelect(documents: DataFrame, p: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0 && p <= 1)
+    val w = greatest(col("n_chars").cast("long"), lit(1L))
+    val order = Window.partitionBy("source")
+      .orderBy(col("w").desc, col("doc_id"))
+    val all = Window.partitionBy("source")
+    documents
+      .select(col("doc_id"), col("source"), w.as("w"))
+      .withColumn("cum_w", sum("w").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_w", sum("w").over(all))
+      // keep rows whose PREDECESSOR cumulative is still under the budget:
+      // the crossing row is included, everything after it is not
+      .filter((col("cum_w") - col("w")).cast("double") <
+        lit(p) * col("total_w").cast("double"))
+      .select(col("doc_id"), col("source"), col("w"), col("cum_w"))
+      .orderBy("source", "cum_w", "doc_id")
+  }
+
+  /** Corpus snapshot diff: the added / removed / changed report between
+    * two corpus versions, keyed by doc_id with sha-256 content digests —
+    * what an incremental pipeline inspects before reprocessing (the
+    * read-side sibling of [[Dedup.incrementalDedup]]). Full outer join on
+    * the id; the shuffle carries 32-byte digests, never document bodies.
+    * Unchanged documents are omitted (the report is the DELTA — at 100 TB
+    * the unchanged mass is the overwhelming majority and never leaves the
+    * join).
+    */
+  def snapshotDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val o = oldCorpus.select(col("doc_id").as("old_id"),
+      sha2(col("text"), 256).as("old_digest"))
+    val n = newCorpus.select(col("doc_id").as("new_id"),
+      sha2(col("text"), 256).as("new_digest"))
+    o.join(n, col("old_id") === col("new_id"), "full")
+      .select(
+        coalesce(col("old_id"), col("new_id")).as("doc_id"),
+        when(col("old_id").isNull, lit("added"))
+          .when(col("new_id").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id", "status")
+  }
+
   /** Deterministic train/validation split: bucket by the first md5 hex
     * digit of the id — pseudorandom, reproducible, engine-portable (md5 is
     * identical everywhere), and stable under corpus growth (a document's

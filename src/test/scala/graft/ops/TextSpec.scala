@@ -368,4 +368,36 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Double]("r2") > 0.5, s"${r.getString(0)}: fit should be strong on the fixture")
     }
   }
+
+  test("nucleusSelect: per-source prefix property — crossing row kept, rest dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.length
+    val d = Seq(
+      (1L, "a" * 50, "s1"), (2L, "b" * 30, "s1"), (3L, "c" * 15, "s1"), (4L, "d" * 5, "s1"),
+      (5L, "e" * 10, "s2"), (6L, "f" * 10, "s2")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val kept = Text.nucleusSelect(d, p = 0.5).collect()
+      .map(r => r.getLong(0)).toSet
+    // s1 total 100, p*total=50: doc 1 (cum 50, predecessor 0 < 50) kept;
+    // doc 2 (predecessor 50, not < 50) dropped. s2 total 20, p*total=10:
+    // doc 5 kept (ties break by doc_id), doc 6 dropped.
+    assert(kept == Set(1L, 5L))
+    // a heavier p keeps a strict superset
+    val more = Text.nucleusSelect(d, p = 0.9).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(more) && more.size > kept.size)
+  }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged omitted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val diff = Text.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }
