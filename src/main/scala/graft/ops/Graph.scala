@@ -168,6 +168,106 @@ object Graph {
       .unionByName(pairs.select(col("part").as("src"), col("cust").as("dst")))
   }
 
+  /** Personalized (seeded) PageRank: teleport mass lands ONLY on the seed
+    * set — the topic-sensitive variant a curation pipeline uses to expand
+    * a trusted seed set through a similarity/co-occurrence graph
+    * (rank(v) becomes "proximity of v to the seeds").
+    *
+    *   r⁰(v) = s(v);  r^{t+1}(v) = (1−d)·s(v) + d·(Σ_{u→v} r·w/W + D·s(v))
+    *
+    * with s(v) = 1/|S| on seeds, 0 elsewhere; dangling mass D teleports
+    * to the seeds too (the standard PPR convention — total mass stays 1).
+    * Same determinism discipline as [[pageRank]] (decimal-exact
+    * contribution and dangling sums, per-iteration requantization), same
+    * checkpoint/partitioning hygiene, and the same generated-oracle
+    * pattern ([[seededTradeRankOracleSql]]).
+    */
+  def personalizedPageRank(edgeList: DataFrame, seeds: DataFrame, iters: Int = 10,
+                           damping: Double = 0.85, sorted: Boolean = true,
+                           checkpointEvery: Int = 3,
+                           weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1 && checkpointEvery >= 1)
+    val e0 = weightCol match {
+      case Some(w) =>
+        edgeList.select(col("src").cast("long"), col("dst").cast("long"),
+            col(w).cast("long").as("w"))
+          .groupBy("src", "dst").agg(sum("w").as("w"))
+      case None =>
+        edgeList.select(col("src").cast("long"), col("dst").cast("long"))
+          .distinct()
+          .withColumn("w", lit(1L))
+    }
+    val e = e0.localCheckpoint()
+    val nEdges = e.count()
+    val nParts = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
+    val edges = e.repartition(nParts, col("src")).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    val outdeg = edges.groupBy("src")
+      .agg(sum("w").cast("double").as("outdeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(nParts, col("node"))
+      .localCheckpoint()
+    // seed indicator restricted to graph nodes; |S| counts members only
+    val seedNodes = nodes.join(
+      seeds.select(col("node").cast("long")).distinct(), Seq("node"), "left_semi")
+      .localCheckpoint()
+    val nSeeds = seedNodes.count().toDouble
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed present in the graph")
+    val dangling = nodes
+      .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = dangling.limit(1).count() > 0
+    val seedMass = 1.0 / nSeeds
+    // s(v) as a column: 1/|S| on seeds else 0 — one broadcastable
+    // key-only semi side per iteration plan, not a per-node literal
+    def withSeedCol(df: DataFrame): DataFrame =
+      df.join(seedNodes.withColumn("_isSeed", lit(true)), Seq("node"), "left")
+        .withColumn("_s",
+          when(col("_isSeed"), lit(seedMass)).otherwise(lit(0.0)))
+        .drop("_isSeed")
+    var ranks = withSeedCol(nodes).select(col("node"), col("_s").as("rank"))
+    var lastCkpt: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") * col("w").cast("double") / col("outdeg"))
+            .cast(DecimalType(28, 18)).as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("csum"))
+      val base = withSeedCol(nodes.join(contribs, Seq("node"), "left"))
+      val plan = if (!hasDangling) {
+        base.select(col("node"),
+          ((lit(1.0) - lit(damping)) * col("_s") + lit(damping) *
+            coalesce(col("csum").cast("double"), lit(0.0))).as("rank"))
+      } else {
+        val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank").cast(DecimalType(28, 18))), lit(0))
+            .cast("double").as("dmass"))
+        base.crossJoin(broadcast(dangMass))
+          .select(col("node"),
+            ((lit(1.0) - lit(damping)) * col("_s") + lit(damping) *
+              (coalesce(col("csum").cast("double"), lit(0.0)) +
+                col("dmass") * col("_s"))).as("rank"))
+      }
+      if (i % checkpointEvery == 0 || i == iters) {
+        val ck = plan.localCheckpoint()
+        lastCkpt.foreach(org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
+        lastCkpt = Some(ck)
+        ranks = ck
+      } else ranks = plan
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(nodes)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(dangling)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(seedNodes)
+    val out = ranks.select(col("node"), round(col("rank"), 9).as("rank"))
+    if (sorted) out.orderBy(col("rank").desc, col("node")) else out
+  }
+
   /** Directed, WEIGHTED nation-trade graph: supplier-nation → customer-
     * nation edges weighted by line count. Genuinely exercises both the
     * weighted contribution (w/W_out) and — at small scale factors, where
@@ -222,6 +322,53 @@ object Graph {
        |        FROM edges GROUP BY src),
        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node, round(rank, 9) AS rank FROM r$iters
+       |ORDER BY round(rank, 9) DESC, node""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for [[personalizedPageRank]] over
+    * [[tradeEdges]] with the nations of one region as seeds. Seed mass
+    * s(v) is written as the same CASE/division both engines compute;
+    * dangling mass teleports to seeds (· s(v)), mirroring the operator.
+    */
+  def seededTradeRankOracleSql(iters: Int = 10, damping: Double = 0.85,
+                               regionName: String = "ASIA"): String = {
+    val d = damping.toString
+    val sExpr = "CASE WHEN node IN (SELECT node FROM seeds) " +
+      "THEN CAST(1.0 AS DOUBLE) / nseeds ELSE CAST(0.0 AS DOUBLE) END"
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT sn.node,
+         |  (CAST(1.0 AS DOUBLE) - $d) * s + $d * (COALESCE(c, CAST(0.0 AS DOUBLE)) + dm * s) AS rank
+         |  FROM (SELECT node, $sExpr AS s FROM nodes CROSS JOIN ns) sn
+         |  CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28,18))) AS DOUBLE),
+         |                              CAST(0.0 AS DOUBLE)) AS dm
+         |              FROM r${i - 1} r
+         |              WHERE r.node NOT IN (SELECT src FROM edges)) dmt
+         |  LEFT JOIN (SELECT dst AS cnode,
+         |               CAST(SUM(CAST(r.rank * CAST(w AS DOUBLE) / outdeg AS DECIMAL(28,18))) AS DOUBLE) AS c
+         |             FROM edges JOIN r${i - 1} r ON edges.src = r.node
+         |             JOIN deg ON edges.src = deg.dsrc
+         |             GROUP BY dst) cs ON sn.node = cs.cnode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src AS dsrc, CAST(SUM(w) AS DOUBLE) AS outdeg
+       |        FROM edges GROUP BY src),
+       |seeds AS MATERIALIZED (
+       |  SELECT node FROM nodes
+       |  WHERE node IN (SELECT n_nationkey FROM nation
+       |                 JOIN region ON n_regionkey = r_regionkey
+       |                 WHERE r_name = '$regionName')),
+       |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nseeds FROM seeds),
+       |r0 AS (SELECT node, $sExpr AS rank FROM nodes CROSS JOIN ns),
        |$iterCtes
        |SELECT node, round(rank, 9) AS rank FROM r$iters
        |ORDER BY round(rank, 9) DESC, node""".stripMargin

@@ -76,6 +76,33 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("personalizedPageRank: mass conserved, seeds dominate, all-seeds ≈ uniform PageRank") {
+    val spark2 = spark
+    import spark2.implicits._
+    // directed 4-cycle with node 1 as the only seed
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val seed1 = Seq(1L).toDF("node")
+    val ppr = Graph.personalizedPageRank(e, seed1, iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-8)
+    // proximity ordering on the directed cycle: mass flows 1→2→3→4, so
+    // rank decreases with hop distance downstream of the seed
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L) && ppr(3L) > ppr(4L),
+      s"rank must decay with distance from the seed: $ppr")
+    // seeding EVERY node reduces to uniform teleport = standard PageRank
+    // (up to last-ulp op-order differences: (1-d)*s vs (1-d)/n)
+    val allSeeds = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val uni = Graph.pageRank(e, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pprAll = Graph.personalizedPageRank(e, allSeeds, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    uni.foreach { case (k, v) => assert(math.abs(pprAll(k) - v) < 1e-9) }
+    // dangling chain: mass still conserved (dangling teleports to seeds)
+    val chain = Graph.personalizedPageRank(edges((1L, 2L), (2L, 3L)), seed1, iters = 30)
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(chain - 1.0) < 1e-8)
+  }
+
   test("pageRank: rejects degenerate parameters") {
     intercept[IllegalArgumentException](Graph.pageRank(edges((1L, 2L)), iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(edges((1L, 2L)), damping = 1.0))
