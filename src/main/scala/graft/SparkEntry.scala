@@ -160,7 +160,7 @@ object SparkEntry {
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("node")),
-      weightCol = Some("w"))),
+      iters = 5, weightCol = Some("w"))),
     // skew-mitigation paths ARE semantics-preserving — their oracle is the
     // PLAIN join/aggregate SQL, which is the whole point of registering them
     "q_join_salted" -> ((s, dir) => {
@@ -590,7 +590,7 @@ object SparkEntry {
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
     "q_pagerank" -> Graph.pageRankOracleSql(iters = 5),
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
-    "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(),
+    "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_nucleus_select" ->
       """WITH w AS (
            SELECT doc_id, source, greatest(n_chars, 1) AS w FROM documents),
