@@ -97,4 +97,35 @@ class DocumentStreamsSpec extends SparkSpec {
     // estimates undercount by at most n/k
     latest.foreach { case (_, est, n, _) => assert(est <= n && est >= 0) }
   }
+
+  test("curateStream -> foreachBatch -> DSv2 two-phase sink: curated docs land atomically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = s"stream_sink_${System.nanoTime()}"
+    graft.sources.ChunkedSink.drop(target)
+    val mem = MemoryStream[DocRow]
+    // each micro-batch of the curated stream commits through the
+    // connector's batch write path — the canonical streaming-into-a-
+    // transactional-sink composition (foreachBatch + idempotent-by-
+    // batchId is the production recipe; asserted here: per-batch
+    // atomicity and accumulation across batches)
+    val q = graft.streaming.DocumentStreams.curateStream(mem.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("doc_id").as("id"),
+            lit(0).as("chunk"), col("source").as("payload"))
+          .write.format("graft.sources.ChunkedSource")
+          .option("target", target).mode("append").save()
+      }
+      .outputMode("append").start()
+    mem.addData(sample.take(3): _*) // good, dup-of-good, junk
+    q.processAllAvailable()
+    val afterFirst = graft.sources.ChunkedSink.rows(target).map(_.id)
+    assert(afterFirst == Vector(1L), s"gate+dedup leave only doc 1: $afterFirst")
+    mem.addData(sample.drop(3): _*) // the books doc
+    q.processAllAvailable(); q.stop()
+    val ids = graft.sources.ChunkedSink.rows(target).map(_.id)
+    assert(ids == Vector(1L, 4L), s"second batch appends atomically: $ids")
+    graft.sources.ChunkedSink.drop(target)
+  }
 }
