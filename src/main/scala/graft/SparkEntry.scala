@@ -99,6 +99,8 @@ object SparkEntry {
     "q_important_parts" -> t("lineitem")(Subqueries.importantParts(_)),
     "q_corr_matrix" -> t("lineitem")(Stats.corrMatrix(_,
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_iqr_outliers" -> t("orders")(Stats.iqrOutliers(_, "o_totalprice", "o_orderstatus")),
+    "q_dup_rate" -> t("documents")(Dedup.dupRateBySource),
     "q_order_count_dist" -> ((s, dir) => Subqueries.orderCountDistribution(
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_supplier_counts" -> ((s, dir) => Subqueries.supplierCounts(
@@ -628,6 +630,29 @@ object SparkEntry {
          ORDER BY doc_id, status""",
     "q_corr_matrix" -> Stats.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "q_iqr_outliers" ->
+      """WITH f AS (
+           SELECT o_orderstatus,
+                  quantile_cont(o_totalprice, 0.25) AS q1,
+                  quantile_cont(o_totalprice, 0.75) AS q3
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o.o_orderstatus, round(q1, 4) AS q1, round(q3, 4) AS q3,
+                CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                                 OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                COUNT(*) AS n_rows
+         FROM orders o JOIN f ON o.o_orderstatus = f.o_orderstatus
+         GROUP BY o.o_orderstatus, q1, q3
+         ORDER BY o.o_orderstatus""",
+    "q_dup_rate" ->
+      """WITH d AS (SELECT doc_id, source, sha256(text) AS digest FROM documents),
+         c AS (SELECT digest, COUNT(*) AS n_copies FROM d GROUP BY digest)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                round(CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS dup_rate
+         FROM d JOIN c ON d.digest = c.digest
+         GROUP BY source ORDER BY source""",
     "q_cogroup_rollup" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
                 CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_price

@@ -515,6 +515,26 @@ object Dedup {
     * survives except non-keeper members of a near-dup cluster (keeper =
     * cluster minimum id, from [[dupClusters]]).
     */
+  /** Duplication rate per source — the dedup REPORT a curation dashboard
+    * reads: per source, total documents, documents whose content digest
+    * appears more than once CORPUS-WIDE (cross-source copies count for
+    * both sources), and the rate. Digest-keyed (32 bytes on the shuffle),
+    * one aggregate over digests + one joined rollup — never the bodies.
+    */
+  def dupRateBySource(documents: DataFrame): DataFrame = {
+    val digests = documents.select(col("doc_id"), col("source"),
+      sha2(col("text"), 256).as("digest"))
+    val counts = digests.groupBy("digest").agg(count(lit(1)).as("n_copies"))
+    digests.join(counts, "digest")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   def dedupKeepList(documents: DataFrame, threshold: Double = 0.5): DataFrame =
     dedupKeepList(documents, dupClusters(documents, threshold, sorted = false))
 

@@ -45,6 +45,35 @@ object Stats {
       .orderBy("col_x", "col_y")
   }
 
+  /** Tukey-fence (IQR) outlier report per group — the data-quality trim a
+    * pipeline applies before fitting anything: per group, exact Q1/Q3
+    * (interpolated `percentile`, the engine-portable exact form
+    * q_percentiles already pins), the k·IQR fences, and how many rows
+    * fall outside. Two passes — a per-group percentile aggregate
+    * (broadcastable: one row per group) joined back onto the scan — so
+    * the fact table is read twice but never sorted globally; the fences
+    * ride the second scan as a codegen'd predicate.
+    */
+  def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val v = col(valueCol)
+    val fences = df.groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile($valueCol, 0.25)").as("q1"),
+        expr(s"percentile($valueCol, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.select(col(groupCol), v)
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        round(first("q1"), 4).as("q1"),
+        round(first("q3"), 4).as("q3"),
+        sum(when(v < col("lo") || v > col("hi"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(groupCol)
+  }
+
   /** Generated DuckDB oracle for [[corrMatrix]] — same sums, same double
     * sequence, one UNION ALL branch per pair off a shared aggregate CTE.
     */

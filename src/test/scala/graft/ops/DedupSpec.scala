@@ -259,4 +259,16 @@ class DedupSpec extends SparkSpec {
     val reused = Dedup.dedupKeepList(documents, clusters).collect().map(_.getLong(0))
     assert(standalone.sameElements(reused))
   }
+
+  test("dupRateBySource: cross-source copies count for both sources; unique docs do not") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text", "web"), (2L, "same text", "books"), // cross-source dup
+      (3L, "only once", "web"), (4L, "web twin", "web"), (5L, "web twin", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupRateBySource(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("web") == ((4L, 3L, 0.75)), s"web: ${out("web")}")
+    assert(out("books") == ((1L, 1L, 1.0)), s"books: ${out("books")}")
+  }
 }

@@ -39,4 +39,20 @@ class StatsSpec extends SparkSpec {
     // global aggregate: one exchange to the single reduce task, nothing else
     assert(shuffles.size <= 1, s"corrMatrix must be one aggregation pass:\n$plan")
   }
+
+  test("iqrOutliers: hand-computed fences on a small group; clean group reports zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group a: values 1..9 plus outlier 100 -> Q1=3.25, Q3=7.75, IQR=4.5,
+    // fences [-3.5, 14.5] -> exactly one outlier
+    val a = (1 to 9).map(v => ("a", v.toDouble)) :+ (("a", 100.0))
+    val b = (1 to 4).map(v => ("b", v.toDouble))
+    val df = (a ++ b).toDF("g", "v")
+    val out = Stats.iqrOutliers(df, "v", "g").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a")._3 == 1L && out("a")._4 == 10L, s"one planted outlier: ${out("a")}")
+    assert(out("b")._3 == 0L && out("b")._4 == 4L)
+    // interpolated quartiles for 1..9,100: Q1 at rank 3.25 -> 3.25
+    assert(math.abs(out("a")._1 - 3.25) < 1e-9)
+  }
 }
