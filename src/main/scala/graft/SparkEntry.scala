@@ -280,6 +280,7 @@ object SparkEntry {
     "q_pack_sequences" -> t("documents")(Text.packSequences(_)),
     "q_source_sample" -> t("documents")(Text.perSourceSample(_)),
     "q_priority_sample" -> t("documents")(Text.prioritySample(_)),
+    "q_priority_estimates" -> t("documents")(Text.prioritySampleEstimated(_)),
     "q_nucleus_select" -> t("documents")(Text.nucleusSelect(_)),
     // snapshot diff against a deterministically perturbed "new" corpus:
     // md5-bucket 0-1 removed, 2-3 changed, 4 duplicated under offset ids —
@@ -593,6 +594,21 @@ object SparkEntry {
     "q_pagerank" -> Graph.pageRankOracleSql(iters = 5),
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
+    "q_priority_estimates" ->
+      """WITH base AS (
+           SELECT doc_id, source, greatest(n_chars, 1) AS w,
+                  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+                    / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+           FROM documents),
+         top AS (SELECT * FROM base ORDER BY priority, doc_id LIMIT 101),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rn
+               FROM top),
+         t AS (SELECT MAX(CASE WHEN rn = 101
+                               THEN CAST(281474976710656 AS DOUBLE) / priority END) AS tau
+               FROM r)
+         SELECT doc_id, source, w,
+                greatest(CAST(w AS DOUBLE), COALESCE(tau, CAST(0.0 AS DOUBLE))) AS est_w
+         FROM r CROSS JOIN t WHERE rn <= 100 ORDER BY doc_id""",
     "q_nucleus_select" ->
       """WITH w AS (
            SELECT doc_id, source, greatest(n_chars, 1) AS w FROM documents),

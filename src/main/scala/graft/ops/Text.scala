@@ -759,6 +759,42 @@ object Text {
       .orderBy("source", "rn")
   }
 
+  /** [[prioritySample]] with the Duffield–Lund–Thorup WEIGHT ESTIMATOR —
+    * the half that makes priority sampling more than a biased draw: with
+    * τ the (n+1)-th priority threshold (expressed on the q = w/u scale,
+    * τ_q = 2⁴⁸/p_{n+1}), each sampled item carries ŵ = max(w, τ_q), and
+    * Σŵ over any subset of the sample is an UNBIASED estimator of that
+    * subset's true total weight (Duffield–Lund–Thorup, JACM 2007) — the
+    * property that lets a pipeline answer per-source volume questions
+    * from the n-row sample instead of the corpus.
+    *
+    * Scale shape: the n+1 candidates come from TakeOrderedAndProject;
+    * the ranking window then runs over THAT bounded frame only (n+1
+    * rows — never the corpus), and τ joins back as a 1-row broadcast.
+    * When the corpus has ≤ n documents every item is sampled with
+    * certainty and ŵ = w (τ is null → coalesce 0).
+    */
+  def prioritySampleEstimated(documents: DataFrame, n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+    val base = documents
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars").cast("long"), lit(1L)).as("w"))
+      .withColumn("priority", u.cast("double") / col("w").cast("double"))
+    val top = base.orderBy(col("priority"), col("doc_id")).limit(n + 1)
+      // bounded single-partition window: n+1 rows by construction
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority"), col("doc_id"))).cast("long"))
+    val tau = top.agg(max(when(col("rn") === (n + 1),
+      lit(281474976710656.0) / col("priority"))).as("tau")) // 2^48 / p_(n+1)
+    top.filter(col("rn") <= n)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("source"), col("w"),
+        greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0))).as("est_w"))
+      .orderBy("doc_id")
+  }
+
   /** Top-p (nucleus) data selection per source: rank documents by weight
     * (here length — substitute any quality score) and keep the smallest
     * prefix whose cumulative weight reaches `p` of the source's total —

@@ -400,4 +400,29 @@ class TextSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("prioritySampleEstimated: tau-floor structure, small-corpus certainty, plausible total") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val est = Text.prioritySampleEstimated(d, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(est.length == 50)
+    // every estimate is max(w, tau): never below the true weight, and all
+    // tau-floored rows share ONE threshold
+    est.foreach { case (_, w, e) => assert(e >= w.toDouble) }
+    val floored = est.collect { case (_, w, e) if e > w => e }.distinct
+    assert(floored.size <= 1, s"all floored rows share tau: $floored")
+    // single-draw DLT estimate of the corpus weight: unbiased, variance
+    // bounded — assert a generous band, not the expectation itself
+    val trueTotal = d.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.greatest(
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.lit(1L)))).head().getLong(0).toDouble
+    val estTotal = est.map(_._3).sum
+    assert(math.abs(estTotal - trueTotal) / trueTotal < 0.5,
+      s"DLT estimate $estTotal vs true $trueTotal")
+    // corpus smaller than n: every doc sampled with certainty, est_w == w
+    val all = Text.prioritySampleEstimated(d.limit(10), 100).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(all.length == 10 && all.forall { case (w, e) => e == w.toDouble })
+  }
 }
