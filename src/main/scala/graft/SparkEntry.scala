@@ -268,8 +268,10 @@ object SparkEntry {
     "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
     "q_surprisal_bigram" -> t("documents")(Text.bigramSurprisal(_)),
     "q_compress_ratio" -> t("documents")(Text.compressionRatio), // no oracle: zlib bytes aren't SQL
-    // learned-BPE vocabulary + tokenization: deterministic but iterative
-    // (not SQL-expressible) → rows-only, hand-computed merges in BpeSpec
+    // learned-BPE vocabulary + tokenization: deterministic, and the merge
+    // loop is replayed exactly by a generated chained-CTE DuckDB oracle
+    // (Bpe.mergesOracleSql / encodeOracleSql); hand-computed merges in
+    // BpeSpec on top
     "q_bpe_merges" -> t("documents")(Bpe.train(_, 30)),
     "q_bpe_encode" -> t("documents")(Bpe.encode(_, 30)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
@@ -594,6 +596,8 @@ object SparkEntry {
     "q_pagerank" -> Graph.pageRankOracleSql(iters = 5),
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
+    "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
+    "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),
     "q_priority_estimates" ->
       """WITH base AS (
            SELECT doc_id, source, greatest(n_chars, 1) AS w,

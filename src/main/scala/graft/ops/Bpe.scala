@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * words (the common case by Zipf) tokenize once per task.
   *
   * Deterministic by construction (count-desc / pair-lexicographic
-  * tie-breaks), but iterative — not SQL-expressible, so the registered
-  * queries are rows-only with hand-computed merge sequences asserted in
-  * BpeSpec (the q_compress_ratio precedent).
+  * tie-breaks), and — though iterative — fully replayable in SQL:
+  * [[mergesOracleSql]] / [[encodeOracleSql]] unroll the merge loop as
+  * chained DuckDB CTEs (the pageRankOracleSql pattern), so both registered
+  * queries are hash-matched against a generated oracle. Hand-computed
+  * merge sequences are additionally asserted in BpeSpec.
   */
 object Bpe {
 
@@ -158,4 +160,96 @@ object Bpe {
       .toDF("doc_id", "n_bpe_tokens", "n_char_floor")
       .orderBy("doc_id")
   }
+
+  /** Generated DuckDB oracle replaying [[trainRules]] exactly — the merge
+    * loop unrolled as chained CTEs (the `Graph.pageRankOracleSql` pattern).
+    *
+    * Encoding trick: a word's current pieces are stored as a string with
+    * every piece wrapped in `|` separators (`[a, b, </w>]` →
+    * `|a||b||</w>|`), so applying merge (l, r) is exactly
+    * `replace(rep, '|l||r|', '|lr|')` — SQL `replace` scans left-to-right,
+    * non-overlapping, continuing AFTER each replacement, which is the same
+    * scan the Scala merge loop performs (`i += 2` on match). `|` can never
+    * appear inside a piece because [[Text.wordRe]] admits only `[A-Za-z0-9]`
+    * (plus the `</w>` marker), which also makes DuckDB's binary collation
+    * agree with Scala's string ordering on the tie-break.
+    *
+    * Per round i: `p_i` recounts weighted adjacent pairs from the wrapped
+    * reps, `b_i` picks the winner (count desc, pair lexicographic — the
+    * [[trainRules]] fold), `r_i` applies it via LEFT JOIN + COALESCE so an
+    * exhausted round (best count < 2 → `b_i` empty) passes reps through
+    * unchanged and every later round stays empty, matching the early stop.
+    */
+  def mergesOracleSql(nMerges: Int = 30, maxVocabWords: Int = 10000): String = {
+    s"""${trainCtes(nMerges, maxVocabWords)}
+       |SELECT * FROM (${mergesUnion(nMerges)}) ORDER BY rank""".stripMargin
+  }
+
+  /** Generated DuckDB oracle replaying [[encode]]: reuses the training CTE
+    * chain, then applies the learned merge list IN RANK ORDER, each rule
+    * exhaustively (the same `replace` trick), over the distinct-word table.
+    * Rank-order exhaustive application equals [[encode]]'s
+    * lowest-rank-first loop because any rule whose side contains a merged
+    * token was necessarily learned after the rule that created that token
+    * (so no lower-rank pair can newly appear), and merging the leftmost
+    * occurrence can never create an earlier occurrence of the same pair —
+    * together these collapse the priority loop into one in-order sweep.
+    */
+  def encodeOracleSql(nMerges: Int = 30, maxVocabWords: Int = 10000): String = {
+    val encCtes = (1 to nMerges).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT w, COALESCE(
+         |    replace(rep, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|'),
+         |    rep) AS rep
+         |  FROM e${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""${trainCtes(nMerges, maxVocabWords)},
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |e0 AS (SELECT w, '|' || array_to_string(string_split(w, ''), '||') || '||$EndOfWord|' AS rep
+       |       FROM (SELECT DISTINCT w FROM dt)),
+       |$encCtes,
+       |elen AS (SELECT w, len(string_split(trim(rep, '|'), '||')) AS n FROM e$nMerges),
+       |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens,
+       |               CAST(SUM(len(w) + 1) AS BIGINT) AS n_char_floor
+       |        FROM dt JOIN elen USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
+       |       COALESCE(n_char_floor, 0) AS n_char_floor
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Shared WITH-chain: word counts → wrapped char reps → nMerges rounds of
+    * (pair count, winner, merge application). MATERIALIZED throughout —
+    * each round is referenced twice and DuckDB would otherwise re-inline
+    * the whole chain combinatorially.
+    */
+  private def trainCtes(nMerges: Int, maxVocabWords: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(c) AS BIGINT) AS pc FROM (
+         |    SELECT pcs[i] AS l, pcs[i + 1] AS r, c FROM (
+         |      SELECT unnest(generate_series(1, len(pcs) - 1)) AS i, pcs, c FROM (
+         |        SELECT string_split(trim(rep, '|'), '||') AS pcs, c FROM r${i - 1})))
+         |  GROUP BY l, r),
+         |b$i AS MATERIALIZED (SELECT l, r, pc FROM p$i WHERE pc >= 2 ORDER BY pc DESC, l, r LIMIT 1),
+         |r$i AS MATERIALIZED (SELECT c, COALESCE(
+         |    replace(rep, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|'),
+         |    rep) AS rep
+         |  FROM r${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+       |  GROUP BY w ORDER BY c DESC, w LIMIT $maxVocabWords),
+       |r0 AS (SELECT c, '|' || array_to_string(string_split(w, ''), '||') || '||$EndOfWord|' AS rep FROM wc),
+       |$rounds""".stripMargin
+  }
+
+  /** One SELECT per learned rule, stitched with UNION ALL — empty rounds
+    * contribute no row, so early stop falls out naturally. */
+  private def mergesUnion(nMerges: Int): String =
+    (1 to nMerges).map { i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", l || r AS merged, pc AS pair_count FROM b$i"""
+    }.mkString("\nUNION ALL\n")
 }
