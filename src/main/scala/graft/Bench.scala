@@ -61,7 +61,23 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum("l_quantity")).count())
       }.min
     }
-    val calib = calibrate()
+    // Calib guard (round-5 VERDICT): the round-5 official artifact was
+    // captured in a loaded window (calib 0.307 vs the 0.232 idle band) and
+    // read 10% slower than the definitive idle capture. If the opening
+    // calibration exceeds the idle-band ceiling, wait briefly for the host
+    // to drain and re-calibrate (bounded retries — never refuse outright:
+    // a missing artifact is worse than an annotated loaded one), and stamp
+    // the capture "calib_loaded" if it still starts above the ceiling so a
+    // loaded-window number can never again pass as an idle one.
+    val calibMax = sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX", "0.28").toDouble
+    var calib = calibrate()
+    var calibRetries = 0
+    while (calib > calibMax && calibRetries < 3) {
+      Thread.sleep(15000)
+      calibRetries += 1
+      calib = calibrate()
+    }
+    val calibLoaded = calib > calibMax
 
     // local-iteration filter (same contract as Verify): comma-separated
     // query names; unset = all. Official driver captures never set it.
@@ -94,9 +110,15 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
+    // a capture with SPARK_GRAFT_ONLY leaked into the environment must be
+    // self-describing (round-5 ADVICE): the active filter and the registry
+    // size ride the artifact, so a partial capture can never read as full
+    val filterDesc = only.map(s => s""","only":${jstr(s.toSeq.sorted.mkString(","))}""").getOrElse("")
+    val header = s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
+      s""""n_errors":${errs.size},"reps":$reps,"cpus":$cpus,""" +
+      s""""calib_sec":$calib,"calib_loaded":$calibLoaded$filterDesc"""
     val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
-      s""""n_queries":${results.size},"n_errors":${errs.size},"reps":$reps,""" +
-      s""""calib_sec":$calib,"total_first_run":$totalFirst}"""
+      s"""$header,"total_first_run":$totalFirst}"""
     // short line BEFORE and AFTER the long per-query line: whichever end a
     // log-tail capture keeps, one complete parseable JSON line survives
     println(shortLine)
@@ -104,7 +126,7 @@ object Bench {
     val firsts = ok.map { case (k, (f, _)) => s""""$k":$f""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""first_runs":$firsts,"errors":$es,"sf":${jstr(sfDir)},"reps":$reps,"calib_sec":$calib}""")
+      s""""first_runs":$firsts,"errors":$es,"sf":${jstr(sfDir)},$header}""")
     println(shortLine)
     spark.stop()
   }

@@ -38,7 +38,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => VectorExpressions.normBuilder(children)))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
-      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      // the precondition rides the SQL-visible usage string: the merge scan
+      // undercounts on unsorted or non-distinct input, and SQL callers
+      // can't see the Scala scaladoc (round-5 ADVICE)
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, null,
+        "sorted_intersect_size",
+        "sorted_intersect_size(a, b) - Size of the intersection of two " +
+          "arrays via a single merge scan. PRECONDITION: both arrays must " +
+          "be sorted ascending with distinct elements (e.g. produced by " +
+          "array_sort(array_distinct(...))); unsorted or duplicated input " +
+          "silently undercounts.",
+        "", "", "", "", "", "", ""),
       (children: Seq[Expression]) => VectorExpressions.intersectSizeBuilder(children)))
   }
 }

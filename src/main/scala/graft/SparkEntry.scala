@@ -187,7 +187,10 @@ object SparkEntry {
     // sketches. No oracle (Datasketches estimates aren't reproducible in
     // the oracle dialect); SketchesSpec asserts merged == direct sketch
     // bit-equality and closeness to exact COUNT(DISTINCT)
-    "q_hll_rollup" -> t("events")(Sketches.weeklyDistinctUsers(_)),
+    // union-of-daily-sketches rollup, anchored by exact counts + a declared
+    // error bound so the row is hash-matched, not rows-only (round-5 VERDICT);
+    // the raw-estimate form stays spec-tested in SketchesSpec
+    "q_hll_rollup" -> t("events")(Sketches.weeklyDistinctReport(_)),
     // Z-order clustering: per-bucket bounding-box (data-skipping) stats
     "q_zorder" -> t("lineitem")(Layout.zorderStats(_, "l_partkey", "l_suppkey")),
     // ---- F: windows / sorts / limits ----
@@ -598,6 +601,7 @@ object SparkEntry {
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
     "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),
+    "q_hll_rollup" -> Sketches.weeklyReportOracleSql(),
     "q_priority_estimates" ->
       """WITH base AS (
            SELECT doc_id, source, greatest(n_chars, 1) AS w,

@@ -49,10 +49,14 @@ object Stats {
     * pipeline applies before fitting anything: per group, exact Q1/Q3
     * (interpolated `percentile`, the engine-portable exact form
     * q_percentiles already pins), the k·IQR fences, and how many rows
-    * fall outside. Two passes — a per-group percentile aggregate
-    * (broadcastable: one row per group) joined back onto the scan — so
-    * the fact table is read twice but never sorted globally; the fences
-    * ride the second scan as a codegen'd predicate.
+    * fall outside. Two passes — a per-group percentile aggregate (one row
+    * per group) joined back onto the scan — so the fact table is read
+    * twice but never sorted globally; the fences ride the second scan as
+    * a codegen'd predicate. The join side is NOT hint-forced broadcast:
+    * one-row-per-group is only small when the group column is — with a
+    * high-cardinality group the planner must be free to shuffle instead
+    * (round-5 ADVICE), and below the autoBroadcast threshold it still
+    * picks the broadcast plan on its own.
     */
   def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String,
                   k: Double = 1.5): DataFrame = {
@@ -64,7 +68,7 @@ object Stats {
       .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
     df.select(col(groupCol), v)
-      .join(broadcast(fences), Seq(groupCol))
+      .join(fences, Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(
         round(first("q1"), 4).as("q1"),

@@ -55,18 +55,39 @@ object Subqueries {
     * semi join; the date range is pushed to the orders scan.
     */
   def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
-                         from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
-    val spark = orders.sparkSession
-    orders.createOrReplaceTempView("_graft_sq_orders")
-    lineitem.createOrReplaceTempView("_graft_sq_lineitem")
-    spark.sql(
-      s"""SELECT o_orderpriority, COUNT(*) AS n_orders
-         |FROM _graft_sq_orders
-         |WHERE o_orderdate >= TIMESTAMP '$from' AND o_orderdate < TIMESTAMP '$until'
-         |  AND EXISTS (SELECT 1 FROM _graft_sq_lineitem
-         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-         |GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin)
+                         from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame =
+    withSqlViews("orders" -> orders, "lineitem" -> lineitem) { (spark, v) =>
+      spark.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n_orders
+           |FROM ${v("orders")}
+           |WHERE o_orderdate >= TIMESTAMP '$from' AND o_orderdate < TIMESTAMP '$until'
+           |  AND EXISTS (SELECT 1 FROM ${v("lineitem")}
+           |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+    }
+
+  /** Session-unique view counter for [[withSqlViews]] — readable names,
+    * collision-free within the JVM. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Register each input as a UNIQUELY-SUFFIXED temp view, build the query,
+    * then drop the views: `spark.sql` analyzes eagerly, so the returned
+    * DataFrame keeps working after the drop, no user view with a fixed name
+    * gets clobbered, and two interleaved calls with different inputs can't
+    * race on the registration (the round-5 ADVICE fix).
+    */
+  private def withSqlViews(frames: (String, DataFrame)*)(
+      build: (org.apache.spark.sql.SparkSession, Map[String, String]) => DataFrame): DataFrame = {
+    val spark = frames.head._2.sparkSession
+    val suffix = s"_graft_sq_${viewSeq.incrementAndGet()}"
+    val names = frames.map { case (base, df) =>
+      val n = s"$suffix$base"
+      df.createOrReplaceTempView(n)
+      base -> n
+    }.toMap
+    try build(spark, names)
+    finally names.values.foreach(spark.catalog.dropTempView(_))
   }
 
   /** TPC-H Q11-shaped "important parts": parts whose revenue exceeds a
@@ -128,18 +149,16 @@ object Subqueries {
     * both engines compare identical values (Helpers.davg discipline).
     */
   def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
-                           brand: String = "Brand#13"): DataFrame = {
-    val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("_graft_sq_lineitem")
-    part.createOrReplaceTempView("_graft_sq_part")
-    spark.sql(
-      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
-         |FROM _graft_sq_lineitem l1 JOIN _graft_sq_part ON l_partkey = p_partkey
-         |WHERE p_brand = '$brand'
-         |  AND l_quantity < 0.5 * (
-         |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)
-         |    FROM _graft_sq_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
-  }
+                           brand: String = "Brand#13"): DataFrame =
+    withSqlViews("lineitem" -> lineitem, "part" -> part) { (spark, v) =>
+      spark.sql(
+        s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+           |FROM ${v("lineitem")} l1 JOIN ${v("part")} ON l_partkey = p_partkey
+           |WHERE p_brand = '$brand'
+           |  AND l_quantity < 0.5 * (
+           |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)
+           |    FROM ${v("lineitem")} l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    }
 
   /** TPC-H Q19-shaped "discounted revenue" with a disjunctive join
     * predicate: three brand/size/quantity conjunctions OR-ed inside the
@@ -153,7 +172,7 @@ object Subqueries {
     val cond = col("l_partkey") === col("p_partkey") && (
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
       (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
-      (col("p_brand") === "Brand#5") && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
+      (col("p_brand") === "Brand#5" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40)))
     lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
       .join(p, cond)
       .agg(

@@ -33,4 +33,24 @@ class SketchesSpec extends SparkSpec {
         s"$k: estimate $e too far from exact $n")
     }
   }
+
+  test("weeklyDistinctReport: exact counts with every union-rollup estimate in bound") {
+    val ev = Tables.events(spark, sfDir)
+    val report = Sketches.weeklyDistinctReport(ev).collect()
+    assert(report.nonEmpty)
+    val exact = ev
+      .select(unix_timestamp(date_trunc("week", col("ts"))).as("week"),
+        col("event_type"), col("user_id"))
+      .groupBy("week", "event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(report.map(r => (r.getLong(0), r.getString(1))).toSet == exact.keySet)
+    report.foreach { r =>
+      assert(r.getLong(2) == exact((r.getLong(0), r.getString(1))),
+        s"n_exact must be the true distinct count at ${(r.getLong(0), r.getString(1))}")
+      assert(r.getDouble(3) == Sketches.relErrBound(12, 3.0))
+      assert(r.getBoolean(4),
+        s"estimate out of declared bound at ${(r.getLong(0), r.getString(1))}")
+    }
+  }
 }
