@@ -78,6 +78,16 @@ object Events {
     * Single shuffle on `key` (union both sides, one analytic window carrying
     * the last right payload forward) — the canonical scalable batch as-of:
     * no range join, no per-row subquery, cost = one sort within partitions.
+    *
+    * Tie contract (round-5 VERDICT): a right row at EXACTLY the left ts
+    * matches ("at-or-before" — right sorts before left at equal ts), and
+    * duplicate right rows on (key, ts) resolve DETERMINISTICALLY to the
+    * greatest payload struct (field-order comparison) — the window sorts
+    * right rows by payload within a tie and the running `last` keeps the
+    * final one. DuckDB's ASOF JOIN leaves this case unspecified, so
+    * `AsofPropertySpec` pins it against a driver-side reference instead of
+    * the SQL oracle (the fixture has no (key, ts) duplicates at any SF —
+    * verified — so q_events_asof's oracle cannot mask a divergence here).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                prefix: String = "asof_"): DataFrame = {
@@ -89,7 +99,7 @@ object Events {
       .withColumn("_lrow", struct(left.columns.map(col): _*))
       .select(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
         lit(null).cast(payloadType).as("_payload"), col("_lrow"))
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = r.withColumn("_lrow", lit(null).cast(l.schema("_lrow").dataType))
       .unionByName(l.select(r.columns.map(col) :+ col("_lrow"): _*))
@@ -115,8 +125,10 @@ object Events {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
     // side=0 sorts before side=1 at equal ts => a view at exactly purchase
-    // ts counts as "at-or-before" (matches ASOF JOIN ... ON ts >= ts)
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+    // ts counts as "at-or-before" (matches ASOF JOIN ... ON ts >= ts);
+    // event_id last => duplicate view timestamps resolve deterministically
+    // to the greatest event_id (the asofJoin tie contract)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tagged = views.unionByName(purchases)
       .withColumn("last_view_ts",
