@@ -240,8 +240,11 @@ object SparkEntry {
     "q_count_distinct" -> t("orders")(Grouping.distinctCounts),
     "q_percentiles" -> t("orders")(Grouping.percentiles),
     "q_histogram" -> t("orders")(Grouping.histogram(_, "o_totalprice", 10)),
-    "q_approx_percentiles" -> t("orders")(Grouping.approxPercentiles), // no oracle: sketch
-    "q_approx_distinct" -> t("orders")(Grouping.approxDistinctCounts), // no oracle: HLL estimate
+    // exact-bound reports (the q_hll_rollup pattern): the sketch estimate
+    // stays out of the output; exact values + bound/rank checks are emitted,
+    // so both rows are hash-matched and an out-of-spec sketch goes red
+    "q_approx_percentiles" -> t("orders")(Grouping.approxPercentileReport(_)),
+    "q_approx_distinct" -> t("orders")(Grouping.approxDistinctReport(_)),
     "q_intersect" -> ((s, dir) => Grouping.intersectNations(Tables.customer(s, dir), Tables.supplier(s, dir))),
     "q_except" -> t("orders")(Grouping.exceptUrgent),
     "q_union_counts" -> t("orders")(Grouping.unionAllCounts),
@@ -602,6 +605,8 @@ object SparkEntry {
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
     "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),
     "q_hll_rollup" -> Sketches.weeklyReportOracleSql(),
+    "q_approx_distinct" -> Grouping.approxDistinctReportOracleSql(),
+    "q_approx_percentiles" -> Grouping.approxPercentileReportOracleSql,
     "q_priority_estimates" ->
       """WITH base AS (
            SELECT doc_id, source, greatest(n_chars, 1) AS w,

@@ -39,6 +39,37 @@ object Grouping {
       .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"))
       .orderBy("o_orderstatus")
 
+  /** The registered, oracle-anchored form of [[approxDistinctCounts]] (the
+    * q_hll_rollup exact-bound-report pattern): exact distinct count, the
+    * declared kσ·rsd relative-error bound, and whether the HLL++ estimate
+    * lands inside it. The estimate itself stays OUT of the output, so the
+    * DuckDB oracle pins the exact counts and `within_bound = TRUE` — an
+    * out-of-bound sketch becomes a hash mismatch, not an unverifiable
+    * rows-only row. One aggregate computes both counts side by side.
+    */
+  def approxDistinctReport(orders: DataFrame, rsd: Double = 0.01,
+                           kSigma: Double = 3.0): DataFrame = {
+    val bound = BigDecimal(kSigma * rsd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), rsd).as("n_approx"))
+      .select(col("o_orderstatus"), col("n_exact"),
+        lit(bound).as("rel_err_bound"),
+        (abs(col("n_approx") - col("n_exact")) <= lit(bound) * col("n_exact"))
+          .as("within_bound"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Generated oracle for [[approxDistinctReport]]. */
+  def approxDistinctReportOracleSql(rsd: Double = 0.01, kSigma: Double = 3.0): String = {
+    val bound = BigDecimal(kSigma * rsd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    s"""SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       |       CAST($bound AS DOUBLE) AS rel_err_bound, TRUE AS within_bound
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Pivot — status columns per priority row. Explicit pivot values keep
     * the plan static (no extra distinct-values job, mandatory at scale);
     * coalesce(0) aligns empty cells with the oracle's CASE-sum form.
@@ -75,6 +106,52 @@ object Grouping {
         round(expr("percentile_approx(o_totalprice, 0.5, 10000)"), 4).as("p50_approx"),
         round(expr("percentile_approx(o_totalprice, 0.9, 10000)"), 4).as("p90_approx"))
       .orderBy("o_orderstatus")
+
+  /** The registered, oracle-anchored form of [[approxPercentiles]]: exact
+    * interpolated percentiles next to RANK-accuracy checks on the t-digest
+    * values. `percentile_approx(p, acc)` guarantees the returned element's
+    * rank is within n/acc of the p-th rank; the check verifies the rank
+    * INTERVAL of the approx value ([count(< v)+1, count(<= v)] — ties give
+    * an interval) intersects [p·n − n/acc − 1, p·n + n/acc + 1]. Only the
+    * exact percentiles and the booleans are emitted, so the oracle pins
+    * quantile_cont + TRUE — a rank-inaccurate sketch is a hash mismatch.
+    * Plan: one grouped sketch aggregate, broadcast back onto the scan
+    * (groups are the 3 order statuses), one counting aggregate.
+    */
+  def approxPercentileReport(orders: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val ap = orders.groupBy("o_orderstatus")
+      .agg(expr(s"percentile_approx(o_totalprice, 0.5, $accuracy)").as("ap50"),
+        expr(s"percentile_approx(o_totalprice, 0.9, $accuracy)").as("ap90"))
+    val counted = orders.select("o_orderstatus", "o_totalprice")
+      .join(broadcast(ap), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        sum(when(col("o_totalprice") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("o_totalprice") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
+    def rankOk(p: Double, lt: String, le: String) = {
+      val err = col("n").cast("double") / accuracy + 1.0
+      val target = col("n").cast("double") * p
+      ((col(lt) + 1).cast("double") <= target + err) &&
+        (col(le).cast("double") >= target - err)
+    }
+    counted.select(col("o_orderstatus"), col("n"), col("p50"), col("p90"),
+        rankOk(0.5, "lt50", "le50").as("p50_rank_ok"),
+        rankOk(0.9, "lt90", "le90").as("p90_rank_ok"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Generated oracle for [[approxPercentileReport]]. */
+  def approxPercentileReportOracleSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |       TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Equal-width histogram over a numeric column — the distribution audit
     * next to [[percentiles]]. Two-pass, like `Windows.priceBuckets`: a

@@ -27,6 +27,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.ops.Grouping.histogram(Seq.empty[Double].toDF("v"), "v", 5).isEmpty)
   }
 
+  test("approx reports: exact anchors match, sketch checks hold, tiny groups defined") {
+    import graft.core.Tables
+    val orders = Tables.orders(spark, sfDir)
+    val ad = graft.ops.Grouping.approxDistinctReport(orders).collect()
+    val exact = graft.ops.Grouping.distinctCounts(orders).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ad.nonEmpty)
+    ad.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), "n_exact must be the true distinct count")
+      assert(r.getBoolean(3), s"HLL++ estimate out of declared bound for ${r.getString(0)}")
+    }
+    val ap = graft.ops.Grouping.approxPercentileReport(orders).collect()
+    assert(ap.nonEmpty)
+    ap.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"t-digest rank check failed for ${r.getString(0)}")
+    }
+    // degenerate: a 1-row group — the sketch equals the exact value and
+    // every check is trivially inside its bound
+    import spark.implicits._
+    val one = Seq(("Z", 1L, 42.0)).toDF("o_orderstatus", "o_custkey", "o_totalprice")
+    val adr = graft.ops.Grouping.approxDistinctReport(one).collect()
+    assert(adr.length == 1 && adr.head.getLong(1) == 1L && adr.head.getBoolean(3))
+    val apr = graft.ops.Grouping.approxPercentileReport(one).collect()
+    assert(apr.length == 1 && apr.head.getBoolean(4) && apr.head.getBoolean(5))
+  }
+
   test("null text is survivable by every typed text pass") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
