@@ -486,6 +486,25 @@ object SparkEntry {
     "q_events_sessions" -> t("events")(Events.sessions),
     "q_events_sessions_lag" -> t("events")(Events.sessionsViaLag(_)),
     "q_events_asof" -> t("events")(Events.asofPurchaseView),
+    // the GENERIC asofJoin surface (multi-column right payload) under the
+    // same DuckDB ASOF JOIN oracle — the specialized purchase/view form
+    // covers only a single carried column; tie semantics beyond the oracle's
+    // reach are pinned by AsofPropertySpec
+    "q_asof_generic" -> t("events") { ev =>
+      import org.apache.spark.sql.functions._
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      Events.asofJoin(purchases, views, "user_id", "ts")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_ts"),
+          col("asof_view_id").as("view_id"),
+          unix_timestamp(col("asof_ts")).as("view_ts"),
+          round(col("asof_view_value"), 4).as("view_value"))
+        .orderBy("purchase_id")
+    },
   )
 
   // q_curation_lsh shares q_curation's oracle verbatim: its MinHash-LSH
@@ -1742,6 +1761,15 @@ object SparkEntry {
       """SELECT p.user_id, p.event_id AS purchase_id,
                 CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
                 v.event_id AS view_id, CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY purchase_id""",
+    "q_asof_generic" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+                v.event_id AS view_id, CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+                round(v.value, 4) AS view_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND v.ts <= p.ts
