@@ -346,10 +346,12 @@ object SparkEntry {
     // sharing any 3-gram with it (including themselves) are removed
     "q_decontaminate" -> t("documents")(d =>
       Dedup.decontaminate(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
-    // the broadcast-Bloom form of the same guard (no oracle: sketch bits are
-    // not SQL-expressible; DedupSpec asserts containment vs the exact path)
+    // the broadcast-Bloom form of the same guard, registered as its
+    // exact-bound report (exact survivor count + no-false-negative +
+    // over-removal checks, all DuckDB-pinnable); the survivor-set operator
+    // itself stays containment-spec'd in DedupSpec
     "q_decontaminate_bloom" -> t("documents")(d =>
-      Dedup.decontaminateBloom(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+      Dedup.decontaminateBloomReport(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
     // md5-derived 48-bit base hash + prime-field affine permutations —
     // every stage ANSI-SQL-reproducible, so this sketch carries a REAL
     // value oracle (generated beside the operator)
@@ -1469,6 +1471,19 @@ object SparkEntry {
          cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle))
          SELECT d.doc_id FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
          WHERE cont.doc_id IS NULL ORDER BY d.doc_id""",
+    // the Bloom report: exact survivor count from the same CTE chain, both
+    // guarantee booleans pinned TRUE
+    "q_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors_exact,
+                TRUE AS no_false_negatives, TRUE AS over_removal_ok
+         FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+         WHERE cont.doc_id IS NULL""",
     "q_bm25" -> ops.Search.bm25OracleSql(bm25Terms, 15),
     // built AROUND the generated bm25 oracle — the lexical leg cannot drift
     "q_hybrid_rrf" -> ops.Search.hybridRrfOracleSql(bm25Terms),

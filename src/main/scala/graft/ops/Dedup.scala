@@ -633,8 +633,9 @@ object Dedup {
     * (`fpp` of clean shingles, union-bounded per doc). The spec asserts
     * kept ⊆ exact-kept and dropped ⊇ exact-dropped. The filter bits are a
     * deterministic, order-independent function of the shingle set, so the
-    * output is reproducible — but not expressible in SQL, hence no DuckDB
-    * oracle (rows-only check), same policy as the other sketch operators.
+    * output is reproducible — but not expressible in SQL, so the survivor
+    * set itself carries no DuckDB oracle; the REGISTERED query is
+    * [[decontaminateBloomReport]], which pins the guarantees instead.
     */
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame, n: Int = 3,
                          expectedShingles: Long = 1000000L,
@@ -650,6 +651,38 @@ object Dedup {
     train.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
       .orderBy("doc_id")
+  }
+
+  /** The oracle-anchored report over [[decontaminateBloom]] (the
+    * exact-bound-report pattern from the sketch family): one row carrying
+    * the exact survivor count, the HARD guarantee check (no false
+    * negatives — a doc the exact path drops can never survive the Bloom
+    * path, because every real benchmark shingle is in the filter), and an
+    * over-removal check against a declared slack bound (false positives
+    * may drop extra docs at ≈ per-probe fpp; the bound is generous because
+    * the filter is sized for `expectedShingles` and typically underfilled).
+    * The DuckDB oracle pins the exact count and both booleans TRUE, so a
+    * broken filter — EITHER direction — turns the row red. One lazy plan:
+    * full-outer join of the two survivor sets into a single aggregate.
+    */
+  def decontaminateBloomReport(train: DataFrame, benchmark: DataFrame,
+                               n: Int = 3, expectedShingles: Long = 1000000L,
+                               fpp: Double = 0.001,
+                               slack: Double = 0.05): DataFrame = {
+    val e = decontaminate(train, benchmark, n).select(col("doc_id"), lit(1).as("e"))
+    val b = decontaminateBloom(train, benchmark, n, expectedShingles, fpp)
+      .select(col("doc_id"), lit(1).as("b"))
+    e.join(b, Seq("doc_id"), "full_outer")
+      .agg(
+        count(col("e")).as("n_survivors_exact"),
+        sum(when(col("b").isNotNull && col("e").isNull, 1L).otherwise(0L)).as("_fn"),
+        sum(when(col("e").isNotNull && col("b").isNull, 1L).otherwise(0L)).as("_over"))
+      .select(
+        col("n_survivors_exact"),
+        (coalesce(col("_fn"), lit(0L)) === 0).as("no_false_negatives"),
+        (coalesce(col("_over"), lit(0L)) <=
+          greatest(lit(5L), ceil(lit(slack) * col("n_survivors_exact")).cast("long")))
+          .as("over_removal_ok"))
   }
 
   /** 48-bit SimHash fingerprint per document: per-token md5-derived 48-bit

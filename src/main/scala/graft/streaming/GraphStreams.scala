@@ -70,6 +70,16 @@ object GraphStreams {
     * least one NEW edge, `onRefresh` receives (batchId, ranks) where ranks
     * is the batch [[graft.ops.Graph.pageRank]] over all edges seen so far.
     * The caller owns the returned query's lifecycle (stop/await).
+    *
+    * Restart semantics (deliberate demo limitation): the processor's
+    * first-seen state IS checkpoint-recoverable, but the accumulated edge
+    * frame lives in executor block storage and dies with the session — a
+    * restarted query would drop pre-restart edges from future refreshes
+    * (the state store would still swallow their re-delivery). A production
+    * deployment persists the deduped edges through a transactional sink
+    * (the DSv2 writer in [[graft.sources.ChunkedSource]] is the in-repo
+    * composition, proven in DocumentStreamsSpec) and rebuilds the
+    * accumulator from it on restart.
     */
   def streamingPageRank(edges: Dataset[Edge], iters: Int = 10,
                         damping: Double = 0.85)
