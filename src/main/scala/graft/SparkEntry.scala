@@ -397,6 +397,10 @@ object SparkEntry {
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
     "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // no oracle: quantized scores
+    // the recall dashboard over all three ANN methods vs brute force —
+    // oracle-backed (floors declared under the measured recalls), so a
+    // recall regression in any method turns this row red in the gate
+    "q_ann_recall" -> t("embeddings")(Similarity.annRecallReport(_, 20, 5)),
     // ---- H: multimodal plumbing ----
     "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
     // REAL codec path (round 4): each doc's text bytes become the pixel
@@ -628,6 +632,7 @@ object SparkEntry {
     "q_hll_rollup" -> Sketches.weeklyReportOracleSql(),
     "q_approx_distinct" -> Grouping.approxDistinctReportOracleSql(),
     "q_approx_percentiles" -> Grouping.approxPercentileReportOracleSql,
+    "q_ann_recall" -> Similarity.annRecallReportOracleSql(20, 5),
     "q_priority_estimates" ->
       """WITH base AS (
            SELECT doc_id, source, greatest(n_chars, 1) AS w,

@@ -702,6 +702,53 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** The ANN recall dashboard (the exact-bound-report pattern): mean
+    * recall@k of each approximate method — hyperplane LSH, IVF, PQ-ADC —
+    * against the brute-force [[cosineTopK]] ground truth, checked against
+    * its declared floor. Every method is seeded-deterministic, so the
+    * booleans are stable and the DuckDB oracle pins (method, n_queries, k,
+    * floor, TRUE) — a recall regression in ANY method turns its row red in
+    * the correctness gate, which is exactly the monitor an ANN deployment
+    * runs after each index rebuild. The per-method top-k outputs stay
+    * registered as their own rows-only queries (their candidate sets are
+    * sketch-dependent by design). Measured recall@5 over 20 queries:
+    * lsh 0.73/0.68, ivf 0.85/0.83, pq 0.59/0.56 at sf0.001/sf0.01 — the
+    * default floors sit ≥0.1 under the lower measurement so a fixture
+    * regeneration cannot flip a boolean without a REAL recall collapse.
+    */
+  def annRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+                      floors: Map[String, Double] = Map(
+                        "lsh" -> 0.55, "ivf" -> 0.7, "pq" -> 0.45)): DataFrame = {
+    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("cid"))
+    def leg(name: String, method: DataFrame): DataFrame = {
+      val hits = exact.join(method.select(col("qid"), col("cid")),
+          Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      exact.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .agg(count(lit(1)).as("nq"),
+          (sum(coalesce(col("hits"), lit(0L))).cast("double") /
+            (count(lit(1)) * k)).as("recall"))
+        .select(lit(name).as("method"), col("nq").as("n_queries"),
+          lit(k.toLong).as("k"), lit(floors(name)).as("recall_floor"),
+          (col("recall") >= lit(floors(name))).as("recall_ok"))
+    }
+    leg("lsh", annTopK(embeddings, nQueries, k))
+      .unionByName(leg("ivf", ivfTopK(embeddings, nQueries, k)))
+      .unionByName(leg("pq", pqTopK(embeddings, nQueries, k)))
+      .orderBy("method")
+  }
+
+  /** Generated oracle for [[annRecallReport]]. */
+  def annRecallReportOracleSql(nQueries: Int = 20, k: Int = 5,
+                               floors: Map[String, Double] = Map(
+                                 "lsh" -> 0.55, "ivf" -> 0.7, "pq" -> 0.45)): String =
+    floors.toSeq.sortBy(_._1).map { case (m, f) =>
+      s"""SELECT '$m' AS method, CAST($nQueries AS BIGINT) AS n_queries,
+         |CAST($k AS BIGINT) AS k, CAST($f AS DOUBLE) AS recall_floor,
+         |TRUE AS recall_ok""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY method"
+
   /** Pairwise formulation of [[labelCohesion]] — quadratic per label; kept
     * ONLY as the scalatest oracle for the closed form at fixture scale.
     */

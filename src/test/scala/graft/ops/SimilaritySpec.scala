@@ -100,6 +100,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hitsFew >= 5, s"IVF nProbe=4 recall too low: $hitsFew of ${few.size}")
   }
 
+  test("annRecallReport: all three method floors hold; recall arithmetic matches a driver recount") {
+    val e = Tables.embeddings(spark, sfDir)
+    val report = Similarity.annRecallReport(e, 20, 5).collect()
+    assert(report.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "pq"))
+    report.foreach { r =>
+      assert(r.getLong(1) == 20 && r.getLong(2) == 5)
+      assert(r.getBoolean(4), s"${r.getString(0)} recall below its declared floor")
+    }
+    // recount one leg driver-side: lsh hits over the exact set
+    val exact = Similarity.cosineTopK(e, 20, 5).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshHits = Similarity.annTopK(e, 20, 5).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val floor = 0.55 // the declared lsh default
+    assert((lshHits.toDouble / exact.size >= floor) ==
+      report.find(_.getString(0) == "lsh").get.getBoolean(4))
+  }
+
   test("pqTopK: recall@5 floor vs brute force; partitioning-invariant; coarser codes degrade") {
     val e = Tables.embeddings(spark, sfDir)
     val exact = Similarity.cosineTopK(e, nQueries = 20, k = 1).collect()
