@@ -274,6 +274,9 @@ object SparkEntry {
     "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
     "q_surprisal_bigram" -> t("documents")(Text.bigramSurprisal(_)),
     "q_compress_ratio" -> t("documents")(Text.compressionRatio), // no oracle: zlib bytes aren't SQL
+    // its guarantee companion: exact UTF-8 byte totals + deflate sanity
+    // booleans, oracle-pinned — the zlib path's driver-visible check
+    "q_compress_report" -> t("documents")(Text.compressionReport),
     // learned-BPE vocabulary + tokenization: deterministic, and the merge
     // loop is replayed exactly by a generated chained-CTE DuckDB oracle
     // (Bpe.mergesOracleSql / encodeOracleSql); hand-computed merges in
@@ -401,6 +404,9 @@ object SparkEntry {
     // oracle-backed (floors declared under the measured recalls), so a
     // recall regression in any method turns this row red in the gate
     "q_ann_recall" -> t("embeddings")(Similarity.annRecallReport(_, 20, 5)),
+    // its sibling for the LSH-bucketed families: structural guarantees
+    // (subset / never-beats / superset) + recall floors, oracle-pinned
+    "q_lsh_fidelity" -> t("embeddings")(Similarity.lshFidelityReport(_)),
     // ---- H: multimodal plumbing ----
     "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
     // REAL codec path (round 4): each doc's text bytes become the pixel
@@ -633,6 +639,8 @@ object SparkEntry {
     "q_approx_distinct" -> Grouping.approxDistinctReportOracleSql(),
     "q_approx_percentiles" -> Grouping.approxPercentileReportOracleSql,
     "q_ann_recall" -> Similarity.annRecallReportOracleSql(20, 5),
+    "q_lsh_fidelity" -> Similarity.lshFidelityReportOracleSql(),
+    "q_compress_report" -> Text.compressionReportOracleSql,
     "q_priority_estimates" ->
       """WITH base AS (
            SELECT doc_id, source, greatest(n_chars, 1) AS w,

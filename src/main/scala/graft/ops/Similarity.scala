@@ -749,6 +749,92 @@ object Similarity {
          |TRUE AS recall_ok""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY method"
 
+  /** The LSH fidelity dashboard — [[annRecallReport]]'s sibling for the
+    * three LSH-bucketed families, pinning each family's STRUCTURAL
+    * guarantee (which holds by construction, so a violation means a real
+    * bug) next to its recall floor (declared under the measured fixture
+    * recalls, which are fixed numbers — every hash is seeded):
+    *
+    *  - `pair_graph`: [[cosinePairsLsh]] at the registered ≥0.9 regime
+    *    over [[withSyntheticNearDups]] — every emitted pair is verified
+    *    with exact cosine, so lsh ⊆ exact (no false positives); recall =
+    *    |lsh| / |exact|.
+    *  - `knn_top1`: [[knnGraphLsh]] vs [[knnGraph]] at k=1 — a candidate
+    *    top-1 can never BEAT the exact top-1 (sim_lsh ≤ sim_exact per
+    *    node); recall = fraction of nodes whose top-1 neighbor matches.
+    *  - `semantic_keeplist`: the LSH-pair composition of
+    *    [[semanticDedupKeepList]] — fewer pairs can only drop FEWER docs,
+    *    so survivors ⊇ exact survivors; recall = dropped-set agreement.
+    *
+    * All columns are literals or booleans, so the DuckDB oracle pins all
+    * six checks — the remaining rows-only LSH queries each have their
+    * guarantee driver-visible through this row. Measured at
+    * sf0.001/sf0.01: pair_graph 0.994/1.000 (0 false positives),
+    * knn_top1 0.686/0.704, keeplist dropped-agreement 0.994/1.000
+    * (0 violations) — floors sit well under the lower measurement.
+    */
+  def lshFidelityReport(embeddings: DataFrame,
+                        floors: Map[String, Double] = Map(
+                          "pair_graph" -> 0.85, "knn_top1" -> 0.5,
+                          "semantic_keeplist" -> 0.85)): DataFrame = {
+    val aug = withSyntheticNearDups(embeddings)
+    // pair_graph (marker columns — a USING full-outer collapses the key
+    // columns, so side-membership must ride its own flag)
+    val exactP = cosineDupPairs(aug, 0.9, sorted = false)
+      .select(col("id_a"), col("id_b"), lit(1).as("me"))
+    val lshP = cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8, sorted = false)
+      .select(col("id_a"), col("id_b"), lit(1).as("ml"))
+    val pairLeg = lshP.join(exactP, Seq("id_a", "id_b"), "full_outer")
+      .select(col("me").isNotNull.as("in_e"), col("ml").isNotNull.as("in_l"))
+    // knn_top1
+    val e1 = knnGraph(embeddings, 1).select(col("vec_id"),
+      col("neighbor_id").as("en"), col("sim").as("es"))
+    val l1 = knnGraphLsh(embeddings, 1).select(col("vec_id"),
+      col("neighbor_id").as("ln"), col("sim").as("ls"))
+    val knnLeg = e1.join(l1, Seq("vec_id"), "left")
+    // semantic_keeplist
+    val exactK = semanticDedupKeepList(aug, 0.9).select(col("vec_id"), lit(1).as("ke"))
+    val lshK = semanticDedupKeepList(aug,
+        cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8, sorted = false))
+      .select(col("vec_id"), lit(1).as("kl"))
+    val keepLeg = aug.select("vec_id")
+      .join(exactK, Seq("vec_id"), "left").join(lshK, Seq("vec_id"), "left")
+
+    def report(family: String, guarantee: String, agg: DataFrame): DataFrame =
+      agg.select(lit(family).as("family"), lit(guarantee).as("guarantee"),
+        col("g_ok").as("guarantee_ok"),
+        lit(floors(family)).as("recall_floor"),
+        (col("recall") >= lit(floors(family))).as("recall_ok"))
+    val pairR = report("pair_graph", "subset_of_exact",
+      pairLeg.agg(
+        (sum(when(col("in_l") && !col("in_e"), 1L).otherwise(0L)) === 0).as("g_ok"),
+        coalesce(sum(when(col("in_l") && col("in_e"), 1L).otherwise(0L)).cast("double") /
+          sum(when(col("in_e"), 1L).otherwise(0L)), lit(1.0)).as("recall")))
+    val knnR = report("knn_top1", "never_beats_exact",
+      knnLeg.agg(
+        (sum(when(col("ls") > col("es"), 1L).otherwise(0L)) === 0).as("g_ok"),
+        (sum(when(col("ln") === col("en"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("recall")))
+    val keepR = report("semantic_keeplist", "superset_of_exact",
+      keepLeg.agg(
+        (sum(when(col("ke").isNotNull && col("kl").isNull, 1L).otherwise(0L)) === 0).as("g_ok"),
+        coalesce(sum(when(col("ke").isNull && col("kl").isNull, 1L).otherwise(0L)).cast("double") /
+          sum(when(col("ke").isNull, 1L).otherwise(0L)), lit(1.0)).as("recall")))
+    knnR.unionByName(pairR).unionByName(keepR).orderBy("family")
+  }
+
+  /** Generated oracle for [[lshFidelityReport]]. */
+  def lshFidelityReportOracleSql(floors: Map[String, Double] = Map(
+      "pair_graph" -> 0.85, "knn_top1" -> 0.5,
+      "semantic_keeplist" -> 0.85)): String = {
+    val g = Map("pair_graph" -> "subset_of_exact", "knn_top1" -> "never_beats_exact",
+      "semantic_keeplist" -> "superset_of_exact")
+    floors.toSeq.sortBy(_._1).map { case (fam, f) =>
+      s"""SELECT '$fam' AS family, '${g(fam)}' AS guarantee, TRUE AS guarantee_ok,
+         |CAST($f AS DOUBLE) AS recall_floor, TRUE AS recall_ok""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY family"
+  }
+
   /** Pairwise formulation of [[labelCohesion]] — quadratic per label; kept
     * ONLY as the scalatest oracle for the closed form at fixture scale.
     */

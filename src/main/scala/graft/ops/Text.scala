@@ -399,6 +399,32 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** The oracle-anchored report over [[compressionRatio]] (the exact-bound
+    * report pattern): the exact corpus byte total is a REAL cross-engine
+    * anchor — the operator accumulates UTF-8 `raw.length` per document, the
+    * oracle sums `octet_length(text)`, so a byte-accounting bug on either
+    * side is a hash mismatch — and the booleans pin deflate sanity: every
+    * ratio inside (0, 1.1] (tiny/empty docs can exceed 1.0 by the deflate
+    * header; measured fixture range 0.398–1.019) and the corpus mean inside
+    * [0.3, 0.95]. Discrimination (repetitive text compresses harder) stays
+    * in TextSpec — the fixture's intra-doc repetition is too mild for a
+    * corpus-level correlation check to be meaningful (measured r = −0.05).
+    */
+  def compressionReport(documents: DataFrame): DataFrame =
+    compressionRatio(documents).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bytes")).as("n_bytes_total"),
+      (sum(when(col("compress_ratio") <= 0.0 || col("compress_ratio") > 1.1,
+        1L).otherwise(0L)) === 0).as("all_in_range"),
+      avg(col("compress_ratio")).between(0.3, 0.95).as("mean_in_band"))
+
+  /** Generated oracle for [[compressionReport]]. */
+  def compressionReportOracleSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(COALESCE(strlen(text), 0)) AS BIGINT) AS n_bytes_total,
+      |       TRUE AS all_in_range, TRUE AS mean_in_band
+      |FROM documents""".stripMargin
+
   /** Unigram surprisal scoring (the CCNet-style quality signal): each
     * document's mean −ln p(token) under the corpus unigram distribution,
     * with the vocabulary capped at the `vocabSize` most frequent tokens

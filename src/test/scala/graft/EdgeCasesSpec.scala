@@ -52,6 +52,12 @@ class EdgeCasesSpec extends SparkSpec {
     assert(adr.length == 1 && adr.head.getLong(1) == 1L && adr.head.getBoolean(3))
     val apr = graft.ops.Grouping.approxPercentileReport(one).collect()
     assert(apr.length == 1 && apr.head.getBoolean(4) && apr.head.getBoolean(5))
+    // compression report: null and empty text count 0 bytes, ratio-by-
+    // convention 1.0 stays in range
+    val docs = Seq((1L, "alpha beta alpha beta"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val cr = graft.ops.Text.compressionReport(docs).collect().head
+    assert(cr.getLong(0) == 3 && cr.getLong(1) == 21 && cr.getBoolean(2))
   }
 
   test("null text is survivable by every typed text pass") {

@@ -118,6 +118,16 @@ class SimilaritySpec extends SparkSpec {
       report.find(_.getString(0) == "lsh").get.getBoolean(4))
   }
 
+  test("lshFidelityReport: every structural guarantee and recall floor holds") {
+    val report = Similarity.lshFidelityReport(Tables.embeddings(spark, sfDir)).collect()
+    assert(report.map(_.getString(0)).toSeq ==
+      Seq("knn_top1", "pair_graph", "semantic_keeplist"))
+    report.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: structural guarantee VIOLATED (real bug)")
+      assert(r.getBoolean(4), s"${r.getString(0)}: recall below declared floor")
+    }
+  }
+
   test("pqTopK: recall@5 floor vs brute force; partitioning-invariant; coarser codes degrade") {
     val e = Tables.embeddings(spark, sfDir)
     val exact = Similarity.cosineTopK(e, nQueries = 20, k = 1).collect()
