@@ -96,6 +96,12 @@ object Bench {
       }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(m)) => k -> m }
+    // the opening calibration cannot see load that ARRIVES mid-run (the
+    // round-6 90.75 s capture read an idle-band calib yet ran 28% slow) —
+    // a closing calibration brackets the run, and the loaded stamp takes
+    // the worse of the two
+    val calibEnd = calibrate()
+    val calibLoadedAny = calibLoaded || calibEnd > calibMax
     // Metric lineage: "value"/"queries" are min-across-reps as of round 4
     // (noise-robust); BENCH_r01..r03 captured single-pass wall clock, which
     // lives on as "total_first_run"/"queries_first_run" — compare pre-r04
@@ -116,7 +122,7 @@ object Bench {
     val filterDesc = only.map(s => s""","only":${jstr(s.toSeq.sorted.mkString(","))}""").getOrElse("")
     val header = s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
       s""""n_errors":${errs.size},"reps":$reps,"cpus":$cpus,""" +
-      s""""calib_sec":$calib,"calib_loaded":$calibLoaded$filterDesc"""
+      s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_loaded":$calibLoadedAny$filterDesc"""
     val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s"""$header,"total_first_run":$totalFirst}"""
     // short line BEFORE and AFTER the long per-query line: whichever end a
