@@ -404,8 +404,11 @@ object Text {
     * anchor — the operator accumulates UTF-8 `raw.length` per document, the
     * oracle sums `octet_length(text)`, so a byte-accounting bug on either
     * side is a hash mismatch — and the booleans pin deflate sanity: every
-    * ratio inside (0, 1.1] (tiny/empty docs can exceed 1.0 by the deflate
-    * header; measured fixture range 0.398–1.019) and the corpus mean inside
+    * ratio inside (0, 1 + 16/n_bytes] — the zlib envelope is ~11 fixed
+    * bytes (2-byte header + 4-byte adler + stored-block framing), so an
+    * incompressible SMALL doc legitimately lands above 1.0 by exactly that
+    * overhead (measured: a 47-byte fixture doc at 1.128, inside 1+16/47)
+    * while large docs tighten to ~1.0 — and the corpus mean inside
     * [0.3, 0.95]. Discrimination (repetitive text compresses harder) stays
     * in TextSpec — the fixture's intra-doc repetition is too mild for a
     * corpus-level correlation check to be meaningful (measured r = −0.05).
@@ -414,7 +417,8 @@ object Text {
     compressionRatio(documents).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_bytes")).as("n_bytes_total"),
-      (sum(when(col("compress_ratio") <= 0.0 || col("compress_ratio") > 1.1,
+      (sum(when(col("compress_ratio") <= 0.0 ||
+        col("compress_ratio") > lit(1.0) + lit(16.0) / greatest(col("n_bytes"), lit(1L)),
         1L).otherwise(0L)) === 0).as("all_in_range"),
       avg(col("compress_ratio")).between(0.3, 0.95).as("mean_in_band"))
 
