@@ -27,12 +27,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val spark = SparkSession.builder()
+    // Experiment hook: SPARK_GRAFT_CONF="k=v;k=v" overlays extra Spark confs
+    // for local A/B runs. Like SPARK_GRAFT_ONLY, a leaked value must be
+    // self-describing — the active overlay rides the artifact header.
+    val extraConf: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';')).map(_.trim)
+        .filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"SPARK_GRAFT_CONF entry without '=': $kv")
+          kv.take(i) -> kv.drop(i + 1)
+        }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // fixture events.parquet is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session once (JIT/codegen/classloading, parquet reader and
@@ -119,7 +130,10 @@ object Bench {
     // a capture with SPARK_GRAFT_ONLY leaked into the environment must be
     // self-describing (round-5 ADVICE): the active filter and the registry
     // size ride the artifact, so a partial capture can never read as full
-    val filterDesc = only.map(s => s""","only":${jstr(s.toSeq.sorted.mkString(","))}""").getOrElse("")
+    val filterDesc = only.map(s => s""","only":${jstr(s.toSeq.sorted.mkString(","))}""").getOrElse("") +
+      (if (extraConf.nonEmpty)
+         s""","conf_overlay":${jstr(extraConf.map { case (k, v) => s"$k=$v" }.mkString(";"))}"""
+       else "")
     val header = s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
       s""""n_errors":${errs.size},"reps":$reps,"cpus":$cpus,""" +
       s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_loaded":$calibLoadedAny$filterDesc"""
