@@ -397,7 +397,7 @@ object SparkEntry {
     "q_knn_graph" -> t("embeddings")(Similarity.knnGraph(_, 5)),
     // sub-quadratic kNN-graph path; no oracle: LSH recall (spec-asserted)
     "q_knn_graph_lsh" -> t("embeddings")(Similarity.knnGraphLsh(_, 5)),
-    "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // no oracle: approximate
+    "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // full replay oracle (embedded planes)
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // no oracle: approximate
     "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // no oracle: quantized scores
     // the recall dashboard over all three ANN methods vs brute force —
@@ -639,6 +639,10 @@ object SparkEntry {
     "q_approx_distinct" -> Grouping.approxDistinctReportOracleSql(),
     "q_approx_percentiles" -> Grouping.approxPercentileReportOracleSql,
     "q_ann_recall" -> Similarity.annRecallReportOracleSql(20, 5),
+    "q_ann_topk" -> Similarity.annTopKOracleSql(20, 5),
+    "q_cosine_pairs_lsh" -> Similarity.cosinePairsLshOracleSql(0.9),
+    "q_knn_graph_lsh" -> Similarity.knnGraphLshOracleSql(5),
+    "q_semantic_keeplist_lsh" -> Similarity.semanticKeepListLshOracleSql(0.9),
     "q_lsh_fidelity" -> Similarity.lshFidelityReportOracleSql(),
     "q_compress_report" -> Text.compressionReportOracleSql,
     "q_priority_estimates" ->

@@ -125,6 +125,140 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** DuckDB replay of the hyperplane-LSH machinery — the CTE prefix every
+    * LSH-family oracle shares. The planes are seeded JVM constants a SQL
+    * engine cannot re-derive, but the oracle GENERATOR runs beside the
+    * operator (the minhashOracleSql pattern), so it embeds the exact plane
+    * matrix as double literals (`Double.toString` round-trips bit-exactly
+    * through DuckDB's literal parser). Dot products use the same
+    * sequential `list_sum(list_transform(...))` association the
+    * q_cosine_topk oracle already gate-proved against the codegen [[dot]]
+    * loop, so bucket sign bits and verification cosines replay exactly —
+    * the one float hazard (a plane dot within reassociation distance of
+    * zero flipping a sign bit) is validated empirically at both fixture
+    * SFs. Emits CTEs: `src` (vec_id, v DOUBLE[]), `n` (+nrm), `pl`
+    * (plane_id, w), `s` (vec_id, tbl, bucket) — mirroring
+    * [[lshSignatures]] bit for bit.
+    */
+  private def lshReplayCtes(srcSql: String, nTables: Int, bitsPerTable: Int,
+                            dim: Int): String = {
+    val pls = planes(nTables * bitsPerTable, dim).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""src AS ($srcSql),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM src),
+       |pl(plane_id, w) AS (VALUES
+       |  $pls),
+       |d AS (SELECT vec_id, plane_id,
+       |        list_sum(list_transform(generate_series(1, least(len(v), len(w))), i -> v[i] * w[i])) AS dp
+       |      FROM src CROSS JOIN pl),
+       |s AS (SELECT vec_id, plane_id // $bitsPerTable AS tbl,
+       |        CAST(SUM(CASE WHEN dp > 0 THEN 1 << (plane_id % $bitsPerTable) ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM d GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val rawVectorsSql =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  /** SQL replay of [[withSyntheticNearDups]]: the perturbed copy runs the
+    * SAME two double ops in the same order (float→double casts, then
+    * `x + (alpha * next)`), and the 1-based SQL index `(j % d) + 1` is
+    * exactly the 0-based `pmod(i + 1, d) + 1` element_at the Spark
+    * transform uses — bit-identical augmented vectors on both engines.
+    */
+  private def augmentedVectorsSql(idOffset: Long = 1000000L,
+                                  alpha: Double = 0.25): String =
+    s"""$rawVectorsSql
+       |UNION ALL
+       |SELECT vec_id + $idOffset,
+       |       list_transform(generate_series(1, len(embedding)),
+       |         j -> CAST(embedding[j] AS DOUBLE) + $alpha * CAST(embedding[(j % len(embedding)) + 1] AS DOUBLE))
+       |FROM embeddings""".stripMargin
+
+  /** Generated full value oracle for [[cosinePairsLsh]] at the registered
+    * ≥`threshold` regime over the augmented corpus: bucket-collision
+    * candidates from the embedded-plane replay, exact cosine verification,
+    * the same unrounded threshold filter. LSH-approximate ≠ nondeterministic:
+    * the candidate set is a pure function of the seeded planes, so the
+    * oracle pins recall AND precision of the exact emitted pair set.
+    */
+  def cosinePairsLshOracleSql(threshold: Double, nTables: Int = 8,
+                              bitsPerTable: Int = 8, dim: Int = 64): String =
+    s"""WITH ${lshReplayCtes(augmentedVectorsSql(), nTables, bitsPerTable, dim)},
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM s x JOIN s y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+       |p AS (SELECT id_a, id_b,
+       |        list_sum(list_transform(generate_series(1, least(len(a.v), len(b.v))), i -> a.v[i] * b.v[i]))
+       |          / (a.nrm * b.nrm) AS sim
+       |      FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(sim, 6) AS sim FROM p
+       |WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Generated full value oracle for [[knnGraphLsh]] — same replay, both
+    * pair orientations (candidates are directed), per-node (sim DESC,
+    * neighbor) top-k.
+    */
+  def knnGraphLshOracleSql(k: Int = 5, nTables: Int = 8,
+                           bitsPerTable: Int = 4, dim: Int = 64): String =
+    s"""WITH ${lshReplayCtes(rawVectorsSql, nTables, bitsPerTable, dim)},
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM s x JOIN s y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id <> y.vec_id),
+       |p AS (SELECT id_a, id_b,
+       |        list_sum(list_transform(generate_series(1, least(len(a.v), len(b.v))), i -> a.v[i] * b.v[i]))
+       |          / (a.nrm * b.nrm) AS sim
+       |      FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b),
+       |r AS (SELECT id_a, id_b, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn FROM p)
+       |SELECT id_a AS vec_id, id_b AS neighbor_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= $k ORDER BY vec_id, rn""".stripMargin
+
+  /** Generated full value oracle for the LSH composition of
+    * [[semanticDedupKeepList]]: the LSH verified-pair CTE feeds the same
+    * recursive-reachability clustering the exact keeplist oracle uses
+    * (component label = min member id; survivors = cluster minima +
+    * untouched vectors), over the augmented corpus.
+    */
+  def semanticKeepListLshOracleSql(threshold: Double, nTables: Int = 8,
+                                   bitsPerTable: Int = 8, dim: Int = 64): String =
+    s"""WITH RECURSIVE ${lshReplayCtes(augmentedVectorsSql(), nTables, bitsPerTable, dim)},
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM s x JOIN s y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+       |jp AS (SELECT id_a, id_b FROM (
+       |         SELECT id_a, id_b,
+       |           list_sum(list_transform(generate_series(1, least(len(a.v), len(b.v))), i -> a.v[i] * b.v[i]))
+       |             / (a.nrm * b.nrm) AS sim
+       |         FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b)
+       |       WHERE sim >= $threshold),
+       |edges AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+       |reach(rsrc, rdst) AS (
+       |  SELECT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT r.rsrc, e2.id_b FROM reach r JOIN edges e2 ON r.rdst = e2.id_a),
+       |cl AS (SELECT rsrc AS vec_id, MIN(rdst) AS cluster_id FROM reach GROUP BY rsrc)
+       |SELECT d.vec_id FROM src d LEFT JOIN cl ON d.vec_id = cl.vec_id
+       |WHERE cl.vec_id IS NULL OR cl.cluster_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+
+  /** Generated full value oracle for [[annTopK]]: replay the bucket
+    * assignment with the embedded plane literals, union candidates across
+    * tables, exact cosine + (sim DESC, cid) row_number — the same
+    * candidate set and the same ranking, so the "approximate" query is
+    * deterministic end to end and hash-matches like any exact one.
+    */
+  def annTopKOracleSql(nQueries: Int = 20, k: Int = 5, nTables: Int = 8,
+                       bitsPerTable: Int = 4, dim: Int = 64): String =
+    s"""WITH ${lshReplayCtes(rawVectorsSql, nTables, bitsPerTable, dim)},
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |         FROM s q JOIN s c ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |         WHERE q.vec_id < $nQueries),
+       |p AS (SELECT qid, cid,
+       |        list_sum(list_transform(generate_series(1, least(len(a.v), len(b.v))), i -> a.v[i] * b.v[i]))
+       |          / (a.nrm * b.nrm) AS sim
+       |      FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.cid),
+       |r AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM p)
+       |SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
   /** Random-hyperplane signature: bit i = sign(v · plane_i). Vectors with
     * small cosine distance agree on most bits (SimHash for embeddings).
     */
@@ -143,8 +277,11 @@ object Similarity {
     * p = 1 - θ/π per bit; (L=8, b=4) gives ~0.8 top-1 recall at cos≈0.45
     * while touching ~L·corpus/2^b candidates per query. At a 100 TB corpus,
     * raise b (bucket selectivity) and L (recall) together — the knobs trade
-    * compute for recall without ever going corpus×corpus. Approximate → no
-    * SQL oracle; recall is asserted against [[cosineTopK]] in the suite.
+    * compute for recall without ever going corpus×corpus. Approximate
+    * relative to brute force, but deterministic end to end (seeded planes)
+    * — so it carries BOTH a recall floor vs [[cosineTopK]] in the suite
+    * AND a full value oracle ([[annTopKOracleSql]] replays the bucket
+    * machinery with embedded plane literals).
     */
   /** Multi-table hyperplane-LSH signatures: one (vec, table) -> bucket row
     * per hash table, computed in ONE narrow typed pass — the plane matrix
