@@ -212,6 +212,57 @@ object Similarity {
        |SELECT id_a AS vec_id, id_b AS neighbor_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn
        |FROM r WHERE rn <= $k ORDER BY vec_id, rn""".stripMargin
 
+  /** Generated full value oracle for [[ivfTopK]] — a complete SQL replay
+    * of the IVF index build and probe: seed centroids (first `nCells` ids),
+    * `kmeansIters` unrolled Lloyd steps (the chained-CTE pattern) with the
+    * SAME exact-decimal mean [[lloydStep]] computes, cell assignment and
+    * probe ranking by (csim DESC, cent_id), exact cosine + top-k over the
+    * probed cells. Possible because every step of the operator is
+    * deterministic and engine-portable: the only order-sensitive sum in
+    * the path (the Lloyd mean) runs through DECIMAL(38,18).
+    */
+  def ivfTopKOracleSql(nQueries: Int = 20, k: Int = 5, nCells: Int = 16,
+                       nProbe: Int = 4, kmeansIters: Int = 1,
+                       dim: Int = 64): String = {
+    def rankCte(name: String, centCte: String): String =
+      s"""$name AS (SELECT vec_id, cent_id, csim,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+         |FROM (SELECT n.vec_id, c.cent_id,
+         |        list_sum(list_transform(generate_series(1, least(len(n.v), len(c.cv))), i -> n.v[i] * c.cv[i]))
+         |          / (n.nrm * c.cn) AS csim
+         |      FROM n CROSS JOIN $centCte c))""".stripMargin
+    val iterCtes = (1 to kmeansIters).map { it =>
+      val prev = if (it == 1) "c0" else s"c${it - 1}"
+      s"""${rankCte(s"r${it - 1}", prev)},
+         |a${it - 1} AS (SELECT n.vec_id, n.v, r.cent_id AS cell
+         |  FROM r${it - 1} r JOIN n ON n.vec_id = r.vec_id WHERE r.crank = 1),
+         |ux$it AS (SELECT cell, i AS pos, v[i] AS x FROM a${it - 1}
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, $dim)) AS i) g WHERE i <= len(v)),
+         |mm$it AS (SELECT cell, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM ux$it GROUP BY cell, pos),
+         |c$it AS (SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+         |  FROM (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM mm$it GROUP BY cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS ($rawVectorsSql),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM src),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT $nCells),
+       |$iterCtes,
+       |${rankCte("rf", s"c$kmeansIters")},
+       |asg AS (SELECT vec_id, cent_id AS cell FROM rf WHERE crank = 1),
+       |pr AS (SELECT vec_id AS qid, cent_id AS cell FROM rf
+       |       WHERE vec_id < $nQueries AND crank <= $nProbe),
+       |cand AS (SELECT DISTINCT pr.qid, asg.vec_id AS cid
+       |         FROM pr JOIN asg ON asg.cell = pr.cell AND asg.vec_id <> pr.qid),
+       |p AS (SELECT qid, cid,
+       |        list_sum(list_transform(generate_series(1, least(len(a.v), len(b.v))), i -> a.v[i] * b.v[i]))
+       |          / (a.nrm * b.nrm) AS sim
+       |      FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.cid),
+       |r AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM p)
+       |SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   /** Generated full value oracle for the LSH composition of
     * [[semanticDedupKeepList]]: the LSH verified-pair CTE feeds the same
     * recursive-reachability clustering the exact keeplist oracle uses
@@ -364,7 +415,14 @@ object Similarity {
   private def lloydStep(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .groupBy("cell", "pos")
+      // exact-decimal sum, then ONE double division (the dsum discipline):
+      // a plain double avg() is partial-aggregation-order-dependent, which
+      // both breaks partitioning invariance of the trained centroids and
+      // blocks the DuckDB replay oracle; the decimal sum is exact for
+      // |x| < 1e20 and still partial-aggregable at scale
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count(lit(1)).cast("double")).as("m"))
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))
