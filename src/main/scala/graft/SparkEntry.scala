@@ -399,7 +399,7 @@ object SparkEntry {
     "q_knn_graph_lsh" -> t("embeddings")(Similarity.knnGraphLsh(_, 5)),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // full replay oracle (embedded planes)
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // full replay oracle (decimal-exact Lloyd)
-    "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // no oracle: quantized scores
+    "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // full replay oracle (unrolled PQ training)
     // the recall dashboard over all three ANN methods vs brute force —
     // oracle-backed (floors declared under the measured recalls), so a
     // recall regression in any method turns this row red in the gate
@@ -642,6 +642,7 @@ object SparkEntry {
     "q_ann_topk" -> Similarity.annTopKOracleSql(20, 5),
     "q_cosine_pairs_lsh" -> Similarity.cosinePairsLshOracleSql(0.9),
     "q_ivf_topk" -> Similarity.ivfTopKOracleSql(20, 5),
+    "q_pq_topk" -> Similarity.pqTopKOracleSql(20, 5),
     "q_knn_graph_lsh" -> Similarity.knnGraphLshOracleSql(5),
     "q_semantic_keeplist_lsh" -> Similarity.semanticKeepListLshOracleSql(0.9),
     "q_lsh_fidelity" -> Similarity.lshFidelityReportOracleSql(),

@@ -263,6 +263,81 @@ object Similarity {
        |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
+  /** Generated full value oracle for [[pqTopK]] — a complete SQL replay of
+    * product quantization end to end: unit-normalize, take the first-
+    * `sampleN` training sample, run `trainIters` unrolled Lloyd iterations
+    * over all `m` subspaces AT ONCE (subspace is a column, so one CTE pair
+    * serves all 16 codebooks), encode the corpus, and score by ADC with
+    * the same (adc DESC, cid) re-rank. No literals needed: unlike the LSH
+    * planes, every PQ input derives from the corpus itself. Replayable
+    * because the driver-side training loop is fixed-order double math —
+    * sums accumulate in sample order, which `list_sum(list(x ORDER BY
+    * sample_idx))` reproduces association-exactly — with strict-`<`
+    * argmin ties to the lowest centroid index (`ORDER BY dist, cent`),
+    * and empty cells keeping their previous centroid (LEFT JOIN +
+    * COALESCE). The per-partition heap bound in the operator prunes under
+    * the SAME total order the final window ranks by, so the SQL can skip
+    * it and rank the full candidate set. Chain CTEs are AS MATERIALIZED —
+    * DuckDB re-inlines multiply-referenced CTEs combinatorially otherwise
+    * (measured 12.6 s -> 1.5 s at sf0.01).
+    */
+  def pqTopKOracleSql(nQueries: Int = 20, k: Int = 5, m: Int = 16,
+                      ks: Int = 64, trainIters: Int = 5, sampleN: Int = 256,
+                      dim: Int = 64): String = {
+    val sub = dim / m
+    // squared-L2 of a subvector against a centroid list, summed in
+    // position order (the training and encoding loops' association)
+    def distExpr(vecCol: String, centCol: String): String =
+      s"list_sum(list_transform(generate_series(1, $sub), i -> ($vecCol[i] - $centCol[i]) * ($vecCol[i] - $centCol[i])))"
+    val iterCtes = (1 to trainIters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""asg$it AS MATERIALIZED (SELECT s, sample_idx, subvec, cent FROM (
+         |    SELECT p.s, p.sample_idx, p.subvec, c.cent,
+         |      ROW_NUMBER() OVER (PARTITION BY p.s, p.sample_idx
+         |                         ORDER BY ${distExpr("p.subvec", "c.cv")}, c.cent) AS dr
+         |    FROM samp p JOIN $prev c ON c.s = p.s)
+         |  WHERE dr = 1),
+         |nm$it AS MATERIALIZED (SELECT s, cent, list(sm / n ORDER BY pos) AS cv FROM (
+         |    SELECT s, cent, i AS pos,
+         |      list_sum(list(subvec[i] ORDER BY sample_idx)) AS sm, COUNT(*) AS n
+         |    FROM asg$it CROSS JOIN (SELECT UNNEST(generate_series(1, $sub)) AS i) g
+         |    GROUP BY s, cent, i)
+         |  GROUP BY s, cent),
+         |c$it AS MATERIALIZED (SELECT p.s, p.cent, COALESCE(nc.cv, p.cv) AS cv
+         |  FROM c${it - 1} p LEFT JOIN nm$it nc ON nc.s = p.s AND nc.cent = p.cent)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS ($rawVectorsSql),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM src),
+       |un AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+       |sdim AS (SELECT UNNEST(generate_series(0, ${m - 1})) AS s),
+       |smp AS (SELECT vec_id, u, sample_idx FROM (
+       |    SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sample_idx FROM un)
+       |  WHERE sample_idx < $sampleN),
+       |samp AS MATERIALIZED (SELECT sample_idx, sdim.s,
+       |    list_transform(generate_series(1, $sub), i -> u[sdim.s * $sub + i]) AS subvec
+       |  FROM smp CROSS JOIN sdim),
+       |c0 AS MATERIALIZED (SELECT s, sample_idx AS cent, subvec AS cv FROM samp WHERE sample_idx < $ks),
+       |$iterCtes,
+       |cvs AS (SELECT vec_id, sdim.s,
+       |    list_transform(generate_series(1, $sub), i -> u[sdim.s * $sub + i]) AS subvec
+       |  FROM un CROSS JOIN sdim),
+       |enc AS MATERIALIZED (SELECT vec_id, s, cent AS code FROM (
+       |    SELECT p.vec_id, p.s, c.cent,
+       |      ROW_NUMBER() OVER (PARTITION BY p.s, p.vec_id
+       |                         ORDER BY ${distExpr("p.subvec", "c.cv")}, c.cent) AS dr
+       |    FROM cvs p JOIN c$trainIters c ON c.s = p.s)
+       |  WHERE dr = 1),
+       |q AS (SELECT vec_id AS qid, u AS qu FROM un WHERE vec_id < $nQueries),
+       |lv AS (SELECT q.qid, enc.vec_id AS cid, enc.s,
+       |    list_sum(list_transform(generate_series(1, $sub), i -> q.qu[enc.s * $sub + i] * c.cv[i])) AS lut
+       |  FROM enc JOIN c$trainIters c ON c.s = enc.s AND c.cent = enc.code
+       |  CROSS JOIN q WHERE enc.vec_id <> q.qid),
+       |sc AS (SELECT qid, cid, list_sum(list(lut ORDER BY s)) AS adc FROM lv GROUP BY qid, cid),
+       |r AS (SELECT qid, cid, adc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM sc)
+       |SELECT qid, cid, round(adc, 6) AS adc, CAST(rn AS BIGINT) AS rn FROM r
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   /** Generated full value oracle for the LSH composition of
     * [[semanticDedupKeepList]]: the LSH verified-pair CTE feeds the same
     * recursive-reachability clustering the exact keeplist oracle uses
@@ -544,8 +619,11 @@ object Similarity {
     * 100 TB the codes become a write-once index column and only the
     * re-rank (kilobytes per query) ever crosses the wire.
     *
-    * Quantized scores → no SQL oracle; the suite asserts recall floors vs
-    * [[cosineTopK]], partitioning-invariance, and the memory arithmetic.
+    * Quantized scores are approximate relative to brute force but
+    * deterministic end to end (fixed-order driver-side training), so the
+    * query carries BOTH recall floors / partitioning-invariance / memory
+    * arithmetic in the suite AND a full value oracle
+    * ([[pqTopKOracleSql]] replays training, encoding, and ADC in SQL).
     */
   def pqTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
              m: Int = 16, ks: Int = 64, trainIters: Int = 5,
