@@ -100,6 +100,17 @@ class SimilaritySpec extends SparkSpec {
     assert(hitsFew >= 5, s"IVF nProbe=4 recall too low: $hitsFew of ${few.size}")
   }
 
+  test("ivfTopK: partitioning-invariant (decimal-exact Lloyd means)") {
+    // before the Lloyd mean ran through DECIMAL(38,18) this did NOT hold:
+    // a double avg() sums in partial-aggregation order, so the trained
+    // centroids (and borderline cell assignments) shifted with the input
+    // partitioning — the same property the replay oracle depends on
+    val e = Tables.embeddings(spark, sfDir)
+    val base = Similarity.ivfTopK(e, nQueries = 20, k = 5).collect().toSeq
+    val repart = Similarity.ivfTopK(e.repartition(7), nQueries = 20, k = 5).collect().toSeq
+    assert(base == repart, "IVF result must not depend on input partitioning")
+  }
+
   test("annRecallReport: all three method floors hold; recall arithmetic matches a driver recount") {
     val e = Tables.embeddings(spark, sfDir)
     val report = Similarity.annRecallReport(e, 20, 5).collect()
