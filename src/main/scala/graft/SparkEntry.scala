@@ -273,7 +273,9 @@ object SparkEntry {
     // genuinely exercised by the oracle
     "q_surprisal" -> t("documents")(Text.unigramSurprisal(_, 100)),
     "q_surprisal_bigram" -> t("documents")(Text.bigramSurprisal(_)),
-    "q_compress_ratio" -> t("documents")(Text.compressionRatio), // no oracle: zlib bytes aren't SQL
+    // per-doc lengths are exact cross-engine values; the zlib ratio itself
+    // (not SQL-computable) is pinned per-row by its deflate-envelope bound
+    "q_compress_ratio" -> t("documents")(Text.compressionChecked),
     // its guarantee companion: exact UTF-8 byte totals + deflate sanity
     // booleans, oracle-pinned — the zlib path's driver-visible check
     "q_compress_report" -> t("documents")(Text.compressionReport),
@@ -646,6 +648,7 @@ object SparkEntry {
     "q_knn_graph_lsh" -> Similarity.knnGraphLshOracleSql(5),
     "q_semantic_keeplist_lsh" -> Similarity.semanticKeepListLshOracleSql(0.9),
     "q_lsh_fidelity" -> Similarity.lshFidelityReportOracleSql(),
+    "q_compress_ratio" -> Text.compressionCheckedOracleSql,
     "q_compress_report" -> Text.compressionReportOracleSql,
     "q_priority_estimates" ->
       """WITH base AS (

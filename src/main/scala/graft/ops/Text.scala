@@ -372,6 +372,20 @@ object Text {
   def compressionRatio(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    deflated(documents)
+      .map { case (id, _, nBytes, ratio) => (id, nBytes, ratio) }
+      .toDF("doc_id", "n_bytes", "compress_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** The deflate pass shared by [[compressionRatio]] and
+    * [[compressionChecked]]: (doc_id, n_chars, n_bytes, ratio). One typed
+    * `mapPartitions` with a single `Deflater` per task (reset per row).
+    * n_chars counts CODE POINTS (not UTF-16 units) to match SQL `length`.
+    */
+  private def deflated(documents: DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
@@ -382,22 +396,55 @@ object Text {
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
-          if (raw.isEmpty) (id, 0L, 1.0)
+          val nChars = if (text == null) 0L else text.codePointCount(0, text.length).toLong
+          if (raw.isEmpty) (id, nChars, 0L, 1.0)
           else {
             deflater.reset()
             deflater.setInput(raw)
             deflater.finish()
             var compressed = 0L
             while (!deflater.finished()) compressed += deflater.deflate(buf)
-            (id, raw.length.toLong,
+            (id, nChars, raw.length.toLong,
               BigDecimal(compressed.toDouble / raw.length)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
         }
       }
-      .toDF("doc_id", "n_bytes", "compress_ratio")
+  }
+
+  /** The ORACLE-CHECKABLE per-document restatement of [[compressionRatio]]:
+    * exact code-point and UTF-8 byte lengths (both re-derivable by any SQL
+    * engine from the raw text — a tokenize/byte-accounting bug on either
+    * side is a per-ROW hash mismatch) plus a deflate-envelope boolean
+    * pinning the zlib output per document: ratio in (0, 1 + (16 + 5·⌊n/64K⌋)/n]
+    * — the exact stored-block worst case (2-byte header + 4-byte adler +
+    * 5 bytes per ≤64K block, padded to 16 for the fixed-Huffman edge) —
+    * so a wrong deflate loop cannot hide in an aggregate. The raw ratio
+    * itself is not SQL-computable; it stays on [[compressionRatio]]
+    * (exercised by `q_compress_report`'s corpus anchor and TextSpec).
+    */
+  def compressionChecked(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    deflated(documents)
+      .map { case (id, nChars, nBytes, ratio) =>
+        val bound = 1.0 + (16.0 + 5.0 * (nBytes / 65536)) / math.max(nBytes, 1L)
+        (id, nChars, nBytes, ratio > 0.0 && ratio <= bound)
+      }
+      .toDF("doc_id", "n_chars", "n_bytes", "ratio_in_range")
       .orderBy("doc_id")
   }
+
+  /** Generated oracle for [[compressionChecked]] — lengths recomputed from
+    * the raw text, envelope boolean pinned TRUE (the exact-bound report
+    * pattern). DuckDB `length` = code points, `strlen` = UTF-8 bytes.
+    */
+  def compressionCheckedOracleSql: String =
+    """SELECT doc_id,
+      |       CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+      |       CAST(COALESCE(strlen(text), 0) AS BIGINT) AS n_bytes,
+      |       TRUE AS ratio_in_range
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** The oracle-anchored report over [[compressionRatio]] (the exact-bound
     * report pattern): the exact corpus byte total is a REAL cross-engine
@@ -451,11 +498,16 @@ object Text {
     require(vocabSize > 0)
     val spark = documents.sparkSession
     import spark.implicits._
-    val toks = documents.select(
-      explode(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("tok"))
+    // ONE corpus tokenize, cached: the vocab-count job and the scoring pass
+    // both read `_toks` (same discipline as [[bigramSurprisal]])
+    val base = documents
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two driver actions read cnt (the total and the vocab top-K) — persist
-    // so the corpus tokenize+aggregate lineage runs once, not twice
-    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // so the tokenize+aggregate lineage runs once, not twice
+    val cnt = base.select(explode(col("_toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (total, vocab) = try {
       val totalRow = cnt.agg(sum("c")).head()
@@ -467,13 +519,14 @@ object Text {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     } finally cnt.unpersist()
     if (total == 0.0) {
+      base.unpersist(blocking = false)
       return Seq.empty[(Long, Double, Long)].toDF("doc_id", "mean_surprisal", "n_tokens")
     }
     val bc = spark.sparkContext.broadcast(vocab)
-    val tokenRe = wordRe.r
-    documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val ts = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
+    Helpers.releaseAfterFirstAction(base)
+    base.select(col("doc_id"), col("_toks")).as[(Long, Seq[String])]
+      .flatMap { case (id, tsSeq) =>
+        val ts = if (tsSeq == null) Array.empty[String] else tsSeq.toArray
         if (ts.isEmpty) Iterator.empty
         else {
           var acc = BigDecimal(0)
@@ -516,8 +569,15 @@ object Text {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
     val spark = documents.sparkSession
     import spark.implicits._
+    // ONE corpus tokenize, cached: the unigram-count job, the bigram-count
+    // job, and the scoring pass all read `_toks` from this frame. Without
+    // the persist each construction job re-ran regexp_extract_all over the
+    // full corpus (and scoring tokenized a third time Scala-side) — the
+    // tokenize was the dominant cost, 3×.
     val base = documents
-      .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = base.select(explode(col("_toks")).as("tok"))
     val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -529,6 +589,7 @@ object Text {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     } finally cnt.unpersist()
     if (total == 0.0) {
+      base.unpersist(blocking = false)
       return Seq.empty[(Long, Double, Long)].toDF("doc_id", "mean_surprisal", "n_tokens")
     }
     val grams = filter(
@@ -545,12 +606,17 @@ object Text {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bcU = spark.sparkContext.broadcast(vocab)
     val bcB = spark.sparkContext.broadcast(bigMap)
-    val tokenRe = wordRe.r
     val lam = lambda
     val n = total
-    documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val ts = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
+    // the returned frame is LAZY — scope the tokenize cache to its first
+    // consuming action (registered AFTER the eager construction jobs so
+    // neither of them spends the release)
+    Helpers.releaseAfterFirstAction(base)
+    // scoring reads the SAME `_toks` the counts were built from — no
+    // third tokenize, and no Spark-regex-vs-Scala-regex consistency hazard
+    base.select(col("doc_id"), col("_toks")).as[(Long, Seq[String])]
+      .flatMap { case (id, tsSeq) =>
+        val ts = if (tsSeq == null) Array.empty[String] else tsSeq.toArray
         if (ts.isEmpty) Iterator.empty
         else {
           var acc = BigDecimal(0)

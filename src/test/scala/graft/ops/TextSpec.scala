@@ -59,6 +59,20 @@ class TextSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("compressionChecked: exact lengths + envelope boolean, non-BMP code points") {
+    import spark.implicits._
+    // "𝕏" is non-BMP (2 UTF-16 units, 1 code point, 4 UTF-8 bytes): the
+    // n_chars column must count CODE POINTS to match SQL length()
+    val d = Seq((1L, "abc"), (2L, "𝕏y"), (3L, ""), (4L, null: String),
+      (5L, "spam " * 100)).toDF("doc_id", "text")
+    val out = graft.ops.Text.compressionChecked(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (3L, 3L, true))
+    assert(out(2L) == (2L, 5L, true), s"code-point count / UTF-8 bytes: ${out(2L)}")
+    assert(out(3L) == (0L, 0L, true) && out(4L) == (0L, 0L, true))
+    assert(out(5L) == (500L, 500L, true))
+  }
+
   test("unigramSurprisal: null text and token-less corpora yield empty results, not NPEs") {
     import spark.implicits._
     val withNull = Seq((1L, "the the"), (2L, null: String)).toDF("doc_id", "text")
