@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+
+import scala.collection.mutable
+
+/** Session-scoped memoization for bounded fidelity-PROBE artifacts.
+  *
+  * The two guarantee dashboards ([[Similarity.annRecallReport]] and
+  * [[Similarity.lshFidelityReport]]) certify approximate structures against
+  * exact references over a bounded probe set. Every artifact they derive —
+  * exact/LSH pair graphs, the two keep-list clusterings, the kNN graphs,
+  * the per-method ANN top-k outputs — is seeded-deterministic and
+  * probe-cap-sized, yet each report invocation used to rebuild all of them
+  * from scratch: a monitoring query whose answer is six booleans paid for
+  * two label propagations and three ANN index builds per refresh. The
+  * production shape is the opposite — you certify fidelity ONCE per index
+  * build and let the dashboards read the certified artifacts — and this
+  * cache is that shape in-process: `apply` memoizes the built artifact
+  * (localCheckpointed, so the lineage is cut and downstream report plans
+  * stay tiny) keyed by an operator tag plus the SEMANTICS of the input
+  * plans, so a different corpus, scale factor, or parameterization misses
+  * the cache and rebuilds while repeated report refreshes over the same
+  * inputs reuse bit-identical frames.
+  *
+  * Keying compares `Dataset.sameSemantics` on the key frames (canonicalized
+  * plan equality — no 32-bit hash collisions) and requires the same live
+  * session. Entries hold probe-cap-bounded checkpoint blocks for the
+  * session's lifetime by design — the dashboards' previous per-call
+  * `localCheckpoint`s relied on GC/ContextCleaner for reclaim, so repeated
+  * refreshes ACCUMULATED blocks between collections; the cache caps
+  * residency at exactly one artifact set per distinct probe instead.
+  * [[clear]] releases everything explicitly (test isolation / session
+  * teardown).
+  */
+private[graft] object ProbeCache {
+  private final case class Entry(tag: String, keys: Seq[DataFrame], result: DataFrame)
+  private val entries = mutable.ArrayBuffer.empty[Entry]
+
+  /** The memoized, localCheckpointed result of `build` for this (tag, key
+    * plans) combination. `build` runs (and materializes) only on a miss.
+    */
+  def apply(tag: String, keys: Seq[DataFrame])(build: => DataFrame): DataFrame = synchronized {
+    require(keys.nonEmpty, "ProbeCache needs at least one key frame")
+    val spark = keys.head.sparkSession
+    entries.find { e =>
+      e.tag == tag && (e.result.sparkSession eq spark) &&
+        e.keys.length == keys.length &&
+        e.keys.zip(keys).forall { case (a, b) => a.sameSemantics(b) }
+    }.map(_.result).getOrElse {
+      val res = build.localCheckpoint()
+      entries += Entry(tag, keys, res)
+      res
+    }
+  }
+
+  /** Number of live entries (spec observability). */
+  def size: Int = synchronized(entries.length)
+
+  /** Release every cached checkpoint's storage and forget the entries.
+    * Safe only when no in-flight plan still references a cached frame
+    * (a localCheckpoint has no lineage to recompute from).
+    */
+  def clear(): Unit = synchronized {
+    entries.foreach { e =>
+      try GraftSqlBridge.releaseLocalCheckpoint(e.result)
+      catch { case _: Throwable => () } // session already stopped: blocks are gone
+    }
+    entries.clear()
+  }
+}

@@ -494,8 +494,13 @@ object Similarity {
       // exact-decimal sum, then ONE double division (the dsum discipline):
       // a plain double avg() is partial-aggregation-order-dependent, which
       // both breaks partitioning invariance of the trained centroids and
-      // blocks the DuckDB replay oracle; the decimal sum is exact for
-      // |x| < 1e20 and still partial-aggregable at scale
+      // blocks the DuckDB replay oracle; the decimal SUM is exact and
+      // partial-aggregable at scale. Caveat (like the LSH sign-bit hazard):
+      // the double→DECIMAL(38,18) CAST itself rounds binary digits beyond
+      // 18 decimals, and Spark (HALF_UP) vs DuckDB could round a boundary
+      // value differently — so cross-engine agreement is EMPIRICALLY
+      // validated at both gate SFs, not exact-by-construction; it only
+      // surfaces if such a boundary flips a near-tie csim crank
       .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
         .cast("double") / count(lit(1)).cast("double")).as("m"))
       .groupBy("cell")
@@ -992,7 +997,13 @@ object Similarity {
   def annRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
                       floors: Map[String, Double] = Map(
                         "lsh" -> 0.55, "ivf" -> 0.7, "pq" -> 0.45)): DataFrame = {
-    val exact = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("cid"))
+    // every probe artifact (ground truth + the three method outputs) is
+    // seeded-deterministic over a bounded query set — memoize via
+    // ProbeCache so repeated dashboard refreshes over the same corpus skip
+    // the three index builds and the exact scan (the certify-once-per-
+    // index-build production shape)
+    val exact = ProbeCache(s"recall.exact_topk.$nQueries.$k", Seq(embeddings))(
+      cosineTopK(embeddings, nQueries, k)).select(col("qid"), col("cid"))
     def leg(name: String, method: DataFrame): DataFrame = {
       val hits = exact.join(method.select(col("qid"), col("cid")),
           Seq("qid", "cid"), "left_semi")
@@ -1006,9 +1017,12 @@ object Similarity {
           lit(k.toLong).as("k"), lit(floors(name)).as("recall_floor"),
           (col("recall") >= lit(floors(name))).as("recall_ok"))
     }
-    leg("lsh", annTopK(embeddings, nQueries, k))
-      .unionByName(leg("ivf", ivfTopK(embeddings, nQueries, k)))
-      .unionByName(leg("pq", pqTopK(embeddings, nQueries, k)))
+    leg("lsh", ProbeCache(s"recall.lsh.$nQueries.$k", Seq(embeddings))(
+        annTopK(embeddings, nQueries, k)))
+      .unionByName(leg("ivf", ProbeCache(s"recall.ivf.$nQueries.$k", Seq(embeddings))(
+        ivfTopK(embeddings, nQueries, k))))
+      .unionByName(leg("pq", ProbeCache(s"recall.pq.$nQueries.$k", Seq(embeddings))(
+        pqTopK(embeddings, nQueries, k))))
       .orderBy("method")
   }
 
@@ -1061,16 +1075,22 @@ object Similarity {
                         maxVectors: Long = 1000L): DataFrame = {
     val bounded = embeddings.filter(col("vec_id") < maxVectors)
     val aug = withSyntheticNearDups(bounded)
-    // the two pair frames feed the pair leg AND the keeplist clusterings
-    // (which run their own label-propagation actions) — localCheckpoint
-    // computes each ONCE (the pageRank edge pattern; a scoped persist would
-    // be spent by the clustering's first internal action and recompute for
-    // the rest). Construction is eager here, like the clustering it feeds;
-    // the blocks are pair-count-sized (bounded by the probe cap) and stay
-    // resident only while the returned report frame is alive.
-    val exactPairs = cosineDupPairs(aug, 0.9, sorted = false).localCheckpoint()
-    val lshPairs = cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8,
-      sorted = false).localCheckpoint()
+    // every probe artifact — the two pair graphs, the two keep-list
+    // clusterings, the two kNN graphs — is seeded-deterministic over the
+    // capped probe set, so they are memoized through ProbeCache (shared
+    // localCheckpoints, lineage cut): the pair frames feed the pair leg AND
+    // the keeplist clusterings within ONE call (the reason they were
+    // already checkpointed — a scoped persist would be spent by the
+    // clustering's first internal action), and repeated dashboard
+    // refreshes over the same corpus reuse all six artifacts instead of
+    // re-running two label propagations and two quadratic probes. Block
+    // residency is capped at one artifact set per distinct probe, released
+    // via ProbeCache.clear (previously each call's checkpoints waited on
+    // GC/ContextCleaner).
+    val exactPairs = ProbeCache("fid.exact_pairs.0.9", Seq(aug))(
+      cosineDupPairs(aug, 0.9, sorted = false))
+    val lshPairs = ProbeCache("fid.lsh_pairs.0.9.8x8", Seq(aug))(
+      cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8, sorted = false))
     // pair_graph (marker columns — a USING full-outer collapses the key
     // columns, so side-membership must ride its own flag)
     val exactP = exactPairs.select(col("id_a"), col("id_b"), lit(1).as("me"))
@@ -1078,15 +1098,20 @@ object Similarity {
     val pairLeg = lshP.join(exactP, Seq("id_a", "id_b"), "full_outer")
       .select(col("me").isNotNull.as("in_e"), col("ml").isNotNull.as("in_l"))
     // knn_top1
-    val e1 = knnGraph(bounded, 1).select(col("vec_id"),
-      col("neighbor_id").as("en"), col("sim").as("es"))
-    val l1 = knnGraphLsh(bounded, 1).select(col("vec_id"),
-      col("neighbor_id").as("ln"), col("sim").as("ls"))
+    val e1 = ProbeCache("fid.knn_exact.1", Seq(bounded))(knnGraph(bounded, 1))
+      .select(col("vec_id"), col("neighbor_id").as("en"), col("sim").as("es"))
+    val l1 = ProbeCache("fid.knn_lsh.1", Seq(bounded))(knnGraphLsh(bounded, 1))
+      .select(col("vec_id"), col("neighbor_id").as("ln"), col("sim").as("ls"))
     val knnLeg = e1.join(l1, Seq("vec_id"), "left")
-    // semantic_keeplist — clustered from the SAME persisted pair frames
-    val exactK = semanticDedupKeepList(aug, exactPairs)
+    // semantic_keeplist — clustered from the SAME memoized pair frames
+    // (the clustering itself is the expensive part: label propagation runs
+    // eager rounds at construction, so the memoization key must be checked
+    // BEFORE construction — ProbeCache's thunk does exactly that)
+    val exactK = ProbeCache("fid.keeplist_exact", Seq(aug, exactPairs))(
+        semanticDedupKeepList(aug, exactPairs))
       .select(col("vec_id"), lit(1).as("ke"))
-    val lshK = semanticDedupKeepList(aug, lshPairs)
+    val lshK = ProbeCache("fid.keeplist_lsh", Seq(aug, lshPairs))(
+        semanticDedupKeepList(aug, lshPairs))
       .select(col("vec_id"), lit(1).as("kl"))
     val keepLeg = aug.select("vec_id")
       .join(exactK, Seq("vec_id"), "left").join(lshK, Seq("vec_id"), "left")
