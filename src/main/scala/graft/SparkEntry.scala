@@ -70,6 +70,10 @@ object SparkEntry {
             .cast("double").as("revenue"))
         .orderBy("o_orderstatus")
     }),
+    // the DSv2 connector under the hash gate: agg leg answered from chunk
+    // metadata (aggregate pushdown), rows leg through the filter-folded
+    // row reader with payload content hashed (see ChunkedSource.gateQuery)
+    "q_chunked_source" -> ((s, _) => graft.sources.ChunkedSource.gateQuery(s)),
     "q_pricing_summary" -> t("lineitem")(Relational.pricingSummary),
     "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -554,6 +558,7 @@ object SparkEntry {
     "q_chunked_fetch_partitioned" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${DS("o_totalprice")} AS revenue
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_chunked_source" -> graft.sources.ChunkedSource.gateOracleSql,
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
                  ${DS("l_quantity")} AS sum_qty,

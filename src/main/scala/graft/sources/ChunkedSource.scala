@@ -61,6 +61,68 @@ object ChunkedSource {
     StructField("id", LongType, nullable = false),
     StructField("chunk", IntegerType, nullable = false),
     StructField("payload", StringType, nullable = false)))
+
+  /** The connector's oracle-gate query (`q_chunked_source`): everything the
+    * source generates is deterministic (ids are a contiguous range split
+    * into `ceil(numRows/numChunks)`-sized chunks, payload =
+    * `row-$id-of-chunk-$chunk`), so a DuckDB `generate_series` replay can
+    * re-derive every row and the driver's hash gate covers the connector
+    * end-to-end — not just the plan-shape specs. Two legs through ONE
+    * read-path each:
+    *
+    *  - `agg`: group-by-chunk COUNT/MIN/MAX with no residual filter — the
+    *    planner absorbs it into [[ChunkedAggScan]], so these rows are
+    *    answered from chunk-range METADATA (a wrong range bound or a
+    *    dropped partial-agg merge flips the hash);
+    *  - `rows`: an id-range predicate (pushed, folded into the reader's
+    *    bounds) plus a payload-content equality Spark must evaluate — the
+    *    row reader actually generates rows here, and the payload check
+    *    makes the generated CONTENT part of the hashed result (the count
+    *    would drop if any payload mis-rendered).
+    */
+  private[graft] val gateRows = 1000L
+  private[graft] val gateChunks = 8
+
+  def gateQuery(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def src = spark.read.format("graft.sources.ChunkedSource")
+      .option("numRows", gateRows.toString).option("numChunks", gateChunks.toString)
+      .load()
+    val agg = src.groupBy("chunk")
+      .agg(count(col("id")).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .select(lit("agg").as("kind"), col("chunk"), col("n"), col("min_id"), col("max_id"))
+    val rows = src
+      .filter(col("id") >= 150L && col("id") < 250L &&
+        col("payload") === concat(lit("row-"), col("id").cast("string"),
+          lit("-of-chunk-"), col("chunk").cast("string")))
+      .groupBy("chunk")
+      .agg(count(col("id")).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .select(lit("rows").as("kind"), col("chunk"), col("n"), col("min_id"), col("max_id"))
+    agg.unionByName(rows).orderBy("kind", "chunk")
+  }
+
+  /** Generated DuckDB replay of [[gateQuery]] — same constants, so the
+    * chunk-split formula and payload rendering cannot drift between the
+    * connector and its oracle.
+    */
+  def gateOracleSql: String = {
+    val per = math.max(1L, math.ceil(gateRows.toDouble / gateChunks).toLong)
+    s"""WITH rows AS (
+       |  SELECT g AS id, CAST(g // $per AS INT) AS chunk,
+       |         'row-' || g || '-of-chunk-' || CAST(g // $per AS INT) AS payload
+       |  FROM generate_series(0, ${gateRows - 1}) t(g))
+       |SELECT 'agg' AS kind, chunk, COUNT(id) AS n,
+       |       MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM rows GROUP BY chunk
+       |UNION ALL
+       |SELECT 'rows' AS kind, chunk, COUNT(id) AS n,
+       |       MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM rows
+       |WHERE id >= 150 AND id < 250
+       |  AND payload = 'row-' || id || '-of-chunk-' || chunk
+       |GROUP BY chunk
+       |ORDER BY kind, chunk""".stripMargin
+  }
 }
 
 private class ChunkedTable(numRows: Long, numChunks: Int) extends Table

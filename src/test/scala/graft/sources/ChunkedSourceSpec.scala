@@ -70,6 +70,26 @@ class ChunkedSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       2 -> ((250L, 500L)), 3 -> ((250L, 750L))))
   }
 
+  test("gate query: agg leg is metadata-answered, rows leg folds the id range") {
+    // q_chunked_source's value is only as strong as its plan shape — pin
+    // that the agg leg really engages aggregate pushdown (group-by-chunk)
+    // and the rows leg really pushes its id range, so the oracle hash
+    // keeps covering both connector paths
+    val df = ChunkedSource.gateQuery(spark)
+    val descs = collect(df.queryExecution.executedPlan) { case s: BatchScanExec => s }
+      .map(_.scan.description())
+    assert(descs.exists(d => d.contains("AGGPUSHED") && d.contains("groupByChunk=true")),
+      descs.mkString("\n"))
+    assert(descs.exists(d => !d.contains("AGGPUSHED") &&
+      d.contains("GreaterThanOrEqual(id,150)") && d.contains("LessThan(id,250)")),
+      descs.mkString("\n"))
+    val rows = df.collect()
+    assert(rows.length == ChunkedSource.gateChunks + 1)
+    assert(rows.count(_.getString(0) == "rows") == 1)
+    val r = rows.find(_.getString(0) == "rows").get
+    assert((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((1, 100L, 150L, 249L)))
+  }
+
   test("unsupported aggregates fall back to the row-scan path, still correct") {
     val df = read(1000, 4).agg(sum("id").as("s"), countDistinct("chunk").as("d"))
     assert(aggScanOf(df).isEmpty, "SUM/COUNT DISTINCT must not be claimed by the source")
