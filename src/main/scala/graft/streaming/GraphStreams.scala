@@ -71,43 +71,132 @@ object GraphStreams {
     * is the batch [[graft.ops.Graph.pageRank]] over all edges seen so far.
     * The caller owns the returned query's lifecycle (stop/await).
     *
-    * Restart semantics (deliberate demo limitation): the processor's
-    * first-seen state IS checkpoint-recoverable, but the accumulated edge
-    * frame lives in executor block storage and dies with the session — a
-    * restarted query would drop pre-restart edges from future refreshes
-    * (the state store would still swallow their re-delivery). A production
-    * deployment persists the deduped edges through a transactional sink
-    * (the DSv2 writer in [[graft.sources.ChunkedSource]] is the in-repo
-    * composition, proven in DocumentStreamsSpec) and rebuilds the
-    * accumulator from it on restart.
+    * Restart semantics: the processor's first-seen state IS checkpoint-
+    * recoverable, but this variant's accumulated edge frame lives in
+    * executor block storage and dies with the query — so resuming from a
+    * checkpoint would silently rank a truncated graph (the state store
+    * swallows pre-restart edges' re-delivery while the accumulator no
+    * longer holds them). That combination FAILS FAST here: the first batch
+    * of an incarnation whose batchId is not 0 while the accumulator is
+    * empty is exactly a checkpoint resume with lost edges, and the query
+    * dies pointing at [[streamingPageRankDurable]] — the variant that
+    * persists deduped edges through the transactional DSv2 sink and
+    * rebuilds on restart.
     */
   def streamingPageRank(edges: Dataset[Edge], iters: Int = 10,
-                        damping: Double = 0.85)
+                        damping: Double = 0.85,
+                        checkpointLocation: Option[String] = None)
                        (onRefresh: (Long, DataFrame) => Unit): StreamingQuery = {
     // graph-so-far, confined to the single foreachBatch thread; each fold
     // rotates the localCheckpoint and releases the superseded generation
     var accumulated: Option[DataFrame] = None
-    firstSeenEdges(edges).writeStream
+    var sawBatch = false
+    val writer = firstSeenEdges(edges).writeStream
       .outputMode("update")
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[Edge], batchId: Long) =>
-        // materialize the delta NOW — the micro-batch frame is not valid
-        // after the batch completes, the checkpointed copy is
-        val delta = batch.toDF().localCheckpoint()
-        if (delta.isEmpty) {
-          org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(delta)
-        } else {
-          val next = accumulated match {
-            case Some(acc) =>
-              val u = acc.union(delta).localCheckpoint()
-              org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(acc)
-              org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(delta)
-              u
-            case None => delta
-          }
-          accumulated = Some(next)
-          onRefresh(batchId, graft.ops.Graph.pageRank(next, iters, damping))
+        if (!sawBatch && batchId > 0 && accumulated.isEmpty) {
+          throw new IllegalStateException(
+            s"streamingPageRank resumed from a checkpoint (batchId=$batchId) but the " +
+              "accumulated edge frame did not survive the restart: refreshes would " +
+              "silently rank a truncated graph. Use streamingPageRankDurable, which " +
+              "persists deduped edges through the transactional sink and rebuilds.")
         }
+        sawBatch = true
+        foldAndRefresh(batch, batchId, accumulated, onRefresh, iters, damping,
+          dedupAgainstAcc = false, persistDelta = _ => ())
+          .foreach(next => accumulated = Some(next))
       }
       .start()
+  }
+
+  /** The restart-safe [[streamingPageRank]]: every batch's NEW edges are
+    * committed through the [[graft.sources.ChunkedSource]] two-phase-commit
+    * sink (target key = `target`) BEFORE the refresh, and a restarted
+    * incarnation rebuilds the accumulated edge frame from that sink — so a
+    * resume from a checkpoint ranks the FULL delivered graph even though
+    * the state store swallows re-deliveries of pre-restart edges. Edge →
+    * sink-row mapping is lossless over the sink's fixed (id, chunk,
+    * payload) schema: (src, 0, dst). The rebuild applies DISTINCT: a batch
+    * re-run after a crash between sink commit and checkpoint commit
+    * re-appends its edges (foreachBatch is at-least-once), and dedup at
+    * rebuild is the idempotency point.
+    */
+  def streamingPageRankDurable(edges: Dataset[Edge], target: String,
+                               iters: Int = 10, damping: Double = 0.85,
+                               checkpointLocation: Option[String] = None)
+                              (onRefresh: (Long, DataFrame) => Unit): StreamingQuery = {
+    var accumulated: Option[DataFrame] = None
+    var restored = false
+    val writer = firstSeenEdges(edges).writeStream
+      .outputMode("update")
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[Edge], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!restored) {
+          restored = true
+          val prior = graft.sources.ChunkedSink.rows(target)
+            .map(r => (r.id, r.payload.toLong)).distinct
+          if (prior.nonEmpty) {
+            import spark.implicits._
+            accumulated = Some(prior.toDF("src", "dst").localCheckpoint())
+          }
+        }
+        // dedupAgainstAcc: after a crash between sink commit and checkpoint
+        // commit, the re-run batch re-emits edges the rebuilt accumulator
+        // already holds (the state store rolled back) — the anti-join
+        // drops them so neither the graph nor the sink double-counts; in
+        // the no-crash path delta ∩ acc = ∅ and it is a semantic no-op
+        foldAndRefresh(batch, batchId, accumulated, onRefresh, iters, damping,
+          dedupAgainstAcc = true, persistDelta = delta =>
+            delta.select(org.apache.spark.sql.functions.col("src").as("id"),
+                org.apache.spark.sql.functions.lit(0).as("chunk"),
+                org.apache.spark.sql.functions.col("dst").cast("string").as("payload"))
+              .write.format("graft.sources.ChunkedSource")
+              .option("target", target).mode("append").save())
+          .foreach(next => accumulated = Some(next))
+      }
+      .start()
+  }
+
+  /** Shared fold step: checkpoint the delta, durably persist it (durable
+    * variant), fold into the accumulator (rotating checkpoint generations),
+    * recompute + publish ranks. Returns the new accumulator, or None for an
+    * empty delta.
+    */
+  private def foldAndRefresh(batch: Dataset[Edge], batchId: Long,
+                             accumulated: Option[DataFrame],
+                             onRefresh: (Long, DataFrame) => Unit,
+                             iters: Int, damping: Double,
+                             dedupAgainstAcc: Boolean,
+                             persistDelta: DataFrame => Unit): Option[DataFrame] = {
+    // materialize the delta NOW — the micro-batch frame is not valid
+    // after the batch completes, the checkpointed copy is
+    val raw = batch.toDF().localCheckpoint()
+    val delta = accumulated match {
+      case Some(acc) if dedupAgainstAcc =>
+        val fresh = raw.join(acc, Seq("src", "dst"), "left_anti").localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(raw)
+        fresh
+      case _ => raw
+    }
+    if (delta.isEmpty) {
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(delta)
+      None
+    } else {
+      persistDelta(delta)
+      val next = accumulated match {
+        case Some(acc) =>
+          val u = acc.union(delta).localCheckpoint()
+          org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(acc)
+          org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(delta)
+          u
+        case None => delta
+      }
+      onRefresh(batchId, graft.ops.Graph.pageRank(next, iters, damping))
+      Some(next)
+    }
   }
 }

@@ -67,6 +67,61 @@ class GraphStreamsSpec extends SparkSpec {
     }
   }
 
+  test("durable variant: a restarted query ranks the FULL delivered graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("gs-restart-ckpt").toString
+      val target = s"t_restart_edges_${System.nanoTime()}"
+      graft.sources.ChunkedSink.drop(target)
+      val c1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).map((GraphStreams.Edge.apply _).tupled)
+      val c2 = Seq((4L, 1L), (2L, 4L), (3L, 4L)).map((GraphStreams.Edge.apply _).tupled)
+      val refreshes = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
+      val mem = MemoryStream[GraphStreams.Edge]
+      def start() = GraphStreams.streamingPageRankDurable(mem.toDS(), target,
+        iters = 5, checkpointLocation = Some(ckpt)) { (_, ranks) =>
+        refreshes += ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      val q1 = start()
+      try { mem.addData(c1); q1.processAllAvailable() } finally q1.stop()
+      assert(refreshes.last == batchRanks(c1))
+      // NEW incarnation, same checkpoint: the state store recovers (and
+      // swallows c1's re-delivery), the edge accumulator is rebuilt from
+      // the transactional sink — post-restart refreshes rank ALL edges
+      val q2 = start()
+      try {
+        mem.addData(c2 ++ c1.take(2)); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(refreshes.last == batchRanks(c1 ++ c2),
+        "post-restart refresh must equal the batch pageRank over ALL delivered edges")
+      graft.sources.ChunkedSink.drop(target)
+    }
+  }
+
+  test("demo variant fails fast on checkpoint resume instead of ranking a truncated graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("gs-demo-ckpt").toString
+      val mem = MemoryStream[GraphStreams.Edge]
+      def start() = GraphStreams.streamingPageRank(mem.toDS(), iters = 5,
+        checkpointLocation = Some(ckpt)) { (_, _) => () }
+      val q1 = start()
+      try { mem.addData(GraphStreams.Edge(1, 2), GraphStreams.Edge(2, 1)); q1.processAllAvailable() }
+      finally q1.stop()
+      val q2 = start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try { mem.addData(GraphStreams.Edge(2, 3)); q2.processAllAvailable() }
+        finally q2.stop()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("streamingPageRankDurable")),
+        s"expected the truncated-graph fail-fast, got: $ex")
+    }
+  }
+
   test("firstSeenEdges emits each distinct edge once across the whole stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
