@@ -30,6 +30,10 @@ object Bench {
     // Experiment hook: SPARK_GRAFT_CONF="k=v;k=v" overlays extra Spark confs
     // for local A/B runs. Like SPARK_GRAFT_ONLY, a leaked value must be
     // self-describing — the active overlay rides the artifact header.
+    // Known limit: ';' cannot appear INSIDE a value (it splits first) — a
+    // semicolon-delimited Java-option value would need an escape scheme or
+    // a different pair delimiter; acceptable for a local A/B hook, and the
+    // require below makes a truncated entry fail loudly rather than apply.
     val extraConf: Seq[(String, String)] =
       sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';')).map(_.trim)
         .filter(_.nonEmpty).map { kv =>
@@ -93,20 +97,35 @@ object Bench {
     // local-iteration filter (same contract as Verify): comma-separated
     // query names; unset = all. Official driver captures never set it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    // (name, first-run seconds, min-across-reps seconds) or error
-    val results: Seq[(String, Either[String, (Double, Double)])] =
+    // (name, all rep times in execution order) or error
+    val results: Seq[(String, Either[String, Seq[Double]])] =
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .sortBy(_._1).map { case (name, fn) =>
         try {
-          val times = (1 to reps).map(_ => timeOnce(() => fn(spark, sfDir).count()))
-          name -> Right((times.head, times.min))
+          name -> Right((1 to reps).map(_ => timeOnce(() => fn(spark, sfDir).count())))
         } catch { case e: Throwable =>
           name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
         }
       }
-    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val ok = results.collect { case (k, Right(ts)) => k -> ((ts.head, ts.min, ts)) }
     val errs = results.collect { case (k, Left(m)) => k -> m }
+    // Stall self-description (round-6 VERDICT): the calib bracket sees
+    // broad host load but not a SINGLE-QUERY stall (round 6's official
+    // artifact read q_surprisal_bigram 3x its same-session controls with
+    // idle-band calibs). A rep that is >= SPARK_GRAFT_SUSPECT_RATIO times
+    // its sibling reps' median marks the row suspect — the artifact then
+    // carries (max/median) per suspect query, so a one-off stall is
+    // diagnosable from the artifact alone instead of by cross-round
+    // archaeology. The reported min is unaffected; the flag only says
+    // "this row's reps disagreed enough that the min may not be typical".
+    val suspectRatio = sys.env.getOrElse("SPARK_GRAFT_SUSPECT_RATIO", "3.0").toDouble
+    val suspects = ok.flatMap { case (k, (_, _, ts)) =>
+      val median = ts.sorted.apply(ts.size / 2)
+      val ratio = if (median > 0) ts.max / median else 1.0
+      if (ts.size >= 2 && ratio >= suspectRatio)
+        Some(k -> math.rint(ratio * 100) / 100) else None
+    }
     // the opening calibration cannot see load that ARRIVES mid-run (the
     // round-6 90.75 s capture read an idle-band calib yet ran 28% slow) —
     // a closing calibration brackets the run, and the loaded stamp takes
@@ -134,16 +153,18 @@ object Bench {
       (if (extraConf.nonEmpty)
          s""","conf_overlay":${jstr(extraConf.map { case (k, v) => s"$k=$v" }.mkString(";"))}"""
        else "")
+    val suspectsJson = suspects.map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
     val header = s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
       s""""n_errors":${errs.size},"reps":$reps,"cpus":$cpus,""" +
-      s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_loaded":$calibLoadedAny$filterDesc"""
+      s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_loaded":$calibLoadedAny,""" +
+      s""""n_suspect":${suspects.size},"suspect":$suspectsJson$filterDesc"""
     val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s"""$header,"total_first_run":$totalFirst}"""
     // short line BEFORE and AFTER the long per-query line: whichever end a
     // log-tail capture keeps, one complete parseable JSON line survives
     println(shortLine)
-    val qs = ok.map { case (k, (_, mn)) => s""""$k":$mn""" }.mkString("{", ",", "}")
-    val firsts = ok.map { case (k, (f, _)) => s""""$k":$f""" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, (_, mn, _)) => s""""$k":$mn""" }.mkString("{", ",", "}")
+    val firsts = ok.map { case (k, (f, _, _)) => s""""$k":$f""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""first_runs":$firsts,"errors":$es,"sf":${jstr(sfDir)},$header}""")

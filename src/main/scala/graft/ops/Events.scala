@@ -82,24 +82,37 @@ object Events {
     * Tie contract (round-5 VERDICT): a right row at EXACTLY the left ts
     * matches ("at-or-before" — right sorts before left at equal ts), and
     * duplicate right rows on (key, ts) resolve DETERMINISTICALLY to the
-    * greatest payload struct (field-order comparison) — the window sorts
-    * right rows by payload within a tie and the running `last` keeps the
-    * final one. DuckDB's ASOF JOIN leaves this case unspecified, so
-    * `AsofPropertySpec` pins it against a driver-side reference instead of
-    * the SQL oracle (the fixture has no (key, ts) duplicates at any SF —
-    * verified — so q_events_asof's oracle cannot mask a divergence here).
+    * greatest payload by its ORDERABLE fields (field-order struct
+    * comparison) — the window sorts right rows by that subset within a tie
+    * and the running `last` keeps the final one. Unorderable payload
+    * columns (e.g. MapType) are excluded from the tie comparison, so such
+    * payloads still JOIN fine (they broke at analysis when the full struct
+    * was the sort key); a payload with NO orderable fields falls back to
+    * nondeterministic tie resolution, documented here. DuckDB's ASOF JOIN
+    * leaves ties unspecified, so `AsofPropertySpec` pins the contract
+    * against a driver-side reference instead of the SQL oracle (the
+    * fixture has no (key, ts) duplicates at any SF — verified — so
+    * q_events_asof's oracle cannot mask a divergence here).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                prefix: String = "asof_"): DataFrame = {
     val rPayloadCols = right.columns.filter(_ != key).toSeq
-    val r = right.select(col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
-      struct(rPayloadCols.map(col): _*).as("_payload"))
+    val tieCols = rPayloadCols.filter(c => org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(right.schema(c).dataType))
+    val r = right.select(Seq(col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
+      struct(rPayloadCols.map(col): _*).as("_payload")) ++
+      (if (tieCols.nonEmpty) Seq(struct(tieCols.map(col): _*).as("_tie")) else Nil): _*)
     val payloadType = r.schema("_payload").dataType
     val l = left
       .withColumn("_lrow", struct(left.columns.map(col): _*))
-      .select(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
-        lit(null).cast(payloadType).as("_payload"), col("_lrow"))
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_payload"))
+      .select(Seq(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(payloadType).as("_payload")) ++
+        (if (tieCols.nonEmpty)
+           Seq(lit(null).cast(r.schema("_tie").dataType).as("_tie")) else Nil) :+
+        col("_lrow"): _*)
+    val w = Window.partitionBy("_k")
+      .orderBy(Seq(col("_ts"), col("_side")) ++
+        (if (tieCols.nonEmpty) Seq(col("_tie")) else Nil): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = r.withColumn("_lrow", lit(null).cast(l.schema("_lrow").dataType))
       .unionByName(l.select(r.columns.map(col) :+ col("_lrow"): _*))

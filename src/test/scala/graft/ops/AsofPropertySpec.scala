@@ -101,6 +101,27 @@ class AsofPropertySpec extends SparkSpec {
     assert(byPurchase(13L).isNullAt(3), "no prior view for user 8")
   }
 
+  test("asofJoin accepts unorderable (map) payload columns; orderable fields still break ties") {
+    import spark.implicits._
+    // map columns cannot be sort keys: the tie comparison must use only
+    // the orderable subset (here `a`), with the map riding along as payload
+    val right = Seq(
+      (1L, 10L, 1, Map("x" -> 1)),
+      (1L, 10L, 2, Map("y" -> 2)), // same (k, ts): greater `a` must win
+      (1L, 30L, 9, Map("z" -> 9))
+    ).toDF("k", "ts", "a", "m")
+    val left = Seq((1L, 20L, "p"), (1L, 5L, "q")).toDF("k", "ts", "tag")
+    val out = graft.ops.Events.asofJoin(left, right, "k", "ts")
+      .orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_a")), "ts=5 has no prior right row")
+    val hit = out(1)
+    assert(hit.getInt(hit.fieldIndex("asof_a")) == 2,
+      "duplicate (k, ts) must resolve to the greatest ORDERABLE payload")
+    assert(hit.getMap[String, Int](hit.fieldIndex("asof_m")) == Map("y" -> 2),
+      "the unorderable column must ride with its winning row")
+  }
+
   test("asofJoin plan: one shuffle on the key, no broadcast-nested-loop, no cartesian") {
     import spark.implicits._
     val left = (0L until 200L).map(i => (i % 7, i, s"l$i")).toDF("k", "ts", "tag")
