@@ -68,7 +68,7 @@ object Dedup {
   }
 
   /** Exploded form: one (doc_id, shingle-hash) row per distinct shingle. */
-  private def shingles(arrs: DataFrame): DataFrame =
+  private[graft] def shingles(arrs: DataFrame): DataFrame =
     arrs.select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** [[shingleArrays]] over the md5-derived 48-bit PORTABLE hash family
@@ -296,18 +296,7 @@ object Dedup {
     val arrs = Helpers.releaseAfterFirstAction(shingleArrays48(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = shingles(arrs)
-    val sigCols = (0 until k).map { i =>
-      val (a, b) = coeffs(i)
-      min(pmod(lit(a) * pmod(col("shingle"), lit(MinhashP)) + lit(b), lit(MinhashP))).as(s"m$i")
-    }
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        md5(concat_ws(",", (bnd * rows until (bnd + 1) * rows)
-          .map(i => col(s"m$i").cast("string")): _*).cast("binary")).as("bucket"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = minhashBuckets(sh, coeffs, bands, rows)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -328,6 +317,49 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     if (sorted) verified.orderBy("id_a", "id_b") else verified
+  }
+
+  /** Deterministic corpus scaler for the dedup/LSH scaling experiments:
+    * `copies` salted replicas of the corpus under disjoint id ranges. Every
+    * token of copy c > 0 gets an injective per-copy prefix, so each
+    * replica's INTERNAL shingle-set relationships (Jaccard structure, dup
+    * pairs) are exactly the base corpus's while shingle VALUES are disjoint
+    * across replicas — true-duplicate mass grows linearly with n by
+    * construction, which is the regime where a candidate generator's own
+    * growth exponent is measurable (replicating verbatim would instead
+    * grow TRUE pairs quadratically and blame the data). Copy 0 is the
+    * unmodified base corpus.
+    */
+  private[graft] def saltedCopies(documents: DataFrame, copies: Int,
+                                  idOffset: Long = 10000000L): DataFrame = {
+    require(copies >= 1)
+    (0 until copies).map { c =>
+      if (c == 0) documents.select(col("doc_id"), col("text"))
+      else documents.select((col("doc_id") + c * idOffset).as("doc_id"),
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"r${c}x$$1").as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The (doc_id, band, bucket) frame [[minhashPairs]] joins on — extracted
+    * so the scaling probe/spec can measure candidate VOLUME (Σ per-bucket
+    * C(size,2), exactly the rows the band equi-join materializes) without
+    * running the join. `sh` = [[shingles]] of [[shingleArrays48]].
+    */
+  private[graft] def minhashBuckets(sh: DataFrame, coeffs: Seq[(Long, Long)],
+                                    bands: Int, rows: Int): DataFrame = {
+    val k = bands * rows
+    val sigCols = (0 until k).map { i =>
+      val (a, b) = coeffs(i)
+      min(pmod(lit(a) * pmod(col("shingle"), lit(MinhashP)) + lit(b), lit(MinhashP))).as(s"m$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        md5(concat_ws(",", (bnd * rows until (bnd + 1) * rows)
+          .map(i => col(s"m$i").cast("string")): _*).cast("binary")).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** The matching DuckDB oracle for [[minhashPairs]] — generated beside the
@@ -715,14 +747,21 @@ object Dedup {
     * least one block matches exactly (pigeonhole), so candidates come from 4
     * equi-joins on blocks, never a cross join.
     */
-  def simhashPairs(documents: DataFrame, radius: Int = 3): DataFrame = {
-    require(radius <= 3, "4-block banding guarantees recall only for radius <= 3")
-    val fp = simhash(documents)
+  /** The (doc_id, simhash, blk, v) frame [[simhashPairs]] equi-joins on —
+    * extracted so the scaling probe/spec can measure candidate volume from
+    * block-bucket sizes without running the join.
+    */
+  private[graft] def simhashBlocks(fp: DataFrame): DataFrame = {
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"), shiftright(col("simhash"), b * 12).bitwiseAND(lit(0xFFFL)).as("v"))
     }
-    val keyed = fp.select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("kb"))
+    fp.select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("kb"))
       .select(col("doc_id"), col("simhash"), col("kb.blk").as("blk"), col("kb.v").as("v"))
+  }
+
+  def simhashPairs(documents: DataFrame, radius: Int = 3): DataFrame = {
+    require(radius <= 3, "4-block banding guarantees recall only for radius <= 3")
+    val keyed = simhashBlocks(simhash(documents))
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

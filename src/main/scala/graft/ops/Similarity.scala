@@ -420,7 +420,7 @@ object Similarity {
     * cost. Shared by [[annTopK]] and [[cosinePairsLsh]] so the encoding
     * (which their recall math depends on) cannot diverge.
     */
-  private def lshSignatures(e: DataFrame, nTables: Int, bitsPerTable: Int,
+  private[graft] def lshSignatures(e: DataFrame, nTables: Int, bitsPerTable: Int,
                             dim: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -921,6 +921,27 @@ object Similarity {
         row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= k)
       .orderBy("vec_id", "rn")
+  }
+
+  /** Deterministic embedding scaler for the LSH scaling experiments:
+    * `copies` replicas under disjoint id ranges, copy c's vectors rotated
+    * by c positions. Rotation is ORTHOGONAL, so every replica's internal
+    * cosine structure (near-dup pairs, kNN edges) is exactly the base
+    * corpus's — true-pair mass grows linearly with n — while cross-replica
+    * similarities stay at the base corpus's unrelated-pair level for
+    * non-degenerate vectors. Copy 0 is the unmodified base.
+    */
+  private[graft] def rotatedCopies(embeddings: DataFrame, copies: Int,
+                                   idOffset: Long = 10000000L): DataFrame = {
+    require(copies >= 1)
+    val d = size(col("embedding"))
+    (0 until copies).map { c =>
+      if (c == 0) embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      else embeddings.select((col("vec_id") + c * idOffset).as("vec_id"),
+        concat(slice(col("embedding"), lit(c + 1), d - lit(c)),
+          slice(col("embedding"), lit(1), lit(c))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
   }
 
   final case class EmbeddingRow(vec_id: Long, embedding: Array[Float], label: Int)

@@ -59,6 +59,54 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // scaling mode: `Test/runMain graft.PerfProbe scaling` — the text
+    // dedup/LSH data-scaling curve (round-6 VERDICT #4): salted/rotated
+    // corpus replicas (linear true-dup mass by construction) swept over
+    // 1x/2x/4x, measuring CANDIDATE VOLUME (Σ per-bucket C(s,2) — exactly
+    // the rows each equi-join materializes) and wall time per family, with
+    // the hyperplane-LSH selectivity knob both FIXED (the superlinear
+    // contrast) and RAISED with log2(scale) (the 100 TB operating mode).
+    if (args.headOption.contains("scaling")) {
+      import graft.core.Tables
+      import graft.ops.{Dedup, Similarity}
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      def volume(buckets: DataFrame, keys: Seq[String]): Long =
+        buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("s"))
+          .agg(coalesce(sum(expr("s * (s - 1) DIV 2")), lit(0L))).head().getLong(0)
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val docs = Tables.documents(spark, sfDir)
+      val embs = Tables.embeddings(spark, sfDir)
+      for (scale <- Seq(1, 2, 4)) {
+        val d = Dedup.saltedCopies(docs, scale).localCheckpoint()
+        val e = Similarity.rotatedCopies(embs, scale).localCheckpoint()
+        val n = d.count(); val ne = e.count()
+        val mhVol = volume(Dedup.minhashBuckets(
+          Dedup.shingles(Dedup.shingleArrays48(d)), Dedup.minhashCoeffs(64), 16, 4),
+          Seq("band", "bucket"))
+        val (mhRows, mhT) = timed(Dedup.minhashPairs(d).count())
+        val shVol = volume(Dedup.simhashBlocks(Dedup.simhash(d)), Seq("blk", "v"))
+        val (shRows, shT) = timed(Dedup.simhashPairs(d).count())
+        val eN = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+        val extraBits = 31 - Integer.numberOfLeadingZeros(scale) // log2(scale)
+        val cpVolFixed = volume(Similarity.lshSignatures(eN, 24, 2, 64), Seq("tbl", "bucket"))
+        val cpVolScaled = volume(Similarity.lshSignatures(eN, 24, 2 + extraBits, 64), Seq("tbl", "bucket"))
+        val (cpRows, cpT) = timed(Similarity.cosinePairsLsh(e, 0.9, 24, 2 + extraBits).count())
+        val knVolFixed = volume(Similarity.lshSignatures(eN, 8, 4, 64), Seq("tbl", "bucket"))
+        val knVolScaled = volume(Similarity.lshSignatures(eN, 8, 4 + extraBits, 64), Seq("tbl", "bucket"))
+        val (knRows, knT) = timed(Similarity.knnGraphLsh(e, 5, 8, 4 + extraBits).count())
+        println(f"PROBE scaling x$scale docs=$n minhash vol=$mhVol out=$mhRows t=$mhT%.2fs | " +
+          f"simhash vol=$shVol out=$shRows t=$shT%.2fs")
+        println(f"PROBE scaling x$scale vecs=$ne cosLsh volFixed(b=2)=$cpVolFixed " +
+          f"volScaled(b=${2 + extraBits})=$cpVolScaled out=$cpRows t=$cpT%.2fs | " +
+          f"knnLsh volFixed(b=4)=$knVolFixed volScaled(b=${4 + extraBits})=$knVolScaled out=$knRows t=$knT%.2fs")
+      }
+      spark.stop(); return
+    }
+
     // ad-hoc mode: `Test/runMain graft.PerfProbe q_x q_y` times just those
     if (args.nonEmpty) { args.foreach(timeQ(_)); spark.stop(); return }
 

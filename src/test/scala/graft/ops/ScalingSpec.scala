@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Candidate-volume scaling bounds for the text dedup / LSH family
+  * (round-6 VERDICT #4): the 100 TB claims rest on candidate generation
+  * staying near-LINEAR in corpus size, so this spec measures it instead of
+  * asserting it in prose. Corpus scaling uses [[Dedup.saltedCopies]] /
+  * [[Similarity.rotatedCopies]] — replicas whose INTERNAL dup structure is
+  * exactly the base corpus's (true-pair mass grows linearly by
+  * construction), so any superlinear growth is the ALGORITHM's. Candidate
+  * volume = Σ per-bucket C(size, 2) over the operator's own bucket/
+  * signature frames — exactly the row count each band/bucket equi-join
+  * materializes, measured without running the join.
+  *
+  * The hyperplane-LSH families are asserted in their 100 TB operating mode
+  * (bitsPerTable raised by log2(scale), the documented knob): fixed bits
+  * are MEASURABLY quadratic (PerfProbe `scaling` at sf0.01: volume x4.0
+  * per corpus doubling vs x2.05 with the knob) — that contrast is also
+  * pinned here. The wall-time curve lives in PERF.md (PerfProbe scaling).
+  */
+class ScalingSpec extends SparkSpec {
+
+  private def volume(buckets: DataFrame, keys: Seq[String]): Long =
+    buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("s"))
+      .agg(coalesce(sum(expr("s * (s - 1) DIV 2")), lit(0L))).head().getLong(0)
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val embs = Tables.embeddings(spark, sfDir)
+
+  private def minhashVolume(d: DataFrame): Long =
+    volume(Dedup.minhashBuckets(
+      Dedup.shingles(Dedup.shingleArrays48(d)), Dedup.minhashCoeffs(64), 16, 4),
+      Seq("band", "bucket"))
+
+  private def lshVolume(e: DataFrame, nTables: Int, bits: Int): Long = {
+    val eN = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    volume(Similarity.lshSignatures(eN, nTables, bits, 64), Seq("tbl", "bucket"))
+  }
+
+  test("minhash banding: candidate volume grows near-linearly with corpus size") {
+    val v1 = minhashVolume(Dedup.saltedCopies(docs, 1))
+    val v4 = minhashVolume(Dedup.saltedCopies(docs, 4))
+    // linear = 4x; quadratic would be 16x. md5 band buckets over 4x48-bit
+    // rows make chance cross-replica collisions negligible at any realistic
+    // n, so the slack is small.
+    assert(v4 >= v1, s"4x corpus cannot shrink volume: $v1 -> $v4")
+    assert(v4 <= 4 * v1 * 2 + 64,
+      s"minhash candidate volume must stay near-linear: $v1 -> $v4 at 4x corpus")
+  }
+
+  test("simhash pigeonhole blocks: near-linear volume at fixture scale") {
+    val d1 = Dedup.saltedCopies(docs, 1)
+    val d4 = Dedup.saltedCopies(docs, 4)
+    val v1 = volume(Dedup.simhashBlocks(Dedup.simhash(d1)), Seq("blk", "v"))
+    val v4 = volume(Dedup.simhashBlocks(Dedup.simhash(d4)), Seq("blk", "v"))
+    // 12-bit blocks have 4096 values, so CHANCE block collisions grow
+    // quadratically with a 1/4096 constant — negligible against true-dup
+    // mass while n/4096 per block value stays small (the fixture regime),
+    // which is why the slack here is looser than minhash's; past that
+    // regime the documented knob is widening the fingerprint/blocks with
+    // log(n), exactly like the hyperplane families' bitsPerTable.
+    assert(v4 <= 4 * v1 * 3 + 256,
+      s"simhash candidate volume left the near-linear regime: $v1 -> $v4 at 4x corpus")
+  }
+
+  test("hyperplane LSH: bits+log2(scale) holds volume near-linear; fixed bits go quadratic") {
+    val e1 = Similarity.rotatedCopies(embs, 1)
+    val e4 = Similarity.rotatedCopies(embs, 4)
+    for ((nTables, bits) <- Seq((24, 2), (8, 4))) { // cosinePairsLsh / knnGraphLsh registered knobs
+      val v1 = lshVolume(e1, nTables, bits)
+      val vScaled = lshVolume(e4, nTables, bits + 2) // log2(4x) extra bits
+      val vFixed = lshVolume(e4, nTables, bits)
+      assert(vScaled <= 4 * v1 * 2 + 128,
+        s"(L=$nTables b=$bits) scaled-knob volume must stay near-linear: $v1 -> $vScaled at 4x")
+      assert(vFixed >= vScaled * 2,
+        s"(L=$nTables b=$bits) fixed bits should measurably exceed the scaled knob " +
+          s"(quadratic contrast): fixed=$vFixed scaled=$vScaled")
+    }
+  }
+}
