@@ -151,6 +151,7 @@ private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
   private var required: StructType = ChunkedSource.schema
   private var aggSpecs: Seq[AggSpec.Value] = Nil
   private var aggByChunk = false
+  private var aggPushed = false
   private var limit: Int = Int.MaxValue
 
   /** PARTIAL limit pushdown (the default `isPartiallyPushed`): each
@@ -172,6 +173,13 @@ private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
     * bounds without generating a single row. Complete pushdown stays OFF:
     * each partition returns a pre-aggregated row and Spark's final
     * aggregation merges them (the only shape that survives many chunks).
+    *
+    * The group-by-only shape (GROUP BY chunk with ZERO aggregate
+    * expressions — what Catalyst hands us after pruning a nested
+    * aggregate, e.g. `df.groupBy(...).agg(...).count()`) is accepted too:
+    * the reader answers it as "one row per non-empty chunk". Accepting it
+    * but building a row scan would trip V2ScanRelationPushDown's schema
+    * assertion, so `build()` keys off `aggPushed`, not `aggSpecs.nonEmpty`.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val groupOk = aggregation.groupByExpressions match {
@@ -192,8 +200,10 @@ private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
       case m: Max if isCol(m.column, "chunk") => Some(AggSpec.MaxChunk)
       case _ => None
     }
-    if (specs.exists(_.isEmpty)) { aggByChunk = false; false }
-    else { aggSpecs = specs.flatten; true }
+    if (specs.exists(_.isEmpty) || (specs.isEmpty && !aggByChunk)) {
+      // an unsupported function, or the degenerate no-groups-no-aggs shape
+      aggByChunk = false; false
+    } else { aggSpecs = specs.flatten; aggPushed = true; true }
   }
 
   /** Accept id-range/equality filters (evaluated in the reader); everything
@@ -215,7 +225,7 @@ private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    if (aggSpecs.nonEmpty) new ChunkedAggScan(numRows, numChunks, pushed, aggSpecs, aggByChunk)
+    if (aggPushed) new ChunkedAggScan(numRows, numChunks, pushed, aggSpecs, aggByChunk)
     else new ChunkedScan(numRows, numChunks, pushed, required, limit)
 }
 

@@ -90,6 +90,26 @@ class ChunkedSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((1, 100L, 150L, 249L)))
   }
 
+  test("group-by-only pushdown (pruned nested aggregate / count-over-groupBy)") {
+    // Catalyst prunes the inner agg of `groupBy(...).agg(...).count()` to a
+    // zero-aggregate GROUP BY chunk before offering it to the source; the
+    // builder must either answer that shape with the [chunk]-only agg scan
+    // or decline it — accepting it and then building a row scan trips
+    // V2ScanRelationPushDown's schema assertion (the RegistrySpec crash
+    // this pins against)
+    assert(read(1000, 4).groupBy("chunk")
+      .agg(count(lit(1)).as("n"), min("id").as("lo")).count() == 4L)
+    val distinctChunks = read(1000, 4).select("chunk").distinct()
+    val desc = aggScanOf(distinctChunks)
+    assert(desc.isDefined && desc.get.contains("groupByChunk=true"), desc)
+    assert(distinctChunks.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
+    // filter-folded: chunks whose id range empties out must not emit groups
+    val filtered = read(1000, 4).filter(col("id") < 260).select("chunk").distinct()
+    assert(filtered.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+    // the full gate query still counts under the same pruning
+    assert(ChunkedSource.gateQuery(spark).count() == ChunkedSource.gateChunks + 1L)
+  }
+
   test("unsupported aggregates fall back to the row-scan path, still correct") {
     val df = read(1000, 4).agg(sum("id").as("s"), countDistinct("chunk").as("d"))
     assert(aggScanOf(df).isEmpty, "SUM/COUNT DISTINCT must not be claimed by the source")
