@@ -384,9 +384,15 @@ object SparkEntry {
     // sound pruning). 8x8-bit tables: ~6% of the pair space touched as
     // candidates, exact cosine verification → no false positives; recall
     // floor asserted in SimilaritySpec. No oracle: LSH recall.
+    // bitsPerTable adapts to corpus size (b0=8 calibrated at the 1024-row
+    // augmented gate fixture, +1 bit per doubling beyond) so candidate
+    // volume stays near-linear — the sf1x soak measured fixed b=8 at 105×
+    // wall for 10× data; see Similarity.scaledBits. The count is a
+    // parquet-metadata read, and at the sf0.01 gate (aug n=1000) the
+    // width — hence the embedded-plane oracle — is unchanged.
     "q_cosine_pairs_lsh" -> t("embeddings")(e =>
       Similarity.cosinePairsLsh(Similarity.withSyntheticNearDups(e), 0.9,
-        nTables = 8, bitsPerTable = 8)),
+        nTables = 8, bitsPerTable = Similarity.scaledBits(8, 1024L, 2L * e.count()))),
     // SemDeDup-style: cosine pair graph -> connected components -> min-id keepers
     "q_semantic_keeplist" -> t("embeddings")(Similarity.semanticDedupKeepList(_, 0.4)),
     // the same keep-list keyed on the LSH pair generator — the composition
@@ -396,13 +402,17 @@ object SparkEntry {
     "q_semantic_keeplist_lsh" -> t("embeddings")(e => {
       val aug = Similarity.withSyntheticNearDups(e)
       Similarity.semanticDedupKeepList(aug,
-        Similarity.cosinePairsLsh(aug, 0.9, nTables = 8, bitsPerTable = 8, sorted = false))
+        Similarity.cosinePairsLsh(aug, 0.9, nTables = 8,
+          bitsPerTable = Similarity.scaledBits(8, 1024L, 2L * e.count()), sorted = false))
     }),
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion(_)),
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),
     "q_knn_graph" -> t("embeddings")(Similarity.knnGraph(_, 5)),
-    // sub-quadratic kNN-graph path; no oracle: LSH recall (spec-asserted)
-    "q_knn_graph_lsh" -> t("embeddings")(Similarity.knnGraphLsh(_, 5)),
+    // sub-quadratic kNN-graph path; corpus-adaptive signature width
+    // (b0=4 calibrated at the 512-row gate fixture — see scaledBits)
+    "q_knn_graph_lsh" -> t("embeddings")(e =>
+      Similarity.knnGraphLsh(e, 5,
+        bitsPerTable = Similarity.scaledBits(4, 512L, e.count()))),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // full replay oracle (embedded planes)
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // full replay oracle (decimal-exact Lloyd)
     "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // full replay oracle (unrolled PQ training)

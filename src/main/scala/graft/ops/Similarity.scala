@@ -393,6 +393,31 @@ object Similarity {
       when(dot(v, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Corpus-adaptive LSH signature width: the bits-per-table that keeps
+    * bucket-join candidate volume near-LINEAR as the corpus grows past the
+    * calibration size `nRef`. `b0` bits are calibrated for ~nRef vectors;
+    * each corpus doubling beyond adds one bit, so per-bucket occupancy —
+    * and with it the chance-candidate mass Σ C(size,2) the pair equi-join
+    * materializes — stays roughly constant: candidates ∝ L·n²/2^b is
+    * quadratic at fixed b but ~n·nRef/2^b0 at b = b0 + log2(n/nRef).
+    * PERF.md's round-7 scaling table MEASURES the contrast (fixed b: ×4.0
+    * candidate volume per corpus doubling; scaled b: ×2.06; ScalingSpec
+    * pins both), and the sf1x soak measured the consequence end to end:
+    * `q_cosine_pairs_lsh` under fixed b=8 ran 105× longer on 10× the data
+    * — slower than its exact-quadratic sibling — and drops back to
+    * near-linear wired through this function. The price is per-table
+    * recall at the same table count (collision probability at cosine s
+    * falls as p^b, p = 1 - acos(s)/π): certify recall with the bounded
+    * [[annRecallReport]]/[[lshFidelityReport]] probes and raise nTables
+    * when the floor matters — at corpus scale, bucket selectivity is what
+    * keeps the join alive at all. Never narrows below b0, so fixture-scale
+    * results — including the embedded-plane replay oracles, whose static
+    * SQL is generated at the calibration width — are unchanged at
+    * n ≤ nRef.
+    */
+  def scaledBits(b0: Int, nRef: Long, n: Long): Int =
+    b0 + math.max(0, math.floor(math.log(n.toDouble / nRef) / math.log(2)).toInt)
+
   /** Approximate nearest neighbors via multi-table hyperplane LSH: L
     * independent hash tables of b bits each; a corpus vector becomes a
     * candidate for a query if they collide in ANY table (union of L

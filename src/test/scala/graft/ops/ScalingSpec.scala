@@ -81,4 +81,22 @@ class ScalingSpec extends SparkSpec {
           s"(quadratic contrast): fixed=$vFixed scaled=$vScaled")
     }
   }
+
+  test("scaledBits: the registered auto-knob widens with the corpus, never below b0") {
+    // gate anchors — the sf0.01 oracle replay depends on these staying b0:
+    // cosinePairsLsh/semanticKeeplistLsh run over the 2n augmented frame
+    // (n=500 -> 1000 at the gate, nRef=1024); knnGraphLsh over the raw
+    // frame (500 at the gate, nRef=512)
+    assert(Similarity.scaledBits(8, 1024L, 1000L) == 8)
+    assert(Similarity.scaledBits(4, 512L, 500L) == 4)
+    // +1 bit per corpus doubling past the calibration size
+    assert(Similarity.scaledBits(8, 1024L, 2048L) == 9)
+    assert(Similarity.scaledBits(8, 1024L, 4000L) == 9)   // sf0.1 augmented
+    assert(Similarity.scaledBits(8, 1024L, 40000L) == 13) // sf1x augmented
+    assert(Similarity.scaledBits(4, 512L, 2000L) == 5)    // sf0.1 raw
+    assert(Similarity.scaledBits(4, 512L, 20000L) == 9)   // sf1x raw
+    // small fixtures keep their calibration width (RegistrySpec at sf0.001)
+    assert(Similarity.scaledBits(8, 1024L, 10L) == 8)
+    assert(Similarity.scaledBits(4, 512L, 1L) == 4)
+  }
 }
