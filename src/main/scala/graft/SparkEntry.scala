@@ -390,9 +390,11 @@ object SparkEntry {
     // wall for 10× data; see Similarity.scaledBits. The count is a
     // parquet-metadata read, and at the sf0.01 gate (aug n=1000) the
     // width — hence the embedded-plane oracle — is unchanged.
-    "q_cosine_pairs_lsh" -> t("embeddings")(e =>
+    "q_cosine_pairs_lsh" -> t("embeddings")(e => {
+      val b = Similarity.scaledBits(8, 1024L, 2L * e.count())
       Similarity.cosinePairsLsh(Similarity.withSyntheticNearDups(e), 0.9,
-        nTables = 8, bitsPerTable = Similarity.scaledBits(8, 1024L, 2L * e.count()))),
+        nTables = Similarity.scaledTables(8, 0.9, 8, b), bitsPerTable = b)
+    }),
     // SemDeDup-style: cosine pair graph -> connected components -> min-id keepers
     "q_semantic_keeplist" -> t("embeddings")(Similarity.semanticDedupKeepList(_, 0.4)),
     // the same keep-list keyed on the LSH pair generator — the composition
@@ -401,9 +403,10 @@ object SparkEntry {
     // No oracle: LSH recall.
     "q_semantic_keeplist_lsh" -> t("embeddings")(e => {
       val aug = Similarity.withSyntheticNearDups(e)
+      val b = Similarity.scaledBits(8, 1024L, 2L * e.count())
       Similarity.semanticDedupKeepList(aug,
-        Similarity.cosinePairsLsh(aug, 0.9, nTables = 8,
-          bitsPerTable = Similarity.scaledBits(8, 1024L, 2L * e.count()), sorted = false))
+        Similarity.cosinePairsLsh(aug, 0.9, nTables = Similarity.scaledTables(8, 0.9, 8, b),
+          bitsPerTable = b, sorted = false))
     }),
     "q_label_cohesion" -> t("embeddings")(Similarity.labelCohesion(_)),
     "q_label_centroids" -> t("embeddings")(Similarity.labelCentroids),

@@ -418,6 +418,26 @@ object Similarity {
   def scaledBits(b0: Int, nRef: Long, n: Long): Int =
     b0 + math.max(0, math.floor(math.log(n.toDouble / nRef) / math.log(2)).toInt)
 
+  /** The table count that preserves pair recall under [[scaledBits]]
+    * widening: each extra bit multiplies a threshold-pair's per-table
+    * collision probability by p = 1 - acos(threshold)/π, so holding
+    * L·p^b constant (L' = L0·(1/p)^(b-b0)) holds the union-over-tables
+    * detection probability steady at the verification threshold — pairs
+    * ABOVE the threshold (the ones that matter) only get safer. L grows
+    * as n^(log2(1/p)) — for the registered θ=0.9 regime, n^0.22 — so
+    * total candidate volume stays sub-quadratic (~n^1.22), the standard
+    * LSH ρ-exponent trade. Measured at sf1x (PERF.md round-7 recall
+    * table): fixed (b=8, L=8) 0.998 recall / 93 s; scaled bits alone
+    * (b=13, L=8) 0.969 / 4.0 s; bits+tables (b=13, L=16) 0.9992 / 4.8 s
+    * — better recall than the fixed config at 19× less wall. Returns
+    * exactly l0 at b = b0, so gate-fixture plans and their embedded-plane
+    * oracles are unchanged.
+    */
+  def scaledTables(l0: Int, threshold: Double, b0: Int, b: Int): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    math.ceil(l0 * math.pow(1.0 / p, (b - b0).toDouble)).toInt
+  }
+
   /** Approximate nearest neighbors via multi-table hyperplane LSH: L
     * independent hash tables of b bits each; a corpus vector becomes a
     * candidate for a query if they collide in ANY table (union of L

@@ -107,6 +107,39 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // pair-recall mode: `Test/runMain graft.PerfProbe pairrecall` — the
+    // recall PRICE of the corpus-adaptive signature width (scaledBits) at
+    // the current SF, against the exact pair set: fixed b0 vs scaled b at
+    // L=8, plus scaled b at L=16 (the documented raise-L-for-recall knob).
+    // Run at /tmp/sf1x for the 10x datapoint behind the r7 soak table.
+    if (args.headOption.contains("pairrecall")) {
+      import graft.core.Tables
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      val aug = Similarity.withSyntheticNearDups(emb)
+      val n = 2L * emb.count()
+      def pairSet(df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Double) = {
+        val t0 = System.nanoTime()
+        val s = df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (s, (System.nanoTime() - t0) / 1e9)
+      }
+      val (exact, te) = pairSet(Similarity.cosineDupPairs(aug, 0.9, sorted = false))
+      println(f"PROBE pairrecall exact n=$n pairs=${exact.size} t=$te%.2fs")
+      val bScaled = Similarity.scaledBits(8, 1024L, n)
+      val lScaled = Similarity.scaledTables(8, 0.9, 8, bScaled)
+      for ((l, b, tag) <- Seq((8, 8, "fixed b=8 L=8"),
+                              (8, bScaled, s"scaled b=$bScaled L=8"),
+                              (lScaled, bScaled, s"scaled b=$bScaled L=$lScaled"))) {
+        val (got, t) = pairSet(
+          Similarity.cosinePairsLsh(aug, 0.9, nTables = l, bitsPerTable = b, sorted = false))
+        val rec = if (exact.isEmpty) 1.0 else got.intersect(exact).size.toDouble / exact.size
+        val fp = got.diff(exact).size // must be 0: exact verification
+        println(f"PROBE pairrecall $tag%-18s pairs=${got.size} recall=$rec%.4f fp=$fp t=$t%.2fs")
+      }
+      spark.stop(); return
+    }
+
     // ad-hoc mode: `Test/runMain graft.PerfProbe q_x q_y` times just those
     if (args.nonEmpty) { args.foreach(timeQ(_)); spark.stop(); return }
 

@@ -99,4 +99,17 @@ class ScalingSpec extends SparkSpec {
     assert(Similarity.scaledBits(8, 1024L, 10L) == 8)
     assert(Similarity.scaledBits(4, 512L, 1L) == 4)
   }
+
+  test("scaledTables: recall-preserving table growth, exactly l0 at the gate") {
+    // at the gate width, the registered L (and with it the plane set the
+    // replay oracle embeds) is untouched
+    assert(Similarity.scaledTables(8, 0.9, 8, 8) == 8)
+    // +1 bit at θ=0.9 multiplies L by 1/p ≈ 1.168 (p = 1 - acos(0.9)/π)
+    assert(Similarity.scaledTables(8, 0.9, 8, 9) == 10)
+    // the sf1x operating point measured in PERF.md: b 8→13 → L 8→18
+    assert(Similarity.scaledTables(8, 0.9, 8, 13) == 18)
+    // growth is n^(log2(1/p)) ≈ n^0.22 — ~2.2× tables per 5 bits, far
+    // under the 32× bucket gain those bits buy
+    assert(Similarity.scaledTables(8, 0.9, 8, 18) < 40)
+  }
 }
