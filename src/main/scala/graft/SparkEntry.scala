@@ -95,6 +95,11 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
       Tables.part(s, dir))),
+    "q_nation_profit" -> ((s, dir) => Relational.nationProfit(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.supplier(s, dir),
+      Tables.nation(s, dir), Tables.part(s, dir))),
+    "q_late_lines" -> ((s, dir) => Relational.latePriorityLines(
+      Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // ---- E+: subquery / decorrelation family (Q2/Q4/Q11/Q13/Q16/Q17/Q18/Q19/Q21/Q22 shapes) ----
     "q_big_orders" -> ((s, dir) => Subqueries.bigOrders(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -123,6 +128,8 @@ object SparkEntry {
     "q_forecast_revenue" -> t("lineitem")(Subqueries.forecastRevenue(_)),
     "q_top_supplier" -> ((s, dir) => Subqueries.topSupplier(
       Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q_excess_shippers" -> ((s, dir) => Subqueries.excessShippers(
+      Tables.lineitem(s, dir), Tables.part(s, dir), Tables.supplier(s, dir))),
     "q_join_inner" -> ((s, dir) => Relational.joinInner(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_join_left" -> ((s, dir) => Relational.joinLeft(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_join_right" -> ((s, dir) => Relational.joinRight(Tables.orders(s, dir), Tables.customer(s, dir))),
@@ -775,6 +782,24 @@ object SparkEntry {
             AND o_orderdate >= TIMESTAMP '1995-01-01'
             AND o_orderdate < TIMESTAMP '1999-01-01'
           GROUP BY o_year ORDER BY o_year""",
+    "q_nation_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 ${DS("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.1 * l_quantity", 6)} AS profit
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE p_name LIKE 'red%'
+          GROUP BY nation, o_year ORDER BY nation, o_year""",
+    "q_late_lines" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_big_orders" ->
       s"""WITH q AS (
             SELECT l_orderkey AS qk, ${DS("l_quantity")} AS sum_qty
@@ -873,6 +898,21 @@ object SparkEntry {
           SELECT s_suppkey, s_name, total_revenue
           FROM rev JOIN supplier ON l_suppkey = s_suppkey
           WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+          ORDER BY s_suppkey""",
+    "q_excess_shippers" ->
+      """WITH shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey),
+          qual AS (
+            SELECT DISTINCT l_suppkey FROM (
+              SELECT l_suppkey, qty, SUM(qty) OVER (PARTITION BY l_partkey) AS total
+              FROM shipped) t
+            WHERE qty > 0.5 * total)
+          SELECT s_suppkey, s_name
+          FROM supplier JOIN qual ON s_suppkey = l_suppkey
           ORDER BY s_suppkey""",
     "q_idle_customers" ->
       s"""SELECT c_nationkey, COUNT(*) AS n_custs, ${DS("c_acctbal")} AS total_bal

@@ -390,6 +390,70 @@ object Relational {
       .orderBy("ship_month")
   }
 
+  /** E — TPC-H Q9-shaped "nation profit": profit attribution by supplier
+    * nation and order year for one part family. The fixture has no partsupp
+    * table, so supply cost is proxied as a fixed fraction of the part's
+    * retail price per unit — the plan shape (two broadcast dims pruning the
+    * fact scan, one fact-fact shuffle join, exact-decimal signed aggregate)
+    * is the Q9 shape regardless of the cost column's provenance.
+    *
+    * Scale shape: part is name-filtered and broadcast, so lineitem is
+    * pruned to the part family before the orders join; supplier⋈nation is
+    * broadcast (attribution dim); the single big shuffle is
+    * lineitem⋈orders on orderkey. Profit can be negative — dsum's
+    * DECIMAL(18,6) accumulator is sign-exact where a double sum would
+    * drift under cancellation.
+    */
+  def nationProfit(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+                   nation: DataFrame, part: DataFrame,
+                   namePrefix: String = "red", costFactor: Double = 0.1): DataFrame = {
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * lit(costFactor) * col("l_quantity")
+    lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier
+        .join(broadcast(nation.select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(amount, 6).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** E/G — TPC-H Q12-shaped "late lines by priority": for each return flag,
+    * how many lines shipped ≥ `lagDays` after their order date, split by
+    * order priority — the fact-fact join with CASE-bucketed counts. The
+    * fixture lineitem has no shipmode/commitdate/receiptdate columns, so
+    * the line dimension is the return flag and "late" is a ship-vs-order
+    * date lag; the Q12 shape (date-window scan prune, orderkey shuffle
+    * join, non-equi date residual, sum(CASE) buckets) is unchanged.
+    */
+  def latePriorityLines(lineitem: DataFrame, orders: DataFrame,
+                        lagDays: Int = 90, from: String = "1996-01-01",
+                        until: String = "1997-01-01"): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr(s"INTERVAL $lagDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(high, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** J — scalar function surface in one pass: string, date, arithmetic,
     * array and JSON constructors (all codegen'd built-ins; SURVEY.md §2-J).
     */

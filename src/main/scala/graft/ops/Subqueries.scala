@@ -295,4 +295,43 @@ object Subqueries {
       .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy("c_nationkey")
   }
+
+  /** TPC-H Q20-shaped "excess shippers": suppliers who shipped more than a
+    * `share` fraction of some part family member's total shipped quantity
+    * inside a date window. Q20's nested correlated IN (availqty vs a
+    * correlated half-of-shipped scalar) has no partsupp here, so the
+    * correlated threshold compares each (part, supplier) shipped quantity
+    * against the part's total — same decorrelation ladder: inner
+    * aggregate, correlated scalar as a window over the group key,
+    * qualifying keys dedup'd, then a semi-join shaped probe into the dim.
+    *
+    * Scale shape: part is name-filtered and broadcast so the fact scan is
+    * pruned before its one shuffle (the (partkey, suppkey) aggregate); the
+    * per-part total is a window over the ALREADY-reduced aggregate (rows =
+    * distinct pairs, not lineitems); supplier joins last against the
+    * deduped qualifying keys. Quantities are integral in the fixture, so
+    * the double sum and the `share` multiply are exact — no decimal
+    * accumulator needed for a > comparison.
+    */
+  def excessShippers(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                     namePrefix: String = "red", share: Double = 0.5,
+                     from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    val pairQty = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+        .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    val byPart = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val qualifying = pairQty
+      .withColumn("_total", sum(col("qty")).over(byPart))
+      .filter(col("qty") > lit(share) * col("_total"))
+      .select("l_suppkey").distinct()
+    supplier.select("s_suppkey", "s_name")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy("s_suppkey")
+  }
 }
