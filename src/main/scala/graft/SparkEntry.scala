@@ -791,7 +791,7 @@ object SparkEntry {
           JOIN nation ON s_nationkey = n_nationkey
           JOIN orders ON l_orderkey = o_orderkey
           WHERE p_name LIKE 'red%'
-          GROUP BY nation, o_year ORDER BY nation, o_year""",
+          GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year""",
     "q_late_lines" ->
       """SELECT l_returnflag,
                 CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

@@ -19,18 +19,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown fixture table: $name")
     if (name == "events") {
-      // fixture ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects
-      // without spark.sql.legacy.parquet.nanosAsLong=true. All entry points
-      // set it at session BUILD (Bench/Verify/Smoke/PlanAudit/TestSpark);
-      // the guard below only repairs sessions built elsewhere — idempotent,
-      // so our own sessions see no per-call conf mutation. The nanos arrive
-      // as long and are rebuilt into a micro-precision timestamp. DIV keeps
-      // the arithmetic in exact integer space (a double would lose
-      // precision above 2^53 ns).
+      // The events fixture's `ts` physical type has drifted across fixture
+      // regenerations (TIMESTAMP(NANOS) through round 6, TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false) since round 8), so the loader adapts to
+      // whatever dtype the parquet reader actually produced instead of
+      // assuming one era:
+      //   - LongType: nanos-as-long era (requires
+      //     spark.sql.legacy.parquet.nanosAsLong=true, set at session build
+      //     by all entry points and repaired idempotently below). Rebuilt
+      //     into a micro-precision timestamp; DIV keeps the arithmetic in
+      //     exact integer space (a double loses precision above 2^53 ns).
+      //   - TimestampNTZType: micros without UTC adjustment. Cast to the
+      //     session-zone timestamp; all entry points pin the session zone
+      //     to UTC, matching how the DuckDB oracle reads the same file.
+      //   - TimestampType: already what every consumer expects.
+      // FixturesSpec pins the post-load schema so the NEXT drift fails one
+      // named test instead of every events consumer.
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other => throw new IllegalStateException(
+          s"events.ts loaded as unsupported dtype $other — extend Tables.load for this fixture era")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -22,6 +22,33 @@ object Similarity {
 
   import graft.functions.VectorExpressions.{vec_dot, vec_norm}
 
+  /** Thrown by the declared-quadratic oracle anchors when their input
+    * exceeds fixture scale — same contract as the driver-key cap in
+    * [[graft.core.ChunkedFetcher]]: an operation that cannot scale must
+    * fail fast and NAME its distributed replacement, never silently run
+    * an O(n²) plan on big data.
+    */
+  final class QuadraticAnchorException(msg: String) extends RuntimeException(msg)
+
+  /** Default row cap for the exact all-pairs anchors: generous for every
+    * fixture SF (embeddings is 2,000 rows at sf0.1; 4,000 augmented) but
+    * refuses the 10× soak corpus and anything bigger, where the LSH
+    * siblings are the registered recommendation. Overridable per session
+    * via `spark.graft.quadraticAnchorMaxRows` for deliberate oracle runs.
+    */
+  val QuadraticAnchorDefaultMaxRows: Long = 10000L
+
+  private def guardQuadraticAnchor(e: DataFrame, op: String, alternative: String): Unit = {
+    val cap = e.sparkSession.conf.getOption("spark.graft.quadraticAnchorMaxRows")
+      .map(_.toLong).getOrElse(QuadraticAnchorDefaultMaxRows)
+    val n = e.count()
+    if (n > cap) throw new QuadraticAnchorException(
+      s"$op is a fixture-scale EXACT oracle anchor with O(n²) pair work; input has " +
+        s"$n rows > cap $cap. At scale use $alternative (same output shape, " +
+        "LSH-bucketed sub-quadratic candidates with exact verification), or set " +
+        "spark.graft.quadraticAnchorMaxRows to force an oracle run.")
+  }
+
   /** Cast float embedding to double once; all arithmetic stays double.
     * Native array cast — vectorizable, unlike a transform() lambda which
     * evaluates interpreted per element.
@@ -787,6 +814,8 @@ object Similarity {
     */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double, nBlocks: Int = 32,
                      sorted: Boolean = true): DataFrame = {
+    guardQuadraticAnchor(embeddings, "cosineDupPairs (q_cosine_pairs / q_semantic_keeplist)",
+      "cosinePairsLsh / semanticDedupKeepList(embeddings, cosinePairsLsh(...))")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val own = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
@@ -913,6 +942,7 @@ object Similarity {
     * path is [[knnGraphLsh]], same output shape with bucketed candidates.
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5, nBlocks: Int = 32): DataFrame = {
+    guardQuadraticAnchor(embeddings, "knnGraph (q_knn_graph)", "knnGraphLsh")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val own = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),

@@ -1,0 +1,84 @@
+package graft.core
+
+import graft.{SparkSpec, TestSpark}
+import org.apache.spark.sql.types._
+
+/** Schema-drift canary (round-8 VERDICT item 8).
+  *
+  * Round 7 lost 12 correctness rows, the whole bench artifact, and 10
+  * tests to ONE silent fixture regeneration (`events.ts` flipped from
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS) after the snapshot). This spec
+  * pins, for every fixture table at every scale factor:
+  *   - the POST-LOAD schema seen through [[Tables.load]] — the contract
+  *     every operator consumes (FIXTURES.md is the prose mirror), and
+  *   - for `events`, that the RAW parquet dtype is one of the eras the
+  *     adaptive loader understands.
+  * The next regeneration then fails exactly one named test with the
+  * drifted column in the message, instead of ten scattered suites.
+  */
+class FixturesSpec extends SparkSpec {
+
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  /** name -> expected (column, dataType) in declared order, as produced by
+    * Tables.load. Kept in sync with FIXTURES.md.
+    */
+  private val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType, "p_brand" -> StringType,
+      "p_type" -> StringType, "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType))
+
+  test("every fixture table loads with the FIXTURES.md schema at every SF") {
+    assert(expected.keySet == Tables.all.toSet, "canary table list drifted from Tables.all")
+    val drift = for {
+      dir <- sfDirs
+      name <- Tables.all
+      got = Tables.load(spark, dir, name).schema
+        .fields.toSeq.map(f => (f.name, f.dataType))
+      if got != expected(name)
+    } yield s"$dir/$name: got ${got.mkString(", ")} — expected ${expected(name).mkString(", ")}"
+    assert(drift.isEmpty, "FIXTURE SCHEMA DRIFT (update Tables.load + FIXTURES.md + this spec):\n" +
+      drift.mkString("\n"))
+  }
+
+  test("events.ts raw parquet dtype is an era Tables.load understands") {
+    import org.apache.spark.sql.types.{LongType => L, TimestampNTZType => NTZ, TimestampType => TS}
+    for (dir <- sfDirs) {
+      val raw = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      assert(Set[DataType](L, NTZ, TS).contains(raw),
+        s"$dir/events.parquet ts loaded as $raw — a NEW fixture era; extend Tables.load")
+    }
+  }
+
+  test("fixture row counts scale as documented (sf0.001 baseline)") {
+    // sf multipliers apply to the fact/extension tables; dims stay fixed.
+    val base = TestSpark.sfDir
+    val facts = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    val baseCounts = facts.map(t => t -> Tables.load(spark, base, t).count()).toMap
+    for (t <- facts) assert(baseCounts(t) > 0, s"$t empty at sf0.001")
+    // sanity: larger SFs are never smaller than the smoke SF
+    for (t <- facts; dir <- sfDirs.drop(1))
+      assert(Tables.load(spark, dir, t).count() >= baseCounts(t),
+        s"$t at $dir smaller than sf0.001")
+  }
+}

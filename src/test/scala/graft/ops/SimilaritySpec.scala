@@ -359,4 +359,28 @@ class SimilaritySpec extends SparkSpec {
     // fixture's ~0.45 neighbor cosines); conservative floor at half
     assert(hits * 2 >= lsh1.size, s"kNN-graph LSH top-1 recall too low: $hits of ${lsh1.size}")
   }
+
+  test("quadratic anchors fail fast above the row cap and name their LSH sibling") {
+    val e = Tables.embeddings(spark, sfDir)
+    val capKey = "spark.graft.quadraticAnchorMaxRows"
+    spark.conf.set(capKey, "10")
+    try {
+      val exKnn = intercept[Similarity.QuadraticAnchorException] {
+        Similarity.knnGraph(e, k = 1).count()
+      }
+      assert(exKnn.getMessage.contains("knnGraphLsh"))
+      val exPairs = intercept[Similarity.QuadraticAnchorException] {
+        Similarity.cosineDupPairs(e, 0.4).count()
+      }
+      assert(exPairs.getMessage.contains("cosinePairsLsh"))
+      // the threshold form of semanticDedupKeepList goes through the same
+      // exact pair join, so the fence covers it transitively
+      intercept[Similarity.QuadraticAnchorException] {
+        Similarity.semanticDedupKeepList(e, 0.4).count()
+      }
+      // raising the cap back re-enables the oracle run
+      spark.conf.set(capKey, Similarity.QuadraticAnchorDefaultMaxRows.toString)
+      assert(Similarity.knnGraph(e, k = 1).count() > 0)
+    } finally spark.conf.unset(capKey)
+  }
 }
