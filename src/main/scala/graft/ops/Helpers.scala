@@ -33,6 +33,26 @@ object Helpers {
   def davg(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double") / count(c)
 
+  /** Spread a frame across the session's cores before per-row-expensive
+    * work when the source scan under-splits.
+    *
+    * A fixture-scale parquet file sits far below
+    * `spark.sql.files.maxPartitionBytes` (128 MB), so Spark plans ONE scan
+    * task and any compute-dense stage FUSED with that scan (a decimal-heavy
+    * partial aggregate, shingling, a codec) runs single-threaded no matter
+    * how many cores the session has — q_corr_matrix read 4.1 s at
+    * local[32] with 31 idle cores. At 100 TB the same scan yields
+    * thousands of splits and widening is pure overhead, so this is
+    * conditional: repartition (round-robin, no key needed) only when the
+    * planned scan has fewer partitions than the scheduler has slots;
+    * otherwise return the frame untouched. The check costs one physical
+    * plan, not a job.
+    */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Scope a persisted intermediate to its first consuming action.
     *
     * An operator that persists a shared intermediate but returns a LAZY

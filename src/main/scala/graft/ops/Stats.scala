@@ -29,7 +29,10 @@ object Stats {
         cols.map(c => ds(col(c)).as(s"_s_$c")) ++
         cols.map(c => ds(col(c) * col(c)).as(s"_ss_$c")) ++
         pairs.map { case (a, b) => ds(col(a) * col(b)).as(s"_sp_${a}_$b") }
-    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    // the 2k + k(k-1)/2 decimal sums are the per-row cost here; spread an
+    // under-split scan so the partial aggregate isn't serialized on one task
+    val agg = Helpers.spreadForCompute(df.select(cols.map(col): _*))
+      .agg(aggCols.head, aggCols.tail: _*)
     val n = col("_n")
     val pairStructs = pairs.map { case (a, b) =>
       val cov = n * col(s"_sp_${a}_$b") - col(s"_s_$a") * col(s"_s_$b")

@@ -26,18 +26,37 @@ class StatsSpec extends SparkSpec {
     assert(out.values.forall(_.getLong(2) == 5L))
   }
 
-  test("corrMatrix: one aggregate pass — a single exchange in the plan") {
+  test("corrMatrix: one aggregate pass and one scan; only the compute-spread exchange beyond it") {
     val df = graft.core.Tables.lineitem(spark, sfDir)
     val plan = Stats.corrMatrix(df, Seq("l_quantity", "l_extendedprice", "l_discount"))
       .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val shuffles = plan.collect { case e: ShuffleExchangeExec => e } ++
-      (plan match { case a: AdaptiveSparkPlanExec =>
-        a.executedPlan.collect { case e: ShuffleExchangeExec => e }
-      case _ => Nil })
-    // global aggregate: one exchange to the single reduce task, nothing else
-    assert(shuffles.size <= 1, s"corrMatrix must be one aggregation pass:\n$plan")
+    def collectAll[T](pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+      plan.collect(pf) ++ (plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect(pf)
+        case _ => Nil
+      })
+    // one scan (no per-pair re-read), one partial+final aggregate pass.
+    // Exchanges: the single-partition gather for the global aggregate, plus
+    // at most one round-robin spread when the scan under-splits
+    // (Helpers.spreadForCompute) — and nothing else.
+    val scans = collectAll { case s: FileSourceScanExec => s }
+    assert(scans.size <= 1, s"corrMatrix must scan once:\n$plan")
+    val shuffles = collectAll { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"corrMatrix must be one aggregation pass (+ optional spread):\n$plan")
+    assert(shuffles.count(!_.shuffleOrigin.toString.startsWith("REPARTITION")) <= 1,
+      s"only the compute-spread may add an exchange beyond the aggregate gather:\n$plan")
+  }
+
+  test("spreadForCompute: widens an under-split scan to the scheduler's slots, no-op when already wide") {
+    val slots = spark.sparkContext.defaultParallelism
+    val narrow = graft.core.Tables.lineitem(spark, sfDir) // one parquet split at fixture scale
+    assert(narrow.rdd.getNumPartitions < slots, "fixture precondition: scan under-splits")
+    assert(Helpers.spreadForCompute(narrow).rdd.getNumPartitions == slots)
+    val wide = narrow.repartition(slots * 2)
+    assert(Helpers.spreadForCompute(wide) eq wide, "already-wide frame must pass through untouched")
   }
 
   test("iqrOutliers: hand-computed fences on a small group; clean group reports zero") {
