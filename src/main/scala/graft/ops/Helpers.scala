@@ -34,23 +34,32 @@ object Helpers {
     sum(c.cast(DecimalType(18, 4))).cast("double") / count(c)
 
   /** Spread a frame across the session's cores before per-row-expensive
-    * work when the source scan under-splits.
+    * work when the source scan under-splits AND carries enough data for
+    * the exchange to pay for itself.
     *
     * A fixture-scale parquet file sits far below
-    * `spark.sql.files.maxPartitionBytes` (128 MB), so Spark plans ONE scan
-    * task and any compute-dense stage FUSED with that scan (a decimal-heavy
-    * partial aggregate, shingling, a codec) runs single-threaded no matter
-    * how many cores the session has — q_corr_matrix read 4.1 s at
-    * local[32] with 31 idle cores. At 100 TB the same scan yields
-    * thousands of splits and widening is pure overhead, so this is
-    * conditional: repartition (round-robin, no key needed) only when the
-    * planned scan has fewer partitions than the scheduler has slots;
-    * otherwise return the frame untouched. The check costs one physical
-    * plan, not a job.
+    * `spark.sql.files.maxPartitionBytes` (128 MB) — often in ONE row
+    * group, which even finer byte-splits cannot divide — so Spark plans a
+    * single scan task and any compute-dense stage FUSED with that scan (a
+    * decimal-heavy partial aggregate, shingling, per-doc regex ratios)
+    * runs single-threaded no matter how many cores the session has
+    * (q_corr_matrix read 4.1 s at local[32] with 31 idle cores). At
+    * 100 TB the same scan yields thousands of splits and widening is pure
+    * overhead, so the spread is doubly conditional:
+    *   - planned partitions < scheduler slots (a wide scan passes through
+    *     untouched — the no-op path real scale always takes), and
+    *   - plan-statistics size >= `minBytes` (measured: round-robining a
+    *     0.6 MB documents file cost more than the serialization it saved
+    *     — shuffling full text is only worth it once the serial stage is
+    *     seconds, not the exchange's fixed ~0.5 s).
+    * Both checks are driver-side plan inspections, not jobs.
     */
-  def spreadForCompute(df: DataFrame): DataFrame = {
+  def spreadForCompute(df: DataFrame, minBytes: Long = 2L << 20): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    if (df.rdd.getNumPartitions < slots &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
+      df.repartition(slots)
+    else df
   }
 
   /** Scope a persisted intermediate to its first consuming action.

@@ -60,7 +60,12 @@ object Pipelines {
                      mixRates: Map[String, Int] = Map.empty,
                      valHexDigits: String = "01234",
                      budgetTokens: Int = 512): DataFrame =
-    curateTail(documents.filter(gate), pairGenerator, mixRates, valHexDigits, budgetTokens)
+    // spread an under-split corpus scan before the per-row-expensive gate
+    // and shingle stages — size-gated (Helpers.spreadForCompute), so a
+    // small corpus skips the text shuffle (measured regression) and a
+    // properly-split 100 TB scan passes through untouched
+    curateTail(Helpers.spreadForCompute(documents).filter(gate),
+      pairGenerator, mixRates, valHexDigits, budgetTokens)
 
   def curateWith(documents: DataFrame,
                  pairGenerator: DataFrame => DataFrame,
@@ -73,7 +78,8 @@ object Pipelines {
     // 1. quality gate — ratios filtered IN PLACE (narrow codegen predicate
     // over the scan; no score-table self-join, no sort)
     val ratios = Text.qualityRatios
-    val gated = documents
+    // same size-gated spread rationale as curateWithGate
+    val gated = Helpers.spreadForCompute(documents)
       .withColumn("_mtl", ratios.meanTokLen)
       .withColumn("_ttr", ratios.typeTokenRatio)
       .filter(col("_mtl").between(minMeanTokLen, maxMeanTokLen) &&

@@ -107,6 +107,43 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // curation-stage mode: `Test/runMain graft.PerfProbe curation` — where
+    // the wall clock of the q_curation composites goes, stage by stage,
+    // each timed as a standalone action (count) at the current SF so the
+    // dominant stage is measured rather than guessed.
+    if (args.headOption.contains("curation")) {
+      import graft.core.Tables
+      import graft.ops.{Dedup, Pipelines, Text}
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+      def t(label: String)(f: => Long): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"PROBE curation $label%-28s ${ts.map(x => f"${x._1}%.2f").mkString(" ")}s rows=${ts.head._2}")
+      }
+      val ratios = Text.qualityRatios
+      val gated = docs
+        .withColumn("_mtl", ratios.meanTokLen)
+        .withColumn("_ttr", ratios.typeTokenRatio)
+        .filter(col("_mtl").between(4.0, 9.0) && col("_ttr") >= 0.3)
+        .drop("_mtl", "_ttr")
+      t("scan")(docs.count())
+      t("gate(ratios)")(gated.count())
+      t("gate(gopher)")(docs.filter(Text.gopherKeep()).count())
+      t("pairs(jaccard) on gated")(Dedup.jaccardPairs(gated, 0.5, sorted = false).count())
+      t("pairs(minhash) on gated")(Dedup.minhashPairs(gated, 0.5, sorted = false).count())
+      t("dedupSurvivors(gated)")(Dedup.dedupSurvivors(gated,
+        Dedup.jaccardPairs(gated, 0.5, sorted = false)).count())
+      t("tokens+pack tail only")(gated
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+            .cast("long").as("n_tokens"))
+        .agg(sum("n_tokens")).count())
+      t("full q_curation")(Pipelines.curate(docs).count())
+      spark.stop(); return
+    }
+
     // pair-recall mode: `Test/runMain graft.PerfProbe pairrecall` — the
     // recall PRICE of the corpus-adaptive signature width (scaledBits) at
     // the current SF, against the exact pair set: fixed b0 vs scaled b at

@@ -50,13 +50,18 @@ class StatsSpec extends SparkSpec {
       s"only the compute-spread may add an exchange beyond the aggregate gather:\n$plan")
   }
 
-  test("spreadForCompute: widens an under-split scan to the scheduler's slots, no-op when already wide") {
+  test("spreadForCompute: widens an under-split scan to the scheduler's slots; size-gated; wide no-op") {
     val slots = spark.sparkContext.defaultParallelism
     val narrow = graft.core.Tables.lineitem(spark, sfDir) // one parquet split at fixture scale
     assert(narrow.rdd.getNumPartitions < slots, "fixture precondition: scan under-splits")
-    assert(Helpers.spreadForCompute(narrow).rdd.getNumPartitions == slots)
+    assert(Helpers.spreadForCompute(narrow, minBytes = 0L).rdd.getNumPartitions == slots)
+    // the smoke-SF file sits under the default 2 MB floor: the size gate
+    // must refuse the exchange (shuffling a tiny corpus costs more than
+    // the serialization it saves — measured on the curation family)
+    assert(Helpers.spreadForCompute(narrow) eq narrow, "size gate must skip a tiny scan")
     val wide = narrow.repartition(slots * 2)
-    assert(Helpers.spreadForCompute(wide) eq wide, "already-wide frame must pass through untouched")
+    assert(Helpers.spreadForCompute(wide, minBytes = 0L) eq wide,
+      "already-wide frame must pass through untouched")
   }
 
   test("iqrOutliers: hand-computed fences on a small group; clean group reports zero") {
