@@ -219,6 +219,16 @@ object Dedup {
         // shuffle fewer (no separate sizes aggregate — the group size IS
         // the ranked array's length) and no per-group sort machinery:
         // measured ~1.6× faster, 2× on first execution.
+        //
+        // Measured negative alternative (round 8, 10× corpus): replacing
+        // the join+regroup with a driver-capped broadcast of the top-64Ki
+        // (shingle → df) entries and a row-local rank — still exact (prefix
+        // filtering holds under any consistent total order) — BLEW UP
+        // candidates 2 444 → 2.93 M: this corpus has ≫64 Ki shingles with
+        // df ≥ 2, and everything below the cap ties at rank 0, degrading
+        // prefix quality to near hash-order while still paying rank cost
+        // (14.6 s vs 8.3 s full-path). The exact global df order IS the
+        // value; its price is a linear shuffle, the correct trade here.
         val sh = shingles(arrs)
         val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         sh.join(docFreq, "shingle")
@@ -230,9 +240,21 @@ object Dedup {
                 ceil(lit(threshold) * size(col("ranked"))) + 1).cast("int")))).as("r"))
           .select(col("doc_id"), col("r.shingle").as("shingle"), col("n_sh"))
       }
+    // The candidate SELF-join duplicates its input subtree, so without a
+    // persist barrier the whole df-rank pipeline (df join + regroup + rank)
+    // executes twice — once per side. Persisting the exploded prefix (3
+    // narrow columns, ~prefix-volume rows) lets CacheManager substitute
+    // BOTH sides from one computation: measured 8.3 s → 6.5 s on the 10×
+    // corpus. The hash-order prefix is a row-local slice of the already-
+    // cached arrs — caching that would only duplicate arrs' blocks.
+    val prefixShared =
+      if (orderByDocFreq)
+        Helpers.releaseAfterFirstAction(prefix
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else prefix
     // length filter (PPJoin): J >= t forces t·|A| <= |B| <= |A|/t
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
+    val cand = prefixShared.as("a")
+      .join(prefixShared.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
           col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
@@ -296,7 +318,13 @@ object Dedup {
     val arrs = Helpers.releaseAfterFirstAction(shingleArrays48(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = shingles(arrs)
-    val buckets = minhashBuckets(sh, coeffs, bands, rows)
+    // persist the band-bucket frame: the candidate SELF-join would
+    // otherwise run the k-min signature aggregate (k mins over the full
+    // shingle volume) once per side — same rationale and release scope as
+    // the jaccard prefix persist above
+    val buckets = Helpers.releaseAfterFirstAction(
+      minhashBuckets(sh, coeffs, bands, rows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -144,6 +144,44 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // jaccard-internals mode: `Test/runMain graft.PerfProbe jaccard` —
+    // stage-by-stage wall clock INSIDE the exact pair generator (the
+    // dominant curation stage at sf1x): shingling, df aggregate, prefix
+    // build, candidate join, full pipeline — for the df-ranked vs
+    // hash-order prefix A/B at the current SF.
+    if (args.headOption.contains("jaccard")) {
+      import graft.core.Tables
+      import graft.ops.{Dedup, Text}
+      import org.apache.spark.sql.functions._
+      val ratios = Text.qualityRatios
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("_mtl", ratios.meanTokLen)
+        .withColumn("_ttr", ratios.typeTokenRatio)
+        .filter(col("_mtl").between(4.0, 9.0) && col("_ttr") >= 0.3)
+        .drop("_mtl", "_ttr")
+        .localCheckpoint()
+      def t(label: String)(f: => Long): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"PROBE jaccard $label%-30s ${ts.map(x => f"${x._1}%.2f").mkString(" ")}s rows=${ts.head._2}")
+      }
+      val arrs = Dedup.shingleArrays(docs).localCheckpoint()
+      t("shingleArrays")(Dedup.shingleArrays(docs).count())
+      val sh = Dedup.shingles(arrs)
+      t("explode shingles")(sh.count())
+      t("df aggregate")(sh.groupBy("shingle").agg(count(lit(1)).as("df")).count())
+      t("df join+regroup+rank")(sh.join(
+          sh.groupBy("shingle").agg(count(lit(1)).as("df")), "shingle")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+        .count())
+      t("pairs df-ranked (full)")(Dedup.jaccardPairs(docs, 0.5, orderByDocFreq = true, sorted = false).count())
+      t("pairs minhash (full)")(Dedup.minhashPairs(docs, 0.5, sorted = false).count())
+      t("pairs hash-order (full)")(Dedup.jaccardPairs(docs, 0.5, orderByDocFreq = false, sorted = false).count())
+      spark.stop(); return
+    }
+
     // pair-recall mode: `Test/runMain graft.PerfProbe pairrecall` — the
     // recall PRICE of the corpus-adaptive signature width (scaledBits) at
     // the current SF, against the exact pair set: fixed b0 vs scaled b at

@@ -181,10 +181,11 @@ class DedupSpec extends SparkSpec {
     val documents = Tables.documents(spark, sfDir)
     val abandoned = Dedup.jaccardPairs(documents, 0.5)
     // building (never consuming) leaves the documented bounded residual:
-    // one pending release listener + an UNMATERIALIZED cache registration —
-    // no storage blocks behind it
-    assert(GraftSqlBridge.queryListenerCount(spark) == before + 1,
-      "exactly one release listener should be pending")
+    // one pending release listener per scoped persist (jaccardPairs holds
+    // TWO — the shingle arrays and the shared df-ranked prefix) plus their
+    // UNMATERIALIZED cache registrations — no storage blocks behind them
+    assert(GraftSqlBridge.queryListenerCount(spark) == before + 2,
+      "exactly one release listener per scoped persist should be pending")
     assert(!GraftSqlBridge.sqlCacheIsEmpty(spark),
       "the persist registration exists until consumed (documented residual)")
     val newStorage = spark.sparkContext.getRDDStorageInfo
