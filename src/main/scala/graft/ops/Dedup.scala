@@ -244,9 +244,10 @@ object Dedup {
     // persist barrier the whole df-rank pipeline (df join + regroup + rank)
     // executes twice — once per side. Persisting the exploded prefix (3
     // narrow columns, ~prefix-volume rows) lets CacheManager substitute
-    // BOTH sides from one computation: measured 8.3 s → 6.5 s on the 10×
-    // corpus. The hash-order prefix is a row-local slice of the already-
-    // cached arrs — caching that would only duplicate arrs' blocks.
+    // BOTH sides from one computation: measured on the 10× corpus as
+    // 8.3 s → 6.5 s single-rep and 8.3 s → 5.6 s best-of-reps (the
+    // PERF.md figure). The hash-order prefix is a row-local slice of the
+    // already-cached arrs — caching that would only duplicate arrs' blocks.
     val prefixShared =
       if (orderByDocFreq)
         Helpers.releaseAfterFirstAction(prefix

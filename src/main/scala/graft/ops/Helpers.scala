@@ -52,11 +52,20 @@ object Helpers {
     *     0.6 MB documents file cost more than the serialization it saved
     *     — shuffling full text is only worth it once the serial stage is
     *     seconds, not the exchange's fixed ~0.5 s).
-    * Both checks are driver-side plan inspections, not jobs.
+    * Both checks are driver-side plan inspections, not jobs — the split
+    * count comes from `GraftSqlBridge.plannedScanSplits` (a replay of
+    * Spark's own file-split planning over the listed file sizes), NOT from
+    * `df.rdd.getNumPartitions`, which would instantiate the full RDD
+    * lineage on the driver per call. Frames whose width is not a narrow
+    * function of file splits (any shuffle below, bucketed scan, non-file
+    * leaf) report None and pass through untouched — post-exchange width is
+    * config-sized and never under-split relative to the scheduler.
     */
   def spreadForCompute(df: DataFrame, minBytes: Long = 2L << 20): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots &&
+    val underSplit = org.apache.spark.sql.GraftSqlBridge
+      .plannedScanSplits(df).exists(_ < slots)
+    if (underSplit &&
         df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
       df.repartition(slots)
     else df

@@ -22,6 +22,58 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Planned scan task count of a physical plan WITHOUT instantiating RDD
+    * lineage — the driver-side check behind
+    * `graft.ops.Helpers.spreadForCompute`.
+    *
+    * `df.rdd.getNumPartitions` answers the same question but builds the
+    * whole RDD DAG on the driver (and, under AQE with exchanges below,
+    * `AdaptiveSparkPlanExec.doExecute` would even materialize query
+    * stages). This instead replays Spark's own file-split planning
+    * (`FilePartition.maxSplitBytes` + `PartitionedFileUtil.splitFiles` +
+    * `FilePartition.getFilePartitions` — exactly what
+    * `FileSourceScanExec.createReadRDD` does) over the scan's file
+    * listing: pure driver-side arithmetic over already-listed file sizes.
+    *
+    * Returns None when the width is not a narrow function of file splits —
+    * any shuffle in the plan (post-exchange width is config-sized, never
+    * under-split relative to it), a bucketed scan, or a non-file leaf
+    * (local relation, DSv2). Callers treat None as "already wide enough".
+    */
+  def plannedScanSplits(df: Dataset[_]): Option[Int] = {
+    import org.apache.spark.sql.execution.{FileSourceScanLike, PartitionedFileUtil}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) None
+    else {
+      val leaves = plan.collectLeaves()
+      val scans = leaves.collect { case f: FileSourceScanLike => f }
+      if (scans.length != leaves.length || scans.isEmpty ||
+          scans.exists(_.bucketedScan)) None
+      else Some(scans.map { scan =>
+        // selectedPartitions, not dynamicallySelectedPartitions: runtime
+        // (DPP) filters haven't arrived pre-execution, and the dynamic
+        // variant is protected — static pruning is the planning-time truth
+        val listing = scan.selectedPartitions
+        val maxSplit = FilePartition.maxSplitBytes(session, listing)
+        val splits = listing.filePartitionIterator.flatMap { lp =>
+          lp.files.flatMap { f =>
+            val splitable = scan.relation.fileFormat.isSplitable(
+              session, scan.relation.options, f.getPath)
+            PartitionedFileUtil.splitFiles(f, f.getPath, splitable, maxSplit, lp.values)
+          }
+        }.toSeq
+        FilePartition.getFilePartitions(session, splits, maxSplit).length
+      }.sum)
+    }
+  }
+
   /** Whether the session's shared CacheManager holds NO live SQL cache
     * entries — the observability hook behind the scoped-persist contract
     * (graft.ops.Helpers.releaseAfterFirstAction): specs assert an operator
@@ -37,8 +89,11 @@ object GraftSqlBridge {
 
   /** Number of registered QueryExecutionListeners — cache-hygiene specs use
     * this to pin the bounded residual of a never-consumed scoped-persist
-    * frame (exactly one pending release listener) and its disappearance
-    * once the frame is finally consumed.
+    * frame (exactly one pending release listener PER SCOPED PERSIST — an
+    * operator may legitimately hold several, e.g. Dedup.jaccardPairs holds
+    * two: shingle arrays + shared df-ranked prefix; Dedup.minhashPairs two:
+    * shingle arrays + band buckets) and its disappearance once the frame
+    * is finally consumed.
     */
   def queryListenerCount(spark: SparkSession): Int =
     spark.listenerManager.listListeners().length

@@ -200,6 +200,26 @@ class DedupSpec extends SparkSpec {
       System.currentTimeMillis() < deadline) Thread.sleep(200)
     assert(GraftSqlBridge.queryListenerCount(spark) == before,
       "the release listener must deregister itself after firing")
+
+    // sibling assertion for minhashPairs, which also holds TWO scoped
+    // persists when abandoned (shingle arrays + band buckets) — a leaked
+    // third persist or a dropped barrier would shift this delta
+    val storedBefore2 = spark.sparkContext.getRDDStorageInfo
+      .filter(i => i.isCached && i.memSize > 0).map(_.id).toSet
+    val abandonedMh = Dedup.minhashPairs(documents, 0.5, sorted = false)
+    assert(GraftSqlBridge.queryListenerCount(spark) == before + 2,
+      "minhashPairs: exactly one release listener per scoped persist (2)")
+    val newStorage2 = spark.sparkContext.getRDDStorageInfo
+      .filter(i => i.isCached && i.memSize > 0).map(_.id).toSet -- storedBefore2
+    assert(newStorage2.isEmpty,
+      s"an unconsumed minhashPairs frame must not hold storage ($newStorage2)")
+    abandonedMh.count()
+    assert(awaitSqlCacheEmpty(), "late consumption must release the cache")
+    val deadline2 = System.currentTimeMillis() + 30000
+    while (GraftSqlBridge.queryListenerCount(spark) != before &&
+      System.currentTimeMillis() < deadline2) Thread.sleep(200)
+    assert(GraftSqlBridge.queryListenerCount(spark) == before,
+      "minhashPairs release listeners must deregister after firing")
   }
 
   test("incrementalDedup: intra-batch min-id keepers, cross-corpus drops, novel content survives") {
