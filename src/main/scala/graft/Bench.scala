@@ -120,18 +120,27 @@ object Bench {
     // local-iteration filter (same contract as Verify): comma-separated
     // query names; unset = all. Official driver captures never set it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    // (name, all rep times in execution order) or error
-    val results: Seq[(String, Either[String, Seq[Double]])] =
+    // (name, (all rep times in execution order, reps-hit-probe-cache)) or
+    // error. The memoized flag brackets the query's reps with the
+    // ProbeCache hit counter: a row whose reps 2..n were served memoized
+    // probe artifacts (the two fidelity dashboards) reports the refresh
+    // cost as its min — correct per the dashboard contract, but the flag
+    // makes it machine-readable so a 26x max/median suspect ratio on such
+    // a row is self-explained instead of reading as host noise.
+    val results: Seq[(String, Either[String, (Seq[Double], Boolean)])] =
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .sortBy(_._1).map { case (name, fn) =>
         try {
-          name -> Right((1 to reps).map(_ => timeOnce(() => fn(spark, sfDir).count())))
+          val hits0 = ops.ProbeCache.hits
+          val ts = (1 to reps).map(_ => timeOnce(() => fn(spark, sfDir).count()))
+          name -> Right((ts, ops.ProbeCache.hits > hits0))
         } catch { case e: Throwable =>
           name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
         }
       }
-    val ok = results.collect { case (k, Right(ts)) => k -> ((ts.head, ts.min, ts)) }
+    val ok = results.collect { case (k, Right((ts, _))) => k -> ((ts.head, ts.min, ts)) }
+    val memoized = results.collect { case (k, Right((_, true))) => k }
     val errs = results.collect { case (k, Left(m)) => k -> m }
     // Stall self-description (round-6 VERDICT): the calib bracket sees
     // broad host load but not a SINGLE-QUERY stall (round 6's official
@@ -182,7 +191,9 @@ object Bench {
       s""""n_errors":${errs.size},"reps":$reps,"cpus":$cpus,""" +
       s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_loaded":$calibLoadedAny,""" +
       s""""n_warmup_errors":${warmupErrs.size},"warmup_errors":$warmupJson,""" +
-      s""""n_suspect":${suspects.size},"suspect":$suspectsJson$filterDesc"""
+      s""""n_suspect":${suspects.size},"suspect":$suspectsJson,""" +
+      s""""n_memoized":${memoized.size},"memoized":${
+        memoized.sorted.map(k => s""""$k":true""").mkString("{", ",", "}")}$filterDesc"""
     val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s"""$header,"total_first_run":$totalFirst}"""
     // short line BEFORE and AFTER the long per-query line: whichever end a

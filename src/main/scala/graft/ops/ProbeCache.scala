@@ -36,6 +36,7 @@ import scala.collection.mutable
 private[graft] object ProbeCache {
   private final case class Entry(tag: String, keys: Seq[DataFrame], result: DataFrame)
   private val entries = mutable.ArrayBuffer.empty[Entry]
+  private var hitCount = 0L
 
   /** The memoized, localCheckpointed result of `build` for this (tag, key
     * plans) combination. `build` runs (and materializes) only on a miss.
@@ -47,7 +48,7 @@ private[graft] object ProbeCache {
       e.tag == tag && (e.result.sparkSession eq spark) &&
         e.keys.length == keys.length &&
         e.keys.zip(keys).forall { case (a, b) => a.sameSemantics(b) }
-    }.map(_.result).getOrElse {
+    }.map { e => hitCount += 1; e.result }.getOrElse {
       val res = build.localCheckpoint()
       entries += Entry(tag, keys, res)
       res
@@ -56,6 +57,14 @@ private[graft] object ProbeCache {
 
   /** Number of live entries (spec observability). */
   def size: Int = synchronized(entries.length)
+
+  /** Monotone count of memoized servings since JVM start. Bench brackets
+    * each query's reps with this to stamp `memoized: true` on rows whose
+    * timing reflects cached probe artifacts rather than a fresh build —
+    * the min-of-reps for such a row is BY DESIGN the refresh cost of the
+    * dashboard, with the first-run build cost visible in `first_runs`.
+    */
+  def hits: Long = synchronized(hitCount)
 
   /** Release every cached checkpoint's storage and forget the entries.
     * Safe only when no in-flight plan still references a cached frame
