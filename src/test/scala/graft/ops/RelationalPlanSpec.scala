@@ -44,6 +44,44 @@ class RelationalPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_nation_profit / q_late_lines / q_excess_shippers: shapes pinned (round-8 snapshot queries)") {
+    // Q9 shape: part + supplier⋈nation dims broadcast ahead of the fact
+    // scan; the only shuffle joins are fact-fact (orders); never a nested
+    // loop. The name-prefix prune must reach the part scan.
+    val np = SparkEntry.queries("q_nation_profit")(spark, sfDir).queryExecution.sparkPlan
+    assert(np.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s"q_nation_profit:\n$np")
+    assert(np.collect { case j: CartesianProductExec => j }.isEmpty, s"q_nation_profit:\n$np")
+    assert(np.collect { case j: BroadcastHashJoinExec => j }.size >= 3,
+      s"part, nation and supplier dims should all broadcast:\n$np")
+    val pNamePushed = np.collect { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters"))
+      .exists(f => f.contains("p_name") && f.contains("StringStartsWith"))
+    assert(pNamePushed, s"p_name prefix must reach the part scan:\n$np")
+
+    // Q12 shape: date-window prune pushed to the lineitem scan; orderkey
+    // equi-join with the lag condition as a residual, never a nested loop.
+    val ll = SparkEntry.queries("q_late_lines")(spark, sfDir).queryExecution.sparkPlan
+    assert(ll.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s"q_late_lines:\n$ll")
+    assert(ll.collect { case j: CartesianProductExec => j }.isEmpty, s"q_late_lines:\n$ll")
+    val shipPushed = ll.collect { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters"))
+      .exists(f => f.contains("l_shipdate") && f.contains("GreaterThanOrEqual"))
+    assert(shipPushed, s"l_shipdate window must reach the lineitem scan:\n$ll")
+
+    // Q20 shape: broadcast part prune before the fact's one aggregate
+    // shuffle; qualifying keys probe supplier as a LEFT SEMI hash join.
+    val es = SparkEntry.queries("q_excess_shippers")(spark, sfDir).queryExecution.sparkPlan
+    assert(es.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s"q_excess_shippers:\n$es")
+    assert(es.collect { case j: CartesianProductExec => j }.isEmpty, s"q_excess_shippers:\n$es")
+    assert(es.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"the name-filtered part prune should broadcast:\n$es")
+    assert(es.toString.contains("LeftSemi"), s"supplier probe must be a semi join:\n$es")
+    val esPushed = es.collect { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters"))
+      .exists(f => f.contains("l_shipdate") && f.contains("GreaterThanOrEqual"))
+    assert(esPushed, s"l_shipdate window must reach the lineitem scan:\n$es")
+  }
+
   test("q_local_volume: values match a same-session SQL re-statement") {
     import graft.core.Tables
     Seq("customer" -> Tables.customer(spark, sfDir), "orders" -> Tables.orders(spark, sfDir),
