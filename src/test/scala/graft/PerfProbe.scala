@@ -24,7 +24,8 @@ object PerfProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JIT/scan warmup
 
-    def timeQ(name: String, reps: Int = 3, tag: String = ""): Seq[Double] = {
+    val defaultReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+    def timeQ(name: String, reps: Int = defaultReps, tag: String = ""): Seq[Double] = {
       val fn = SparkEntry.queries(name)
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -212,6 +213,134 @@ object PerfProbe {
         val fp = got.diff(exact).size // must be 0: exact verification
         println(f"PROBE pairrecall $tag%-18s pairs=${got.size} recall=$rec%.4f fp=$fp t=$t%.2fs")
       }
+      spark.stop(); return
+    }
+
+    // streaming-throughput mode: `Test/runMain graft.PerfProbe streaming` —
+    // the first perf posture for the streaming surface (VERDICT r8 #5):
+    // every registered streaming transform driven by a `rate` source at a
+    // fixed offered load for ~15 s, recording processed rows/s (the
+    // sustained throughput if it keeps up with the offered rate — a
+    // THROUGHPUT CEILING otherwise), per-trigger batch duration, and the
+    // state store's row count + memory from the last progress (the
+    // bounded-state story made measurable). Event rows are synthetic from
+    // the rate stream (key cardinalities matching the fixture's shape);
+    // document rows carry a ~40-token synthetic text so the regex
+    // tokenization cost is real.
+    if (args.headOption.contains("streaming")) {
+      import graft.streaming.{DocumentStreams, EventStreams}
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      def rate(rps: Int): DataFrame =
+        spark.readStream.format("rate").option("rowsPerSecond", rps)
+          .option("rampUpTime", "0s").load()
+      def events(rps: Int): DataFrame = rate(rps).select(
+        col("value").as("event_id"), col("timestamp").as("ts"),
+        pmod(col("value"), lit(5000L)).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(col("value"), lit(3L)) + 1).cast("int")).as("event_type"),
+        pmod(col("value"), lit(100L)).cast("double").as("value"))
+      def docs(rps: Int): DataFrame = rate(rps).select(
+        col("value").as("doc_id"), col("timestamp").as("ingest_ts"),
+        expr("concat_ws(' ', transform(sequence(1, 40), " +
+          "i -> concat('tok', (value * i) % 997)))").as("text"),
+        concat(lit("src"), pmod(col("value"), lit(4L))).as("source"))
+      import spark.implicits._
+      val probes: Seq[(String, Int, () => DataFrame)] = Seq(
+        ("events.tumbling", 500000, () => EventStreams.tumbling(events(500000))),
+        ("events.sessions", 200000, () => EventStreams.sessions(events(200000))),
+        ("events.dedupWithinWm", 200000, () => EventStreams.dedupWithinWatermark(events(200000))),
+        ("events.streamJoin", 200000, () => EventStreams.purchasesWithRecentViews(events(200000))),
+        ("events.runningTotals", 200000, () =>
+          EventStreams.runningUserTotals(events(200000).as[EventStreams.EventRow]).toDF()),
+        ("events.spendAlerts", 200000, () =>
+          EventStreams.spendAlerts(events(200000).as[EventStreams.EventRow], 1e7).toDF()),
+        ("docs.curateStream", 50000, () => DocumentStreams.curateStream(docs(50000))),
+        ("docs.sourceStats", 50000, () => DocumentStreams.sourceStatsStream(docs(50000))),
+        ("docs.heavyHitters", 20000, () =>
+          DocumentStreams.tokenHeavyHittersStream(docs(20000)).toDF()))
+      probes.foreach { case (name, rps, mk) =>
+        val ckpt = java.nio.file.Files.createTempDirectory(s"probe-$name-").toString
+        val q = mk().writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode(if (name.contains("running") || name.contains("Alerts") ||
+            name.contains("heavyHitters")) "update" else "append")
+          .start()
+        Thread.sleep(15000)
+        val ps = q.recentProgress.toSeq
+        q.stop()
+        // skip the first trigger (cold start); aggregate the rest
+        val warm = ps.drop(1).filter(_.numInputRows > 0)
+        if (warm.isEmpty) println(f"PROBE streaming $name%-22s NO WARM PROGRESS (${ps.size} triggers)")
+        else {
+          val rows = warm.map(_.numInputRows).sum
+          val procSec = warm.map(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sum / 1e3
+          val proc = warm.map(_.processedRowsPerSecond).max
+          val last = warm.last
+          val st = Option(last.stateOperators).filter(_.nonEmpty)
+          val stateRows = st.map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+          val stateMem = st.map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
+          println(f"PROBE streaming $name%-22s offered=$rps%d/s peakProc=${proc}%.0f/s " +
+            f"rows=$rows triggers=${warm.size} busy=${procSec}%.1fs " +
+            f"stateRows=$stateRows stateMB=${stateMem / 1e6}%.1f")
+        }
+        def rmRf(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rmRf)
+          f.delete(): Unit
+        }
+        rmRf(new java.io.File(ckpt))
+      }
+      spark.stop(); return
+    }
+
+    // lsh-attribution mode: `Test/runMain graft.PerfProbe lshattrib` —
+    // where the wall clock of the registered q_cosine_pairs_lsh goes at
+    // the current SF, stage by stage: the aug+norm projection, the
+    // signature pass (per-vector cost grows as L·b under scaledBits +
+    // scaledTables — the VERDICT r8 "attribute the 18.8×/10× ratio"
+    // item), the bucket-join candidate volume (Σ C(s,2) — the rows the
+    // equi-join materializes), the distinct candidate pairs, and the full
+    // verified pipeline. Run at sf0.1, /tmp/sf1x and /tmp/sf10x: the
+    // three scale points separate signature cost (linear in n·L·b) from
+    // candidate cost (~n^1.22 by the ρ-exponent math).
+    if (args.headOption.contains("lshattrib")) {
+      import graft.core.Tables
+      import graft.ops.Similarity
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(spark, sfDir)
+      val aug = Similarity.withSyntheticNearDups(emb)
+      val n = aug.count()
+      val b = Similarity.scaledBits(8, 1024L, n)
+      val l = Similarity.scaledTables(8, 0.9, 8, b)
+      println(f"PROBE lshattrib n=$n b=$b L=$l planeDots/vec=${l * b}")
+      def t(label: String)(f: => Long): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"PROBE lshattrib $label%-22s ${ts.map(x => f"${x._1}%.2f").mkString(" ")}s rows=${ts.head._2}")
+      }
+      val e = aug.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+      t("proj+norm")(e.count())
+      t("signatures")(Similarity.lshSignatures(e, l, b, 64).count())
+      t("candidate volume")(Similarity.lshSignatures(e, l, b, 64)
+        .groupBy("tbl", "bucket").agg(count(lit(1)).as("s"))
+        .agg(coalesce(sum(expr("s * (s - 1) DIV 2")), lit(0L)).as("vol"))
+        .select("vol").collect().head.getLong(0))
+      t("distinct candidates") {
+        val sigs = Similarity.lshSignatures(e, l, b, 64)
+          .withColumnRenamed("sig_id", "vec_id")
+        sigs.as("x").join(sigs.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+      }
+      t("full cosinePairsLsh")(
+        Similarity.cosinePairsLsh(aug, 0.9, nTables = l, bitsPerTable = b,
+          sorted = false).count())
       spark.stop(); return
     }
 

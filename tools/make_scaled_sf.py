@@ -68,9 +68,23 @@ def main(src: str, dst: str, copies: int) -> None:
         SELECT doc_id + {i * DMAX} AS doc_id,
                {"text" if i == 0 else f"regexp_replace(text, '([A-Za-z0-9]+)', 'r{i}x{bs}1', 'g')"} AS text,
                lang, source, n_chars FROM '{src}/documents.parquet'""")
+    def emb_expr(i: int) -> str:
+        # The fixture dim is 64, so there are only 64 distinct circular
+        # shifts — beyond copy 63 a plain rotation would REPEAT copy
+        # (i - 64) exactly and the cross-copy duplicate mass would stop
+        # being linear. Negating the second lap (another orthogonal
+        # transform: internal cosine structure preserved, cross-lap
+        # cosines flipped negative, i.e. below any positive threshold)
+        # keeps every copy distinct up to 128 copies.
+        rot = i % 64
+        e = "embedding" if rot == 0 else f"embedding[{rot + 1}:] || embedding[:{rot}]"
+        if i >= 64:
+            e = f"list_transform({e}, x -> -x)"
+        return f"CAST({e} AS FLOAT[])"
+
     write("embeddings", lambda i: f"""
         SELECT vec_id + {i * VMAX} AS vec_id,
-               {"embedding" if i == 0 else f"embedding[{i + 1}:] || embedding[:{i}]"} AS embedding,
+               {emb_expr(i)} AS embedding,
                label FROM '{src}/embeddings.parquet'""")
 
     # events via pyarrow: preserve timestamp[ns] (Tables.load contract)
