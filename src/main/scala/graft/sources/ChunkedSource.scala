@@ -7,8 +7,9 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -229,10 +230,22 @@ private class ChunkedScanBuilder(numRows: Long, numChunks: Int)
     else new ChunkedScan(numRows, numChunks, pushed, required, limit)
 }
 
+/** Observability hook for the runtime-filtering specs: the scan instance
+  * that receives `filter()` is buried inside `BatchScanExec`, so the last
+  * runtime-filter delivery and the resulting partition plan are mirrored
+  * here where a spec can read them. Test-only by construction — production
+  * behavior never reads these fields.
+  */
+private[sources] object ChunkedRuntimeFilterProbe {
+  @volatile var lastReceived: Seq[String] = Nil
+  @volatile var lastPlannedChunks: Seq[Int] = Nil
+  def reset(): Unit = { lastReceived = Nil; lastPlannedChunks = Nil }
+}
+
 private class ChunkedScan(numRows: Long, numChunks: Int,
                           filters: Array[Filter], required: StructType,
                           limit: Int = Int.MaxValue)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -240,14 +253,81 @@ private class ChunkedScan(numRows: Long, numChunks: Int,
     s"graft_chunked pushed=[${filters.mkString(",")}] columns=[${required.fieldNames.mkString(",")}]" +
       (if (limit != Int.MaxValue) s" limit=$limit" else "")
 
+  /** Runtime (DPP-analog) chunk pruning — `SupportsRuntimeV2Filtering`.
+    *
+    * A static pushed filter (the `row_restriction` analog) can only prune
+    * what the query TEXT knows; when this scan sits on the probe side of a
+    * join against a filtered dimension, the matching key set exists only at
+    * RUNTIME. Spark's PartitionPruning rule sees `filterAttributes` below,
+    * plants a DynamicPruningSubquery on the join key, executes the
+    * dimension side first, and delivers the observed key set here as an
+    * `IN` predicate via `filter()` — after which `planInputPartitions()`
+    * is re-invoked and whole chunks drop out of the scan BEFORE any row is
+    * generated. This is the piece the reference cannot do at all: bqfetch's
+    * per-chunk `row_restriction` (bqfetch/bqfetch.py:483-484) is fixed at
+    * plan time. Runtime predicates are an OPTIMIZATION contract: dropping
+    * a partition is only allowed when it provably contains no matching
+    * row, and ignoring a predicate we can't fold is always safe (the join
+    * still filters).
+    */
+  @volatile private var runtimeChunks: Option[Set[Int]] = None
+  @volatile private var runtimeIds: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("chunk"), Expressions.column("id"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference => Some(r.fieldNames.mkString("."))
+        case _ => None
+      }
+    def litOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: V2Literal[_] => Option(l.value)
+        case _ => None
+      }
+    def narrow(col: String, values: Seq[Any]): Unit = col match {
+      case "chunk" =>
+        val vs = values.collect { case i: java.lang.Integer => i.intValue }.toSet
+        runtimeChunks = Some(runtimeChunks.fold(vs)(_ intersect vs))
+      case "id" =>
+        val vs = values.collect { case l: java.lang.Long => l.longValue }.toSet
+        runtimeIds = Some(runtimeIds.fold(vs)(_ intersect vs))
+      case _ =>
+    }
+    predicates.foreach { p =>
+      (p.name(), p.children().toSeq) match {
+        case ("IN", kids) if kids.nonEmpty =>
+          val lits = kids.tail.map(litOf)
+          colOf(kids.head).filter(_ => lits.forall(_.isDefined))
+            .foreach(narrow(_, lits.flatten))
+        case ("=", Seq(a, b)) =>
+          (colOf(a), litOf(b)) match {
+            case (Some(c), Some(v)) => narrow(c, Seq(v))
+            case _ =>
+          }
+        case _ => // unsupported runtime shape: safely ignored
+      }
+    }
+    ChunkedRuntimeFilterProbe.lastReceived = predicates.map(_.toString).toSeq
+  }
+
   /** One InputPartition per chunk — contiguous id ranges, the analog of
-    * the reference's per-chunk temp table + stream.
+    * the reference's per-chunk temp table + stream. Re-invoked by
+    * `BatchScanExec` after a runtime `filter()` delivery: a chunk survives
+    * only if the runtime key sets admit at least one of its rows.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, math.ceil(numRows.toDouble / numChunks).toLong)
-    (0 until numChunks).map { c =>
-      ChunkPartition(c, c * per, math.min(numRows, (c + 1) * per)): InputPartition
-    }.toArray
+    val planned = (0 until numChunks).map { c =>
+      ChunkPartition(c, c * per, math.min(numRows, (c + 1) * per))
+    }.filter { p =>
+      runtimeChunks.forall(_.contains(p.chunk)) &&
+        runtimeIds.forall(_.exists(id => id >= p.startId && id < p.endId))
+    }
+    ChunkedRuntimeFilterProbe.lastPlannedChunks = planned.map(_.chunk)
+    planned.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

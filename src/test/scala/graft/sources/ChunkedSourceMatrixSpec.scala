@@ -67,6 +67,46 @@ class ChunkedSourceMatrixSpec extends SparkSpec {
         s"connector result diverged from reference under $fName × $sName")
     }
 
+  test("runtime V2 filtering: a filtered dim join delivers its key set and prunes whole chunks") {
+    // The DPP analog (SupportsRuntimeV2Filtering): the dimension's chunk
+    // set is only observable at runtime, yet the scan must plan ONLY the
+    // matching chunk partitions. Dim is tiny (broadcast side), its filter
+    // selective — the shape PartitionPruning plants a DynamicPruningSubquery
+    // for.
+    ChunkedRuntimeFilterProbe.reset()
+    val dim = spark.range(0, nChunks).select(col("id").cast("int").as("chunk"),
+        (col("id") * 10).as("weight"))
+      .filter(col("weight") === 20) // selects exactly chunk 2
+    val rows = src.join(dim, "chunk").collect()
+    val planned = ChunkedRuntimeFilterProbe.lastPlannedChunks
+    val received = ChunkedRuntimeFilterProbe.lastReceived
+    // semantics first: identical to the non-connector reference join
+    assert(rows.length == per && rows.forall(_.getAs[Int]("chunk") == 2),
+      s"join result wrong: ${rows.length} rows")
+    // the runtime key set must actually arrive at the scan...
+    assert(received.nonEmpty, "no runtime predicate was delivered to the scan")
+    assert(received.mkString(",").contains("chunk"),
+      s"runtime predicate should target the chunk attribute: $received")
+    // ...and whole chunks must drop out of the plan before any row is read
+    assert(planned == Seq(2),
+      s"runtime filter should prune the chunk list to Seq(2), planned: $planned")
+  }
+
+  test("runtime V2 filtering: an unsupported runtime shape is safely ignored (no pruning, same rows)") {
+    // contract: runtime predicates are an optimization — a shape the scan
+    // cannot fold must not change results, and pruning simply doesn't occur
+    ChunkedRuntimeFilterProbe.reset()
+    val dim = spark.range(0, nChunks)
+      .select((col("id") % 2).cast("string").as("payload_suffix"))
+      .filter(col("payload_suffix") === "1")
+    val joined = src.filter(col("id") < 10)
+      .join(dim, col("payload").endsWith(col("payload_suffix")))
+    val n = joined.count()
+    val want = ref.filter(col("id") < 10)
+      .join(dim, col("payload").endsWith(col("payload_suffix"))).count()
+    assert(n == want, s"non-equi join through the connector diverged: $n vs $want")
+  }
+
   test("matrix: limit composes with filters (partial pushdown keeps exact k)") {
     for ((fName, f) <- filters) {
       val full = f(ref).count()
