@@ -524,6 +524,24 @@ object SparkEntry {
     "q_events_sessions" -> t("events")(Events.sessions),
     "q_events_sessions_lag" -> t("events")(Events.sessionsViaLag(_)),
     "q_events_asof" -> t("events")(Events.asofPurchaseView),
+    // KEYLESS as-of at scale: every event attributed to the latest order
+    // at-or-before it, globally — no equi-key to co-partition on, so the
+    // plan is the range-binned merge (one bin shuffle per side, carry-in
+    // rows, zero join operators; Events.asofJoinRange scaladoc)
+    "q_asof_range" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type")
+      val orders = Tables.orders(s, dir)
+        .select("o_orderdate", "o_orderkey", "o_totalprice")
+      Events.asofJoinRange(ev, orders, "ts", "o_orderdate")
+        .select(col("event_id"),
+          unix_timestamp(col("ts")).as("event_ts"),
+          col("event_type"),
+          col("asof_o_orderkey").as("order_key"),
+          unix_timestamp(col("asof_o_orderdate")).as("order_ts"),
+          round(col("asof_o_totalprice"), 4).as("order_price"))
+        .orderBy("event_id")
+    }),
     // the GENERIC asofJoin surface (multi-column right payload) under the
     // same DuckDB ASOF JOIN oracle — the specialized purchase/view form
     // covers only a single carried column; tie semantics beyond the oracle's
@@ -1869,5 +1887,34 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND v.ts <= p.ts
          ORDER BY purchase_id""",
+    // deterministic replay of the keyless as-of (the union-window form, NOT
+    // DuckDB's ASOF JOIN, whose tie resolution is unspecified): rights sort
+    // before lefts at equal ts, ties among rights resolved by the full
+    // right-column struct ascending with `last` carrying the maximum —
+    // byte-for-byte the operator's contract
+    "q_asof_range" ->
+      """WITH u AS (
+           SELECT o_orderdate AS uts, 0 AS side,
+                  o_orderdate, o_orderkey, o_totalprice,
+                  CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type
+           FROM orders
+           UNION ALL
+           SELECT ts, 1, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+                  CAST(NULL AS DOUBLE), event_id, event_type
+           FROM events
+         ), m AS (
+           SELECT *,
+                  last_value(o_orderkey IGNORE NULLS) OVER w AS a_key,
+                  last_value(o_orderdate IGNORE NULLS) OVER w AS a_date,
+                  last_value(o_totalprice IGNORE NULLS) OVER w AS a_price
+           FROM u
+           WINDOW w AS (ORDER BY uts, side, o_orderdate, o_orderkey, o_totalprice
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT event_id, CAST(floor(epoch(uts)) AS BIGINT) AS event_ts, event_type,
+                a_key AS order_key, CAST(floor(epoch(a_date)) AS BIGINT) AS order_ts,
+                round(a_price, 4) AS order_price
+         FROM m WHERE side = 1
+         ORDER BY event_id""",
   )
 }

@@ -123,6 +123,130 @@ object Events {
     merged.filter(col("_side") === 1).select(leftOut ++ rightOut: _*)
   }
 
+  /** Keyless (global-time) as-of join — the range-partitioned merge form.
+    *
+    * [[asofJoin]] co-partitions on an equi-key, so its one window shuffle
+    * scales with key cardinality. When there is NO shared key (every left
+    * row wants the single latest right row at-or-before its timestamp,
+    * globally — "attribute each event to the market state at its time"),
+    * that plan degenerates to ONE global window partition: a serial sort
+    * of both inputs. This operator is the scale shape for that case:
+    *
+    *  1. the left time range is split into `nBins` equal bins (bounds come
+    *     from ONE 2-value driver aggregate — bounded by construction, the
+    *     same trade as BM25's corpus stats);
+    *  2. each side hash-shuffles ONCE on its bin; rights after the last
+    *     bin are dropped unread;
+    *  3. per non-empty right bin, the maximal right row is reduced
+    *     map-side (`max_by` partial aggregation — the exchange moves one
+    *     row per (bin, task)), and a single tiny window over those ≤nBins
+    *     rows derives each bin's CARRY-IN: the latest right row strictly
+    *     before the bin's start, which is exactly what a bin with no (or
+    *     only later) in-bin rights needs;
+    *  4. within each bin the union-window trick of [[asofJoin]] runs with
+    *     `_bin` as the partition key.
+    *
+    * No join operator appears anywhere in the plan — carry-ins are derived
+    * by a window over the per-bin aggregate, not by joining a bin list.
+    * Bin independence (any `nBins` yields identical results) is pinned in
+    * `AsofRangeSpec`.
+    *
+    * Tie contract (same family as [[asofJoin]]): among rights at the same
+    * timestamp the one with the greatest orderable-payload struct (column
+    * order of `right`) wins; a right at exactly a left's timestamp
+    * matches it. Lefts before every right carry nulls (ASOF LEFT JOIN
+    * semantics). All right columns — including `rTs` — are carried,
+    * prefixed.
+    *
+    * Reference contrast: bqfetch can only fetch by a precomputed chunk
+    * column (bqfetch/bqfetch.py:141-156); a time-attribution join like
+    * this needs the engine-side binning + carry machinery.
+    */
+  def asofJoinRange(left: DataFrame, right: DataFrame,
+                    lTs: String, rTs: String,
+                    nBins: Int = 32, prefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    val rPayloadCols = right.columns.toSeq
+    val tieCols = rPayloadCols.filter(c => org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(right.schema(c).dataType))
+    require(tieCols.nonEmpty,
+      "asofJoinRange needs at least one orderable right column for the tie contract")
+    val emptyOut = {
+      val nulls = rPayloadCols.map(c =>
+        lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))
+      left.select(left.columns.map(col) ++ nulls: _*).limit(0)
+    }
+    // normalize BOTH time columns to epoch millis (long) for binning and
+    // window ordering: the fixture mixes TIMESTAMP and TIMESTAMP_NTZ
+    // (orders.o_orderdate), and a cross-type union would force a lossy
+    // coercion — the long timeline is type-agnostic and the session
+    // timezone (UTC on every correctness surface) keeps the two sides'
+    // mapping consistent. Payload columns keep their original types.
+    def msOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      unix_millis(c.cast(org.apache.spark.sql.types.TimestampType))
+    val bounds = left.agg(min(msOf(col(lTs))).as("lo"), max(msOf(col(lTs))).as("hi")).head()
+    if (bounds.isNullAt(0)) return emptyOut
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val width = math.max(1L, (hi - lo) / nBins + 1)
+    def rawBin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor((msOf(c) - lit(lo)).cast("double") / lit(width.toDouble)).cast("long")
+
+    val rBase = right.select(
+      msOf(col(rTs)).as("_ts"), rawBin(col(rTs)).as("_rbin"),
+      struct(rPayloadCols.map(col): _*).as("_payload"),
+      struct(tieCols.map(col): _*).as("_tie"))
+    val payloadType = rBase.schema("_payload").dataType
+    val tieType = rBase.schema("_tie").dataType
+    val bestType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_ts", rBase.schema("_ts").dataType),
+      org.apache.spark.sql.types.StructField("_payload", payloadType),
+      org.apache.spark.sql.types.StructField("_tie", tieType)))
+
+    // per-bin maximal right row (partial aggregation: one row per bin per
+    // task crosses the wire), bins AFTER the left range dropped unread
+    val perBin = rBase.filter(col("_rbin") < nBins)
+      .groupBy("_rbin")
+      .agg(max_by(struct(col("_ts"), col("_payload"), col("_tie")),
+        struct(col("_ts"), col("_tie"))).as("_best"))
+    // carry-in per target bin: the latest right row in any STRICTLY earlier
+    // bin. Bins are time ranges, so per-bin maxima are time-ordered and the
+    // running `last` over (bin, probe-before-present) is exact. The frame
+    // is ≤ 2·nBins rows — the single-partition window is deliberate.
+    val probes = spark.range(nBins).select(
+      col("id").cast("long").as("_rbin"), lit(0).as("_pf"),
+      lit(null).cast(bestType).as("_best"))
+    val wCarry = Window.orderBy("_rbin", "_pf")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = probes
+      .unionByName(perBin.select(col("_rbin"), lit(1).as("_pf"), col("_best")))
+      .withColumn("_c", last(col("_best"), ignoreNulls = true).over(wCarry))
+      .filter(col("_pf") === 0 && col("_c").isNotNull)
+      .select(col("_rbin").as("_bin"), col("_c._ts").as("_ts"),
+        col("_c._payload").as("_payload"), col("_c._tie").as("_tie"))
+
+    val rIn = rBase.filter(col("_rbin") >= 0 && col("_rbin") < nBins)
+      .select(col("_rbin").as("_bin"), col("_ts"), col("_payload"), col("_tie"))
+    val l = left
+      .withColumn("_lrow", struct(left.columns.map(col): _*))
+      .select(rawBin(col(lTs)).as("_bin"), msOf(col(lTs)).as("_ts"),
+        lit(1).as("_side"), lit(null).cast(payloadType).as("_payload"),
+        lit(null).cast(tieType).as("_tie"), col("_lrow"))
+    val lrowType = l.schema("_lrow").dataType
+    val rAll = rIn.unionByName(carries)
+      .select(col("_bin"), col("_ts"), lit(0).as("_side"), col("_payload"),
+        col("_tie"), lit(null).cast(lrowType).as("_lrow"))
+    val w = Window.partitionBy("_bin")
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = rAll.unionByName(l)
+      .withColumn("_match", last(when(col("_side") === 0, col("_payload")),
+        ignoreNulls = true).over(w))
+    val leftOut = left.columns.map(c => col(s"_lrow.$c").as(c))
+    val rightOut = rPayloadCols.map(c => col(s"_match.$c").as(s"$prefix$c"))
+    merged.filter(col("_side") === 1).select(leftOut ++ rightOut: _*)
+  }
+
   /** As-of join (SURVEY.md §7.4 "hard part"): for each 'purchase' event, the
     * most recent 'view' event of the same user at-or-before it.
     *
