@@ -441,9 +441,22 @@ object Similarity {
     * results — including the embedded-plane replay oracles, whose static
     * SQL is generated at the calibration width — are unchanged at
     * n ≤ nRef.
+    *
+    * Rounding is CEIL, not floor (round 9): the 100× attribution
+    * (PERF.md) measured the verification join — linear in candidate
+    * volume — as the dominant stage, with the signature pass absorbed by
+    * parallelism; between powers of two, flooring under-widens by up to
+    * one bit and pays ~2× candidates to save ~15% signature work, the
+    * wrong side of the measured trade. Ceil keeps every gate anchor at
+    * b0 (n ≤ nRef ⇒ the log is ≤ 0) and [[scaledTables]] compensates the
+    * per-table recall exactly as before. Measured (PERF.md round-9 ceil
+    * A/B): at 10× b 13→14, L 18→21, candidates 3.01 M→1.92 M, best-rep
+    * 5.72→3.85 s; at 100× b 16→17, L 28→33, candidates 72.9 M→47.6 M,
+    * best-rep 67.4→55.1 s; recall at the sf0.1 probe 0.9985 with the
+    * compensated L vs 0.9980 fixed.
     */
   def scaledBits(b0: Int, nRef: Long, n: Long): Int =
-    b0 + math.max(0, math.floor(math.log(n.toDouble / nRef) / math.log(2)).toInt)
+    b0 + math.max(0, math.ceil(math.log(n.toDouble / nRef) / math.log(2)).toInt)
 
   /** The table count that preserves pair recall under [[scaledBits]]
     * widening: each extra bit multiplies a threshold-pair's per-table

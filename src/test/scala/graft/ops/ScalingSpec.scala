@@ -89,12 +89,13 @@ class ScalingSpec extends SparkSpec {
     // frame (500 at the gate, nRef=512)
     assert(Similarity.scaledBits(8, 1024L, 1000L) == 8)
     assert(Similarity.scaledBits(4, 512L, 500L) == 4)
-    // +1 bit per corpus doubling past the calibration size
+    // +1 bit per corpus doubling past the calibration size (CEIL: a
+    // partial doubling already widens — the verify join is the cost driver)
     assert(Similarity.scaledBits(8, 1024L, 2048L) == 9)
-    assert(Similarity.scaledBits(8, 1024L, 4000L) == 9)   // sf0.1 augmented
-    assert(Similarity.scaledBits(8, 1024L, 40000L) == 13) // sf1x augmented
-    assert(Similarity.scaledBits(4, 512L, 2000L) == 5)    // sf0.1 raw
-    assert(Similarity.scaledBits(4, 512L, 20000L) == 9)   // sf1x raw
+    assert(Similarity.scaledBits(8, 1024L, 4000L) == 10)  // sf0.1 augmented
+    assert(Similarity.scaledBits(8, 1024L, 40000L) == 14) // sf1x augmented
+    assert(Similarity.scaledBits(4, 512L, 2000L) == 6)    // sf0.1 raw
+    assert(Similarity.scaledBits(4, 512L, 20000L) == 10)  // sf1x raw
     // small fixtures keep their calibration width (RegistrySpec at sf0.001)
     assert(Similarity.scaledBits(8, 1024L, 10L) == 8)
     assert(Similarity.scaledBits(4, 512L, 1L) == 4)
