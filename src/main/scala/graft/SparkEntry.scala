@@ -362,6 +362,10 @@ object SparkEntry {
     // sharing any 3-gram with it (including themselves) are removed
     "q_decontaminate" -> t("documents")(d =>
       Dedup.decontaminate(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+    // the containment form of the same guard: only docs covering >= tau of
+    // a benchmark item's n-grams are dropped (C4/Dolma-style overlap rule)
+    "q_decontaminate_fuzzy" -> t("documents")(d =>
+      Dedup.decontaminateFuzzy(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
     // the broadcast-Bloom form of the same guard, registered as its
     // exact-bound report (exact survivor count + no-false-negative +
     // over-removal checks, all DuckDB-pinnable); the survivor-set operator
@@ -425,6 +429,10 @@ object SparkEntry {
         bitsPerTable = Similarity.scaledBits(4, 512L, e.count()))),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // full replay oracle (embedded planes)
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // full replay oracle (decimal-exact Lloyd)
+    // prototypicality sampling: k-means cells -> per-cell most-central
+    // keepers + cell populations (the SemDeDup-style diversity cap);
+    // shares the IVF oracle's Lloyd replay by construction
+    "q_kmeans_prototypes" -> t("embeddings")(Similarity.kmeansPrototypes(_)),
     "q_pq_topk" -> t("embeddings")(Similarity.pqTopK(_, 20, 5)),   // full replay oracle (unrolled PQ training)
     // the recall dashboard over all three ANN methods vs brute force —
     // oracle-backed (floors declared under the measured recalls), so a
@@ -687,6 +695,7 @@ object SparkEntry {
     "q_ann_topk" -> Similarity.annTopKOracleSql(20, 5),
     "q_cosine_pairs_lsh" -> Similarity.cosinePairsLshOracleSql(0.9),
     "q_ivf_topk" -> Similarity.ivfTopKOracleSql(20, 5),
+    "q_kmeans_prototypes" -> Similarity.kmeansPrototypesOracleSql(),
     "q_pq_topk" -> Similarity.pqTopKOracleSql(20, 5),
     "q_knn_graph_lsh" -> Similarity.knnGraphLshOracleSql(5),
     "q_semantic_keeplist_lsh" -> Similarity.semanticKeepListLshOracleSql(0.9),
@@ -1560,6 +1569,7 @@ object SparkEntry {
          SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach
          GROUP BY src ORDER BY doc_id""",
     "q_minhash_pairs" -> ops.Dedup.minhashOracleSql(0.5, 16, 4),
+    "q_decontaminate_fuzzy" -> ops.Dedup.decontaminateFuzzyOracleSql(0.5, 50),
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -681,6 +681,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy decontamination by benchmark-side n-gram CONTAINMENT — the
+    * production middle ground between [[decontaminate]] (ANY shared
+    * shingle drops the doc: trigger-happy on boilerplate phrases) and no
+    * guard at all. A training doc is contaminated when it covers at least
+    * `tau` of SOME benchmark item's distinct n-grams
+    * (|sh(t) ∩ sh(b)| / |sh(b)| ≥ τ — the C4/Dolma-style overlap rule):
+    * paraphrased or partially-quoted eval items are caught, while an
+    * incidental common trigram no longer costs a document.
+    *
+    * Scale shape: one equi-join on the 48-bit shingle hash (shuffle keyed
+    * by shingle — same class as the exact path), per-(train, bench) counts
+    * reduced map-side, and the benchmark-size table — one row per
+    * benchmark ITEM, small by definition — broadcast for the containment
+    * division. Benchmark items with fewer than n tokens have no shingles
+    * and cannot contaminate (both engines agree by construction).
+    * Full value oracle: [[decontaminateFuzzyOracleSql]] replays the
+    * hash-48 shingling and the containment rule in SQL.
+    */
+  def decontaminateFuzzy(train: DataFrame, benchmark: DataFrame,
+                         tau: Double = 0.5, n: Int = 3): DataFrame = {
+    val tsh = hashedShingles(train, n)
+    val bsh = hashedShingles(benchmark, n)
+      .select(col("doc_id").as("bid"), col("shingle"))
+    // hashedShingles dedups per doc, so plain counts are distinct counts
+    val bn = bsh.groupBy("bid").agg(count(lit(1)).as("bn"))
+    val contaminated = tsh.join(bsh, "shingle")
+      .groupBy(col("doc_id"), col("bid"))
+      .agg(count(lit(1)).as("o"))
+      .join(broadcast(bn), "bid")
+      .filter(col("o") >= lit(tau) * col("bn"))
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB replay of [[decontaminateFuzzy]] over the registered
+    * self-benchmark shape (every `mod`-th doc is the benchmark): hash-48
+    * shingles, per-pair overlap counts, benchmark-side containment ≥ τ.
+    */
+  def decontaminateFuzzyOracleSql(tau: Double = 0.5, mod: Int = 50): String = {
+    val gram = "CAST('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12) AS BIGINT)"
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       sets AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)), i -> $gram)) AS hs FROM toks),
+       sh AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       bsh AS (SELECT doc_id AS bid, h FROM sh WHERE doc_id % $mod = 0),
+       bn AS (SELECT bid, COUNT(*) AS bn FROM bsh GROUP BY bid),
+       ov AS (SELECT s.doc_id, b.bid, COUNT(*) AS o
+              FROM sh s JOIN bsh b ON s.h = b.h GROUP BY s.doc_id, b.bid),
+       cont AS (SELECT DISTINCT ov.doc_id FROM ov JOIN bn USING (bid)
+                WHERE o >= $tau * bn)
+       SELECT d.doc_id FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+       WHERE cont.doc_id IS NULL ORDER BY d.doc_id"""
+  }
+
   /** Decontamination through a BROADCAST Bloom filter — the shape the exact
     * semi-join takes at 100 TB when even the distinct benchmark shingle set
     * is too big to ship to every task as join state: fold it into an

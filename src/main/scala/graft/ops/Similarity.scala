@@ -248,9 +248,14 @@ object Similarity {
     * deterministic and engine-portable: the only order-sensitive sum in
     * the path (the Lloyd mean) runs through DECIMAL(38,18).
     */
-  def ivfTopKOracleSql(nQueries: Int = 20, k: Int = 5, nCells: Int = 16,
-                       nProbe: Int = 4, kmeansIters: Int = 1,
-                       dim: Int = 64): String = {
+  /** Shared Lloyd-replay CTE prefix: `src`/`n` (normalized corpus), `c0`
+    * (first-nCells seed in vec_id order), `kmeansIters` unrolled
+    * exact-decimal Lloyd steps, and a final full ranking `rf` (vec × cell
+    * csim with crank). Used by [[ivfTopKOracleSql]] and
+    * [[kmeansPrototypesOracleSql]] so the two oracles cannot drift from a
+    * single training replay.
+    */
+  private def lloydReplayCtes(nCells: Int, kmeansIters: Int, dim: Int): String = {
     def rankCte(name: String, centCte: String): String =
       s"""$name AS (SELECT vec_id, cent_id, csim,
          |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
@@ -271,11 +276,17 @@ object Similarity {
          |c$it AS (SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
          |  FROM (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM mm$it GROUP BY cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH src AS ($rawVectorsSql),
+    s"""src AS ($rawVectorsSql),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM src),
        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT $nCells),
        |$iterCtes,
-       |${rankCte("rf", s"c$kmeansIters")},
+       |${rankCte("rf", s"c$kmeansIters")}""".stripMargin
+  }
+
+  def ivfTopKOracleSql(nQueries: Int = 20, k: Int = 5, nCells: Int = 16,
+                       nProbe: Int = 4, kmeansIters: Int = 1,
+                       dim: Int = 64): String = {
+    s"""WITH ${lloydReplayCtes(nCells, kmeansIters, dim)},
        |asg AS (SELECT vec_id, cent_id AS cell FROM rf WHERE crank = 1),
        |pr AS (SELECT vec_id AS qid, cent_id AS cell FROM rf
        |       WHERE vec_id < $nQueries AND crank <= $nProbe),
@@ -289,6 +300,22 @@ object Similarity {
        |SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r
        |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
+
+  /** Generated full value oracle for [[kmeansPrototypes]] — the same
+    * [[lloydReplayCtes]] training replay as the IVF oracle (shared by
+    * construction, so the two cannot drift), then the per-cell centrality
+    * window instead of the probe path.
+    */
+  def kmeansPrototypesOracleSql(nCells: Int = 16, perCell: Int = 5,
+                                kmeansIters: Int = 1, dim: Int = 64): String =
+    s"""WITH ${lloydReplayCtes(nCells, kmeansIters, dim)},
+       |sized AS (SELECT vec_id, cent_id AS cell, csim,
+       |    ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY csim DESC, vec_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cent_id) AS cell_n
+       |  FROM rf WHERE crank = 1)
+       |SELECT cell, vec_id, round(csim, 6) AS centrality,
+       |       CAST(rn AS BIGINT) AS rn, cell_n
+       |FROM sized WHERE rn <= $perCell ORDER BY cell, rn""".stripMargin
 
   /** Generated full value oracle for [[pqTopK]] — a complete SQL replay of
     * product quantization end to end: unit-normalize, take the first-
@@ -630,6 +657,48 @@ object Similarity {
         row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= k)
       .orderBy("qid", "rn")
+  }
+
+  /** Per-cluster prototype (diversity) sampling: train k-means exactly as
+    * [[ivfTopK]] does (same deterministic seed, same exact-decimal
+    * [[lloydStep]]), assign every vector to its cell, and keep the
+    * `perCell` vectors CLOSEST to each centroid with their centrality and
+    * the cell's population — the prototypicality-sampling step of a
+    * SemDeDup/SSL-prototypes curation pipeline (keep the most
+    * representative examples per semantic cluster, cap any one cluster's
+    * contribution) and, read with `cell_n`, the cluster-balance report a
+    * mixture controller watches.
+    *
+    * Scale shape: centroids are nCells broadcast rows (the inventoried
+    * bounded-broadcast class); assignment is one narrow pass of corpus ×
+    * nCells dots; the per-cell top-k is one window partitioned by cell —
+    * nothing pairwise, nothing driver-bound. At 100 TB nCells grows ~√n
+    * and the assignment becomes a write-once index column (same note as
+    * [[ivfTopK]]). Full value oracle: [[kmeansPrototypesOracleSql]]
+    * replays training + the centrality window via the SHARED
+    * [[lloydReplayCtes]].
+    */
+  def kmeansPrototypes(embeddings: DataFrame, nCells: Int = 16,
+                       perCell: Int = 5, kmeansIters: Int = 1): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    var cents = e.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 0 until kmeansIters) {
+      val assigned0 = rankCells(e, cents).filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      cents = lloydStep(assigned0)
+    }
+    val assigned = rankCells(e, cents).filter(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("csim"))
+    val wCell = Window.partitionBy("cell").orderBy(col("csim").desc, col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(wCell).cast("long"))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("rn") <= perCell)
+      .select(col("cell"), col("vec_id"), round(col("csim"), 6).as("centrality"),
+        col("rn"), col("cell_n"))
+      .orderBy("cell", "rn")
   }
 
   /** Deterministic per-subspace k-means for product quantization: Lloyd

@@ -135,6 +135,42 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("decontaminateFuzzy: containment rule — partial quotes drop, incidental trigrams survive") {
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // = benchmark: containment 1
+      (2L, "prefix words then alpha beta gamma delta epsilon"), // covers 3 of 6 bench grams
+      (3L, "alpha beta gamma but then totally different words entirely here"), // 1 of 6
+      (4L, "совершенно unrelated content zebra walrus pelican otter badger"),
+      (5L, "tiny"))
+    val benchmark = docs((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+    // bench has 6 distinct trigrams; τ=0.5 needs ≥3 covered
+    val kept = Dedup.decontaminateFuzzy(train, benchmark, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L),
+      s"only full/half quotes should drop at tau=0.5, kept: $kept")
+    // the exact guard is strictly more aggressive: fuzzy survivors ⊇ exact
+    val exact = Dedup.decontaminate(train, benchmark).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(kept))
+    // raising τ past any partial coverage keeps everything but the verbatim copy
+    val strict = Dedup.decontaminateFuzzy(train, benchmark, tau = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("decontaminateFuzzy on the fixture: survivors are a superset of the exact guard's") {
+    val documents = Tables.documents(spark, sfDir)
+    val benchmark = documents.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val exact = Dedup.decontaminate(documents, benchmark).collect().map(_.getLong(0)).toSet
+    val fuzzy = Dedup.decontaminateFuzzy(documents, benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(fuzzy), "any-overlap dropping must imply containment dropping")
+    // benchmark members contain themselves fully (containment 1 ≥ τ), so
+    // every benchmark doc that has shingles at all must be dropped
+    val benchIds = benchmark.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = benchIds -- fuzzy
+    assert(dropped.nonEmpty, "self-contained benchmark members must drop")
+  }
+
   test("decontaminateBloom: never keeps a contaminated doc, over-removal bounded by fpp") {
     val documents = Tables.documents(spark, sfDir)
     val benchmark = documents.filter(pmod(col("doc_id"), lit(50)) === 0)

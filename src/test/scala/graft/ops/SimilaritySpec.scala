@@ -383,4 +383,30 @@ class SimilaritySpec extends SparkSpec {
       assert(Similarity.knnGraph(e, k = 1).count() > 0)
     } finally spark.conf.unset(capKey)
   }
+
+  test("kmeansPrototypes: shape invariants and partitioning invariance") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.kmeansPrototypes(e, nCells = 8, perCell = 3).collect()
+    assert(out.nonEmpty)
+    // per-cell: at most perCell rows, rn contiguous from 1, centrality
+    // non-increasing within the cell
+    out.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.length <= 3, s"cell $cell emitted ${sorted.length} rows")
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val cents = sorted.map(_.getDouble(2)).toSeq
+      assert(cents == cents.sorted.reverse, s"cell $cell centrality not ranked: $cents")
+      assert(sorted.map(_.getLong(4)).distinct.length == 1, "cell_n must be constant per cell")
+    }
+    // cell populations partition the corpus
+    val n = e.count()
+    val popSum = out.map(r => (r.getLong(0), r.getLong(4))).distinct.map(_._2).sum
+    assert(popSum == n, s"cell populations must sum to the corpus: $popSum vs $n")
+    // decimal-exact Lloyd means make the trained prototypes partitioning-
+    // invariant — the same contract the IVF oracle depends on
+    val shuffled = Similarity.kmeansPrototypes(
+      e.repartition(13), nCells = 8, perCell = 3).collect()
+    assert(out.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq,
+      "kmeansPrototypes must not depend on input partitioning")
+  }
 }
