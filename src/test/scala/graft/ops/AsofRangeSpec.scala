@@ -79,6 +79,43 @@ class AsofRangeSpec extends SparkSpec {
     assert(got.length == left.count() && got.forall(_.isNullAt(1)))
   }
 
+  test("asofJoinRange equals a driver reference on random tie-dense streams × random bin counts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val spark2 = spark
+    import spark2.implicits._
+    // tiny shared time domain → dense boundary/tie coverage; rights carry
+    // (key, price) payload, ties resolved by greatest (ts, rts, key, price)
+    val rightsGen = Gen.listOfN(8, for {
+      t <- Gen.chooseNum(0L, 9L); k <- Gen.chooseNum(100L, 103L)
+      p <- Gen.chooseNum(1, 3)
+    } yield (t, k, p.toDouble))
+    val leftsGen = for {
+      n <- Gen.chooseNum(1, 8)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(1L, 50L); t <- Gen.chooseNum(0L, 9L)
+      } yield (id, t))
+    } yield rows
+    val prop = Prop.forAll(leftsGen, rightsGen, Gen.oneOf(1, 2, 5, 32)) { (ls, rs, nb) =>
+      val left = ls.map { case (id, t) => (id, ts(t)) }.toDF("event_id", "lts")
+      val right = rs.map { case (t, k, p) => (ts(t), k, p) }.toDF("rts", "rkey", "rprice")
+      val got = Events.asofJoinRange(left, right, "lts", "rts", nBins = nb)
+        .select(col("event_id"), col("lts"), col("asof_rkey"), col("asof_rprice"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+        .toSeq.sorted(Ordering.by((x: (Long, Long, Option[(Long, Double)])) => (x._1, x._2, x._3.toString)))
+      val want = ls.map { case (id, t) =>
+        val cand = rs.filter(_._1 <= t)
+        val best = if (cand.isEmpty) None
+          else { val m = cand.maxBy(r => (r._1, r._2, r._3)); Some((m._2, m._3)) }
+        (id, t * 1000L, best)
+      }.sorted(Ordering.by((x: (Long, Long, Option[(Long, Double)])) => (x._1, x._2, x._3.toString)))
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q_asof_range plan: zero join operators, no cartesian — bins + carry windows only") {
     val plan = graft.SparkEntry.queries("q_asof_range")(spark, sfDir)
       .queryExecution.sparkPlan

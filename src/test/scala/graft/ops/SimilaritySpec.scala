@@ -146,9 +146,12 @@ class SimilaritySpec extends SparkSpec {
     val afterFirst = ProbeCache.size
     assert(afterFirst >= 6, s"expected the six fidelity artifacts cached, got $afterFirst")
     // a refresh over a semantically-equal input must hit every entry
-    // (no growth) and report BIT-IDENTICAL rows
+    // (no growth) and report BIT-IDENTICAL rows — and the hit counter the
+    // bench's `memoized` marker brackets must advance
+    val hits0 = ProbeCache.hits
     val second = Similarity.lshFidelityReport(Tables.embeddings(spark, sfDir)).collect().toSeq
     assert(ProbeCache.size == afterFirst, "refresh over same input must not rebuild artifacts")
+    assert(ProbeCache.hits > hits0, "a memoized refresh must register on the hit counter")
     assert(second == first)
     // a DIFFERENT probe parameterization (tighter cap → different bounded
     // plan) must MISS — memoization never crosses input semantics
