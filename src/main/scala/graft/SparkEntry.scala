@@ -1218,14 +1218,8 @@ object SparkEntry {
                       / greatest(len(string_split(text, chr(10))), 1), 6) AS bullet_line_ratio,
                 round(CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS DOUBLE)
                       / greatest(len(string_split(text, chr(10))), 1), 6) AS ellipsis_line_ratio,
-                CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+                CAST(len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
          FROM documents)
          SELECT doc_id, n_words, mean_word_len, bullet_line_ratio, ellipsis_line_ratio, n_stop_hits,
                 (n_words >= 40 AND n_words <= 100000
@@ -1476,14 +1470,8 @@ object SparkEntry {
                         / greatest(len(string_split(text, chr(10))), 1), 6) AS blr,
                   round(CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS DOUBLE)
                         / greatest(len(string_split(text, chr(10))), 1), 6) AS elr,
-                  (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-                   + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
-                   + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-                   + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-                   + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-                   + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
-                   + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
-                   + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS stops
+                  len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['the','be','to','of','and','that','have','with'])) AS stops
                 FROM documents),
          gate AS (SELECT doc_id FROM s0
                   WHERE n_words >= 40 AND n_words <= 100000

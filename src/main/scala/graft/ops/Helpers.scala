@@ -71,6 +71,38 @@ object Helpers {
     else df
   }
 
+  /** Filter by an expensive predicate evaluated EXACTLY ONCE per row.
+    *
+    * `df.filter(pred)` hands Catalyst a conjunction it will split into
+    * independent predicates (and substitute through any projection), and
+    * codegen's subexpression elimination is unsafe across short-circuit
+    * branches — so a predicate whose conjuncts share an expensive
+    * subexpression (the Gopher gate: tokenization appears in 5 of 7
+    * conjuncts) re-scans the text once PER CONJUNCT. Measured at the 100×
+    * corpus: ~26 s as a plain filter vs ~10 s evaluated once per row.
+    *
+    * Mechanics: the predicate is projected as a column next to a
+    * non-deterministic barrier column, and the filter references BOTH —
+    * `PushPredicateThroughNonJoin` only pushes a filter through a project
+    * whose fields are all deterministic, and the reference keeps the
+    * barrier from being pruned away (an unreferenced non-deterministic
+    * column is dropped by ColumnPruning, which would re-enable the push).
+    * `monotonically_increasing_id() >= 0` is vacuously true, so semantics
+    * are exactly `df.filter(pred)`; everything still pipelines inside one
+    * WholeStageCodegen span (scan → project-with-CSE → filter), nothing
+    * is materialized. The price: predicates no longer push INTO the scan
+    * — callers apply this to compute-dense gates whose conjuncts cannot
+    * push anyway (regex over text), never to pushable range/equality
+    * predicates.
+    */
+  def filterOnce(df: DataFrame, pred: Column): DataFrame = {
+    val kept = df.columns
+    df.select(col("*"), pred.as("_pred_once"),
+        monotonically_increasing_id().as("_pred_barrier"))
+      .filter(col("_pred_once") && col("_pred_barrier") >= 0)
+      .select(kept.map(col): _*)
+  }
+
   /** Scope a persisted intermediate to its first consuming action.
     *
     * An operator that persists a shared intermediate but returns a LAZY

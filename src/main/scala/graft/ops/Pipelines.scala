@@ -63,8 +63,11 @@ object Pipelines {
     // spread an under-split corpus scan before the per-row-expensive gate
     // and shingle stages — size-gated (Helpers.spreadForCompute), so a
     // small corpus skips the text shuffle (measured regression) and a
-    // properly-split 100 TB scan passes through untouched
-    curateTail(Helpers.spreadForCompute(documents).filter(gate),
+    // properly-split 100 TB scan passes through untouched. The gate runs
+    // through filterOnce: a conjunction-heavy text gate re-scans the text
+    // per conjunct as a plain filter (Helpers.filterOnce scaladoc; ~26 s →
+    // ~10 s at the 100× corpus for the Gopher gate)
+    curateTail(Helpers.filterOnce(Helpers.spreadForCompute(documents), gate),
       pairGenerator, mixRates, valHexDigits, budgetTokens)
 
   def curateWith(documents: DataFrame,

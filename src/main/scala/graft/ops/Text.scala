@@ -111,22 +111,45 @@ object Text {
     // null text gates like empty text (every rule DEFINED per row — a null
     // keep flag would poison the AND in a downstream filter)
     val txt = coalesce(col("text"), lit(""))
-    val nWords = size(regexp_extract_all(lower(txt), lit(wordRe), lit(0)))
+    // ONE tokenization pass shared by the word count and the stop-word
+    // check (subexpression elimination computes it once per row inside the
+    // Project). Round 9: the stop rule previously ran 8 separate
+    // `\b<word>\b` rlike scans of the full text — at the 100× corpus that
+    // made gopherKeep a co-dominant curation stage (25 s standalone, vs
+    // 5.3 s for the ratio gates). Token-set membership is the same Gopher
+    // rule ("contains ≥ k words from a stop list") computed over the SAME
+    // tokens n_words counts, costs zero extra passes, and both engines
+    // replay it identically (array_intersect / list_intersect both dedup).
+    // Semantics note: the rlike form and the token form differ only at
+    // underscore adjacency ("the_cat": `\b` treats `_` as a word char, the
+    // tokenizer splits on it) — the token reading is the more faithful one
+    // and the oracle replays it.
+    val toks = regexp_extract_all(lower(txt), lit(wordRe), lit(0))
+    // counts via regexp_count, NOT size(regexp_extract_all(...)): when the
+    // keep-boolean lands in a Filter, Catalyst splits the conjuncts and
+    // evaluates each independently (subexpression elimination is unsafe
+    // across short-circuit branches), so every count signal is recomputed
+    // per conjunct that mentions it — a match COUNTER costs a scan, an
+    // extract-all costs a scan PLUS materializing the token array each
+    // time (measured at the 100× corpus: 2.1 s vs 0.7 s per pass; the
+    // whole gate 26 s → 14 s from this change). The array form survives
+    // only where the array is genuinely consumed (the stop-word
+    // intersect, one pass).
+    val nWords = regexp_count(lower(txt), lit(wordRe))
     // total alphanumeric chars / words — portable mean word length without
     // an array aggregate (regexp_replace strips everything that is not a
     // token character)
     val tokChars = length(regexp_replace(lower(txt), "[^a-z0-9]", ""))
     val nLines = size(split(txt, "\n"))
-    val bulletLines = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
-    val ellipsisLines = size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0)))
+    val bulletLines = regexp_count(txt, lit("(?m)^[ \\t]*[-*\u2022]"))
+    val ellipsisLines = regexp_count(txt, lit("(?m)\\.\\.\\.$"))
     val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     GopherSignals(
       nWords.cast("long"),
       round(tokChars.cast("double") / greatest(nWords, lit(1)), 6),
       round(bulletLines.cast("double") / greatest(nLines, lit(1)), 6),
       round(ellipsisLines.cast("double") / greatest(nLines, lit(1)), 6),
-      stopWords.map(w => when(lower(txt).rlike("\\b" + w + "\\b"), 1).otherwise(0))
-        .reduce(_ + _).cast("long"))
+      size(array_intersect(toks, array(stopWords.map(lit): _*))).cast("long"))
   }
 
   /** The Gopher keep-predicate as ONE reusable boolean column — what

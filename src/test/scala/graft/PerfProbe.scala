@@ -132,6 +132,8 @@ object PerfProbe {
       t("scan")(docs.count())
       t("gate(ratios)")(gated.count())
       t("gate(gopher)")(docs.filter(Text.gopherKeep()).count())
+      t("gate(gopher) filterOnce")(
+        graft.ops.Helpers.filterOnce(docs, Text.gopherKeep()).count())
       t("pairs(jaccard) on gated")(Dedup.jaccardPairs(gated, 0.5, sorted = false).count())
       t("pairs(minhash) on gated")(Dedup.minhashPairs(gated, 0.5, sorted = false).count())
       t("dedupSurvivors(gated)")(Dedup.dedupSurvivors(gated,
@@ -213,6 +215,37 @@ object PerfProbe {
         val fp = got.diff(exact).size // must be 0: exact verification
         println(f"PROBE pairrecall $tag%-18s pairs=${got.size} recall=$rec%.4f fp=$fp t=$t%.2fs")
       }
+      spark.stop(); return
+    }
+
+    // gopher-stage micro-profile: `Test/runMain graft.PerfProbe gopherstage`
+    // — which SIGNAL inside the Gopher gate costs the wall clock at the
+    // current SF (each signal timed as a standalone count over the corpus).
+    if (args.headOption.contains("gopherstage")) {
+      import graft.core.Tables
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+      def t(label: String)(c: org.apache.spark.sql.Column): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          // hash + sum forces actual evaluation of the signal on every row
+          // (a count over a non-nullable projection would be pruned away)
+          docs.select(hash(c).as("h")).agg(sum("h")).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE gopherstage $label%-22s ${ts.map(x => f"$x%.2f").mkString(" ")}s")
+      }
+      val txt = coalesce(col("text"), lit(""))
+      val toks = regexp_extract_all(lower(txt), lit("[A-Za-z0-9]+"), lit(0))
+      t("lower only")(length(lower(txt)))
+      t("tokenize")(size(toks))
+      t("tokChars regexp_replace")(length(regexp_replace(lower(txt), "[^a-z0-9]", "")))
+      t("split lines")(size(split(txt, "\n")))
+      t("bullet (?m) regex")(size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0))))
+      t("ellipsis (?m) regex")(size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0))))
+      t("stop intersect")(size(array_intersect(toks,
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*))))
+      t("full gopherKeep")(graft.ops.Text.gopherKeep())
       spark.stop(); return
     }
 
