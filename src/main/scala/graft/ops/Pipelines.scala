@@ -78,16 +78,15 @@ object Pipelines {
                  mixRates: Map[String, Int] = Map.empty,
                  valHexDigits: String = "01234",
                  budgetTokens: Int = 512): DataFrame = {
-    // 1. quality gate — ratios filtered IN PLACE (narrow codegen predicate
-    // over the scan; no score-table self-join, no sort)
+    // 1. quality gate — ratios evaluated ONCE per row (filterOnce: the
+    // withColumn+filter form collapses and the between-conjuncts would
+    // re-tokenize per predicate; same rationale as the Gopher gate in
+    // curateWithGate), still a narrow codegen pipeline over the scan
     val ratios = Text.qualityRatios
     // same size-gated spread rationale as curateWithGate
-    val gated = Helpers.spreadForCompute(documents)
-      .withColumn("_mtl", ratios.meanTokLen)
-      .withColumn("_ttr", ratios.typeTokenRatio)
-      .filter(col("_mtl").between(minMeanTokLen, maxMeanTokLen) &&
-        col("_ttr") >= minTypeToken)
-      .drop("_mtl", "_ttr")
+    val gated = Helpers.filterOnce(Helpers.spreadForCompute(documents),
+      ratios.meanTokLen.between(minMeanTokLen, maxMeanTokLen) &&
+        ratios.typeTokenRatio >= minTypeToken)
     curateTail(gated, pairGenerator, mixRates, valHexDigits, budgetTokens)
   }
 
