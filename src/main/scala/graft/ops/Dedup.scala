@@ -671,6 +671,39 @@ object Dedup {
       }.toDF("doc_id", "shingle")
   }
 
+  /** A per-document contamination predicate over a broadcast Bloom filter
+    * of the benchmark's shingle hashes — the MAP-SIDE form of
+    * [[decontaminateBloom]]'s test, usable where a join cannot go (a
+    * streaming micro-batch filter: stream-static Bloom probing is just a
+    * row-local predicate). The closure runs the IDENTICAL tokenization
+    * and 48-bit gram hash as [[hashedShingles]] (same regex, same digest)
+    * with early exit on the first hit, so its verdict per document equals
+    * the batch operator's (no false negatives by Bloom construction;
+    * false positives over-drop at ≈ the configured fpp).
+    */
+  private[graft] def contaminationCheck(benchmark: DataFrame, n: Int = 3,
+                                        expectedShingles: Long = 1000000L,
+                                        fpp: Double = 0.001): String => Boolean = {
+    val bf = hashedShingles(benchmark, n).stat.bloomFilter("shingle", expectedShingles, fpp)
+    val bcast = benchmark.sparkSession.sparkContext.broadcast(bf)
+    val tokenRe = "[a-z0-9]+".r
+    (text: String) => {
+      // Locale.ROOT, not default-locale toLowerCase (the Turkish-I trap);
+      // the token regex is ASCII-only so any residual non-ASCII case
+      // difference vs Spark's UTF8String.toLowerCase cannot produce a token
+      val t = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+      val toks = tokenRe.findAllIn(t).toArray
+      if (toks.length < n) false
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Iterator.range(0, toks.length - n + 1).exists { i =>
+          bcast.value.mightContainLong(
+            Text.gramHash48Local(md, toks.slice(i, i + n).mkString(" ")))
+        }
+      }
+    }
+  }
+
   def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
     val benchSh = hashedShingles(benchmark, n).select("shingle").distinct()
     val contaminated = hashedShingles(train, n)

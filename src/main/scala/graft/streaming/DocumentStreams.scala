@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.Text
+import graft.ops.{Dedup, Text}
 
 /** Streaming front-end of the curation pipeline (SURVEY.md §2 group I ×
   * group H): the same quality-gate and exact-dedup semantics as the batch
@@ -42,6 +42,32 @@ object DocumentStreams {
       // the raw 32-byte binary — same trade as batch hashDedup)
       .withColumn("digest", unhex(sha2(col("text"), 256)))
       .dropDuplicatesWithinWatermark("digest")
+  }
+
+  /** [[curateStream]] with a benchmark-decontamination stage — the live
+    * form of the batch gate→dedup→decontaminate chain. The benchmark is a
+    * STATIC frame: its shingle hashes fold into a broadcast Bloom filter
+    * once at query build ([[graft.ops.Dedup.contaminationCheck]] — the
+    * map-side form of `decontaminateBloom`'s test), and each micro-batch
+    * applies it as a row-local predicate — no stream-static join, no
+    * per-trigger state beyond [[curateStream]]'s digest dedup. Guarantees
+    * carry over from the Bloom construction: a document sharing a real
+    * benchmark n-gram can NEVER pass (no false negatives); clean documents
+    * drop at ≈ the configured fpp. Spec-asserted against the batch
+    * operator's verdicts in `DocumentStreamsSpec`.
+    */
+  def curateStreamDecontaminated(docs: DataFrame, benchmark: DataFrame,
+                                 n: Int = 3,
+                                 expectedShingles: Long = 1000000L,
+                                 fpp: Double = 0.001,
+                                 minMeanTokLen: Double = 4.0,
+                                 maxMeanTokLen: Double = 9.0,
+                                 minTypeToken: Double = 0.3,
+                                 watermark: String = "10 minutes"): DataFrame = {
+    val contaminated = Dedup.contaminationCheck(benchmark, n, expectedShingles, fpp)
+    val clean = udf((text: String) => !contaminated(text))
+    curateStream(docs, minMeanTokLen, maxMeanTokLen, minTypeToken, watermark)
+      .filter(clean(col("text")))
   }
 
   /** Per-source ingest audit over tumbling windows: documents and token

@@ -46,6 +46,33 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(spark.table("t_curate").columns.contains("digest"))
   }
 
+  test("curateStreamDecontaminated: benchmark overlap drops in-stream, batch-verdict parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // distinct GOOD texts (pass the gate, no dups); doc 11 copies the
+    // benchmark item verbatim, doc 12 quotes a 3-gram of it, 13/14 clean
+    val bench = Seq((100L, "secret holdout question answer tokens here"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      DocRow(11L, "web", "secret holdout question answer tokens here", ts("2024-01-01 00:01:00")),
+      DocRow(12L, "web", "prefix words then secret holdout question trailer", ts("2024-01-01 00:02:00")),
+      DocRow(13L, "web", "alpha beta gamma delta epsilon zeta", ts("2024-01-01 00:03:00")),
+      DocRow(14L, "books", "walrus pelican otter badger zebra falcon", ts("2024-01-01 00:04:00")))
+    val mem = MemoryStream[DocRow]
+    mem.addData(rows: _*)
+    val q = DocumentStreams.curateStreamDecontaminated(mem.toDF(), bench)
+      .writeStream.format("memory").queryName("t_decon")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("t_decon").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(13L, 14L), s"kept=$kept")
+    // parity: the stream's verdict per doc equals the batch Bloom operator's
+    val batchKept = graft.ops.Dedup.decontaminateBloom(
+        rows.map(r => (r.doc_id, r.text)).toDF("doc_id", "text"), bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept, s"stream $kept vs batch $batchKept")
+  }
+
   test("sourceStatsStream: per-source windowed doc/token counts match hand computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
