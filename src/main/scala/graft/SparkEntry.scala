@@ -366,6 +366,9 @@ object SparkEntry {
     // a benchmark item's n-grams are dropped (C4/Dolma-style overlap rule)
     "q_decontaminate_fuzzy" -> t("documents")(d =>
       Dedup.decontaminateFuzzy(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+    // C4-style cross-document line dedup: every long line keeps exactly
+    // its first corpus occurrence; per-doc reconstruction + removal counts
+    "q_dedup_lines" -> t("documents")(Dedup.dedupLines(_)),
     // the broadcast-Bloom form of the same guard, registered as its
     // exact-bound report (exact survivor count + no-false-negative +
     // over-removal checks, all DuckDB-pinnable); the survivor-set operator
@@ -1558,6 +1561,7 @@ object SparkEntry {
          GROUP BY src ORDER BY doc_id""",
     "q_minhash_pairs" -> ops.Dedup.minhashOracleSql(0.5, 16, 4),
     "q_decontaminate_fuzzy" -> ops.Dedup.decontaminateFuzzyOracleSql(0.5, 50),
+    "q_dedup_lines" -> ops.Dedup.dedupLinesOracleSql(),
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -704,6 +704,69 @@ object Dedup {
     }
   }
 
+  /** Cross-document LINE dedup (the C4-style cleanup, finer-grained than
+    * whole-document dedup): every distinct line longer than `minChars`
+    * keeps exactly its FIRST occurrence in corpus order (min doc_id, then
+    * line position) and every other copy is dropped; short lines always
+    * survive (deduping "" or "Introduction" corpus-wide would shred
+    * unrelated documents). Emits one row per input document with the
+    * reconstructed text and kept/removed line counts — documents whose
+    * every line was a later duplicate survive with empty text (the caller
+    * decides whether to drop empties; removal is a row-count change this
+    * operator refuses to make silently).
+    *
+    * Scale shape: one shuffle keyed by the line text (the window that
+    * picks each line's first occurrence — shuffle volume = corpus line
+    * volume, the same order as the scan), one shuffle keyed by doc_id to
+    * reassemble. Nothing pairwise, nothing driver-side. Deterministic →
+    * full value oracle (the same two windows in SQL).
+    */
+  def dedupLines(documents: DataFrame, minChars: Int = 30): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), "\n"))
+        .as(Seq("line_no", "line")))
+    val byLine = org.apache.spark.sql.expressions.Window
+      .partitionBy("line").orderBy("doc_id", "line_no")
+    val kept = lines
+      .withColumn("_rn", row_number().over(byLine))
+      .filter(length(col("line")) < minChars || col("_rn") === 1)
+    documents.select(col("doc_id"), size(split(coalesce(col("text"), lit("")), "\n"))
+        .cast("long").as("n_lines"))
+      .join(kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws("\n", transform(
+              array_sort(collect_list(struct(col("line_no"), col("line")))),
+              s => s.getField("line"))).as("text_out")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_out"), lit("")).as("text_out"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB replay of [[dedupLines]] — the same first-occurrence
+    * window and reassembly in SQL.
+    */
+  def dedupLinesOracleSql(minChars: Int = 30): String =
+    s"""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM documents),
+       lines AS (SELECT doc_id, i - 1 AS line_no, a[i] AS line
+                 FROM ls, LATERAL (SELECT UNNEST(generate_series(1, len(a))) AS i)),
+       ranked AS (SELECT doc_id, line_no, line,
+                    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                  FROM lines),
+       kept AS (SELECT doc_id, line_no, line FROM ranked
+                WHERE length(line) < $minChars OR rn = 1),
+       agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY line_no) AS text_out
+               FROM kept GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(agg.text_out, '') AS text_out,
+              COALESCE(agg.n_kept, 0) AS n_kept,
+              len(string_split(d.text, chr(10))) - COALESCE(agg.n_kept, 0) AS n_removed
+       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       ORDER BY d.doc_id"""
+
   def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
     val benchSh = hashedShingles(benchmark, n).select("shingle").distinct()
     val contaminated = hashedShingles(train, n)

@@ -135,6 +135,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("dedupLines: first corpus occurrence survives, short lines untouched, empty-doc preserved") {
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = "this is a long boilerplate footer line repeated across documents"
+    val unique = "this long line appears in exactly one single document only here"
+    val docs = Seq(
+      (1L, s"$boiler\nshort\n$unique"),
+      (2L, s"intro line that is long enough to participate in dedup\n$boiler"),
+      (3L, s"$boiler"),        // loses its only line -> empty text, still a row
+      (4L, "short\ntiny")      // all short lines: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"$boiler\nshort\n$unique", 3L, 0L)))
+    assert(out(2L)._1 == "intro line that is long enough to participate in dedup" &&
+      out(2L)._3 == 1L)
+    assert(out(3L) == (("", 0L, 1L)), s"doc 3 must survive as a row: ${out(3L)}")
+    assert(out(4L) == (("short\ntiny", 2L, 0L)))
+    // removal conservation: removed lines = duplicate long-line instances
+    assert(out.values.map(_._3).sum == 2L)
+  }
+
   test("decontaminateFuzzy: containment rule — partial quotes drop, incidental trigrams survive") {
     val train = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // = benchmark: containment 1
