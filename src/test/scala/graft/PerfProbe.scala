@@ -218,6 +218,40 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // knn-recall-at-scale: `Test/runMain graft.PerfProbe knnrecall` — the
+    // kNN-graph LSH recall question the cosine family answers with
+    // scaledTables but knnGraphLsh (fixed L=8) does not: at the current SF,
+    // lift the quadratic-anchor cap for ONE exact top-1 reference pass and
+    // measure top-1 recall + emitted-edge coverage for the registered
+    // width, the gate width, and a table-compensated width.
+    if (args.headOption.contains("knnrecall")) {
+      import graft.core.Tables
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val capKey = "spark.graft.quadraticAnchorMaxRows"
+      spark.conf.set(capKey, (n + 1).toString)
+      val t0 = System.nanoTime()
+      val exact1 = Similarity.knnGraph(emb, 5).filter(org.apache.spark.sql.functions.col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.unset(capKey)
+      println(f"PROBE knnrecall exact n=$n nodes=${exact1.size} t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val bScaled = Similarity.scaledBits(4, 512L, n)
+      for ((l, b, tag) <- Seq((8, 4, "gate b=4 L=8"),
+                              (8, bScaled, s"registered b=$bScaled L=8"),
+                              (24, bScaled, s"compensated b=$bScaled L=24"))) {
+        val t1 = System.nanoTime()
+        val lsh1 = Similarity.knnGraphLsh(emb, 5, nTables = l, bitsPerTable = b)
+          .filter(org.apache.spark.sql.functions.col("rn") === 1)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val secs = (System.nanoTime() - t1) / 1e9
+        val hits = lsh1.count { case (k, v) => exact1.get(k).contains(v) }
+        println(f"PROBE knnrecall $tag%-22s nodes=${lsh1.size} (cov=${lsh1.size.toDouble / exact1.size}%.3f) " +
+          f"top1Recall=${hits.toDouble / math.max(1, lsh1.size)}%.3f t=$secs%.1fs")
+      }
+      spark.stop(); return
+    }
+
     // gopher-stage micro-profile: `Test/runMain graft.PerfProbe gopherstage`
     // — which SIGNAL inside the Gopher gate costs the wall clock at the
     // current SF (each signal timed as a standalone count over the corpus).
