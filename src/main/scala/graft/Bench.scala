@@ -99,20 +99,26 @@ object Bench {
       System.err.println(s"[bench] calibration failed: ${e.getMessage}")
       -1.0
     }
-    // Calib guard (round-5 VERDICT): the round-5 official artifact was
-    // captured in a loaded window (calib 0.307 vs the 0.232 idle band) and
-    // read 10% slower than the definitive idle capture. If the opening
-    // calibration exceeds the idle-band ceiling, wait briefly for the host
-    // to drain and re-calibrate (bounded retries — never refuse outright:
-    // a missing artifact is worse than an annotated loaded one), and stamp
-    // the capture "calib_loaded" if it still starts above the ceiling so a
-    // loaded-window number can never again pass as an idle one.
-    val calibMax = sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX", "0.28").toDouble
+    // Calib guard (round-5 VERDICT, tightened round 10): the round-5
+    // official artifact was captured in a loaded window (calib 0.307 vs the
+    // 0.232 idle band) and read 10% slower than the definitive idle
+    // capture; the ROUND-9 official artifact then slipped UNDER the 0.28
+    // ceiling at calib 0.272 — above every documented idle capture
+    // (0.19-0.26) and matching the signature of a known loaded-host
+    // outlier — and published 88.5 s where four same-code captures read
+    // 62-64 s. So the ceiling now sits at the top of the OBSERVED idle
+    // band (0.26), and the retry schedule grows (15/30/45/60/75 s ≈ 3.75
+    // min total) to outlast a co-tenant burst instead of re-sampling
+    // inside it. Never refuse outright — a missing artifact is worse than
+    // an annotated loaded one — but a capture that STARTS hot is stamped
+    // both "calib_loaded" (artifact lineage, key kept since r5) and
+    // "calib_hot" so a loaded-window number can never again pass as idle.
+    val calibMax = sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX", "0.26").toDouble
     var calib = calibrate()
     var calibRetries = 0
-    while (calib > calibMax && calibRetries < 3) {
-      Thread.sleep(15000)
+    while (calib > calibMax && calibRetries < 5) {
       calibRetries += 1
+      Thread.sleep(15000L * calibRetries)
       calib = calibrate()
     }
     val calibLoaded = calib > calibMax
@@ -190,6 +196,7 @@ object Bench {
     val header = s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
       s""""n_errors":${errs.size},"reps":$reps,"cpus":$cpus,""" +
       s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_loaded":$calibLoadedAny,""" +
+      s""""calib_hot":$calibLoadedAny,"calib_retries":$calibRetries,"calib_max":$calibMax,""" +
       s""""n_warmup_errors":${warmupErrs.size},"warmup_errors":$warmupJson,""" +
       s""""n_suspect":${suspects.size},"suspect":$suspectsJson,""" +
       s""""n_memoized":${memoized.size},"memoized":${

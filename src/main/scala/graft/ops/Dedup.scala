@@ -488,11 +488,12 @@ object Dedup {
     // maxDriverKeys and broadcast thresholds. Past the cap the distributed
     // label-propagation loop below engages unchanged.
     if (nEdges <= smallGraphEdgeCap) return smallGraphClusters(pairs)
-    // size the iteration's partitioning from the measured pair count:
-    // spinning 32 shuffle partitions per round for a few hundred edges is
-    // pure scheduler overhead; at 100 TB the same formula scales the
-    // partitioning up with the graph
-    val nParts = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
+    // size the iteration's partitioning from the measured pair count
+    // (Helpers.iterParts — slot-ceilinged, not a literal 32): spinning 32
+    // shuffle partitions per round for a few hundred edges is pure
+    // scheduler overhead; on a large cluster the formula widens with both
+    // the pair graph and the scheduler slots
+    val nParts = Helpers.iterParts(pairs, nEdges)
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .repartition(nParts, col("id_a"))
@@ -656,8 +657,16 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val tokenRe = "[a-z0-9]+".r
-    df.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
-      .flatMap { case (id, text) =>
+    // lowercase INSIDE the flatMap with Locale.ROOT, not Spark's lower():
+    // UTF8String.toLowerCase falls back to default-locale String.toLowerCase
+    // for non-ASCII strings, while the streaming contaminationCheck closure
+    // lowers with Locale.ROOT — under a Turkish default JVM locale 'I' would
+    // lower to dotless 'ı' (non-token) here but 'i' (token) there, breaking
+    // the documented batch/stream verdict parity on non-ASCII text. One
+    // normalization on both sides keeps the parity locale-independent.
+    df.select(col("doc_id"), col("text").as("t")).as[(Long, String)]
+      .flatMap { case (id, raw) =>
+        val text = if (raw == null) null else raw.toLowerCase(java.util.Locale.ROOT)
         val toks = if (text == null) Array.empty[String] else tokenRe.findAllIn(text).toArray
         if (toks.length < n) Iterator.empty
         else {
@@ -715,21 +724,35 @@ object Dedup {
     * decides whether to drop empties; removal is a row-count change this
     * operator refuses to make silently).
     *
-    * Scale shape: one shuffle keyed by the line text (the window that
-    * picks each line's first occurrence — shuffle volume = corpus line
-    * volume, the same order as the scan), one shuffle keyed by doc_id to
-    * reassemble. Nothing pairwise, nothing driver-side. Deterministic →
-    * full value oracle (the same two windows in SQL).
+    * Scale shape (round-10 de-skew): short lines are routed AROUND the
+    * dedup entirely — they are kept unconditionally, so ranking them was
+    * pure waste, and they are the most duplicated strings in any real
+    * corpus (blank lines from \n\n paragraph breaks): under the previous
+    * `row_number().over(partitionBy(line))` plan every copy of the
+    * hottest key shuffled into ONE task. The long-line first-occurrence
+    * pick is now a partial-aggregable `groupBy(line).agg(min(struct(
+    * doc_id, line_no)))` — map-side combine collapses duplicate-heavy
+    * keys to one row per task BEFORE the wire, so a million-copy line
+    * costs the reduce task one row per upstream task instead of a
+    * million. No join-back either: each group's minimal (doc_id,
+    * line_no) IS the kept occurrence, so the aggregate's output is the
+    * kept set directly. One combine-absorbed shuffle keyed by long-line
+    * text, one shuffle keyed by doc_id to reassemble. Nothing pairwise,
+    * nothing driver-side. Deterministic → full value oracle (first
+    * occurrence via a window in SQL — the oracle keeps the declarative
+    * form; only the Spark plan changed).
     */
   def dedupLines(documents: DataFrame, minChars: Int = 30): DataFrame = {
     val lines = documents
       .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), "\n"))
         .as(Seq("line_no", "line")))
-    val byLine = org.apache.spark.sql.expressions.Window
-      .partitionBy("line").orderBy("doc_id", "line_no")
-    val kept = lines
-      .withColumn("_rn", row_number().over(byLine))
-      .filter(length(col("line")) < minChars || col("_rn") === 1)
+    val isShort = length(col("line")) < minChars
+    val longFirsts = lines.filter(!isShort)
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("_first"))
+      .select(col("_first.doc_id").as("doc_id"),
+        col("_first.line_no").as("line_no"), col("line"))
+    val kept = lines.filter(isShort).unionByName(longFirsts)
     documents.select(col("doc_id"), size(split(coalesce(col("text"), lit("")), "\n"))
         .cast("long").as("n_lines"))
       .join(kept.groupBy("doc_id")

@@ -171,6 +171,9 @@ object Events {
       .RowOrdering.isOrderable(right.schema(c).dataType))
     require(tieCols.nonEmpty,
       "asofJoinRange needs at least one orderable right column for the tie contract")
+    // nBins = 0 would divide by zero below; a negative value would silently
+    // filter EVERY right bin (all-null matches) instead of erroring
+    require(nBins > 0, s"asofJoinRange needs nBins > 0, got $nBins")
     val emptyOut = {
       val nulls = rPayloadCols.map(c =>
         lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))

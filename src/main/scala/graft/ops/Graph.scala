@@ -63,11 +63,12 @@ object Graph {
     }
     val e = e0.localCheckpoint()
     // size the iteration's partitioning from the measured edge count (the
-    // clusterPairs formula): a fixture-scale graph on 32 shuffle partitions
-    // pays pure scheduler overhead × iterations; at 100 TB the same
-    // formula scales the partitioning up with the graph
+    // clusterPairs formula, ceilinged at the session's scheduler slots —
+    // see Helpers.iterParts): a fixture-scale graph on 32 shuffle
+    // partitions pays pure scheduler overhead × iterations; on a large
+    // cluster the same formula widens with both the graph and the slots
     val nEdges = e.count() // free — e just materialized
-    val nParts = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
+    val nParts = Helpers.iterParts(e, nEdges)
     val edges = e.repartition(nParts, col("src")).localCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
     val outdeg = edges.groupBy("src")
@@ -199,7 +200,7 @@ object Graph {
     }
     val e = e0.localCheckpoint()
     val nEdges = e.count()
-    val nParts = math.max(1, math.min(32, (nEdges / 100000L).toInt + 1))
+    val nParts = Helpers.iterParts(e, nEdges)
     val edges = e.repartition(nParts, col("src")).localCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
     val outdeg = edges.groupBy("src")

@@ -350,4 +350,19 @@ class DedupSpec extends SparkSpec {
     assert(out("web") == ((4L, 3L, 0.75)), s"web: ${out("web")}")
     assert(out("books") == ((1L, 1L, 1.0)), s"books: ${out("books")}")
   }
+
+  test("dedupLines plan: first-occurrence pick is a partial-aggregable aggregate, not a line-text window") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a long enough line to participate in the dedup pass\nshort"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.dedupLines(docs).queryExecution.executedPlan.toString
+    // the round-10 de-skew contract: no row_number window partitioned by
+    // raw line text (the hottest key of a real corpus — blank lines —
+    // would shuffle into ONE task); the pick must be an aggregate so
+    // map-side combine absorbs duplicate-heavy keys before the wire
+    assert(!plan.contains("Window"), s"window found in plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"expected a partial min aggregate (map-side combine) in plan:\n$plan")
+  }
 }
