@@ -23,12 +23,18 @@ object DocumentStreams {
 
   /** Quality gate + exact content dedup within the watermark horizon.
     * Emits the surviving documents with their content digest.
+    *
+    * `watermark` is REQUIRED (round-10 change, was a "10 minutes"
+    * default): dedup state ≈ ingest rate × horizon × ~80 B/key (32-byte
+    * digest + store overhead) — the formula is executable as
+    * [[EventStreams.dedupStateEstimateBytes]] — so the horizon is a
+    * capacity decision the deployment must make, not inherit.
     */
   def curateStream(docs: DataFrame,
+                   watermark: String,
                    minMeanTokLen: Double = 4.0,
                    maxMeanTokLen: Double = 9.0,
-                   minTypeToken: Double = 0.3,
-                   watermark: String = "10 minutes"): DataFrame = {
+                   minTypeToken: Double = 0.3): DataFrame = {
     val ratios = Text.qualityRatios
     docs
       .withWatermark("ingest_ts", watermark)
@@ -57,16 +63,16 @@ object DocumentStreams {
     * operator's verdicts in `DocumentStreamsSpec`.
     */
   def curateStreamDecontaminated(docs: DataFrame, benchmark: DataFrame,
+                                 watermark: String,
                                  n: Int = 3,
                                  expectedShingles: Long = 1000000L,
                                  fpp: Double = 0.001,
                                  minMeanTokLen: Double = 4.0,
                                  maxMeanTokLen: Double = 9.0,
-                                 minTypeToken: Double = 0.3,
-                                 watermark: String = "10 minutes"): DataFrame = {
+                                 minTypeToken: Double = 0.3): DataFrame = {
     val contaminated = Dedup.contaminationCheck(benchmark, n, expectedShingles, fpp)
     val clean = udf((text: String) => !contaminated(text))
-    curateStream(docs, minMeanTokLen, maxMeanTokLen, minTypeToken, watermark)
+    curateStream(docs, watermark, minMeanTokLen, maxMeanTokLen, minTypeToken)
       .filter(clean(col("text")))
   }
 

@@ -44,17 +44,33 @@ object EventStreams {
     * streaming form of exact dedup (state holds only ids inside the
     * watermark, so it is bounded).
     *
-    * Bounded ∝ rate × horizon, to be precise — measured at 200 k rows/s
-    * the state grows ~200 k rows (~16 MB RocksDB) per second until the
-    * horizon fills (PERF.md round-9 streaming table). A production
-    * deployment sizes the watermark to the TRUE late-data bound rather
-    * than this demo's 1-hour default, and shards the state store; the
-    * throughput itself keeps up (228 k rows/s sustained at local[32]).
+    * Bounded ∝ rate × horizon, to be precise: state ≈ rate (rows/s) ×
+    * horizon (s) × per-key bytes (~80 B/key in RocksDB for the id +
+    * store overhead) — measured at 200 k rows/s the state grew ~16 MB/s
+    * until the horizon filled (PERF.md round-9 streaming table), which at
+    * a 1-hour horizon extrapolates to ~56 GB. That is why `horizon` is a
+    * REQUIRED parameter (round-10 change; it previously defaulted to
+    * "1 hour"): the watermark must be sized to the deployment's TRUE
+    * late-data bound, and a silently inherited demo default was the one
+    * streaming foot-gun round 9 flagged. [[dedupStateEstimateBytes]] is
+    * the executable form of the sizing formula — spec-compiled against
+    * the measured PERF.md point. Throughput itself keeps up (228 k
+    * rows/s sustained at local[32]); state size is the knob.
     */
-  def dedupWithinWatermark(events: DataFrame): DataFrame =
+  def dedupWithinWatermark(events: DataFrame, horizon: String): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Executable sizing formula for [[dedupWithinWatermark]] state: the
+    * steady-state bytes held once the horizon fills. `bytesPerKey`
+    * defaults to the measured RocksDB cost of a digest/id key (~80 B:
+    * key + value + store overhead; PERF.md round-9: 16 MB/s at 200 k
+    * rows/s). Callers size their horizon with this BEFORE deploying.
+    */
+  def dedupStateEstimateBytes(rowsPerSec: Long, horizonSec: Long,
+                              bytesPerKey: Long = 80L): Long =
+    rowsPerSec * horizonSec * bytesPerKey
 
   /** Stream-stream join: purchases joined to the views that preceded them
     * within one hour, per user. Both sides carry watermarks and the join

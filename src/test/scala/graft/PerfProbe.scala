@@ -318,13 +318,13 @@ object PerfProbe {
       val probes: Seq[(String, Int, () => DataFrame)] = Seq(
         ("events.tumbling", 500000, () => EventStreams.tumbling(events(500000))),
         ("events.sessions", 200000, () => EventStreams.sessions(events(200000))),
-        ("events.dedupWithinWm", 200000, () => EventStreams.dedupWithinWatermark(events(200000))),
+        ("events.dedupWithinWm", 200000, () => EventStreams.dedupWithinWatermark(events(200000), "1 hour")),
         ("events.streamJoin", 200000, () => EventStreams.purchasesWithRecentViews(events(200000))),
         ("events.runningTotals", 200000, () =>
           EventStreams.runningUserTotals(events(200000).as[EventStreams.EventRow]).toDF()),
         ("events.spendAlerts", 200000, () =>
           EventStreams.spendAlerts(events(200000).as[EventStreams.EventRow], 1e7).toDF()),
-        ("docs.curateStream", 50000, () => DocumentStreams.curateStream(docs(50000))),
+        ("docs.curateStream", 50000, () => DocumentStreams.curateStream(docs(50000), "10 minutes")),
         ("docs.sourceStats", 50000, () => DocumentStreams.sourceStatsStream(docs(50000))),
         ("docs.heavyHitters", 20000, () =>
           DocumentStreams.tokenHeavyHittersStream(docs(20000)).toDF()))

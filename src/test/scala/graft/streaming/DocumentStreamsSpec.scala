@@ -33,7 +33,7 @@ class DocumentStreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[DocRow]
     mem.addData(sample: _*)
-    val q = DocumentStreams.curateStream(mem.toDF())
+    val q = DocumentStreams.curateStream(mem.toDF(), "10 minutes")
       .writeStream.format("memory").queryName("t_curate")
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
@@ -60,7 +60,7 @@ class DocumentStreamsSpec extends SparkSpec {
       DocRow(14L, "books", "walrus pelican otter badger zebra falcon", ts("2024-01-01 00:04:00")))
     val mem = MemoryStream[DocRow]
     mem.addData(rows: _*)
-    val q = DocumentStreams.curateStreamDecontaminated(mem.toDF(), bench)
+    val q = DocumentStreams.curateStreamDecontaminated(mem.toDF(), bench, "10 minutes")
       .writeStream.format("memory").queryName("t_decon")
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
@@ -136,7 +136,7 @@ class DocumentStreamsSpec extends SparkSpec {
     // transactional-sink composition (foreachBatch + idempotent-by-
     // batchId is the production recipe; asserted here: per-batch
     // atomicity and accumulation across batches)
-    val q = graft.streaming.DocumentStreams.curateStream(mem.toDF())
+    val q = graft.streaming.DocumentStreams.curateStream(mem.toDF(), "10 minutes")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.select(col("doc_id").as("id"),

@@ -65,7 +65,7 @@ class EventStreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]
     mem.addData(sample ++ Seq(sample.head, sample(1)): _*) // re-deliver two events
-    val q = EventStreams.dedupWithinWatermark(mem.toDF())
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), "1 hour")
       .writeStream.format("memory").queryName("t_dedup")
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
@@ -190,5 +190,20 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     // user1: events at 00:01 & 00:09 merge; user2: 00:01 and 00:11 merge (gap 10m)
     assert(rows == Set((1L, 2L), (2L, 2L)))
+  }
+
+  test("dedup state sizing formula: executable and pinned to the PERF.md measured point") {
+    // PERF.md round-9 measurement: 200 k rows/s grew state ~16 MB/s, i.e.
+    // ~80 B/key steady-state cost. The executable formula must reproduce
+    // that rate and make the 1-hour-horizon extrapolation (~56 GB) that
+    // motivated promoting the horizon to a required parameter.
+    val perSecond = EventStreams.dedupStateEstimateBytes(rowsPerSec = 200000L, horizonSec = 1L)
+    assert(perSecond == 16000000L) // 16 MB/s of new state at 200 k rows/s
+    val oneHour = EventStreams.dedupStateEstimateBytes(rowsPerSec = 200000L, horizonSec = 3600L)
+    assert(oneHour == 57600000000L) // ~57.6 GB once a 1-hour horizon fills
+    // the sizing a deployment actually does: pick the TRUE late-data bound
+    // (say 5 minutes) and check the state fits the store budget
+    val fiveMin = EventStreams.dedupStateEstimateBytes(200000L, 300L)
+    assert(fiveMin < 5L * 1024 * 1024 * 1024) // 4.8 GB: fits a modest store
   }
 }

@@ -113,7 +113,7 @@ class StreamingParitySpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]
-    val q = EventStreams.dedupWithinWatermark(mem.toDF())
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), "1 hour")
       .writeStream.format("memory").queryName("p_dedup").outputMode("append").start()
     mem.addData(fixtureRows: _*)
     q.processAllAvailable()
