@@ -471,6 +471,26 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy("media_id")
     }),
+    // media NEAR-dup (round 10): perceptual aHash over the same 8x8 PPM
+    // construction as q_media_features, banded pairs within Hamming radius
+    // 3 (4x16-bit pigeonhole — the SimHash machinery on the image hash).
+    // Full value oracle: integer-exact hash bits replayed from the payload
+    // bytes in DuckDB, pairs brute-forced — banding must reproduce them
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val base = (Option(text).getOrElse("") + " ")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val px = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < px.length) { px(i) = base(i % base.length); i += 1 }
+          Multimodal.MediaRow(id, "image", Multimodal.PpmCodec.encode(8, 8, px),
+            Multimodal.MediaMeta(8, 8, 3, 0, 0, 0L))
+        }
+      Multimodal.imageNearDupPairs(media, radius = 3)
+    }),
     // REAL audio codec path (round 5): each doc's text bytes become the
     // sample stream of a 64-frame stereo 16-bit PCM WAV; decodeAudio parses
     // the actual RIFF/WAVE format and the per-channel means are a pure
@@ -1760,6 +1780,26 @@ object SparkEntry {
                 round(CAST(sg AS DOUBLE) / 64, 6) AS mean_g,
                 round(CAST(sb AS DOUBLE) / 64, 6) AS mean_b
          FROM ch ORDER BY media_id""",
+    "q_image_neardup" ->
+      // mirrors the aHash construction bit-exactly: pixel j's luma = sum of
+      // the 3 payload bytes (text || ' ' cycled, ASCII fixture); for the
+      // 8x8 image each grid block is one pixel, so bit j = (64·luma_j >
+      // total luma) — the same cross-multiplied integer comparison the
+      // codec computes. Pairs are brute-forced over all id_a < id_b;
+      // Spark's 4-band pigeonhole must reproduce them exactly at radius 3
+      """WITH px AS (SELECT doc_id, text || ' ' AS payload FROM documents),
+         b AS (SELECT doc_id, list_transform(generate_series(0, 191),
+                 i -> ord(substring(payload, (i % length(payload)) + 1, 1))) AS bytes FROM px),
+         l AS (SELECT doc_id, list_transform(generate_series(1, 64),
+                 j -> bytes[3*j-2] + bytes[3*j-1] + bytes[3*j]) AS lum FROM b),
+         s AS (SELECT doc_id, lum, list_sum(lum) AS tot FROM l),
+         bits AS (SELECT doc_id, list_transform(generate_series(1, 64),
+                    j -> CASE WHEN 64 * lum[j] > tot THEN 1 ELSE 0 END) AS bv FROM s),
+         pairs AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       j -> CASE WHEN a.bv[j] <> b2.bv[j] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+                   FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
     "q_audio_features" ->
       // mirrors the WAV construction + decode: 128 interleaved 16-bit
       // samples, sample j = (ASCII code of (text || ' ') at position

@@ -104,6 +104,57 @@ object Multimodal {
       Some(Image(w, h, mx, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
     }
 
+    /** 64-bit average-hash (aHash) over the image's luma — the classic
+      * perceptual fingerprint (block-mean thresholding; see the public
+      * pHash/aHash family): the image is divided into an 8×8 grid of
+      * integer-boundary blocks, each block's mean luma is compared against
+      * the GLOBAL mean luma, and block (by,bx) sets bit by·8+bx iff its
+      * mean is strictly greater. Two images that differ by noise, small
+      * edits, or re-encoding keep most blocks on the same side of the mean
+      * → small Hamming distance; structurally different images disagree on
+      * ~half the bits.
+      *
+      * Determinism/oracle contract: luma = r+g+b per pixel (3× the average
+      * — monotone under comparison, so thresholding is unaffected) and the
+      * mean comparison is CROSS-MULTIPLIED in exact integer arithmetic
+      * (blockSum·nPixels > totalSum·blockCount) — no division, no doubles,
+      * so the hash is bit-identical in any engine that can sum bytes
+      * (q_image_neardup's DuckDB oracle replays it with list_sum + ord).
+      * Exact up to ~800 MP per image (beyond that totalSum·blockCount can
+      * exceed Long range) — far past any decodable P6. An empty block
+      * (width or height < 8) contributes a 0 bit.
+      */
+    def aHash64(img: Image): Long = {
+      val w = img.width; val h = img.height
+      val blockSum = new Array[Long](64)
+      val blockCnt = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val bx = x * 8 / w
+          val p = (y * w + x) * 3
+          val l = (img.pixels(p) & 0xFF) + (img.pixels(p + 1) & 0xFF) +
+            (img.pixels(p + 2) & 0xFF)
+          val b = by * 8 + bx
+          blockSum(b) += l; blockCnt(b) += 1
+          total += l
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (blockCnt(i) > 0 && blockSum(i) * n > total * blockCnt(i)) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
     /** Per-channel pixel means: exact integer sums, ONE double division —
       * the arithmetic the SQL oracle mirrors (sum of bytes / pixel count).
       */
@@ -492,6 +543,63 @@ object Multimodal {
       col("meta.width").as("width"), col("meta.height").as("height"),
       ceil(col("meta.width") * scale).cast("int").as("target_width"),
       ceil(col("meta.height") * scale).cast("int").as("target_height"))
+  }
+
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Perceptual hash per image payload: decode each binary PPM and emit its
+    * 64-bit [[PpmCodec.aHash64]]. Undecodable rows are dropped (flatMap) —
+    * the decode-or-discard step. Same `mapPartitions` carve-out as
+    * [[decodeImages]]: row-local byte decoding no Catalyst expression fits;
+    * binary payloads never shuffle (the hash leaves the scan stage as one
+    * long per image).
+    */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => PpmCodec.decode(r.content).map(img =>
+        ImageHash(r.media_id, PpmCodec.aHash64(img))))
+    }.toDF()
+  }
+
+  /** Image NEAR-duplicate pairs within a Hamming radius over the perceptual
+    * hash — the media counterpart of text SimHash dedup, completing the
+    * image-dedup story next to the exact [[payloadDigest]]: re-encoded,
+    * lightly edited, or noise-dusted copies of an image share most aHash
+    * bits even when their payload digests differ.
+    *
+    * Scale shape = [[graft.ops.Dedup.simhashPairs]]'s banding, adapted to
+    * 64 bits: split the hash into 4 16-bit bands; within radius r ≤ 3 at
+    * least one band matches exactly (pigeonhole over 4 bands), so
+    * candidates come from 4 equi-joins on (band, value) — never an
+    * all-pairs comparison. Shuffle volume is 4 rows of (id, hash, band
+    * key) per image; bucket sizes are governed by genuinely-similar
+    * populations, the LSH argument the text banding already carries.
+    * Verification is one codegen'd `bit_count(xor)` per candidate.
+    * Deterministic end-to-end (integer hash, exact banding) → full value
+    * oracle: DuckDB replays the hash bits from the payload bytes and
+    * brute-forces all pairs, which banding must exactly reproduce.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      s"4-band banding guarantees recall only for 0 <= radius <= 3, got $radius")
+    val fp = imageAHash(media)
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }
+    val keyed = fp.select(col("media_id"), col("ahash"), explode(array(bands: _*)).as("kb"))
+      .select(col("media_id"), col("ahash"), col("kb.blk").as("blk"), col("kb.v").as("v"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .orderBy("id_a", "id_b")
   }
 
   /** Oracle-checkable byte-level pipeline over a string column treated as an

@@ -236,4 +236,75 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == ((1000, 500)))
     assert(out(2L) == ((100, 50))) // already small: untouched
   }
+
+  test("aHash64: hand-computed bits — uniform image hashes 0, bright blocks set their bits") {
+    // uniform gray: every block mean equals the global mean, strict > sets
+    // no bit
+    val flat = PpmCodec.Image(8, 8, 255, Array.fill(8 * 8 * 3)(100.toByte))
+    assert(PpmCodec.aHash64(flat) == 0L)
+    // one bright pixel at grid cell (0,0): only that block is above the
+    // mean => exactly bit 0
+    val px = Array.fill(8 * 8 * 3)(10.toByte)
+    px(0) = 200.toByte; px(1) = 200.toByte; px(2) = 200.toByte
+    assert(PpmCodec.aHash64(PpmCodec.Image(8, 8, 255, px)) == 1L)
+    // left half bright, right half dark on an 8x8: columns 0-3 of every
+    // row set bits (row*8 + 0..3)
+    val half = Array.tabulate(8 * 8 * 3) { i =>
+      val pxIdx = i / 3
+      if (pxIdx % 8 < 4) 200.toByte else 10.toByte
+    }
+    val expected = (0 until 64).filter(b => b % 8 < 4).map(1L << _).reduce(_ | _)
+    assert(PpmCodec.aHash64(PpmCodec.Image(8, 8, 255, half)) == expected)
+  }
+
+  test("aHash64: block aggregation on a 16x16 image equals the hand-computed 8x8 grid") {
+    // 16x16 => each grid block is a 2x2 pixel patch; brighten one full
+    // patch (pixels (0,0),(0,1),(1,0),(1,1)) => exactly bit 0
+    val px = Array.fill(16 * 16 * 3)(10.toByte)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3)
+      px((y * 16 + x) * 3 + c) = 250.toByte
+    assert(PpmCodec.aHash64(PpmCodec.Image(16, 16, 255, px)) == 1L)
+    // scale invariance of the fingerprint shape: the same half-bright
+    // pattern at 16x16 produces the same bits as at 8x8
+    val half16 = Array.tabulate(16 * 16 * 3) { i =>
+      val pxIdx = i / 3
+      if (pxIdx % 16 < 8) 200.toByte else 10.toByte
+    }
+    val half8 = Array.tabulate(8 * 8 * 3) { i =>
+      val pxIdx = i / 3
+      if (pxIdx % 8 < 4) 200.toByte else 10.toByte
+    }
+    assert(PpmCodec.aHash64(PpmCodec.Image(16, 16, 255, half16)) ==
+      PpmCodec.aHash64(PpmCodec.Image(8, 8, 255, half8)))
+  }
+
+  test("imageNearDupPairs: noise-dusted copy pairs up, structurally different image does not") {
+    def img(bright: Set[Int], flip: Set[Int] = Set.empty): Array[Byte] = {
+      val px = Array.tabulate(8 * 8 * 3) { i =>
+        val pxIdx = i / 3
+        val b = bright.contains(pxIdx) ^ flip.contains(pxIdx)
+        if (b) 200.toByte else 10.toByte
+      }
+      PpmCodec.encode(8, 8, px)
+    }
+    val leftHalf = (0 until 64).filter(_ % 8 < 4).toSet
+    val topHalf = (0 until 64).filter(_ < 32).toSet
+    val ds = media(
+      row(1L, "image", img(leftHalf)),
+      row(2L, "image", img(leftHalf, flip = Set(7, 63))), // 2 blocks flipped => hamming 2
+      row(3L, "image", img(topHalf)),                     // different structure
+      row(4L, "image", "not an image".getBytes))          // undecodable: dropped
+    val pairs = imageNearDupPairs(ds, radius = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+      s"only the dusted copy should pair within radius 3: ${pairs.toSeq}")
+    // radius 0 = exact perceptual match only: the dusted copy drops out
+    assert(imageNearDupPairs(ds, radius = 0).count() == 0)
+    // recall guarantee edge: a pair at exactly the radius must be found
+    val atRadius = media(
+      row(10L, "image", img(leftHalf)),
+      row(11L, "image", img(leftHalf, flip = Set(0, 9, 18))))
+    val got = imageNearDupPairs(atRadius, radius = 3).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 3L)
+  }
 }
