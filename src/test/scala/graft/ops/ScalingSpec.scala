@@ -101,6 +101,38 @@ class ScalingSpec extends SparkSpec {
     assert(Similarity.scaledBits(4, 512L, 1L) == 4)
   }
 
+  test("recall floor at 10x data under the SHIPPED ceil widths (the knob's other side)") {
+    // the scaledBits knob has two sides: the volume assertions above pin
+    // the CANDIDATE side at scale, and the sf0.01 gate pins recall at the
+    // calibration width — this pins the RECALL side at 10x the gate
+    // corpus, under exactly the widths the registered q_cosine_pairs_lsh
+    // would compute there (b = scaledBits(8, 1024, n), L from
+    // scaledTables). The corpus is 10 rotated copies of the gate
+    // embeddings, augmented with the registered synthetic near-dups so
+    // true >= 0.9 pairs exist (the raw fixture's natural pairs top out
+    // near 0.6); aug n = 10 000 sits exactly at the quadratic-anchor cap,
+    // so the exact baseline still runs. Deterministic planes => the
+    // measured recall is reproducible, not flaky.
+    val aug = Similarity.withSyntheticNearDups(Similarity.rotatedCopies(embs, 10))
+    val n = aug.count()
+    val b = Similarity.scaledBits(8, 1024L, n)
+    val L = Similarity.scaledTables(8, 0.9, 8, b)
+    assert(b > 8, s"10x corpus must widen past the calibration b0: b=$b at n=$n")
+    def pairSet(df: DataFrame): Set[(Long, Long)] = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.cosineDupPairs(aug, 0.9, sorted = false))
+    val lsh = pairSet(Similarity.cosinePairsLsh(aug, 0.9,
+      nTables = L, bitsPerTable = b, sorted = false))
+    assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified (no false positives)")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    info(f"10x recall=$recall%.4f at b=$b L=$L (${lsh.size} of ${exact.size} exact pairs, n=$n)")
+    // measured 0.99+ at these widths (PERF.md round-10); conservative floor
+    assert(recall >= 0.95,
+      f"pair recall at 10x under shipped widths too low: $recall%.4f " +
+        s"(b=$b, L=$L, ${lsh.size} of ${exact.size} exact pairs)")
+  }
+
   test("scaledTables: recall-preserving table growth, exactly l0 at the gate") {
     // at the gate width, the registered L (and with it the plane set the
     // replay oracle embeds) is untouched
