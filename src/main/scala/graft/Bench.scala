@@ -114,6 +114,11 @@ object Bench {
     // both "calib_loaded" (artifact lineage, key kept since r5) and
     // "calib_hot" so a loaded-window number can never again pass as idle.
     val calibMax = sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX", "0.26").toDouble
+    // one untimed calibration pass first: the very first execution of the
+    // calib query pays its own codegen/JIT, which is OUR cold start, not
+    // host load — without this the gate's first attempt reads hot on an
+    // idle host and burns a retry sleep for nothing
+    calibrate()
     var calib = calibrate()
     var calibRetries = 0
     while (calib > calibMax && calibRetries < 5) {
