@@ -519,6 +519,28 @@ object SparkEntry {
           round(element_at(col("channel_means"), 2), 6).as("mean_right"))
         .orderBy("media_id")
     }),
+    // audio NEAR-dup (round 10): energy-envelope fingerprint over the same
+    // WAV construction as q_audio_features, banded pairs within Hamming
+    // radius 3 — the audio leg of media dedup, full value oracle like
+    // q_image_neardup (integer-exact hash bits replayed in DuckDB)
+    "q_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val base = (Option(text).getOrElse("") + " ")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val samples = new Array[Short](64 * 2)
+          var j = 0
+          while (j < samples.length) {
+            samples(j) = (((base(j % base.length) & 0xFF) - 64) * 256).toShort
+            j += 1
+          }
+          Multimodal.MediaRow(id, "audio", Multimodal.WavCodec.encode(8000, 2, samples),
+            Multimodal.MediaMeta(0, 0, 2, 8000, 64, 8L))
+        }
+      Multimodal.audioNearDupPairs(media, radius = 3)
+    }),
     // REAL video codec path (round 5): each doc's text bytes become two
     // 8x8 YUV420 frames of a Y4M stream; decodeVideo parses the actual
     // YUV4MPEG2 format and the per-plane frame means are a pure function
@@ -1819,6 +1841,26 @@ object SparkEntry {
                 round(CAST(sl AS DOUBLE) / 64, 6) AS mean_left,
                 round(CAST(sr AS DOUBLE) / 64, 6) AS mean_right
          FROM ch ORDER BY media_id""",
+    "q_audio_neardup" ->
+      // mirrors energyHash64 bit-exactly: frame f's energy = |b_2f - 64| +
+      // |b_2f+1 - 64| (the ×256 sample scale cancels in the scale-free
+      // comparison); with 64 frames each window is one frame, so bit f =
+      // (64·e_f > total energy) — the same cross-multiplied integer
+      // comparison the codec computes. Pairs brute-forced over all
+      // id_a < id_b; the 4-band pigeonhole must reproduce them at radius 3
+      """WITH px AS (SELECT doc_id, text || ' ' AS payload FROM documents),
+         s AS (SELECT doc_id, list_transform(generate_series(0, 127),
+                 j -> abs(ord(substring(payload, (j % length(payload)) + 1, 1)) - 64)) AS amp FROM px),
+         e AS (SELECT doc_id, list_transform(generate_series(1, 64),
+                 f -> amp[2*f-1] + amp[2*f]) AS en FROM s),
+         t AS (SELECT doc_id, en, list_sum(en) AS tot FROM e),
+         bits AS (SELECT doc_id, list_transform(generate_series(1, 64),
+                    f -> CASE WHEN 64 * en[f] > tot THEN 1 ELSE 0 END) AS bv FROM t),
+         pairs AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       j -> CASE WHEN a.bv[j] <> b2.bv[j] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+                   FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
     "q_video_features" ->
       // mirrors the Y4M construction + decode: frame f's byte i = ASCII
       // code of (text || ' ') at position (96f + i) mod len; per-plane

@@ -277,6 +277,53 @@ object Multimodal {
       while (i < a.samples.length) { sums(i % a.nChannels) += a.samples(i); i += 1 }
       sums.map(_ / a.nFrames.toDouble)
     }
+
+    /** 64-bit energy-envelope fingerprint — the audio sibling of
+      * [[PpmCodec.aHash64]] (the same block-mean-vs-global-mean idea the
+      * public aHash/chromaprint family rests on, applied to the loudness
+      * envelope): the frame sequence is divided into 64 integer-boundary
+      * windows, each window's summed absolute amplitude (all channels) is
+      * compared against the global mean via exact integer
+      * cross-multiplication (windowSum·nFrames > totalSum·windowFrames),
+      * and window w sets bit w iff its energy is strictly above the mean.
+      * Clips that differ by re-encoding, gain-preserving noise, or small
+      * edits keep most windows on the same side of the mean → small
+      * Hamming distance; different material disagrees on ~half the bits.
+      * A PURE-GAIN change (every sample scaled equally) leaves the hash
+      * EXACTLY invariant — the comparison is scale-free.
+      *
+      * Integer-exact (no division, no doubles) → bit-identical in SQL
+      * (q_audio_neardup's oracle replays it from the payload bytes).
+      * Exact up to ~9·10⁷ frames (16-bit stereo; totalSum·windowFrames
+      * bounds) — ~3 hours at 8 kHz. An empty window (< 64 frames)
+      * contributes a 0 bit.
+      */
+    def energyHash64(a: Audio): Long = {
+      val n = a.nFrames
+      val winSum = new Array[Long](64)
+      val winCnt = new Array[Long](64)
+      var total = 0L
+      var f = 0
+      while (f < n) {
+        val w = (f.toLong * 64 / n).toInt
+        var c = 0
+        var e = 0L
+        while (c < a.nChannels) {
+          e += math.abs(a.samples(f * a.nChannels + c).toLong)
+          c += 1
+        }
+        winSum(w) += e; winCnt(w) += 1
+        total += e
+        f += 1
+      }
+      var hash = 0L
+      var w = 0
+      while (w < 64) {
+        if (winCnt(w) > 0 && winSum(w) * n > total * winCnt(w)) hash |= 1L << w
+        w += 1
+      }
+      hash
+    }
   }
 
   /** Real decoder for the Y4M (YUV4MPEG2) uncompressed video format —
@@ -580,10 +627,45 @@ object Multimodal {
     * oracle: DuckDB replays the hash bits from the payload bytes and
     * brute-forces all pairs, which banding must exactly reproduce.
     */
-  def imageNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame = {
+  def imageNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame =
+    hammingBandedPairs(imageAHash(media), radius)
+
+  final case class AudioHash(media_id: Long, ahash: Long)
+
+  /** Perceptual fingerprint per audio payload: decode each RIFF/WAVE blob
+    * and emit its 64-bit [[WavCodec.energyHash64]]. Undecodable rows are
+    * dropped (flatMap); same `mapPartitions` carve-out and never-shuffle-
+    * the-payload shape as [[imageAHash]].
+    */
+  def audioEnergyHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => WavCodec.decode(r.content).map(a =>
+        AudioHash(r.media_id, WavCodec.energyHash64(a))))
+    }.toDF()
+  }
+
+  /** Audio NEAR-duplicate pairs within a Hamming radius over the energy
+    * fingerprint — the audio leg of media dedup (re-encoded or
+    * gain-adjusted copies of a clip share the envelope hash even when
+    * their payload digests differ). Same banded scale shape and recall
+    * guarantee as [[imageNearDupPairs]].
+    */
+  def audioNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame =
+    hammingBandedPairs(audioEnergyHash(media), radius)
+
+  /** Shared pair engine for the 64-bit perceptual hashes: 4×16-bit band
+    * equi-joins (pigeonhole — any pair within Hamming radius ≤ 3 agrees
+    * exactly on at least one band, so candidate generation is equi-joins,
+    * never an all-pairs comparison), then one codegen'd `bit_count(xor)`
+    * verification per candidate. Shuffle volume is 4 (id, hash, band-key)
+    * rows per item; bucket sizes are governed by genuinely-similar
+    * populations — the LSH argument `Dedup.simhashPairs` carries for
+    * text, applied to media. Input contract: (media_id, ahash).
+    */
+  private def hammingBandedPairs(fp: DataFrame, radius: Int): DataFrame = {
     require(radius >= 0 && radius <= 3,
       s"4-band banding guarantees recall only for 0 <= radius <= 3, got $radius")
-    val fp = imageAHash(media)
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))

@@ -307,4 +307,56 @@ class MultimodalSpec extends SparkSpec {
     val got = imageNearDupPairs(atRadius, radius = 3).collect()
     assert(got.length == 1 && got(0).getLong(2) == 3L)
   }
+
+  test("energyHash64: hand-computed bits — flat tone hashes 0, loud windows set their bits, gain-invariant") {
+    def wav(samples: Array[Short]) = WavCodec.decode(WavCodec.encode(8000, 1, samples)).get
+    // constant amplitude: every window equals the global mean, strict > sets no bit
+    assert(WavCodec.energyHash64(wav(Array.fill(64)(1000.toShort))) == 0L)
+    // one loud frame at window 0 (64 mono frames => window = frame)
+    val one = Array.fill(64)(10.toShort); one(0) = 10000
+    assert(WavCodec.energyHash64(wav(one)) == 1L)
+    // first half loud, second half quiet: bits 0..31
+    val half = Array.tabulate(64)(f => if (f < 32) 8000.toShort else 100.toShort)
+    val expected = (0 until 32).map(1L << _).reduce(_ | _)
+    assert(WavCodec.energyHash64(wav(half)) == expected)
+    // pure gain change leaves the hash EXACTLY invariant (scale-free comparison)
+    val scaled = half.map(s => (s / 4).toShort)
+    assert(WavCodec.energyHash64(wav(scaled)) == expected)
+    // negative samples count by magnitude: a loud negative window is still loud
+    val neg = Array.fill(64)(10.toShort); neg(5) = -10000
+    assert(WavCodec.energyHash64(wav(neg)) == (1L << 5))
+  }
+
+  test("energyHash64: window aggregation beyond 64 frames, stereo energy sums across channels") {
+    def wav(ch: Int, samples: Array[Short]) = WavCodec.decode(WavCodec.encode(8000, ch, samples)).get
+    // 128 mono frames => each window is 2 frames; brighten frames 0-1 => bit 0
+    val s = Array.fill(128)(10.toShort); s(0) = 9000; s(1) = 9000
+    assert(WavCodec.energyHash64(wav(1, s)) == 1L)
+    // stereo: loudness split across channels is the same energy as one channel carrying it
+    val a = Array.fill(128)(10.toShort); a(0) = 8000; a(1) = 8000           // frame 0: L=R=8000
+    val b = Array.fill(128)(10.toShort); b(0) = 16000.toShort; b(1) = 0     // frame 0: L=16000, R=0
+    // remaining frames identical => identical window energies => identical hash
+    assert(WavCodec.energyHash64(wav(2, a)) == WavCodec.energyHash64(wav(2, b)))
+  }
+
+  test("audioNearDupPairs: dusted copy pairs up within radius, different material does not") {
+    def clip(loud: Set[Int], flip: Set[Int] = Set.empty): Array[Byte] = {
+      val s = Array.tabulate(64) { f =>
+        if (loud.contains(f) ^ flip.contains(f)) 9000.toShort else 100.toShort
+      }
+      WavCodec.encode(8000, 1, s)
+    }
+    val firstHalf = (0 until 32).toSet
+    val spread = (0 until 64 by 2).toSet // alternating: different envelope structure
+    val ds = media(
+      row(1L, "audio", clip(firstHalf)),
+      row(2L, "audio", clip(firstHalf, flip = Set(40, 63))), // 2 windows flipped
+      row(3L, "audio", clip(spread)),
+      row(4L, "audio", "not audio".getBytes))                // undecodable: dropped
+    val pairs = audioNearDupPairs(ds, radius = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+      s"only the dusted copy should pair within radius 3: ${pairs.toSeq}")
+    assert(audioNearDupPairs(ds, radius = 0).count() == 0)
+  }
 }
