@@ -568,6 +568,28 @@ object SparkEntry {
           round(col("mean_v"), 6).as("mean_v"))
         .orderBy("media_id", "frame_idx")
     }),
+    // video NEAR-dup (round 10): per-frame luma aHash + strict-majority
+    // temporal pooling over the same Y4M construction as q_video_features,
+    // banded pairs at radius 3 — completes the media-dedup triple with a
+    // full value oracle like the image/audio legs
+    "q_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val base = (Option(text).getOrElse("") + " ")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val frames = (0 until 2).map { f =>
+            val fb = new Array[Byte](96)
+            var i = 0
+            while (i < 96) { fb(i) = base((f * 96 + i) % base.length); i += 1 }
+            fb
+          }
+          Multimodal.MediaRow(id, "video", Multimodal.Y4mCodec.encode(8, 8, 25, frames),
+            Multimodal.MediaMeta(8, 8, 3, 0, 2, 80L))
+        }
+      Multimodal.videoNearDupPairs(media, radius = 3)
+    }),
     // ---- I: events / time-series ----
     "q_events_tumbling" -> t("events")(Events.tumbling),
     "q_events_funnel" -> t("events")(Events.funnel(_)),
@@ -1882,6 +1904,30 @@ object SparkEntry {
                 round(CAST(su AS DOUBLE) / 16, 6) AS mean_u,
                 round(CAST(sv AS DOUBLE) / 16, 6) AS mean_v
          FROM ch ORDER BY media_id, frame_idx""",
+    "q_video_neardup" ->
+      // mirrors frameLumaAHashes + temporalHash64 bit-exactly: frame f's
+      // luma byte i = payload[(96f + i) mod len] (first 64 of each 96-byte
+      // frame; chroma never enters the hash); per-frame bit j =
+      // (64·y_j > frame total) on the 8×8 grid where each block is one
+      // pixel; temporal strict majority over 2 frames = both frames set
+      // the bit. Pairs brute-forced over all id_a < id_b
+      """WITH px AS (SELECT doc_id, text || ' ' AS payload FROM documents),
+         fb AS (SELECT doc_id, payload, unnest(generate_series(0, 1)) AS fidx FROM px),
+         y AS (SELECT doc_id, fidx, list_transform(generate_series(0, 63),
+                 i -> ord(substring(payload, ((fidx * 96 + i) % length(payload)) + 1, 1))) AS lum
+               FROM fb),
+         t AS (SELECT doc_id, fidx, lum, list_sum(lum) AS tot FROM y),
+         fbits AS (SELECT doc_id, fidx, list_transform(generate_series(1, 64),
+                     j -> CASE WHEN 64 * lum[j] > tot THEN 1 ELSE 0 END) AS bv FROM t),
+         vbits AS (SELECT a.doc_id, list_transform(generate_series(1, 64),
+                     j -> CASE WHEN a.bv[j] + b.bv[j] = 2 THEN 1 ELSE 0 END) AS bv
+                   FROM fbits a JOIN fbits b ON a.doc_id = b.doc_id
+                   WHERE a.fidx = 0 AND b.fidx = 1),
+         pairs AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       j -> CASE WHEN a.bv[j] <> b2.bv[j] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+                   FROM vbits a JOIN vbits b2 ON a.doc_id < b2.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
     "q_events_tumbling" ->
       s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w_start, event_type,
                  COUNT(*) AS n, ${DS("value")} AS sum_value

@@ -362,13 +362,14 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** None for anything that is not a complete 8-bit C420/C444 stream —
-      * callers treat that as "not video I can decode", never as an error.
-      * Frame payloads are folded to per-plane sums while scanning (a real
-      * pipeline's reduce-as-you-decode; full pixel buffers never live past
-      * the plane scan).
+    /** Shared stream walk behind [[decode]] and [[frameLumaAHashes]]:
+      * parses the header, validates the 8-bit layout, and calls `visit`
+      * once per frame with (lumaPlaneStart, w, h, chromaPlaneSize).
+      * Returns the stream parameters, or None for anything that is not a
+      * complete 8-bit C420/C444 stream.
       */
-    def decode(bytes: Array[Byte]): Option[Video] = {
+    private def walk(bytes: Array[Byte])(
+        visit: (Int, Int, Int, Int) => Unit): Option[(Int, Int, Int, Int, Boolean, Int)] = {
       val magic = "YUV4MPEG2 "
       if (bytes == null || bytes.length < magic.length) return None
       var i = 0
@@ -405,7 +406,7 @@ object Multimodal {
       val ySize = w * h
       val cSize = if (is444) ySize else (w / 2) * (h / 2)
       val marker = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      val frames = ArrayBuffer.empty[Frame]
+      var nFrames = 0
       var pos = eol + 1
       while (pos < bytes.length) {
         if (pos + marker.length > bytes.length ||
@@ -415,6 +416,23 @@ object Multimodal {
         if (pos >= bytes.length) return None
         pos += 1
         if (pos + ySize + 2L * cSize > bytes.length) return None // truncated frame
+        visit(pos, w, h, cSize)
+        nFrames += 1
+        pos += ySize + 2 * cSize
+      }
+      if (nFrames == 0) None else Some((w, h, fn, fd, is444, nFrames))
+    }
+
+    /** None for anything that is not a complete 8-bit C420/C444 stream —
+      * callers treat that as "not video I can decode", never as an error.
+      * Frame payloads are folded to per-plane sums while scanning (a real
+      * pipeline's reduce-as-you-decode; full pixel buffers never live past
+      * the plane scan).
+      */
+    def decode(bytes: Array[Byte]): Option[Video] = {
+      val frames = ArrayBuffer.empty[Frame]
+      walk(bytes) { (pos, w, h, cSize) =>
+        val ySize = w * h
         def planeSum(at: Int, n: Int): Long = {
           var s = 0L; var k = at
           val end = at + n
@@ -423,10 +441,72 @@ object Multimodal {
         }
         frames += Frame(planeSum(pos, ySize),
           planeSum(pos + ySize, cSize), planeSum(pos + ySize + cSize, cSize))
-        pos += ySize + 2 * cSize
+      }.map { case (w, h, fn, fd, is444, _) =>
+        Video(w, h, fn, fd, is444, frames.toArray)
       }
-      if (frames.isEmpty) None
-      else Some(Video(w, h, fn, fd, is444, frames.toArray))
+    }
+
+    /** Per-frame 64-bit perceptual hash over the LUMA plane — the video
+      * sibling of [[PpmCodec.aHash64]] (identical 8×8 block-mean grid and
+      * exact integer cross-multiplied comparison, single-channel): frame
+      * f's bit b is set iff grid block b's mean luma strictly exceeds the
+      * frame's global mean. Computed during the same single stream walk as
+      * [[decode]]; full pixel buffers never live past the plane scan.
+      */
+    def frameLumaAHashes(bytes: Array[Byte]): Option[Array[Long]] = {
+      val hashes = ArrayBuffer.empty[Long]
+      walk(bytes) { (pos, w, h, _) =>
+        val blockSum = new Array[Long](64)
+        val blockCnt = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val bx = x * 8 / w
+            val l = bytes(pos + y * w + x) & 0xFF
+            val b = by * 8 + bx
+            blockSum(b) += l; blockCnt(b) += 1
+            total += l
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (blockCnt(i) > 0 && blockSum(i) * n > total * blockCnt(i)) hash |= 1L << i
+          i += 1
+        }
+        hashes += hash
+      }.map(_ => hashes.toArray)
+    }
+
+    /** Temporal pooling of per-frame hashes into ONE 64-bit video
+      * fingerprint: bit b survives iff it is set in a STRICT majority of
+      * frames (ties → 0 — pinned, so the pooling is deterministic for any
+      * frame count). Majority pooling makes the fingerprint robust to a
+      * minority of edited/inserted frames while trims/re-encodes that
+      * preserve most frames keep most bits — the aHash philosophy applied
+      * on the time axis.
+      */
+    def temporalHash64(frameHashes: Array[Long]): Long = {
+      val n = frameHashes.length
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        var c = 0
+        var i = 0
+        while (i < n) {
+          if (((frameHashes(i) >>> b) & 1L) == 1L) c += 1
+          i += 1
+        }
+        if (2 * c > n) hash |= 1L << b
+        b += 1
+      }
+      hash
     }
   }
 
@@ -653,6 +733,31 @@ object Multimodal {
     */
   def audioNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame =
     hammingBandedPairs(audioEnergyHash(media), radius)
+
+  final case class VideoHash(media_id: Long, ahash: Long)
+
+  /** Perceptual fingerprint per video payload: decode each Y4M stream,
+    * hash every frame's luma plane ([[Y4mCodec.frameLumaAHashes]]), and
+    * pool across frames by strict bit-majority
+    * ([[Y4mCodec.temporalHash64]]). Undecodable rows are dropped; same
+    * `mapPartitions` carve-out and never-shuffle-the-payload shape as the
+    * image/audio legs.
+    */
+  def videoTemporalHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => Y4mCodec.frameLumaAHashes(r.content).map(fh =>
+        VideoHash(r.media_id, Y4mCodec.temporalHash64(fh))))
+    }.toDF()
+  }
+
+  /** Video NEAR-duplicate pairs within a Hamming radius over the temporal
+    * fingerprint — completing the media-dedup triple (image aHash, audio
+    * energy envelope, video temporal luma hash) on the same shared banded
+    * pair engine and recall guarantee.
+    */
+  def videoNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame =
+    hammingBandedPairs(videoTemporalHash(media), radius)
 
   /** Shared pair engine for the 64-bit perceptual hashes: 4×16-bit band
     * equi-joins (pigeonhole — any pair within Hamming radius ≤ 3 agrees

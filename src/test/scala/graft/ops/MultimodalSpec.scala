@@ -359,4 +359,56 @@ class MultimodalSpec extends SparkSpec {
       s"only the dusted copy should pair within radius 3: ${pairs.toSeq}")
     assert(audioNearDupPairs(ds, radius = 0).count() == 0)
   }
+
+  test("frameLumaAHashes + temporalHash64: hand-computed bits, chroma never enters, tie rule pinned") {
+    // 8x8 C420 frame = 64 luma + 16 + 16 chroma bytes
+    def frame(lumaBright: Set[Int], chromaFill: Byte = 77): Array[Byte] = {
+      val fb = new Array[Byte](96)
+      for (i <- 0 until 64) fb(i) = if (lumaBright.contains(i)) 200.toByte else 10.toByte
+      for (i <- 64 until 96) fb(i) = chromaFill
+      fb
+    }
+    val leftHalf = (0 until 64).filter(_ % 8 < 4).toSet
+    // per-frame hashes: flat frame -> 0; left-bright frame -> leftHalf bits
+    val expected = leftHalf.map(1L << _).reduce(_ | _)
+    val v = Y4mCodec.encode(8, 8, 25, Seq(frame(Set.empty), frame(leftHalf)))
+    val fh = Y4mCodec.frameLumaAHashes(v).get
+    assert(fh.toSeq == Seq(0L, expected))
+    // chroma content must not affect the hash
+    val v2 = Y4mCodec.encode(8, 8, 25, Seq(frame(Set.empty, chromaFill = 0), frame(leftHalf, chromaFill = 255.toByte)))
+    assert(Y4mCodec.frameLumaAHashes(v2).get.toSeq == Seq(0L, expected))
+    // temporal strict majority: 1 of 2 frames is a tie -> bit drops (pinned)
+    assert(Y4mCodec.temporalHash64(Array(0L, expected)) == 0L)
+    // 2 of 3 frames is a strict majority -> bit survives
+    assert(Y4mCodec.temporalHash64(Array(expected, expected, 0L)) == expected)
+    // bit 63 (sign bit) pools correctly through the unsigned shift
+    val top = 1L << 63
+    assert(Y4mCodec.temporalHash64(Array(top, top, 0L)) == top)
+    assert(Y4mCodec.frameLumaAHashes("not video".getBytes).isEmpty)
+  }
+
+  test("videoNearDupPairs: clip with a minority of edited frames pairs up, different clip does not") {
+    def clip(bright: Set[Int], editedFrames: Int = 0): Array[Byte] = {
+      // 5 frames; `editedFrames` of them get two blocks flipped — majority
+      // pooling should absorb a minority of edited frames entirely
+      val frames = (0 until 5).map { f =>
+        val b = if (f < editedFrames) bright ++ Set(7, 63) else bright
+        val fb = new Array[Byte](96)
+        for (i <- 0 until 64) fb(i) = if (b.contains(i)) 200.toByte else 10.toByte
+        fb
+      }
+      Y4mCodec.encode(8, 8, 25, frames)
+    }
+    val leftHalf = (0 until 64).filter(_ % 8 < 4).toSet
+    val topHalf = (0 until 64).filter(_ < 32).toSet
+    val ds = media(
+      row(1L, "video", clip(leftHalf)),
+      row(2L, "video", clip(leftHalf, editedFrames = 2)), // minority edit: hash identical
+      row(3L, "video", clip(topHalf)),
+      row(4L, "video", "not video".getBytes))
+    val pairs = videoNearDupPairs(ds, radius = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)),
+      s"minority-edited clip should pool to an identical hash: ${pairs.toSeq}")
+  }
 }
