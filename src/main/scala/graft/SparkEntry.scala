@@ -275,6 +275,10 @@ object SparkEntry {
         lit(" id "), lpad(col("doc_id").cast("string"), 9, "0"))))),
     "q_lang_id" -> t("documents")(Text.langId),
     "q_gopher_rules" -> t("documents")(Text.gopherRules(_)),
+    // the Gopher REPETITION component (dup line/para fractions, top
+    // n-gram char fractions) — exact integer counts ride along so the
+    // oracle pins them, fractions are one double division each
+    "q_repetition" -> t("documents")(Text.repetitionSignals),
     "q_heavy_hitters" -> t("documents")(Text.heavyHitters(_)),
     "q_temperature_mix" -> t("documents")(Text.temperatureMixture(_)),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
@@ -1294,6 +1298,64 @@ object SparkEntry {
                  AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
                  AND n_stop_hits >= 1) AS keep
          FROM s ORDER BY doc_id""",
+    "q_repetition" ->
+      // mirrors repetitionSignals exactly: dup counts/chars = total minus
+      // distinct (beyond-first occurrences), lines split on \n and
+      // paragraphs on \n\n keeping empties, top n-gram by (count DESC,
+      // gram ASC) over the shared [a-z0-9]+ lowercase tokenization;
+      // fractions are one double division of the exact integer counts
+      """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+         lstat AS (SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+             CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS BIGINT) AS n_line_chars,
+             CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+               - COALESCE(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS BIGINT) AS n_dup_line_chars
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)),
+         pstat AS (SELECT doc_id,
+             CAST(len(ps) AS BIGINT) AS n_paras,
+             CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS n_dup_paras,
+             CAST(COALESCE(list_sum(list_transform(ps, x -> length(x))), 0) AS BIGINT) AS n_para_chars,
+             CAST(COALESCE(list_sum(list_transform(ps, x -> length(x))), 0)
+               - COALESCE(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0) AS BIGINT) AS n_dup_para_chars
+           FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM d)),
+         w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+                      CAST(length(text) AS BIGINT) AS n_chars FROM d),
+         g2 AS (SELECT doc_id, g, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1])) AS g FROM w WHERE len(ws) >= 2) GROUP BY 1, 2),
+         g3 AS (SELECT doc_id, g, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM w WHERE len(ws) >= 3) GROUP BY 1, 2),
+         g4 AS (SELECT doc_id, g, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 3),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g FROM w WHERE len(ws) >= 4) GROUP BY 1, 2),
+         t2 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS chars FROM (
+                  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+                  FROM g2) WHERE rn = 1),
+         t3 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS chars FROM (
+                  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+                  FROM g3) WHERE rn = 1),
+         t4 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS chars FROM (
+                  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+                  FROM g4) WHERE rn = 1)
+         SELECT w.doc_id, lstat.n_lines, pstat.n_paras, w.n_chars,
+                lstat.n_dup_lines, lstat.n_dup_line_chars,
+                pstat.n_dup_paras, pstat.n_dup_para_chars,
+                COALESCE(t2.chars, 0) AS top2_chars,
+                COALESCE(t3.chars, 0) AS top3_chars,
+                COALESCE(t4.chars, 0) AS top4_chars,
+                round(CAST(lstat.n_dup_lines AS DOUBLE) / greatest(lstat.n_lines, 1), 6) AS dup_line_frac,
+                round(CAST(lstat.n_dup_line_chars AS DOUBLE) / greatest(lstat.n_line_chars, 1), 6) AS dup_line_char_frac,
+                round(CAST(pstat.n_dup_paras AS DOUBLE) / greatest(pstat.n_paras, 1), 6) AS dup_para_frac,
+                round(CAST(pstat.n_dup_para_chars AS DOUBLE) / greatest(pstat.n_para_chars, 1), 6) AS dup_para_char_frac,
+                round(CAST(COALESCE(t2.chars, 0) AS DOUBLE) / greatest(w.n_chars, 1), 6) AS top2_char_frac,
+                round(CAST(COALESCE(t3.chars, 0) AS DOUBLE) / greatest(w.n_chars, 1), 6) AS top3_char_frac,
+                round(CAST(COALESCE(t4.chars, 0) AS DOUBLE) / greatest(w.n_chars, 1), 6) AS top4_char_frac
+         FROM w
+         JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+         LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+         ORDER BY doc_id""",
     "q_heavy_hitters" ->
       // exact counterpart of the two-pass Misra-Gries plan (k=40): the
       // Spark side's candidate superset + exact verify equals this

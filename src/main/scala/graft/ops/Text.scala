@@ -186,6 +186,97 @@ object Text {
       .orderBy("doc_id")
   }
 
+  final case class RepetitionCounts(doc_id: Long,
+                                    n_lines: Long, n_dup_lines: Long,
+                                    n_line_chars: Long, n_dup_line_chars: Long,
+                                    n_paras: Long, n_dup_paras: Long,
+                                    n_para_chars: Long, n_dup_para_chars: Long,
+                                    n_chars: Long,
+                                    top2_chars: Long, top3_chars: Long, top4_chars: Long)
+
+  /** Gopher REPETITION signals (Rae et al. 2021 Table A1 — the component
+    * [[gopherRules]] deliberately left out): per document,
+    *  - duplicate line / paragraph fraction: occurrences BEYOND the first
+    *    of each distinct line (paragraph), over the line (paragraph) count;
+    *  - duplicate line / paragraph CHARACTER fraction: characters in those
+    *    beyond-first occurrences, over all line (paragraph) characters;
+    *  - top n-gram character fraction (n = 2, 3, 4): occurrences of the
+    *    single most frequent word n-gram × its character length, over the
+    *    document's characters (ties broken to the lexicographically
+    *    smallest n-gram — pinned so the signal is deterministic).
+    * Lines split on \n, paragraphs on \n\n, both KEEPING empty segments
+    * (blank-line runs are exactly the repetition these rules exist to
+    * catch); words = the [a-z0-9]+ lowercase tokenization every text
+    * operator here shares.
+    *
+    * Shape: one row-local typed pass (per-doc hash-map n-gram counting —
+    * the [[graft.ops.Dedup]] shingling carve-out: a HOF formulation would
+    * group-count interpreted per element), then fractions as single
+    * double divisions of the EXACT integer counts, which both engines
+    * compute bit-identically — the counts ride along in the output so the
+    * oracle pins them exactly too. One narrow stage at any corpus size;
+    * nothing shuffles but the 13-column result.
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tokenRe = "[a-z0-9]+".r
+    val counted = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, raw) =>
+        val text = if (raw == null) "" else raw
+        def dupStats(parts: Array[String]): (Long, Long, Long, Long) = {
+          val seen = new java.util.HashSet[String]()
+          var dup = 0L; var dupChars = 0L; var chars = 0L
+          parts.foreach { p =>
+            chars += p.length
+            if (!seen.add(p)) { dup += 1; dupChars += p.length }
+          }
+          (parts.length.toLong, dup, chars, dupChars)
+        }
+        val (nL, dupL, charsL, dupCharsL) = dupStats(text.split("\n", -1))
+        val (nP, dupP, charsP, dupCharsP) = dupStats(text.split("\n\n", -1))
+        val words = tokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
+        def topNgramChars(n: Int): Long = {
+          if (words.length < n) 0L
+          else {
+            val counts = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i <= words.length - n) {
+              val g = words.slice(i, i + n).mkString(" ")
+              counts.merge(g, 1L, _ + _)
+              i += 1
+            }
+            var bestG: String = null
+            var bestC = 0L
+            counts.forEach { (g, c) =>
+              if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+                bestG = g; bestC = c
+              }
+            }
+            bestC * bestG.length
+          }
+        }
+        RepetitionCounts(id, nL, dupL, charsL, dupCharsL,
+          nP, dupP, charsP, dupCharsP, text.length.toLong,
+          topNgramChars(2), topNgramChars(3), topNgramChars(4))
+      }
+    def frac(num: Column, denom: Column): Column =
+      round(num.cast("double") / greatest(denom, lit(1L)), 6)
+    counted.toDF().select(
+        col("doc_id"), col("n_lines"), col("n_paras"), col("n_chars"),
+        col("n_dup_lines"), col("n_dup_line_chars"),
+        col("n_dup_paras"), col("n_dup_para_chars"),
+        col("top2_chars"), col("top3_chars"), col("top4_chars"),
+        frac(col("n_dup_lines"), col("n_lines")).as("dup_line_frac"),
+        frac(col("n_dup_line_chars"), col("n_line_chars")).as("dup_line_char_frac"),
+        frac(col("n_dup_paras"), col("n_paras")).as("dup_para_frac"),
+        frac(col("n_dup_para_chars"), col("n_para_chars")).as("dup_para_char_frac"),
+        frac(col("top2_chars"), col("n_chars")).as("top2_char_frac"),
+        frac(col("top3_chars"), col("n_chars")).as("top3_char_frac"),
+        frac(col("top4_chars"), col("n_chars")).as("top4_char_frac"))
+      .orderBy("doc_id")
+  }
+
   // the one definition of each PII pattern — [[patternCounts]] counts them,
   // [[redact]] replaces them; an edit here keeps the counts-vs-redaction
   // correspondence intact by construction

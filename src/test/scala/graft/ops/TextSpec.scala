@@ -439,4 +439,41 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getLong(2), r.getDouble(3)))
     assert(all.length == 10 && all.forall { case (w, e) => e == w.toDouble })
   }
+
+  test("repetitionSignals: hand-computed dup-line/para and top-ngram fractions, tie rule pinned") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 1: 4 lines, "dup" twice (3 chars dup'd); paragraphs: "a\nb" style
+    val d1 = "dup\nunique line here\ndup\nother"
+    // doc 2: repeated bigram "aa bb": words = aa bb aa bb aa -> bigrams:
+    // "aa bb" x2, "bb aa" x2 -> tie at c=2 broken to "aa bb" (lexicographic)
+    val d2 = "aa bb aa bb aa"
+    // doc 3: empty text -> all zeros, denominators guarded
+    val docs = Seq((1L, d1), (2L, d2), (3L, "")).toDF("doc_id", "text")
+    val out = Text.repetitionSignals(docs).collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4L, "n_lines")                 // dup, unique line here, dup, other
+    assert(r1.getLong(4) == 1L, "n_dup_lines")             // second "dup"
+    assert(r1.getLong(5) == 3L, "n_dup_line_chars")
+    assert(r1.getAs[Double]("dup_line_frac") == 0.25)
+    // paragraphs: no \n\n -> 1 paragraph, no dups
+    assert(r1.getLong(2) == 1L && r1.getLong(6) == 0L)
+
+    val r2 = out(2L)
+    // top bigram "aa bb" (5 chars) x2 over 14 text chars
+    assert(r2.getLong(8) == 10L, s"top2_chars: ${r2.getLong(8)}")
+    assert(r2.getAs[Double]("top2_char_frac") == math.rint(10.0 / 14 * 1e6) / 1e6)
+    // top trigram: "aa bb aa" x2? words aa,bb,aa,bb,aa -> trigrams:
+    // "aa bb aa" x2, "bb aa bb" x1 -> 2 * 8 = 16
+    assert(r2.getLong(9) == 16L, s"top3_chars: ${r2.getLong(9)}")
+    // top 4-gram: "aa bb aa bb" x1, "bb aa bb aa" x1 -> tie to lexicographic
+    // smallest "aa bb aa bb", 1 * 11 = 11
+    assert(r2.getLong(10) == 11L, s"top4_chars: ${r2.getLong(10)}")
+
+    val r3 = out(3L)
+    // "" splits to one empty line/para; no words; all counts 0 except n_lines/n_paras = 1
+    assert(r3.getLong(1) == 1L && r3.getLong(2) == 1L && r3.getLong(3) == 0L)
+    assert(r3.getLong(8) == 0L && r3.getAs[Double]("top2_char_frac") == 0.0)
+  }
 }
