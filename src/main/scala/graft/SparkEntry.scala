@@ -415,6 +415,11 @@ object SparkEntry {
     }),
     // SemDeDup-style: cosine pair graph -> connected components -> min-id keepers
     "q_semantic_keeplist" -> t("embeddings")(Similarity.semanticDedupKeepList(_, 0.4)),
+    // embedding-space decontamination: the semantic sibling of the n-gram
+    // guards — benchmark broadcast, short-circuit semi nested loop, keeps
+    // vectors below cosine 0.4 of every benchmark vector (full oracle)
+    "q_decontaminate_semantic" -> t("embeddings")(e =>
+      Similarity.decontaminateSemantic(e, e.filter(pmod(col("vec_id"), lit(50)) === 0), 0.4)),
     // the same keep-list keyed on the LSH pair generator — the composition
     // a 100 TB run uses. LSH pairs are a subset of exact pairs (exact
     // verification), so survivors ⊇ exact survivors (spec-asserted).
@@ -1847,6 +1852,19 @@ object SparkEntry {
          SELECT d.vec_id FROM embeddings d LEFT JOIN cl ON d.vec_id = cl.vec_id
          WHERE cl.vec_id IS NULL OR cl.cluster_id = d.vec_id
          ORDER BY d.vec_id""",
+    "q_decontaminate_semantic" ->
+      // brute-forced max-sim test: a vector survives iff NO benchmark
+      // vector (vec_id % 50 = 0) reaches cosine 0.4 against it — same dot
+      // arithmetic as the other embedding oracles; benchmark members
+      // self-match at 1.0 and drop by construction
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         b AS (SELECT v AS bv, nrm AS bnrm FROM n WHERE vec_id % 50 = 0),
+         bad AS (SELECT DISTINCT t.vec_id FROM n t JOIN b
+                   ON list_sum(list_transform(generate_series(1, len(t.v)), i -> t.v[i] * b.bv[i]))
+                        / (t.nrm * b.bnrm) >= 0.4)
+         SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+         ORDER BY vec_id""",
     "q_label_cohesion" ->
       // closed form, mirroring Similarity.labelCohesion: mean pairwise
       // cosine = (||sum of normalized vectors||^2 - n) / (n(n-1)); per-dim

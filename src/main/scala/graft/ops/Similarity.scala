@@ -948,6 +948,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Benchmark decontamination in EMBEDDING space — the semantic sibling
+    * of the n-gram guards ([[graft.ops.Dedup.decontaminate]] exact,
+    * `decontaminateFuzzy` containment): drop every training vector whose
+    * cosine similarity to ANY benchmark vector reaches `threshold`. The
+    * n-gram guards catch verbatim and near-verbatim quotes; this catches
+    * paraphrases and translations the lexical tests cannot see — modern
+    * pipelines run both.
+    *
+    * Scale shape: the benchmark is broadcast (a benchmark/eval corpus is
+    * small next to training data at any scale) and the contamination test
+    * is a broadcast LEFT SEMI nested-loop join — per training row, Spark
+    * scans benchmark vectors and SHORT-CIRCUITS on the first hit, so the
+    * n·m worst case is paid only by clean rows, map-side, no shuffle of
+    * the training corpus. The codegen'd [[graft.functions]] vector
+    * expressions compute the cosine. Benchmark members self-match at
+    * sim 1.0 — a training copy OF a benchmark row always drops, by
+    * construction. For a benchmark too large to broadcast, compose
+    * [[cosinePairsLsh]] over the tagged union instead (the
+    * [[semanticDedupKeepList]] composition pattern).
+    *
+    * Deterministic (exact arithmetic, no LSH on this form) → full value
+    * oracle: DuckDB brute-forces the same max-sim test.
+    */
+  def decontaminateSemantic(train: DataFrame, benchmark: DataFrame,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine contamination threshold must be in (0, 1], got $threshold")
+    val t = train.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val b = benchmark.select(asDouble(col("embedding")).as("bv"))
+      .withColumn("bnrm", norm(col("bv")))
+    val contaminated = t.join(org.apache.spark.sql.functions.broadcast(b),
+        dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")) >= threshold,
+        "left_semi")
+      .select("vec_id")
+    train.select("vec_id")
+      .join(contaminated, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Deterministic near-duplicate augmentation: every vector gets a
     * perturbed copy v'ᵢ = vᵢ + α·v₍ᵢ₊₁ mod d₎ under `idOffset`. For
     * near-orthogonal shift (any non-degenerate corpus), cos(v, v′) ≈

@@ -412,4 +412,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq,
       "kmeansPrototypes must not depend on input partitioning")
   }
+
+  test("decontaminateSemantic: copies and paraphrases of benchmark vectors drop, orthogonal content survives") {
+    val spark2 = spark
+    import spark2.implicits._
+    val train = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0), "a"),   // = benchmark vector: self-match at 1.0
+      (2L, Array(0.9, 0.1, 0.0, 0.0), "a"),   // paraphrase-shaped: cos ~0.994
+      (3L, Array(0.0, 1.0, 0.0, 0.0), "a"),   // orthogonal: clean
+      (4L, Array(0.0, 0.5, 0.5, 0.0), "a")    // orthogonal: clean
+    ).toDF("vec_id", "embedding", "label")
+    val bench = Seq((100L, Array(1.0, 0.0, 0.0, 0.0), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.decontaminateSemantic(train, bench, 0.8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L, 4L), s"kept: $kept")
+    // raising the threshold keeps a superset (fewer things count as dirty)
+    val keptHi = Similarity.decontaminateSemantic(train, bench, 0.999)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept.toSet.subsetOf(keptHi.toSet))
+    assert(keptHi == Seq(2L, 3L, 4L), s"only the verbatim copy drops at 0.999: $keptHi")
+    // scale contract: the benchmark side is broadcast and the test is a
+    // short-circuiting LEFT SEMI — no shuffle of the training corpus
+    val plan = Similarity.decontaminateSemantic(train, bench, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi join in:\n$plan")
+  }
 }
