@@ -373,6 +373,8 @@ object SparkEntry {
     // C4-style cross-document line dedup: every long line keeps exactly
     // its first corpus occurrence; per-doc reconstruction + removal counts
     "q_dedup_lines" -> t("documents")(Dedup.dedupLines(_)),
+    // Dolma-style coarser sibling: first-occurrence dedup on \n\n units
+    "q_dedup_paragraphs" -> t("documents")(Dedup.dedupParagraphs(_)),
     // the broadcast-Bloom form of the same guard, registered as its
     // exact-bound report (exact survivor count + no-false-negative +
     // over-removal checks, all DuckDB-pinnable); the survivor-set operator
@@ -1693,6 +1695,7 @@ object SparkEntry {
     "q_minhash_pairs" -> ops.Dedup.minhashOracleSql(0.5, 16, 4),
     "q_decontaminate_fuzzy" -> ops.Dedup.decontaminateFuzzyOracleSql(0.5, 50),
     "q_dedup_lines" -> ops.Dedup.dedupLinesOracleSql(),
+    "q_dedup_paragraphs" -> ops.Dedup.dedupLinesOracleSql(sepSql = "chr(10) || chr(10)"),
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -742,9 +742,13 @@ object Dedup {
     * occurrence via a window in SQL — the oracle keeps the declarative
     * form; only the Spark plan changed).
     */
-  def dedupLines(documents: DataFrame, minChars: Int = 30): DataFrame = {
+  def dedupLines(documents: DataFrame, minChars: Int = 30,
+                 sep: String = "\n"): DataFrame = {
+    // sep is a LITERAL separator on both engines (DuckDB string_split is
+    // non-regex) — quote it against Spark's regex split
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = documents
-      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), "\n"))
+      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), sepRe))
         .as(Seq("line_no", "line")))
     val isShort = length(col("line")) < minChars
     val longFirsts = lines.filter(!isShort)
@@ -753,11 +757,11 @@ object Dedup {
       .select(col("_first.doc_id").as("doc_id"),
         col("_first.line_no").as("line_no"), col("line"))
     val kept = lines.filter(isShort).unionByName(longFirsts)
-    documents.select(col("doc_id"), size(split(coalesce(col("text"), lit("")), "\n"))
+    documents.select(col("doc_id"), size(split(coalesce(col("text"), lit("")), sepRe))
         .cast("long").as("n_lines"))
       .join(kept.groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),
-            concat_ws("\n", transform(
+            concat_ws(sep, transform(
               array_sort(collect_list(struct(col("line_no"), col("line")))),
               s => s.getField("line"))).as("text_out")),
         Seq("doc_id"), "left")
@@ -768,11 +772,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Generated DuckDB replay of [[dedupLines]] — the same first-occurrence
-    * window and reassembly in SQL.
+  /** Cross-document PARAGRAPH dedup — [[dedupLines]] on \n\n units, the
+    * Dolma-style coarser sibling of the C4 line rule: boilerplate
+    * paragraphs (footers, license blocks, navigation text) keep exactly
+    * their first corpus occurrence. Identical scale shape — one
+    * combine-absorbed shuffle keyed by long-paragraph text.
     */
-  def dedupLinesOracleSql(minChars: Int = 30): String =
-    s"""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM documents),
+  def dedupParagraphs(documents: DataFrame, minChars: Int = 30): DataFrame =
+    dedupLines(documents, minChars, sep = "\n\n")
+
+  /** Generated DuckDB replay of [[dedupLines]]/[[dedupParagraphs]] — the
+    * same first-occurrence pick (declarative window form) and reassembly
+    * in SQL. `sepSql` is the separator as a DuckDB expression.
+    */
+  def dedupLinesOracleSql(minChars: Int = 30,
+                          sepSql: String = "chr(10)"): String =
+    s"""WITH ls AS (SELECT doc_id, string_split(text, $sepSql) AS a FROM documents),
        lines AS (SELECT doc_id, i - 1 AS line_no, a[i] AS line
                  FROM ls, LATERAL (SELECT UNNEST(generate_series(1, len(a))) AS i)),
        ranked AS (SELECT doc_id, line_no, line,
@@ -781,12 +796,12 @@ object Dedup {
        kept AS (SELECT doc_id, line_no, line FROM ranked
                 WHERE length(line) < $minChars OR rn = 1),
        agg AS (SELECT doc_id, COUNT(*) AS n_kept,
-                 string_agg(line, chr(10) ORDER BY line_no) AS text_out
+                 string_agg(line, $sepSql ORDER BY line_no) AS text_out
                FROM kept GROUP BY doc_id)
        SELECT d.doc_id,
               COALESCE(agg.text_out, '') AS text_out,
               COALESCE(agg.n_kept, 0) AS n_kept,
-              len(string_split(d.text, chr(10))) - COALESCE(agg.n_kept, 0) AS n_removed
+              len(string_split(d.text, $sepSql)) - COALESCE(agg.n_kept, 0) AS n_removed
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        ORDER BY d.doc_id"""
 

@@ -365,4 +365,29 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("partial_min") || plan.contains("partial min"),
       s"expected a partial min aggregate (map-side combine) in plan:\n$plan")
   }
+
+  test("dedupParagraphs: first corpus occurrence of a long paragraph survives, \\n\\n units preserved") {
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = "this is a long boilerplate license paragraph repeated across documents"
+    val docs = Seq(
+      (1L, s"$boiler\n\nunique paragraph long enough to participate in the dedup"),
+      (2L, s"another unique paragraph that is long enough to participate\n\n$boiler"),
+      (3L, "short\n\ntiny") // all short paragraphs: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._2 == 2L && out(1L)._3 == 0L)
+    assert(out(2L)._1 == "another unique paragraph that is long enough to participate" &&
+      out(2L)._3 == 1L, s"doc 2 should lose the boilerplate copy: ${out(2L)}")
+    assert(out(3L) == (("short\n\ntiny", 2L, 0L)))
+    // single-\n lines inside a paragraph are NOT dedup units here
+    val mixed = Seq(
+      (1L, "aaa long enough paragraph with internal structure kept intact\nbbb"),
+      (2L, "aaa long enough paragraph with internal structure kept intact\nbbb")
+    ).toDF("doc_id", "text")
+    val m = Dedup.dedupParagraphs(mixed).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(1L) == 0L && m(2L) == 1L, "the whole \\n-joined unit dedups as ONE paragraph")
+  }
 }
