@@ -275,10 +275,11 @@ object SparkEntry {
         lit(" id "), lpad(col("doc_id").cast("string"), 9, "0"))))),
     "q_lang_id" -> t("documents")(Text.langId),
     "q_gopher_rules" -> t("documents")(Text.gopherRules(_)),
-    // the Gopher REPETITION component (dup line/para fractions, top
-    // n-gram char fractions) — exact integer counts ride along so the
-    // oracle pins them, fractions are one double division each
-    "q_repetition" -> t("documents")(Text.repetitionSignals),
+    // the FULL Gopher repetition component (dup line/para count+char
+    // fractions, top 2/3/4-gram char fractions — Rae et al. Table A1),
+    // next to q_repetition's lighter dup-3-gram/top-token pair; exact
+    // integer counts ride along so the oracle pins them
+    "q_repetition_gopher" -> t("documents")(Text.repetitionSignals),
     "q_heavy_hitters" -> t("documents")(Text.heavyHitters(_)),
     "q_temperature_mix" -> t("documents")(Text.temperatureMixture(_)),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
@@ -1305,7 +1306,7 @@ object SparkEntry {
                  AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
                  AND n_stop_hits >= 1) AS keep
          FROM s ORDER BY doc_id""",
-    "q_repetition" ->
+    "q_repetition_gopher" ->
       // mirrors repetitionSignals exactly: dup counts/chars = total minus
       // distinct (beyond-first occurrences), lines split on \n and
       // paragraphs on \n\n keeping empties, top n-gram by (count DESC,
