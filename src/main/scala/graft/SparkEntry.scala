@@ -156,6 +156,10 @@ object SparkEntry {
     // the full 10-iteration demonstration on its 25-node graph
     "q_pagerank" -> ((s, dir) => Graph.pageRank(Graph.copurchaseEdges(
       Tables.orders(s, dir), Tables.lineitem(s, dir)), iters = 5)),
+    // degree-ordered triangle census over the part co-occurrence (basket)
+    // graph — wedge generation bounded by oriented out-degrees (O(sqrt E)),
+    // skew-immune; oracle replays the naive a<b<c triple join
+    "q_triangles" -> t("lineitem")(li => Graph.triangleStats(Graph.basketEdges(li))),
     // WEIGHTED + dangling-corrected PageRank on the ~25-node directed
     // nation-trade graph (supplier nation -> customer nation, line-count
     // weights); at small SFs some nations host no shipping suppliers, so
@@ -763,6 +767,28 @@ object SparkEntry {
     // minhashOracleSql pattern) — operator and oracle cannot drift
     "q_zorder" -> Layout.zorderOracleSql("lineitem", "l_partkey", "l_suppkey"),
     "q_pagerank" -> Graph.pageRankOracleSql(iters = 5),
+    // naive formulation: each triangle x<y<z found once via its two
+    // lower edges + the closing edge; wedges from the degree distribution
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+           JOIN items y ON x.ok = y.ok AND x.p < y.p),
+         deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                   SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+                 GROUP BY node),
+         census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                           CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+                    FROM deg),
+         ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+         tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                 FROM pairs e1
+                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                round(CAST(n_triangles AS DOUBLE) * 3.0
+                      / greatest(CAST(n_wedges AS DOUBLE), 1.0), 6) AS clustering
+         FROM tri CROSS JOIN census CROSS JOIN ne""",
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),

@@ -412,4 +412,94 @@ object Graph {
        |SELECT node, round(rank, 9) AS rank FROM r$iters
        |ORDER BY round(rank, 9) DESC, node""".stripMargin
   }
+
+  /** Canonical undirected edge set: self-loops dropped, duplicate and
+    * reversed rows collapsed to one `(a, b)` row with `a < b`. Every
+    * triangle/wedge count below is defined over this set, so callers can
+    * hand in raw directed multi-edges.
+    */
+  def canonicalEdges(edgeList: DataFrame): DataFrame =
+    edgeList.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+  /** Distinct co-occurrence edges between parts appearing in the same
+    * order — the basket projection the registered triangle query censuses
+    * (two parts are adjacent iff some order contains both). The pair
+    * generation self-joins co-partitioned on the order key and is bounded
+    * by the max basket size (a small constant per order), so pair volume
+    * is a constant multiple of the lineitem scan — linear at any scale.
+    */
+  def basketEdges(lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("x")
+      .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+      .distinct()
+  }
+
+  /** Global triangle census: nodes, edges, wedges (2-paths), triangles and
+    * the global clustering coefficient 3·triangles / wedges — one summary
+    * row.
+    *
+    * Scale shape: the naive node-iterator enumerates Σ_v C(deg(v), 2)
+    * wedges, which a single celebrity node makes quadratic. This is the
+    * DEGREE-ORDERED formulation (the MapReduce triangle-counting scheme of
+    * Suri & Vassilvitskii, WWW'11): orient every canonical edge from the
+    * endpoint earlier in (degree, id) order to the later one. Out-degrees
+    * under that orientation are O(√E), wedges are generated only between a
+    * node's ORIENTED successors (Σ outdeg² ≤ E^{3/2} total, skew-immune),
+    * and a wedge (x, y) ordered the same way closes into a triangle iff
+    * the oriented edge x→y exists — one equi-join. Every step is a keyed
+    * shuffle (join/agg); nothing is collected. Each triangle is counted
+    * exactly once, at its minimum vertex in the (degree, id) total order —
+    * spec-asserted equal to the naive a<b<c triple-join on fixture graphs.
+    *
+    * Determinism: all counts are exact integers; the only double is the
+    * final coefficient, one multiply + divide both engines replay
+    * identically (round(·, 6) discipline).
+    */
+  def triangleStats(edgeList: DataFrame): DataFrame = {
+    val e = canonicalEdges(edgeList).localCheckpoint()
+    val nEdges = e.count() // free — e just materialized
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // wedge total straight from the degree distribution (exact longs;
+    // deg·(deg−1) is even so integral DIV 2 is exact)
+    val census = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) DIV 2")), lit(0L)).as("n_wedges"))
+    val da = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = Helpers.releaseAfterFirstAction(
+      e.join(da, "a").join(db, "b")
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        .persist())
+    // successor pairs of each center u, ordered by the SAME (degree, id)
+    // order the orientation used — so the closing edge, when present, is
+    // oriented exactly x→y and one inner equi-join finds it
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select("x", "y")
+    val tri = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(broadcast(census))
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_wedges"), col("n_triangles"),
+        round(col("n_triangles").cast("double") * lit(3.0) /
+          greatest(col("n_wedges").cast("double"), lit(1.0)), 6).as("clustering"))
+  }
 }

@@ -120,4 +120,54 @@ class GraphSpec extends SparkSpec {
     assert(Helpers.iterParts(df, 100000L * slots * 10) == slots)
     assert(Helpers.iterParts(df, Long.MaxValue / 4) == slots)
   }
+
+  private def census(pairs: (Long, Long)*): (Long, Long, Long, Long, Double) = {
+    val r = Graph.triangleStats(edges(pairs: _*)).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("triangleStats: K4 — 4 triangles, clustering 1.0") {
+    assert(census((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ==
+      ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("triangleStats: triangle with a pendant — 1 triangle over 5 wedges") {
+    // deg 1:2, 2:2, 3:3, 4:1 -> wedges 1+1+3+0 = 5
+    assert(census((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)) == ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
+  test("triangleStats: triangle-free graph and empty edge cases") {
+    assert(census((1L, 2L), (3L, 4L)) == ((4L, 2L, 0L, 0L, 0.0)))
+    // path a-b-c: one open wedge, no triangle
+    assert(census((1L, 2L), (2L, 3L)) == ((3L, 2L, 1L, 0L, 0.0)))
+  }
+
+  test("triangleStats: invariant to direction, duplicates and self-loops") {
+    val clean = census((1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = census((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 2L))
+    assert(clean == ((3L, 3L, 3L, 1L, 1.0)))
+    assert(noisy == clean)
+  }
+
+  test("triangleStats: degree-ordered count equals the naive a<b<c triple join on the basket graph") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val eRaw = Graph.basketEdges(li).persist()
+    val fast = Graph.triangleStats(eRaw).collect().head
+    val e = Graph.canonicalEdges(eRaw)
+    val e1 = e.select(col("a").as("a1"), col("b").as("b1"))
+    val e2 = e.select(col("a").as("a2"), col("b").as("b2"))
+    val e3 = e.select(col("a").as("a3"), col("b").as("b3"))
+    val naive = e1.join(e2, col("a2") === col("a1") && col("b2") > col("b1"))
+      .join(e3, col("a3") === col("b1") && col("b3") === col("b2"))
+      .count()
+    eRaw.unpersist()
+    assert(fast.getLong(3) == naive, "degree-ordered census must equal the naive count")
+    assert(fast.getLong(3) > 0, "fixture basket graph should contain triangles")
+  }
+
+  test("triangleStats: bit-identical under repartitioning") {
+    val e = Graph.basketEdges(graft.core.Tables.lineitem(spark, sfDir))
+    assert(Graph.triangleStats(e).collect().toSeq ==
+      Graph.triangleStats(e.repartition(7)).collect().toSeq)
+  }
 }
