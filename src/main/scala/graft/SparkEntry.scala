@@ -160,6 +160,10 @@ object SparkEntry {
     // graph — wedge generation bounded by oriented out-degrees (O(sqrt E)),
     // skew-immune; oracle replays the naive a<b<c triple join
     "q_triangles" -> t("lineitem")(li => Graph.triangleStats(Graph.basketEdges(li))),
+    // Apriori level-2 association rules over the same baskets: frequent
+    // item pairs scored by support/confidence/lift, both rule directions
+    "q_assoc_rules" -> t("lineitem")(li =>
+      Affinity.associationRules(Affinity.basketItems(li), minPairs = 2)),
     // WEIGHTED + dangling-corrected PageRank on the ~25-node directed
     // nation-trade graph (supplier nation -> customer nation, line-count
     // weights); at small SFs some nations host no shipping suppliers, so
@@ -789,6 +793,31 @@ object SparkEntry {
                 round(CAST(n_triangles AS DOUBLE) * 3.0
                       / greatest(CAST(n_wedges AS DOUBLE), 1.0), 6) AS clustering
          FROM tri CROSS JOIN census CROSS JOIN ne""",
+    // same counts, Apriori pruning elided (monotonicity makes it
+    // invisible); support/confidence/lift written as the operator's exact
+    // double-division sequence
+    "q_assoc_rules" ->
+      """WITH b AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+         n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM b),
+         itemn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item),
+         pairs AS (SELECT x.item AS x, y.item AS y, CAST(COUNT(*) AS BIGINT) AS cp
+                   FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         j AS (SELECT p.x, p.y, p.cp, cx.c AS cxc, cy.c AS cyc
+               FROM pairs p
+               JOIN itemn cx ON p.x = cx.item
+               JOIN itemn cy ON p.y = cy.item),
+         r AS (SELECT x AS antecedent, y AS consequent, cp, cxc AS ca, cyc AS cc FROM j
+               UNION ALL
+               SELECT y, x, cp, cyc, cxc FROM j)
+         SELECT antecedent, consequent, cp AS pair_n,
+                round(CAST(cp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+                round(CAST(cp AS DOUBLE) / CAST(ca AS DOUBLE), 6) AS confidence,
+                round((CAST(cp AS DOUBLE) / CAST(ca AS DOUBLE))
+                      / (CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS lift
+         FROM r CROSS JOIN n
+         ORDER BY antecedent, consequent""",
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
