@@ -291,6 +291,9 @@ object SparkEntry {
     "q_heavy_hitters" -> t("documents")(Text.heavyHitters(_)),
     "q_temperature_mix" -> t("documents")(Text.temperatureMixture(_)),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
+    // PMI collocations: bigrams scored by association strength, not raw
+    // frequency — exact counts, one ln under the round(6) discipline
+    "q_collocations" -> t("documents")(Text.pmiCollocations(_, minCount = 5)),
     // per-source vocabulary audit through the custom top-k-per-group operator
     "q_top_tokens_per_source" -> t("documents")(Text.topTokensPerSource(_, 5)),
     // vocabSize 100 < fixture vocabulary, so the OOV smoothing path is
@@ -1497,6 +1500,29 @@ object SparkEntry {
                      i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
          SELECT bigram, COUNT(*) AS n FROM grams
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    // parallel unnest of the two shifted slices zips adjacent tokens;
+    // PMI written as the operator's exact division/ln sequence
+    "q_collocations" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+         tt AS (SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS t FROM uni),
+         bi AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cp FROM (
+                  SELECT unnest(t[1:len(t)-1]) AS x, unnest(t[2:len(t)]) AS y
+                  FROM toks WHERE len(t) >= 2)
+                GROUP BY x, y),
+         bt AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS b FROM bi)
+         SELECT bi.x, bi.y, cp AS pair_n,
+                round(ln((CAST(cp AS DOUBLE) / CAST(b AS DOUBLE))
+                      / ((CAST(cx.cu AS DOUBLE) / CAST(t AS DOUBLE))
+                         * (CAST(cy.cu AS DOUBLE) / CAST(t AS DOUBLE)))), 6) AS pmi
+         FROM bi
+         JOIN uni cx ON bi.x = cx.tok
+         JOIN uni cy ON bi.y = cy.tok
+         CROSS JOIN tt CROSS JOIN bt
+         WHERE cp >= 5
+         ORDER BY bi.x, bi.y""",
     "q_surprisal" ->
       // same vocab truncation (top-100 by count desc, token asc), OOV
       // floor of count 1, per-token round(9) + exact decimal sum, mean

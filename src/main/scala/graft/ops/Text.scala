@@ -420,6 +420,54 @@ object Text {
       .limit(k)
   }
 
+  /** Corpus-level collocation extraction: pointwise mutual information of
+    * adjacent word pairs — PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with
+    * p(x,y) from the bigram table and p(·) from the unigram table. The
+    * statistical companion to [[topNgrams]]: raw counts surface what is
+    * FREQUENT, PMI surfaces what is ASSOCIATED (bigrams occurring far more
+    * often than their parts predict), the standard collocation signal a
+    * vocabulary/tokenizer audit reads. `minCount` floors the bigram count
+    * (PMI of rare pairs is noise).
+    *
+    * Scale shape: one token scan persisted for its two consumers, unigram
+    * and bigram counts are map-side-combining aggregates, the two totals
+    * ride as 1-row broadcasts, and the per-bigram probabilities join on
+    * the token keys. Determinism: counts are exact longs; the PMI is one
+    * ln of an explicit division sequence written identically in the
+    * oracle, under the round(·, 6) discipline (the [[unigramSurprisal]]
+    * ln precedent).
+    */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = col("_toks")
+    val base = Helpers.releaseAfterFirstAction(
+      documents
+        .withColumn("_toks", regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+        .select(col("_toks"))
+        .persist())
+    val uni = base.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val totalToks = uni.agg(coalesce(sum("cu"), lit(0L)).as("t"))
+    val grams = filter(
+      transform(toks, (_, i) => when(i <= size(toks) - 2,
+        struct(element_at(toks, i + 1).as("x"), element_at(toks, i + 2).as("y")))),
+      c => c.isNotNull)
+    val bi = base.select(explode(grams).as("g"))
+      .select(col("g.x").as("x"), col("g.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cp"))
+    val totalBi = bi.agg(coalesce(sum("cp"), lit(0L)).as("b"))
+    bi.filter(col("cp") >= minCount)
+      .join(uni.select(col("tok").as("x"), col("cu").as("cx")), "x")
+      .join(uni.select(col("tok").as("y"), col("cu").as("cy")), "y")
+      .crossJoin(broadcast(totalToks))
+      .crossJoin(broadcast(totalBi))
+      .select(col("x"), col("y"), col("cp").as("pair_n"),
+        round(log((col("cp").cast("double") / col("b").cast("double")) /
+          ((col("cx").cast("double") / col("t").cast("double")) *
+            (col("cy").cast("double") / col("t").cast("double")))), 6).as("pmi"))
+      .orderBy("x", "y")
+  }
+
   /** EXACT corpus-wide heavy hitters (tokens with frequency > N/k) in two
     * bounded-memory passes — the frequent-items report that a naive
     * `groupBy(token)` answers with an all-token shuffle, done instead with

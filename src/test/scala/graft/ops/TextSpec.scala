@@ -476,4 +476,36 @@ class TextSpec extends SparkSpec {
     assert(r3.getLong(1) == 1L && r3.getLong(2) == 1L && r3.getLong(3) == 0L)
     assert(r3.getLong(8) == 0L && r3.getAs[Double]("top2_char_frac") == 0.0)
   }
+
+  test("pmiCollocations: hand-computed PMI on a micro corpus") {
+    import spark.implicits._
+    // tokens: a b a b | a c -> cu: a=3 b=2 c=1, T=6
+    // bigrams: (a,b)x2 (b,a) (a,c) -> B=4
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Text.pmiCollocations(d, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "c")))
+    // pmi(a,b) = ln((2/4)/((3/6)*(2/6))) = ln 3; pmi(b,a) = ln 1.5; pmi(a,c) = ln 3
+    assert(out(("a", "b")) == ((2L, 1.098612)))
+    assert(out(("b", "a")) == ((1L, 0.405465)))
+    assert(out(("a", "c")) == ((1L, 1.098612)))
+  }
+
+  test("pmiCollocations: minCount floors rare bigrams; association outranks raw frequency") {
+    import spark.implicits._
+    // "x y" always together (perfect association) but rarer than "the the"
+    val d = Seq((1L, "the the the the the the x y x y"), (2L, "x y rare pair")).toDF("doc_id", "text")
+    val all = Text.pmiCollocations(d, minCount = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(all.contains(("x", "y")) && all.contains(("the", "the")))
+    assert(!all.contains(("rare", "pair")), "minCount must drop rare bigrams")
+    assert(all(("x", "y")) > all(("the", "the")),
+      "an always-together pair must out-score a merely frequent one")
+  }
+
+  test("pmiCollocations: bit-identical under repartitioning") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    assert(Text.pmiCollocations(d, minCount = 2).collect().toSeq ==
+      Text.pmiCollocations(d.repartition(7), minCount = 2).collect().toSeq)
+  }
 }
