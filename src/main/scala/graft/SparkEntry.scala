@@ -172,6 +172,13 @@ object SparkEntry {
       Graph.tradeEdges(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir)),
       weightCol = Some("w"))),
+    // HITS hubs/authorities on the same directed trade graph: authority =
+    // pointed at by good hubs, hub = points at good authorities — the
+    // producer/router split PageRank conflates; decimal-exact sums + IEEE
+    // sqrt make 10 normalized iterations fully oracle-able
+    "q_hits" -> ((s, dir) => Graph.hits(
+      Graph.tradeEdges(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir)))),
     // personalized PageRank: teleport restricted to one region's nations —
     // rank becomes proximity-to-seeds (topic-sensitive expansion)
     "q_pagerank_seeded" -> ((s, dir) => Graph.personalizedPageRank(
@@ -822,6 +829,7 @@ object SparkEntry {
          FROM r CROSS JOIN n
          ORDER BY antecedent, consequent""",
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
+    "q_hits" -> Graph.hitsTradeOracleSql(iters = 10),
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
     "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),

@@ -413,6 +413,132 @@ object Graph {
        |ORDER BY round(rank, 9) DESC, node""".stripMargin
   }
 
+  /** HITS hubs & authorities (Kleinberg), `iters` fixed synchronous
+    * iterations with L2 normalization after each half-step:
+    *   a(v) = Σ_{u→v} h(u) / ‖·‖₂ ;  h(u) = Σ_{u→v} a(v) / ‖·‖₂
+    * — the second link-analysis signal next to [[pageRank]]: authority
+    * scores what good hubs point AT, hub scores what points at good
+    * authorities; on a citation/trade/link graph the two separate
+    * producers from routers where PageRank conflates them.
+    *
+    * Determinism discipline (the [[pageRank]] contract extended to the
+    * two-phase update): both per-node sums AND both norm-of-squares sums
+    * are DECIMAL(28,18)-exact, and sqrt is IEEE-754 correctly rounded on
+    * every engine — so the whole iteration is bit-stable under any
+    * partitioning and replayable in ANSI SQL ([[hitsOracleSql]], the
+    * iteration-unrolled pattern).
+    *
+    * Scale shape: identical to [[pageRank]] — edges deduped,
+    * lineage-truncated, hash-partitioned once; each half-step is one
+    * co-partitioned join + one keyed aggregate; norms are 1-row
+    * broadcasts; batched localCheckpoints bound lineage (the per-window
+    * plan embeds each intermediate a bounded constant number of times).
+    * Score frames stay node-sparse: a node with no in-edges simply never
+    * appears in the authority frame (≡ score 0) and costs nothing in the
+    * joins; the final output densifies with COALESCE over the node set.
+    */
+  def hits(edgeList: DataFrame, iters: Int = 10, sorted: Boolean = true,
+           checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && checkpointEvery >= 1)
+    val e0 = edgeList.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val e = e0.localCheckpoint()
+    val nEdges = e.count() // free — e just materialized
+    val nParts = Helpers.iterParts(e, nEdges)
+    val edges = e.repartition(nParts, col("src")).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(nParts, col("node"))
+      .localCheckpoint()
+    val dec = DecimalType(28, 18)
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auths: DataFrame = nodes.withColumn("a", lit(0.0))
+    var lastCkpt: Seq[DataFrame] = Nil
+    for (i <- 1 to iters) {
+      val ua = Helpers.releaseAfterFirstAction(
+        edges.join(hubs.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("h").cast(dec)).cast("double").as("ua"))
+          .persist())
+      val na = ua.agg(
+        sqrt(sum((col("ua") * col("ua")).cast(dec)).cast("double")).as("na"))
+      val aPlan = ua.crossJoin(broadcast(na))
+        .select(col("node"), (col("ua") / col("na")).as("a"))
+      val uh = Helpers.releaseAfterFirstAction(
+        edges.join(aPlan.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("a").cast(dec)).cast("double").as("uh"))
+          .persist())
+      val nh = uh.agg(
+        sqrt(sum((col("uh") * col("uh")).cast(dec)).cast("double")).as("nh"))
+      val hPlan = uh.crossJoin(broadcast(nh))
+        .select(col("node"), (col("uh") / col("nh")).as("h"))
+      if (i % checkpointEvery == 0 || i == iters) {
+        val ckA = aPlan.localCheckpoint()
+        val ckH = hPlan.localCheckpoint()
+        lastCkpt.foreach(org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
+        lastCkpt = Seq(ckA, ckH)
+        auths = ckA; hubs = ckH
+      } else { auths = aPlan; hubs = hPlan }
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(nodes)
+    // densify: every node has at least one edge, so it appears in the
+    // authority frame (in-edges) or the hub frame (out-edges) — a full
+    // outer join of the two CHECKPOINTED score frames covers the node set
+    // without re-reading the released node/edge blocks; same 9-decimal
+    // emission as pageRank
+    val out = auths
+      .join(hubs, Seq("node"), "full_outer")
+      .select(col("node"),
+        round(coalesce(col("a"), lit(0.0)), 9).as("authority"),
+        round(coalesce(col("h"), lit(0.0)), 9).as("hub"))
+    if (sorted) out.orderBy(col("authority").desc, col("node")) else out
+  }
+
+  /** Generated DuckDB oracle for [[hits]] over [[tradeEdges]]' key pairs —
+    * iterations unrolled as chained CTEs, every decimal sum / sqrt /
+    * division written in the operator's exact sequence.
+    */
+  def hitsTradeOracleSql(iters: Int = 10): String = {
+    // every CTE is referenced twice (score join + its own norm), so each
+    // MUST be MATERIALIZED: DuckDB inlines plain CTEs per reference and
+    // the chain would otherwise expand 4^iters-fold
+    val iterCtes = (1 to iters).map { i =>
+      s"""a${i}u AS MATERIALIZED (SELECT dst AS node,
+         |    CAST(SUM(CAST(h.h AS DECIMAL(28,18))) AS DOUBLE) AS ua
+         |  FROM edges JOIN h${i - 1} h ON edges.src = h.node GROUP BY dst),
+         |a$i AS MATERIALIZED (SELECT node, ua / na AS a FROM a${i}u CROSS JOIN
+         |  (SELECT sqrt(CAST(SUM(CAST(ua * ua AS DECIMAL(28,18))) AS DOUBLE)) AS na
+         |   FROM a${i}u)),
+         |h${i}u AS MATERIALIZED (SELECT src AS node,
+         |    CAST(SUM(CAST(a.a AS DECIMAL(28,18))) AS DOUBLE) AS uh
+         |  FROM edges JOIN a$i a ON edges.dst = a.node GROUP BY src),
+         |h$i AS MATERIALIZED (SELECT node, uh / nh AS h FROM h${i}u CROSS JOIN
+         |  (SELECT sqrt(CAST(SUM(CAST(uh * uh AS DECIMAL(28,18))) AS DOUBLE)) AS nh
+         |   FROM h${i}u))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+       |$iterCtes
+       |SELECT nodes.node,
+       |       round(COALESCE(a.a, CAST(0.0 AS DOUBLE)), 9) AS authority,
+       |       round(COALESCE(h.h, CAST(0.0 AS DOUBLE)), 9) AS hub
+       |FROM nodes
+       |LEFT JOIN a$iters a ON nodes.node = a.node
+       |LEFT JOIN h$iters h ON nodes.node = h.node
+       |ORDER BY round(COALESCE(a.a, CAST(0.0 AS DOUBLE)), 9) DESC, nodes.node""".stripMargin
+  }
+
   /** Canonical undirected edge set: self-loops dropped, duplicate and
     * reversed rows collapsed to one `(a, b)` row with `a < b`. Every
     * triangle/wedge count below is defined over this set, so callers can

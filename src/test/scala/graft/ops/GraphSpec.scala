@@ -121,6 +121,38 @@ class GraphSpec extends SparkSpec {
     assert(Helpers.iterParts(df, Long.MaxValue / 4) == slots)
   }
 
+  test("hits: directed star — center is the pure hub, leaves the pure authorities") {
+    val out = Graph.hits(edges((0L, 1L), (0L, 2L), (0L, 3L)), iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // every iteration is the fixpoint here: a(leaf) = 1/sqrt(3), h(center) = 1
+    assert(out(0L) == ((0.0, 1.0)))
+    (1L to 3L).foreach(l => assert(out(l) == ((0.577350269, 0.0))))
+  }
+
+  test("hits: complete bipartite 2x2 — uniform scores at 1/sqrt(2)") {
+    val e = edges((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val out = Graph.hits(e, iters = 7)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val s = 0.707106781
+    assert(out(1L) == ((0.0, s)) && out(2L) == ((0.0, s)))
+    assert(out(3L) == ((s, 0.0)) && out(4L) == ((s, 0.0)))
+  }
+
+  test("hits: L2-normalized score vectors on the trade graph; bit-identical under repartitioning") {
+    val e = Graph.tradeEdges(graft.core.Tables.lineitem(spark, sfDir),
+      graft.core.Tables.orders(spark, sfDir),
+      graft.core.Tables.customer(spark, sfDir),
+      graft.core.Tables.supplier(spark, sfDir))
+    val rows = Graph.hits(e, iters = 4).collect()
+    assert(math.abs(rows.map(r => r.getDouble(1) * r.getDouble(1)).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(r => r.getDouble(2) * r.getDouble(2)).sum - 1.0) < 1e-6)
+    assert(rows.toSeq == Graph.hits(e.repartition(7), iters = 4).collect().toSeq)
+  }
+
+  test("hits: rejects degenerate parameters") {
+    intercept[IllegalArgumentException](Graph.hits(edges((1L, 2L)), iters = 0))
+  }
+
   private def census(pairs: (Long, Long)*): (Long, Long, Long, Long, Double) = {
     val r = Graph.triangleStats(edges(pairs: _*)).collect().head
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
