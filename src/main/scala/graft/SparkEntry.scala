@@ -322,6 +322,12 @@ object SparkEntry {
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_dup_passages" -> t("documents")(Text.duplicatePassageStats(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
+    // leakage-safe split: fold keyed by near-dup CLUSTER root, so a val
+    // doc can never have a near-copy in train
+    "q_split_safe" -> t("documents")(Dedup.clusterSafeSplit(_, 0.5)),
+    // token-budget selection: best documents by quality until the budget;
+    // two-pass bucket threshold, result-identical to the global window
+    "q_budget_select" -> t("documents")(Text.budgetSelect(_, budgetTokens = 10000L)),
     "q_corpus_mix" -> t("documents")(Text.corpusMix(_,
       (10 to 19).map(i => s"src$i" -> 4).toMap)),
     "q_pack_sequences" -> t("documents")(Text.packSequences(_)),
@@ -1585,6 +1591,49 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                              IN ('0','1','2','3','4') THEN 'val' ELSE 'train' END AS split
          FROM documents ORDER BY doc_id""",
+    // the q_dup_clusters closure + the q_train_split bucket rule, keyed by
+    // the cluster root (singletons fall back to their own id)
+    "q_split_safe" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT id_a, id_b FROM (
+                  SELECT id_a, id_b,
+                         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+                WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         reach(src, dst) AS (
+           SELECT id_a, id_a FROM edges
+           UNION
+           SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+         cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         SELECT d.doc_id,
+                COALESCE(cl.cluster_id, d.doc_id) AS cluster_root,
+                CASE WHEN substring(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4') THEN 'val' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         ORDER BY d.doc_id""",
+    // naive global cumulative window — the two-pass operator must be
+    // result-identical to this
+    "q_budget_select" ->
+      """WITH t AS (SELECT doc_id,
+                round(CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+                      / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS type_token_ratio,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, type_token_ratio, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY type_token_ratio DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         SELECT doc_id, type_token_ratio, n_tokens FROM c
+         WHERE cum <= 10000
+         ORDER BY type_token_ratio DESC, doc_id""",
     "q_corpus_mix" ->
       """SELECT source, COUNT(*) AS n_kept FROM documents
          WHERE CASE WHEN source IN ('src10','src11','src12','src13','src14',

@@ -465,6 +465,33 @@ object Dedup {
     clusterPairs(jaccardPairs(documents, threshold, sorted = false),
       maxIters, smallGraphEdgeCap, sorted)
 
+  /** Leakage-safe train/validation split: the md5-bucket assignment of
+    * [[Text.trainValSplit]] keyed by the NEAR-DUP CLUSTER root instead of
+    * the document id — every member of a near-duplicate cluster lands in
+    * the same fold, so a validation document can never have a near-copy
+    * in train (the split-time contamination that per-document hashing
+    * cannot prevent and that inflates eval scores exactly like benchmark
+    * contamination). Singletons (no near-dup) fall back to their own id,
+    * so on a dup-free corpus this IS trainValSplit (spec-asserted).
+    *
+    * Scale shape: [[dupClusters]]' bucketed LSH pair generation + label
+    * propagation, one left join back to the corpus, one row-local hash —
+    * nothing beyond the dedup pass a curation pipeline already runs.
+    */
+  def clusterSafeSplit(documents: DataFrame, threshold: Double = 0.5,
+                       valHexDigits: String = "01234",
+                       maxIters: Int = 10,
+                       smallGraphEdgeCap: Long = 100000L): DataFrame = {
+    val clusters = dupClusters(documents, threshold, maxIters,
+      smallGraphEdgeCap, sorted = false)
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_root", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_root"),
+        Text.splitExprOn(col("cluster_root"), valHexDigits).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an ARBITRARY near-dup pair graph
     * (`id_a`/`id_b` long columns) — the clustering engine behind
     * [[dupClusters]], shared by any candidate generator (n-gram Jaccard,

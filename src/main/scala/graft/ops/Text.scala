@@ -1118,14 +1118,73 @@ object Text {
     * split never changes when others are added — the property a random()
     * split lacks).
     */
-  /** The split-assignment column, shared with [[graft.ops.Pipelines]]. */
-  private[ops] def splitExpr(valHexDigits: String): Column =
-    when(substring(md5(col("doc_id").cast("string")), 1, 1).isin(valHexDigits.map(_.toString): _*),
+  /** The split-assignment column, shared with [[graft.ops.Pipelines]] and
+    * the cluster-keyed leakage-safe variant ([[Dedup.clusterSafeSplit]]
+    * passes the cluster root instead of the document id). */
+  private[ops] def splitExprOn(key: Column, valHexDigits: String): Column =
+    when(substring(md5(key.cast("string")), 1, 1).isin(valHexDigits.map(_.toString): _*),
       lit("val")).otherwise(lit("train"))
+
+  private[ops] def splitExpr(valHexDigits: String): Column =
+    splitExprOn(col("doc_id"), valHexDigits)
 
   def trainValSplit(documents: DataFrame, valHexDigits: String = "01234"): DataFrame =
     documents.select(col("doc_id"), splitExpr(valHexDigits).as("split"))
       .orderBy("doc_id")
+
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * (type-token ratio, ties by doc_id) whose running token total stays
+    * within `budgetTokens` — the "best N tokens" data-selection step that
+    * sizes a training mix to a compute budget.
+    *
+    * Scale shape — the naive form is a GLOBAL cumulative window (one task
+    * sorts the corpus); this is the two-pass threshold form instead:
+    * pass 1 aggregates token totals into ≤101 coarse score buckets (the
+    * score is a round(·,6) ratio in [0,1]; `floor(score·100)` is
+    * monotonic, so buckets are contiguous score ranges) and a bounded
+    * driver-side prefix scan finds the BOUNDARY bucket; pass 2 keeps the
+    * better buckets wholesale and runs the exact cumulative window over
+    * the one boundary bucket only — the global sort never happens, and
+    * the single-partition window touches ~1/100th of the corpus, not all
+    * of it. Result-identical to the naive window (the oracle replays the
+    * naive form; equality also spec-asserted).
+    */
+  def budgetSelect(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val toks = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
+    val base = Helpers.releaseAfterFirstAction(
+      documents.select(col("doc_id"),
+          qualityRatios.typeTokenRatio,
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("_b", floor(col("type_token_ratio") * 100).cast("int"))
+        .persist())
+    // bounded driver-side bucket prefix (≤101 rows — the maxDriverKeys
+    // discipline): best-first, whole buckets while they fit, then at most
+    // one boundary bucket with its exact prefix offset
+    val buckets = base.groupBy("_b").agg(sum("n_tokens").as("bt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val (kept, boundary, _) =
+      buckets.foldLeft((List.empty[Int], Option.empty[(Int, Long)], 0L)) {
+        case ((ks, None, cum), (b, bt)) =>
+          if (cum + bt <= budgetTokens) (b :: ks, None, cum + bt)
+          else (ks, Some((b, cum)), cum)
+        case (acc, _) => acc // past the boundary: dropped wholesale
+      }
+    val full = base.filter(col("_b").isin(kept: _*))
+    val out = boundary match {
+      case Some((b, off)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("type_token_ratio").desc, col("doc_id"))
+        val bounded = base.filter(col("_b") === b)
+          .withColumn("_cum", sum("n_tokens").over(w) + lit(off))
+          .filter(col("_cum") <= budgetTokens)
+          .drop("_cum")
+        full.unionByName(bounded)
+      case None => full
+    }
+    out.select(col("doc_id"), col("type_token_ratio"), col("n_tokens"))
+      .orderBy(col("type_token_ratio").desc, col("doc_id"))
+  }
 
   /** Contiguous sequence packing: assign documents to fixed-token-budget
     * packs, per source in doc_id order — the pre-training step that turns a

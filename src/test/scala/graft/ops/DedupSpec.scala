@@ -390,4 +390,41 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(m(1L) == 0L && m(2L) == 1L, "the whole \\n-joined unit dedups as ONE paragraph")
   }
+
+  test("clusterSafeSplit: near-dup clusters land in ONE fold; a member's solo assignment is overridden") {
+    import spark.implicits._
+    // md5 first hex: 5 -> 'e' (train), 6 -> '1' (val). Docs 5 and 6 are
+    // near-identical -> cluster root 5 -> BOTH train, although doc 6 alone
+    // would be val; doc 9 ('4' -> val) stays a singleton
+    val near = "this is a shared near duplicate document body with many tokens in common"
+    val d = Seq(
+      (5L, near + " five"),
+      (6L, near + " six"),
+      (9L, "a completely different singleton text about nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterSafeSplit(d, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(5L) == ((5L, "train")))
+    assert(out(6L) == ((5L, "train")), "near-dup of doc 5 must follow the cluster root's fold")
+    assert(out(9L) == ((9L, "val")), "singletons keep their per-id assignment")
+    // sanity: the solo rule WOULD have put 6 in val
+    val solo = Text.trainValSplit(d).collect().map(r => r.getString(1))
+    assert(solo.toSeq == Seq("train", "val", "val"))
+  }
+
+  test("clusterSafeSplit: on a dup-free corpus it IS trainValSplit, and every cluster is fold-pure") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val out = Dedup.clusterSafeSplit(docs, 0.5).persist()
+    // fold purity: one distinct split per cluster root
+    val impure = out.groupBy("cluster_root")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("k"))
+      .filter(org.apache.spark.sql.functions.col("k") > 1).count()
+    assert(impure == 0L, "every near-dup cluster must sit in exactly one fold")
+    // singleton rows agree with the per-id rule
+    val solo = Text.trainValSplit(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(org.apache.spark.sql.functions.col("doc_id") ===
+        org.apache.spark.sql.functions.col("cluster_root"))
+      .collect().foreach(r => assert(r.getString(2) == solo(r.getLong(0))))
+    out.unpersist()
+  }
 }

@@ -508,4 +508,47 @@ class TextSpec extends SparkSpec {
     assert(Text.pmiCollocations(d, minCount = 2).collect().toSeq ==
       Text.pmiCollocations(d.repartition(7), minCount = 2).collect().toSeq)
   }
+
+  test("budgetSelect: greedy best-quality prefix within the token budget") {
+    import spark.implicits._
+    // ttr: doc1 = 1.0 (3 toks), doc2 = 0.666667 (3), doc3 = 0.333333 (3)
+    val d = Seq((1L, "a b c"), (2L, "a a b"), (3L, "a a a")).toDF("doc_id", "text")
+    def ids(budget: Long) =
+      Text.budgetSelect(d, budget).collect().map(_.getLong(0)).toSeq
+    assert(ids(9) == Seq(1L, 2L, 3L))
+    assert(ids(6) == Seq(1L, 2L))
+    assert(ids(5) == Seq(1L), "a doc that would overflow the budget is dropped")
+    assert(ids(0) == Seq())
+    // within one score bucket, lower doc_id wins the remaining budget
+    val tie = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    assert(Text.budgetSelect(tie, 3).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("budgetSelect: two-pass threshold is result-identical to the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val budget = 10000L
+    import org.apache.spark.sql.functions.{lower, regexp_extract_all, size, lit}
+    val naive = Text.qualityScore(d)
+      .select(col("doc_id"), col("type_token_ratio"))
+      .join(d.select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tokens")), "doc_id")
+      .withColumn("_cum", org.apache.spark.sql.functions.sum("n_tokens")
+        .over(Window.orderBy(col("type_token_ratio").desc, col("doc_id"))))
+      .filter(col("_cum") <= budget)
+      .select("doc_id", "type_token_ratio", "n_tokens")
+      .orderBy(col("type_token_ratio").desc, col("doc_id"))
+      .collect().toSeq
+    val fast = Text.budgetSelect(d, budget).collect().toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty && fast.size < d.count(),
+      "the fixture budget must select a strict, non-empty subset")
+  }
+
+  test("budgetSelect: bit-identical under repartitioning") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    assert(Text.budgetSelect(d, 5000).collect().toSeq ==
+      Text.budgetSelect(d.repartition(7), 5000).collect().toSeq)
+  }
 }
