@@ -175,10 +175,13 @@ object SparkEntry {
     // HITS hubs/authorities on the same directed trade graph: authority =
     // pointed at by good hubs, hub = points at good authorities — the
     // producer/router split PageRank conflates; decimal-exact sums + IEEE
-    // sqrt make 10 normalized iterations fully oracle-able
+    // sqrt make the normalized iterations fully oracle-able. 5 iterations
+    // (the q_pagerank fixture-scale precedent): HITS pays FOUR norm/score
+    // jobs per round where PageRank pays two, so per-round overhead
+    // dominates twice as fast at fixture scale
     "q_hits" -> ((s, dir) => Graph.hits(
       Graph.tradeEdges(Tables.lineitem(s, dir), Tables.orders(s, dir),
-        Tables.customer(s, dir), Tables.supplier(s, dir)))),
+        Tables.customer(s, dir), Tables.supplier(s, dir)), iters = 5)),
     // personalized PageRank: teleport restricted to one region's nations —
     // rank becomes proximity-to-seeds (topic-sensitive expansion)
     "q_pagerank_seeded" -> ((s, dir) => Graph.personalizedPageRank(
@@ -790,7 +793,9 @@ object SparkEntry {
     // naive formulation: each triangle x<y<z found once via its two
     // lower edges + the closing edge; wedges from the degree distribution
     "q_triangles" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'),
          pairs AS MATERIALIZED (
            SELECT DISTINCT x.p AS a, y.p AS b FROM items x
            JOIN items y ON x.ok = y.ok AND x.p < y.p),
@@ -835,7 +840,7 @@ object SparkEntry {
          FROM r CROSS JOIN n
          ORDER BY antecedent, consequent""",
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
-    "q_hits" -> Graph.hitsTradeOracleSql(iters = 10),
+    "q_hits" -> Graph.hitsTradeOracleSql(iters = 5),
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
     "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),

@@ -431,14 +431,18 @@ object Graph {
     * Scale shape: identical to [[pageRank]] — edges deduped,
     * lineage-truncated, hash-partitioned once; each half-step is one
     * co-partitioned join + one keyed aggregate; norms are 1-row
-    * broadcasts; batched localCheckpoints bound lineage (the per-window
-    * plan embeds each intermediate a bounded constant number of times).
-    * Score frames stay node-sparse: a node with no in-edges simply never
-    * appears in the authority frame (≡ score 0) and costs nothing in the
-    * joins; the final output densifies with COALESCE over the node set.
+    * broadcasts. Checkpoints default to EVERY iteration, not pageRank's
+    * batched 3: a HITS round embeds its predecessor ~4× (two score
+    * subtrees × two norm broadcasts), so an un-truncated window of k
+    * rounds executes ~4^k nested broadcast jobs — measured 2× wall at
+    * k=3 vs k=1 on the fixture graph — where pageRank's factor is ≤2 and
+    * batching wins instead. Score frames stay node-sparse: a node with no
+    * in-edges simply never appears in the authority frame (≡ score 0) and
+    * costs nothing in the joins; the final output densifies with COALESCE
+    * over the node set.
     */
   def hits(edgeList: DataFrame, iters: Int = 10, sorted: Boolean = true,
-           checkpointEvery: Int = 3): DataFrame = {
+           checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1 && checkpointEvery >= 1)
     val e0 = edgeList.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
@@ -457,31 +461,38 @@ object Graph {
     var auths: DataFrame = nodes.withColumn("a", lit(0.0))
     var lastCkpt: Seq[DataFrame] = Nil
     for (i <- 1 to iters) {
-      val ua = Helpers.releaseAfterFirstAction(
-        edges.join(hubs.select(col("node").as("src"), col("h")), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("h").cast(dec)).cast("double").as("ua"))
-          .persist())
+      // ua/uh each feed two consumers (their norm and their normalized
+      // projection) inside ONE plan — ReuseExchange dedupes the shared
+      // join+agg shuffle, so no explicit persist is needed at any scale
+      val ua = edges.join(hubs.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h").cast(dec)).cast("double").as("ua"))
       val na = ua.agg(
         sqrt(sum((col("ua") * col("ua")).cast(dec)).cast("double")).as("na"))
       val aPlan = ua.crossJoin(broadcast(na))
         .select(col("node"), (col("ua") / col("na")).as("a"))
-      val uh = Helpers.releaseAfterFirstAction(
-        edges.join(aPlan.select(col("node").as("dst"), col("a")), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(sum(col("a").cast(dec)).cast("double").as("uh"))
-          .persist())
+      val uh = edges.join(aPlan.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a").cast(dec)).cast("double").as("uh"))
       val nh = uh.agg(
         sqrt(sum((col("uh") * col("uh")).cast(dec)).cast("double")).as("nh"))
       val hPlan = uh.crossJoin(broadcast(nh))
         .select(col("node"), (col("uh") / col("nh")).as("h"))
-      if (i % checkpointEvery == 0 || i == iters) {
+      // only h feeds the next round — a is recomputed through h's plan, so
+      // the window checkpoint materializes ONE frame; the final iteration
+      // checkpoints both (a is the other half of the output)
+      if (i == iters) {
         val ckA = aPlan.localCheckpoint()
         val ckH = hPlan.localCheckpoint()
         lastCkpt.foreach(org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
         lastCkpt = Seq(ckA, ckH)
         auths = ckA; hubs = ckH
-      } else { auths = aPlan; hubs = hPlan }
+      } else if (i % checkpointEvery == 0) {
+        val ckH = hPlan.localCheckpoint()
+        lastCkpt.foreach(org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
+        lastCkpt = Seq(ckH)
+        hubs = ckH
+      } else hubs = hPlan
     }
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(nodes)
@@ -557,9 +568,14 @@ object Graph {
     * generation self-joins co-partitioned on the order key and is bounded
     * by the max basket size (a small constant per order), so pair volume
     * is a constant multiple of the lineitem scan — linear at any scale.
+    * Windowed to one ship-date year by default (the [[copurchaseEdges]]
+    * convention): the date predicate pushes to the parquet scan.
     */
-  def basketEdges(lineitem: DataFrame): DataFrame = {
+  def basketEdges(lineitem: DataFrame,
+                  from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
     val items = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
     items.as("x")
