@@ -164,6 +164,10 @@ object SparkEntry {
     // item pairs scored by support/confidence/lift, both rule directions
     "q_assoc_rules" -> t("lineitem")(li =>
       Affinity.associationRules(Affinity.basketItems(li), minPairs = 2)),
+    // 5-core of the basket graph via synchronous peeling — the dense
+    // backbone a density/spam filter extracts; converges ≤5 rounds here,
+    // oracle unrolls 10 (no-ops past the fixpoint)
+    "q_kcore" -> t("lineitem")(li => Graph.kCore(Graph.basketEdges(li), k = 5)),
     // WEIGHTED + dangling-corrected PageRank on the ~25-node directed
     // nation-trade graph (supplier nation -> customer nation, line-count
     // weights); at small SFs some nations host no shipping suppliers, so
@@ -841,6 +845,7 @@ object SparkEntry {
          ORDER BY antecedent, consequent""",
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_hits" -> Graph.hitsTradeOracleSql(iters = 5),
+    "q_kcore" -> Graph.kCoreBasketOracleSql(k = 5, rounds = 10),
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
     "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),

@@ -584,6 +584,91 @@ object Graph {
       .distinct()
   }
 
+  /** k-core extraction: the maximal subgraph in which every node has
+    * degree ≥ k, by synchronous peeling — each round recomputes degrees
+    * over the surviving subgraph and drops nodes below k, until a round
+    * drops nobody (the classic density/spam filter: nodes that only
+    * connect to peeled periphery peel too, so a k-core member's support
+    * is itself k-core). Output: the core's nodes with their IN-CORE
+    * degrees.
+    *
+    * Scale shape: each round is two semi-joins (edge endpoints against the
+    * survivor set) + one map-side-combining degree aggregate — all keyed
+    * shuffles on the edge partitioning established once up front; the
+    * driver sees one survivor COUNT per round (the [[Dedup.clusterPairs]]
+    * convergence-probe pattern) and the loop THROWS past `maxIters`
+    * rather than silently returning a non-fixpoint. Peel depth, not
+    * diameter, bounds the rounds; the registered k=5 basket query
+    * converges in ≤5 rounds at every fixture scale (measured), and the
+    * generated oracle unrolls a fixed 10 — extra rounds past the fixpoint
+    * are no-ops, so the two agree whenever the operator converges.
+    */
+  def kCore(edgeList: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
+    require(k >= 1 && maxIters >= 1, s"need k >= 1 and maxIters >= 1, got $k/$maxIters")
+    val e = canonicalEdges(edgeList).localCheckpoint()
+    val nEdges = e.count() // free — e just materialized
+    val nParts = Helpers.iterParts(e, nEdges)
+    val edges = e.repartition(nParts, col("a")).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    var survivors: DataFrame = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+      .withColumn("deg", lit(-1L)) // placeholder; replaced by round 1
+      .localCheckpoint()
+    var nAlive = survivors.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      if (rounds >= maxIters)
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not converge in $maxIters peel rounds")
+      val aliveKeys = survivors.select("node")
+      val live = edges
+        .join(aliveKeys.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(aliveKeys.select(col("node").as("b")), Seq("b"), "left_semi")
+      val next = live.select(col("a").as("node"))
+        .unionByName(live.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint()
+      val nNext = next.count()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(survivors)
+      survivors = next
+      converged = nNext == nAlive
+      nAlive = nNext
+      rounds += 1
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    survivors.orderBy("node")
+  }
+
+  /** Generated DuckDB oracle for [[kCore]] over [[basketEdges]]: `rounds`
+    * fixed peel rounds unrolled as chained MATERIALIZED CTEs (each alive
+    * set is read three times — both endpoint filters and the next round).
+    */
+  def kCoreBasketOracleSql(k: Int, rounds: Int = 10,
+                           from: String = "1996-01-01",
+                           until: String = "1997-01-01"): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM e
+         |    WHERE a IN (SELECT node FROM a${i - 1}) AND b IN (SELECT node FROM a${i - 1})
+         |    UNION ALL
+         |    SELECT b FROM e
+         |    WHERE a IN (SELECT node FROM a${i - 1}) AND b IN (SELECT node FROM a${i - 1}))
+         |  GROUP BY node HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |a0 AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e),
+       |$iterCtes
+       |SELECT node, deg FROM a$rounds ORDER BY node""".stripMargin
+  }
+
   /** Global triangle census: nodes, edges, wedges (2-paths), triangles and
     * the global clustering coefficient 3·triangles / wedges — one summary
     * row.

@@ -153,6 +153,57 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.hits(edges((1L, 2L)), iters = 0))
   }
 
+  private def core(k: Int, pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.kCore(edges(pairs: _*), k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: K4 with a pendant path — the 3-core is exactly the K4") {
+    // K4 on 1..4 plus path 4-5-6: 5 and 6 peel (deg < 3), K4 keeps deg 3
+    val got = core(3, (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: multi-round peel — a tail unravels link by link") {
+    // triangle 1-2-3 with tail 3-4-5-6: round 1 drops 6, round 2 drops 5,
+    // round 3 drops 4 — the 2-core is the triangle with in-core degrees 2
+    val got = core(2, (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a path has an empty 2-core; k=1 keeps every non-isolated node") {
+    assert(core(2, (1L, 2L), (2L, 3L), (3L, 4L)).isEmpty)
+    assert(core(1, (1L, 2L), (3L, 4L)) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("kCore: invariant to direction/duplicates; bit-identical under repartitioning") {
+    val clean = core(2, (1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = core(2, (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L))
+    assert(clean == Map(1L -> 2L, 2L -> 2L, 3L -> 2L) && noisy == clean)
+    val e = Graph.basketEdges(graft.core.Tables.lineitem(spark, sfDir))
+    assert(Graph.kCore(e, 3).collect().toSeq == Graph.kCore(e.repartition(7), 3).collect().toSeq)
+  }
+
+  test("kCore: every member's in-core degree is >= k, and members only touch members") {
+    val e = Graph.basketEdges(graft.core.Tables.lineitem(spark, sfDir))
+    val got = Graph.kCore(e, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.values.foreach(d => assert(d >= 3L))
+    // recompute degrees within the returned node set independently
+    val canon = Graph.canonicalEdges(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inCore = canon.filter { case (a, b) => got.contains(a) && got.contains(b) }
+    val deg = inCore.flatMap { case (a, b) => Seq(a, b) }.groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    assert(deg == got, "returned degrees must be the in-core degrees")
+  }
+
+  test("kCore: rejects degenerate parameters and refuses to exceed maxIters") {
+    intercept[IllegalArgumentException](Graph.kCore(edges((1L, 2L)), k = 0))
+    // triangle+tail needs 3 peel rounds + 1 confirm at k=2; maxIters=2 must throw
+    intercept[IllegalStateException](
+      Graph.kCore(edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)),
+        k = 2, maxIters = 2))
+  }
+
   private def census(pairs: (Long, Long)*): (Long, Long, Long, Long, Double) = {
     val r = Graph.triangleStats(edges(pairs: _*)).collect().head
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
