@@ -168,6 +168,11 @@ object SparkEntry {
     // backbone a density/spam filter extracts; converges ≤5 rounds here,
     // oracle unrolls 10 (no-ops past the fixpoint)
     "q_kcore" -> t("lineitem")(li => Graph.kCore(Graph.basketEdges(li), k = 5)),
+    // item-item collaborative filtering: top-3 neighbors per item by
+    // co-occurrence cosine, ranked through the custom bounded-heap top-k
+    // operator (second consumer of TopKPerGroupExec)
+    "q_item_neighbors" -> t("lineitem")(li =>
+      Affinity.itemNeighbors(Affinity.basketItems(li), topK = 3)),
     // WEIGHTED + dangling-corrected PageRank on the ~25-node directed
     // nation-trade graph (supplier nation -> customer nation, line-count
     // weights); at small SFs some nations host no shipping suppliers, so
@@ -846,6 +851,34 @@ object SparkEntry {
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_hits" -> Graph.hitsTradeOracleSql(iters = 5),
     "q_kcore" -> Graph.kCoreBasketOracleSql(k = 5, rounds = 10),
+    // the operator generates pairs row-locally from sorted basket arrays;
+    // the oracle replays the equivalent basket self-join (same multiset)
+    "q_item_neighbors" ->
+      """WITH b AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+         itemn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item),
+         pairs AS (SELECT x.item AS x, y.item AS y, CAST(COUNT(*) AS BIGINT) AS cp
+                   FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         j AS (SELECT p.x, p.y, p.cp, cx.c AS cxc, cy.c AS cyc
+               FROM pairs p
+               JOIN itemn cx ON p.x = cx.item
+               JOIN itemn cy ON p.y = cy.item),
+         s AS (SELECT x AS item, y AS neighbor, cp AS pair_n,
+                      round(CAST(cp AS DOUBLE)
+                            / sqrt(CAST(cxc AS DOUBLE) * CAST(cyc AS DOUBLE)), 6) AS cosine
+               FROM j
+               UNION ALL
+               SELECT y, x, cp,
+                      round(CAST(cp AS DOUBLE)
+                            / sqrt(CAST(cyc AS DOUBLE) * CAST(cxc AS DOUBLE)), 6)
+               FROM j),
+         w AS (SELECT item, neighbor, pair_n, cosine,
+                      row_number() OVER (PARTITION BY item
+                                         ORDER BY cosine DESC, neighbor) AS rn
+               FROM s)
+         SELECT item, neighbor, pair_n, cosine, rn FROM w
+         WHERE rn <= 3 ORDER BY item, rn""",
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
     "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),

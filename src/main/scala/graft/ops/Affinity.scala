@@ -1,12 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Market-basket affinity mining: frequent item pairs and association
-  * rules (support / confidence / lift) — the classic co-occurrence
-  * analytics next to the graph projections ([[Graph.basketEdges]] censuses
-  * the same baskets structurally; this scores them statistically).
+/** Market-basket affinity mining: frequent item pairs, association rules
+  * (support / confidence / lift) and item-to-item neighbors (cosine) —
+  * the classic co-occurrence analytics next to the graph projections
+  * ([[Graph.basketEdges]] censuses the same baskets structurally; this
+  * scores them statistically).
   *
   * Scale shape — Apriori, level 2, all keyed shuffles:
   *   1. one distinct projects (basket, item) pairs;
@@ -16,14 +17,19 @@ import org.apache.spark.sql.functions._
   *      the quadratic-in-basket-size pair explosion runs over the pruned
   *      baskets only — with a sane support threshold the surviving items
   *      per basket are few even when raw baskets are huge;
-  *   4. pair counts are another combining aggregate keyed by the pair.
+  *   4. pair occurrences are generated ROW-LOCALLY from a per-basket
+  *      sorted item array (one aggregate keyed by basket + a nested
+  *      `transform` expansion) instead of a basket-keyed self-join — one
+  *      fewer full shuffle of the basket-item table, same pair multiset
+  *      (spec-asserted); the pair counts are then one more combining
+  *      aggregate keyed by the pair.
   * Nothing is collected; the basket count rides as a 1-row broadcast (the
   * scalar-subquery pattern).
   *
-  * Determinism: all counts are exact longs; support/confidence/lift are
-  * single double divisions of those longs written identically in the
-  * oracle (round(·, 6) discipline), and the output carries a total
-  * (antecedent, consequent) order.
+  * Determinism: all counts are exact longs; support/confidence/lift and
+  * the neighbor cosine are single double expressions over those longs
+  * written identically in the oracle (round(·, 6) discipline), and every
+  * output carries a total order.
   */
 object Affinity {
 
@@ -33,6 +39,35 @@ object Affinity {
     lineitem
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
+
+  /** Row-local unordered-pair expansion of each basket: one aggregate
+    * keyed by basket builds the sorted item array, then a nested
+    * `transform` emits every (x, y) with x < y — codegen'd, no self-join.
+    * Quadratic ONLY in the (pruned) basket size, by construction.
+    */
+  private def pairOccurrences(basketItems: DataFrame): DataFrame = {
+    val arr = basketItems.groupBy("basket")
+      .agg(sort_array(collect_list(col("item"))).as("arr"))
+    arr.select(explode(flatten(transform(col("arr"), (x, i) =>
+        transform(slice(col("arr"), i + lit(2), size(col("arr"))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+  }
+
+  /** Frequent pairs with both endpoint supports:
+    * (x, y, cp, cx, cy), x < y, cp ≥ minPairs. `b` must be the DISTINCT
+    * (basket, item) frame (read twice — callers persist it).
+    */
+  private def countedPairs(b: DataFrame, minPairs: Long): DataFrame = {
+    val itemN = b.groupBy("item").agg(count(lit(1)).as("c"))
+    val frequent = itemN.filter(col("c") >= minPairs).select("item")
+    val fb = b.join(frequent, Seq("item"), "left_semi")
+    pairOccurrences(fb)
+      .groupBy("x", "y").agg(count(lit(1)).as("cp"))
+      .filter(col("cp") >= minPairs)
+      .join(itemN.select(col("item").as("x"), col("c").as("cx")), "x")
+      .join(itemN.select(col("item").as("y"), col("c").as("cy")), "y")
+  }
 
   /** Association rules over item pairs co-occurring in at least `minPairs`
     * baskets. Both directions of each frequent pair are emitted:
@@ -47,17 +82,7 @@ object Affinity {
     val b = Helpers.releaseAfterFirstAction(
       baskets.select("basket", "item").distinct().persist())
     val nBaskets = b.agg(countDistinct("basket").as("n"))
-    val itemN = b.groupBy("item").agg(count(lit(1)).as("c"))
-    val frequent = itemN.filter(col("c") >= minPairs).select("item")
-    val fb = b.join(frequent, Seq("item"), "left_semi")
-    val x = fb.select(col("basket"), col("item").as("x"))
-    val y = fb.select(col("basket"), col("item").as("y"))
-    val pairs = x.join(y, "basket").filter(col("x") < col("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("cp"))
-      .filter(col("cp") >= minPairs)
-    val joined = pairs
-      .join(itemN.select(col("item").as("x"), col("c").as("cx")), "x")
-      .join(itemN.select(col("item").as("y"), col("c").as("cy")), "y")
+    val joined = countedPairs(b, minPairs)
     val fwd = joined.select(col("x").as("antecedent"), col("y").as("consequent"),
       col("cp"), col("cx").as("ca"), col("cy").as("cc"))
     val bwd = joined.select(col("y").as("antecedent"), col("x").as("consequent"),
@@ -70,5 +95,28 @@ object Affinity {
         round((col("cp").cast("double") / col("ca").cast("double")) /
           (col("cc").cast("double") / col("n").cast("double")), 6).as("lift"))
       .orderBy("antecedent", "consequent")
+  }
+
+  /** Item-to-item neighbors: for every item, the `topK` most-associated
+    * other items by co-occurrence cosine c(x,y)/√(c(x)·c(y)) — the
+    * item-space kNN of classic item-item collaborative filtering ("users
+    * who bought x also bought …"), ranked per item through the custom
+    * bounded-heap top-k operator ([[graft.plans.TopK.perGroup]]: no
+    * global window sort, heap state = k rows per item).
+    */
+  def itemNeighbors(baskets: DataFrame, topK: Int = 5, minPairs: Long = 2L): DataFrame = {
+    require(topK >= 1 && minPairs >= 1, s"need topK/minPairs >= 1, got $topK/$minPairs")
+    val b = Helpers.releaseAfterFirstAction(
+      baskets.select("basket", "item").distinct().persist())
+    val joined = countedPairs(b, minPairs)
+    def cosine(cp: Column, ca: Column, cb: Column): Column =
+      round(cp.cast("double") / sqrt(ca.cast("double") * cb.cast("double")), 6)
+    val scored = joined.select(col("x").as("item"), col("y").as("neighbor"),
+        col("cp").as("pair_n"), cosine(col("cp"), col("cx"), col("cy")).as("cosine"))
+      .unionByName(joined.select(col("y").as("item"), col("x").as("neighbor"),
+        col("cp").as("pair_n"), cosine(col("cp"), col("cy"), col("cx")).as("cosine")))
+    graft.plans.TopK.perGroup(scored, groupCols = Seq("item"),
+        sortSpec = Seq(("cosine", false), ("neighbor", true)), k = topK)
+      .orderBy("item", "rn")
   }
 }

@@ -66,4 +66,31 @@ class AffinitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Affinity.associationRules(baskets((1L, 2L)), minPairs = 0))
   }
+
+  test("itemNeighbors: hand-computed cosine ranking through the bounded-heap top-k") {
+    // baskets 1:{a,b,c} 2:{a,b} 3:{a,c} 4:{b}; c(a)=3 c(b)=3 c(c)=2
+    // cos(a,b) = 2/sqrt(9) = 0.666667; cos(a,c) = 2/sqrt(6) = 0.816497
+    val b = baskets((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 20L))
+    val out = Affinity.itemNeighbors(b, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out((10L, 1L)) == ((30L, 0.816497)), "a's best neighbor is c")
+    assert(out((10L, 2L)) == ((20L, 0.666667)))
+    assert(out((20L, 1L)) == ((10L, 0.666667)))
+    assert(out((30L, 1L)) == ((10L, 0.816497)))
+    assert(out.size == 4)
+  }
+
+  test("itemNeighbors: rank bound respected, cosine symmetric, deterministic under repartitioning") {
+    val b = Affinity.basketItems(graft.core.Tables.lineitem(spark, sfDir))
+    val rows = Affinity.itemNeighbors(b, topK = 3).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(4) <= 3L))
+    val cos = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    cos.foreach { case ((i, n), c) =>
+      cos.get((n, i)).foreach(c2 => assert(c2 == c, s"cosine must be symmetric for ($i,$n)"))
+    }
+    assert(Affinity.itemNeighbors(b, topK = 3).collect().toSeq ==
+      Affinity.itemNeighbors(b.repartition(7), topK = 3).collect().toSeq)
+  }
 }
