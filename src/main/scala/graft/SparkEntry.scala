@@ -160,19 +160,27 @@ object SparkEntry {
     // graph — wedge generation bounded by oriented out-degrees (O(sqrt E)),
     // skew-immune; oracle replays the naive a<b<c triple join
     "q_triangles" -> t("lineitem")(li => Graph.triangleStats(Graph.basketEdges(li))),
-    // Apriori level-2 association rules over the same baskets: frequent
-    // item pairs scored by support/confidence/lift, both rule directions
-    "q_assoc_rules" -> t("lineitem")(li =>
-      Affinity.associationRules(Affinity.basketItems(li), minPairs = 2)),
+    // Apriori level-2 association rules at the BRAND level (25-item
+    // space over a broadcast dim join — where support thresholds bite;
+    // 20k raw part keys almost never repeat as pairs): frequent pairs
+    // scored by support/confidence/lift, both rule directions
+    "q_assoc_rules" -> ((s, dir) => Affinity.associationRules(
+      Affinity.brandBaskets(Tables.lineitem(s, dir), Tables.part(s, dir)),
+      minPairs = 2, pruneItems = false)),
     // 5-core of the basket graph via synchronous peeling — the dense
     // backbone a density/spam filter extracts; converges ≤5 rounds here,
     // oracle unrolls 10 (no-ops past the fixpoint)
     "q_kcore" -> t("lineitem")(li => Graph.kCore(Graph.basketEdges(li), k = 5)),
-    // item-item collaborative filtering: top-3 neighbors per item by
-    // co-occurrence cosine, ranked through the custom bounded-heap top-k
-    // operator (second consumer of TopKPerGroupExec)
+    // item-item collaborative filtering: top-3 neighbors per part by
+    // co-occurrence cosine over one ship-date year (the basket-graph
+    // window), ranked through the custom bounded-heap top-k operator
+    // (second consumer of TopKPerGroupExec); minPairs=1 — kNN wants the
+    // best-available neighbor, not a support threshold
     "q_item_neighbors" -> t("lineitem")(li =>
-      Affinity.itemNeighbors(Affinity.basketItems(li), topK = 3)),
+      Affinity.itemNeighbors(Affinity.basketItems(
+        li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))),
+        topK = 3, minPairs = 1, pruneItems = false)),
     // WEIGHTED + dangling-corrected PageRank on the ~25-node directed
     // nation-trade graph (supplier nation -> customer nation, line-count
     // weights); at small SFs some nations host no shipping suppliers, so
@@ -828,7 +836,8 @@ object SparkEntry {
     // double-division sequence
     "q_assoc_rules" ->
       """WITH b AS MATERIALIZED (
-           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+           SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
          n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM b),
          itemn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item),
          pairs AS (SELECT x.item AS x, y.item AS y, CAST(COUNT(*) AS BIGINT) AS cp
@@ -855,11 +864,13 @@ object SparkEntry {
     // the oracle replays the equivalent basket self-join (same multiset)
     "q_item_neighbors" ->
       """WITH b AS MATERIALIZED (
-           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'),
          itemn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item),
          pairs AS (SELECT x.item AS x, y.item AS y, CAST(COUNT(*) AS BIGINT) AS cp
                    FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
-                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 1),
          j AS (SELECT p.x, p.y, p.cp, cx.c AS cxc, cy.c AS cyc
                FROM pairs p
                JOIN itemn cx ON p.x = cx.item

@@ -40,6 +40,18 @@ object Affinity {
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
 
+  /** Brand-level baskets: the same orders with items coarsened to the
+    * part BRAND through a broadcast dimension join — the item space a
+    * support-threshold miner actually wants (25 brands co-occur often;
+    * 20 k part keys almost never repeat as pairs), and the registered
+    * rule query's domain. */
+  def brandBaskets(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("basket"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("basket"), col("p_brand").as("item"))
+      .distinct()
+
   /** Row-local unordered-pair expansion of each basket: one aggregate
     * keyed by basket builds the sorted item array, then a nested
     * `transform` emits every (x, y) with x < y — codegen'd, no self-join.
@@ -57,11 +69,22 @@ object Affinity {
   /** Frequent pairs with both endpoint supports:
     * (x, y, cp, cx, cy), x < y, cp ≥ minPairs. `b` must be the DISTINCT
     * (basket, item) frame (read twice — callers persist it).
+    *
+    * `pruneItems` toggles the Apriori frequent-item pre-filter. It is a
+    * pure PERFORMANCE guard — monotonicity means it can never change the
+    * result (spec-asserted) — that costs two shuffles (explode + regroup
+    * around the semi-join). Keep it on when rare items could blow up the
+    * per-basket pair expansion; turn it off when the item space is small
+    * or the threshold cannot prune (the registered brand-level rules and
+    * the minPairs=1 neighbor query both pass false).
     */
-  private def countedPairs(b: DataFrame, minPairs: Long): DataFrame = {
+  private def countedPairs(b: DataFrame, minPairs: Long,
+                           pruneItems: Boolean): DataFrame = {
     val itemN = b.groupBy("item").agg(count(lit(1)).as("c"))
-    val frequent = itemN.filter(col("c") >= minPairs).select("item")
-    val fb = b.join(frequent, Seq("item"), "left_semi")
+    val fb =
+      if (pruneItems)
+        b.join(itemN.filter(col("c") >= minPairs).select("item"), Seq("item"), "left_semi")
+      else b
     pairOccurrences(fb)
       .groupBy("x", "y").agg(count(lit(1)).as("cp"))
       .filter(col("cp") >= minPairs)
@@ -75,14 +98,15 @@ object Affinity {
     * lift = confidence / (c(consequent)/N) — lift is direction-symmetric
     * (spec-asserted).
     */
-  def associationRules(baskets: DataFrame, minPairs: Long = 2L): DataFrame = {
+  def associationRules(baskets: DataFrame, minPairs: Long = 2L,
+                       pruneItems: Boolean = true): DataFrame = {
     require(minPairs >= 1, s"minPairs must be >= 1, got $minPairs")
     // read three times (basket count, item supports, pair generation) —
     // one scan, scoped persist
     val b = Helpers.releaseAfterFirstAction(
       baskets.select("basket", "item").distinct().persist())
     val nBaskets = b.agg(countDistinct("basket").as("n"))
-    val joined = countedPairs(b, minPairs)
+    val joined = countedPairs(b, minPairs, pruneItems)
     val fwd = joined.select(col("x").as("antecedent"), col("y").as("consequent"),
       col("cp"), col("cx").as("ca"), col("cy").as("cc"))
     val bwd = joined.select(col("y").as("antecedent"), col("x").as("consequent"),
@@ -104,11 +128,12 @@ object Affinity {
     * bounded-heap top-k operator ([[graft.plans.TopK.perGroup]]: no
     * global window sort, heap state = k rows per item).
     */
-  def itemNeighbors(baskets: DataFrame, topK: Int = 5, minPairs: Long = 2L): DataFrame = {
+  def itemNeighbors(baskets: DataFrame, topK: Int = 5, minPairs: Long = 2L,
+                    pruneItems: Boolean = true): DataFrame = {
     require(topK >= 1 && minPairs >= 1, s"need topK/minPairs >= 1, got $topK/$minPairs")
     val b = Helpers.releaseAfterFirstAction(
       baskets.select("basket", "item").distinct().persist())
-    val joined = countedPairs(b, minPairs)
+    val joined = countedPairs(b, minPairs, pruneItems)
     def cosine(cp: Column, ca: Column, cb: Column): Column =
       round(cp.cast("double") / sqrt(ca.cast("double") * cb.cast("double")), 6)
     val scored = joined.select(col("x").as("item"), col("y").as("neighbor"),

@@ -61,16 +61,18 @@ object Graph {
           .distinct()
           .withColumn("w", lit(1L))
     }
-    val e = e0.localCheckpoint()
     // size the iteration's partitioning from the measured edge count (the
     // clusterPairs formula, ceilinged at the session's scheduler slots —
     // see Helpers.iterParts): a fixture-scale graph on 32 shuffle
     // partitions pays pure scheduler overhead × iterations; on a large
-    // cluster the same formula widens with both the graph and the slots
-    val nEdges = e.count() // free — e just materialized
-    val nParts = Helpers.iterParts(e, nEdges)
-    val edges = e.repartition(nParts, col("src")).localCheckpoint()
-    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    // cluster the same formula widens with both the graph and the slots.
+    // The count is its own aggregate job BEFORE the one materialization —
+    // Spark reuses e0's shuffle map outputs across the two jobs, so this
+    // is strictly cheaper than the pre-r10 double checkpoint (which wrote
+    // the full edge set to storage twice)
+    val nEdges = e0.count()
+    val nParts = Helpers.iterParts(e0, nEdges)
+    val edges = e0.repartition(nParts, col("src")).localCheckpoint()
     val outdeg = edges.groupBy("src")
       .agg(sum("w").cast("double").as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
@@ -198,11 +200,9 @@ object Graph {
           .distinct()
           .withColumn("w", lit(1L))
     }
-    val e = e0.localCheckpoint()
-    val nEdges = e.count()
-    val nParts = Helpers.iterParts(e, nEdges)
-    val edges = e.repartition(nParts, col("src")).localCheckpoint()
-    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
+    val nParts = Helpers.iterParts(e0, nEdges)
+    val edges = e0.repartition(nParts, col("src")).localCheckpoint()
     val outdeg = edges.groupBy("src")
       .agg(sum("w").cast("double").as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
@@ -446,11 +446,9 @@ object Graph {
     require(iters >= 1 && checkpointEvery >= 1)
     val e0 = edgeList.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
-    val e = e0.localCheckpoint()
-    val nEdges = e.count() // free — e just materialized
-    val nParts = Helpers.iterParts(e, nEdges)
-    val edges = e.repartition(nParts, col("src")).localCheckpoint()
-    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
+    val nParts = Helpers.iterParts(e0, nEdges)
+    val edges = e0.repartition(nParts, col("src")).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -605,11 +603,10 @@ object Graph {
     */
   def kCore(edgeList: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
     require(k >= 1 && maxIters >= 1, s"need k >= 1 and maxIters >= 1, got $k/$maxIters")
-    val e = canonicalEdges(edgeList).localCheckpoint()
-    val nEdges = e.count() // free — e just materialized
-    val nParts = Helpers.iterParts(e, nEdges)
-    val edges = e.repartition(nParts, col("a")).localCheckpoint()
-    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(e)
+    val e0 = canonicalEdges(edgeList)
+    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
+    val nParts = Helpers.iterParts(e0, nEdges)
+    val edges = e0.repartition(nParts, col("a")).localCheckpoint()
     var survivors: DataFrame = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
       .withColumn("deg", lit(-1L)) // placeholder; replaced by round 1

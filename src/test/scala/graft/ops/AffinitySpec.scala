@@ -62,6 +62,14 @@ class AffinitySpec extends SparkSpec {
       Affinity.associationRules(b.repartition(7)).collect().toSeq)
   }
 
+  test("pruneItems is a pure performance guard — rules and neighbors are bit-identical either way") {
+    val b = Affinity.basketItems(graft.core.Tables.lineitem(spark, sfDir))
+    assert(Affinity.associationRules(b, minPairs = 2, pruneItems = false).collect().toSeq ==
+      Affinity.associationRules(b, minPairs = 2, pruneItems = true).collect().toSeq)
+    assert(Affinity.itemNeighbors(b, topK = 3, minPairs = 2, pruneItems = false).collect().toSeq ==
+      Affinity.itemNeighbors(b, topK = 3, minPairs = 2, pruneItems = true).collect().toSeq)
+  }
+
   test("associationRules: rejects a degenerate threshold") {
     intercept[IllegalArgumentException](
       Affinity.associationRules(baskets((1L, 2L)), minPairs = 0))
