@@ -321,6 +321,9 @@ object SparkEntry {
     // PMI collocations: bigrams scored by association strength, not raw
     // frequency — exact counts, one ln under the round(6) discipline
     "q_collocations" -> t("documents")(Text.pmiCollocations(_, minCount = 5)),
+    // per-doc TF-IDF key terms, ranked through the bounded-heap top-k
+    // (its third registry consumer)
+    "q_keyterms" -> t("documents")(Text.keyTerms(_, topK = 3)),
     // per-source vocabulary audit through the custom top-k-per-group operator
     "q_top_tokens_per_source" -> t("documents")(Text.topTokensPerSource(_, 5)),
     // vocabSize 100 < fixture vocabulary, so the OOV smoothing path is
@@ -1568,6 +1571,24 @@ object SparkEntry {
                      i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
          SELECT bigram, COUNT(*) AS n FROM grams
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "q_keyterms" ->
+      """WITH tf AS MATERIALIZED (
+           SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM documents)
+           GROUP BY doc_id, tok),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         s AS (SELECT doc_id, tf.term, tf.tf,
+                      round(CAST(tf.tf AS DOUBLE)
+                            * ln(CAST(n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS score
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         w AS (SELECT doc_id, term, tf, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rn
+               FROM s)
+         SELECT doc_id, term, tf, score, rn FROM w WHERE rn <= 3
+         ORDER BY doc_id, rn""",
     // parallel unnest of the two shifted slices zips adjacent tokens;
     // PMI written as the operator's exact division/ln sequence
     "q_collocations" ->

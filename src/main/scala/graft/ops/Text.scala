@@ -420,6 +420,37 @@ object Text {
       .limit(k)
   }
 
+  /** Per-document key-term extraction: TF-IDF — tf(d,t) · ln(N/df(t)) —
+    * top `topK` terms per document, the classic salient-term signal a
+    * corpus index/summary pipeline extracts (next to the corpus-level
+    * [[pmiCollocations]] and [[topNgrams]]).
+    *
+    * Scale shape: one token explode → (doc, term) counts in a combining
+    * aggregate; document frequency derived FROM that table (a second
+    * keyed aggregate — no second corpus scan); N rides as a 1-row
+    * broadcast; ranking through the custom bounded-heap top-k operator
+    * (no per-document window sort). Counts exact longs; the score is one
+    * double multiply of one ln, oracle-identical.
+    */
+  def keyTerms(documents: DataFrame, topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tf = Helpers.releaseAfterFirstAction(
+      documents.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist())
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 6).as("score"))
+    graft.plans.TopK.perGroup(scored, groupCols = Seq("doc_id"),
+        sortSpec = Seq(("score", false), ("term", true)), k = topK)
+      .orderBy("doc_id", "rn")
+  }
+
   /** Corpus-level collocation extraction: pointwise mutual information of
     * adjacent word pairs — PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with
     * p(x,y) from the bigram table and p(·) from the unigram table. The

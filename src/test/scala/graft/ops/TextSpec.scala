@@ -546,6 +546,27 @@ class TextSpec extends SparkSpec {
       "the fixture budget must select a strict, non-empty subset")
   }
 
+  test("keyTerms: hand-computed TF-IDF, rare terms outrank frequent ones") {
+    import spark.implicits._
+    // N=3; 'rare' df=1 in doc1; 'the' df=3 (score 0 everywhere)
+    val d = Seq((1L, "the rare rare"), (2L, "the the"), (3L, "the common")).toDF("doc_id", "text")
+    val out = Text.keyTerms(d, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc1: rare tf=2 score 2*ln(3) = 2.197225; the tf=1 score 0
+    assert(out((1L, 1L)) == (("rare", 2L, 2.197225)))
+    assert(out((1L, 2L)) == (("the", 1L, 0.0)))
+    // doc3: common tf=1 score ln(3) = 1.098612
+    assert(out((3L, 1L)) == (("common", 1L, 1.098612)))
+  }
+
+  test("keyTerms: rank bound, per-doc coverage, bit-identical under repartitioning") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val rows = Text.keyTerms(d, topK = 3).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(4) <= 3L))
+    assert(Text.keyTerms(d, topK = 3).collect().toSeq ==
+      Text.keyTerms(d.repartition(7), topK = 3).collect().toSeq)
+  }
+
   test("budgetSelect: bit-identical under repartitioning") {
     val d = graft.core.Tables.documents(spark, sfDir)
     assert(Text.budgetSelect(d, 5000).collect().toSeq ==
