@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch surface: the pre-aggregation pattern that makes
@@ -98,4 +98,107 @@ object Sketches {
       .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgK))").as("n_users"))
       .select(unix_timestamp(col("w")).as("week"), col("event_type"), col("n_users"))
       .orderBy("week", "event_type")
+
+  // ---- Count-Min Sketch: the mergeable COUNTING sketch next to HLL ----
+  // Fixed 4-row hash family over the MinhashP prime field, applied to the
+  // md5-derived 48-bit key hash (Text.gramHash48) — every step is integer
+  // arithmetic exact in 64 bits on BOTH engines, so unlike the HLL rollup
+  // (exact-bound report) the CMS rollup carries a FULL value oracle: the
+  // estimates themselves hash-match.
+  private val CmsP = 2147483647L // 2^31 - 1 (the minhash field)
+  private[ops] val CmsCoeffs: Seq[(Long, Long)] = Seq(
+    (1234567L, 891011L), (2345679L, 910111L),
+    (3456791L, 101112L), (4567913L, 111213L))
+
+  private def cmsBucket(keyHash: Column, j: Int, width: Int): Column = {
+    val (a, b) = CmsCoeffs(j)
+    pmod(pmod(lit(a) * pmod(keyHash, lit(CmsP)) + lit(b), lit(CmsP)), lit(width))
+  }
+
+  private def cmsRows(keyHash: Column, width: Int): Column =
+    array(CmsCoeffs.indices.map(j =>
+      struct(lit(j).as("j"), cmsBucket(keyHash, j, width).as("bucket"))): _*)
+
+  /** Per-day CMS of event-type occurrence counts: d×width counter rows
+    * per day (the stored intermediate — a fixed-size table per period no
+    * matter how many events or how hot one key runs). One combining
+    * aggregate; the 4-row explode is row-local.
+    */
+  def dailyTypeCms(events: DataFrame, width: Int = 64): DataFrame =
+    events
+      .select(date_trunc("day", col("ts")).as("day"),
+        explode(cmsRows(Text.gramHash48(col("event_type")), width)).as("r"))
+      .groupBy(col("day"), col("r.j").as("j"), col("r.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Weekly per-type count report through the MERGED daily sketches:
+    * counter-wise sum (sum of sketches == sketch of the union — the CMS
+    * merge algebra, spec-asserted bit-equal to sketching the week
+    * directly), then each type's estimate = min over the 4 probed
+    * counters. `n_est ≥ n_exact` ALWAYS (CMS never undercounts without
+    * deletions) and the oracle pins estimate, overcount and flag as exact
+    * values — a full-value sketch oracle, not an error-bound report.
+    */
+  def weeklyTypeCountReport(events: DataFrame, width: Int = 64): DataFrame = {
+    val weekly = dailyTypeCms(events, width)
+      .groupBy(date_trunc("week", col("day")).as("w"), col("j"), col("bucket"))
+      .agg(sum("cnt").as("cnt"))
+    val exact = events
+      .select(date_trunc("week", col("ts")).as("w"), col("event_type"))
+      .groupBy("w", "event_type").agg(count(lit(1)).as("n_exact"))
+    val probes = exact
+      .select(col("w"), col("event_type"),
+        explode(cmsRows(Text.gramHash48(col("event_type")), width)).as("r"))
+      .select(col("w"), col("event_type"), col("r.j").as("j"), col("r.bucket").as("bucket"))
+    val est = probes.join(weekly, Seq("w", "j", "bucket"))
+      .groupBy("w", "event_type").agg(min("cnt").as("n_est"))
+    exact.join(est, Seq("w", "event_type"))
+      .select(unix_timestamp(col("w")).as("week"), col("event_type"),
+        col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"),
+        (col("n_est") >= col("n_exact")).as("never_undercounts"))
+      .orderBy("week", "event_type")
+  }
+
+  /** Generated DuckDB oracle for [[weeklyTypeCountReport]] — the daily
+    * build, the counter-wise weekly merge and the min-of-4 probe replayed
+    * with the same coefficients; generated beside the operator so the
+    * hash family cannot drift.
+    */
+  def cmsReportOracleSql(width: Int = 64): String = {
+    val h = s"CAST('0x' || substring(md5(event_type), 1, 12) AS BIGINT)"
+    def bucket(j: Int) = {
+      val (a, b) = CmsCoeffs(j)
+      s"(($a * (h % $CmsP) + $b) % $CmsP) % $width"
+    }
+    val dailyLegs = CmsCoeffs.indices.map(j =>
+      s"SELECT day, $j AS j, ${bucket(j)} AS bucket FROM ev").mkString("\n           UNION ALL ")
+    val probeLegs = CmsCoeffs.indices.map(j =>
+      s"SELECT w, event_type, $j AS j, ${bucket(j)} AS bucket FROM exact").mkString("\n           UNION ALL ")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT date_trunc('day', ts) AS day, event_type, $h AS h FROM events),
+       |daily AS MATERIALIZED (
+       |  SELECT day, j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |           $dailyLegs)
+       |  GROUP BY day, j, bucket),
+       |weekly AS MATERIALIZED (
+       |  SELECT date_trunc('week', day) AS w, j, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM daily GROUP BY 1, 2, 3),
+       |exact AS MATERIALIZED (
+       |  SELECT date_trunc('week', ts) AS w, event_type, $h AS h,
+       |         CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY 1, 2, 3),
+       |probes AS (SELECT w, event_type, j, bucket FROM (
+       |           $probeLegs)),
+       |est AS (SELECT p.w, p.event_type, MIN(wk.cnt) AS n_est
+       |        FROM probes p
+       |        JOIN weekly wk ON p.w = wk.w AND p.j = wk.j AND p.bucket = wk.bucket
+       |        GROUP BY 1, 2)
+       |SELECT CAST(floor(epoch(e.w)) AS BIGINT) AS week, e.event_type,
+       |       e.n_exact, est.n_est,
+       |       est.n_est - e.n_exact AS overcount,
+       |       est.n_est >= e.n_exact AS never_undercounts
+       |FROM exact e JOIN est ON e.w = est.w AND e.event_type = est.event_type
+       |ORDER BY week, e.event_type""".stripMargin
+  }
 }
