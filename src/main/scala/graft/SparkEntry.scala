@@ -171,6 +171,14 @@ object SparkEntry {
     // backbone a density/spam filter extracts; converges ≤5 rounds here,
     // oracle unrolls 10 (no-ops past the fixpoint)
     "q_kcore" -> t("lineitem")(li => Graph.kCore(Graph.basketEdges(li), k = 5)),
+    // bounded BFS from one brand's parts over the basket graph: exact
+    // hop distance to the nearest seed within 4 hops — the discrete
+    // proximity feature beside personalized PageRank
+    "q_hop_distance" -> ((s, dir) => Graph.hopDistance(
+      Graph.basketEdges(Tables.lineitem(s, dir)),
+      Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("node")),
+      maxHops = 4)),
     // item-item collaborative filtering: top-3 neighbors per part by
     // co-occurrence cosine over one ship-date year (the basket-graph
     // window), ranked through the custom bounded-heap top-k operator
@@ -867,6 +875,7 @@ object SparkEntry {
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_hits" -> Graph.hitsTradeOracleSql(iters = 5),
     "q_kcore" -> Graph.kCoreBasketOracleSql(k = 5, rounds = 10),
+    "q_hop_distance" -> Graph.hopDistanceOracleSql("Brand#1", maxHops = 4),
     // the operator generates pairs row-locally from sorted basket arrays;
     // the oracle replays the equivalent basket self-join (same multiset)
     "q_item_neighbors" ->

@@ -582,6 +582,79 @@ object Graph {
       .distinct()
   }
 
+  /** Bounded BFS hop distance from a seed set: min-plus relaxation for
+    * exactly `maxHops` synchronous rounds over the undirected canonical
+    * graph — dist(v) = length of the shortest path to any seed, emitted
+    * only for nodes within the cap (the "proximity to trusted seeds"
+    * feature a curation pipeline joins back; [[personalizedPageRank]] is
+    * its smooth analog, this is the exact hop count). The cap is a
+    * SEMANTIC parameter, not a convergence heuristic: distance-beyond-H
+    * is "not near", so operator and oracle both run exactly H relaxation
+    * rounds and agree by construction.
+    *
+    * Scale shape: each round is two co-partitioned edge⋈dist joins (one
+    * per direction) + one map-side-combining MIN aggregate; the dist
+    * frame stays frontier-sparse (only reached nodes exist), superseded
+    * checkpoints released each round.
+    */
+  def hopDistance(edgeList: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e0 = canonicalEdges(edgeList)
+    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
+    val nParts = Helpers.iterParts(e0, nEdges)
+    val edges = e0.repartition(nParts, col("a")).localCheckpoint()
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    var dist = nodes
+      .join(seeds.select(col("node").cast("long")).distinct(), Seq("node"), "left_semi")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val viaA = edges.join(dist.select(col("node").as("a"), col("dist")), "a")
+        .select(col("b").as("node"), (col("dist") + 1).as("dist"))
+      val viaB = edges.join(dist.select(col("node").as("b"), col("dist")), "b")
+        .select(col("a").as("node"), (col("dist") + 1).as("dist"))
+      val next = dist.unionByName(viaA).unionByName(viaB)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(dist)
+      dist = next
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    dist.orderBy("node")
+  }
+
+  /** Generated DuckDB oracle for [[hopDistance]] over [[basketEdges]]
+    * with one brand's parts as seeds — the `maxHops` relaxation rounds
+    * unrolled as chained MATERIALIZED CTEs.
+    */
+  def hopDistanceOracleSql(brand: String, maxHops: Int = 4,
+                           from: String = "1996-01-01",
+                           until: String = "1997-01-01"): String = {
+    val iterCtes = (1 to maxHops).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.dist + 1 AS dist FROM e JOIN d${i - 1} d ON e.a = d.node
+         |    UNION ALL
+         |    SELECT e.a AS node, d.dist + 1 AS dist FROM e JOIN d${i - 1} d ON e.b = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+       |d0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       |  WHERE node IN (SELECT p_partkey FROM part WHERE p_brand = '$brand')),
+       |$iterCtes
+       |SELECT node, dist FROM d$maxHops ORDER BY node""".stripMargin
+  }
+
   /** k-core extraction: the maximal subgraph in which every node has
     * degree ≥ k, by synchronous peeling — each round recomputes degrees
     * over the surviving subgraph and drops nodes below k, until a round

@@ -153,6 +153,35 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.hits(edges((1L, 2L)), iters = 0))
   }
 
+  private def hops(maxHops: Int, seedIds: Seq[Long], pairs: (Long, Long)*): Map[Long, Long] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Graph.hopDistance(edges(pairs: _*), seedIds.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("hopDistance: path graph distances from one end, cap drops far nodes") {
+    // path 1-2-3-4-5-6, seed 1
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(hops(4, Seq(1L), p: _*) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(hops(2, Seq(1L), p: _*) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("hopDistance: multiple seeds take the nearest; off-graph seeds are ignored") {
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(hops(4, Seq(1L, 4L, 99L), p: _*) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("hopDistance: disconnected components stay unreached; bit-identical under repartitioning") {
+    assert(hops(3, Seq(1L), (1L, 2L), (3L, 4L)) == Map(1L -> 0L, 2L -> 1L))
+    val e = Graph.basketEdges(graft.core.Tables.lineitem(spark, sfDir))
+    val seeds = graft.core.Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey").as("node"))
+    assert(Graph.hopDistance(e, seeds).collect().toSeq ==
+      Graph.hopDistance(e.repartition(7), seeds).collect().toSeq)
+  }
+
   private def core(k: Int, pairs: (Long, Long)*): Map[Long, Long] =
     Graph.kCore(edges(pairs: _*), k).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
