@@ -167,10 +167,13 @@ object SparkEntry {
     "q_assoc_rules" -> ((s, dir) => Affinity.associationRules(
       Affinity.brandBaskets(Tables.lineitem(s, dir), Tables.part(s, dir)),
       minPairs = 2, pruneItems = false)),
-    // 5-core of the basket graph via synchronous peeling — the dense
-    // backbone a density/spam filter extracts; converges ≤5 rounds here,
-    // oracle unrolls 10 (no-ops past the fixpoint)
-    "q_kcore" -> t("lineitem")(li => Graph.kCore(Graph.basketEdges(li), k = 5)),
+    // 8-core of the THREE-year basket graph via synchronous peeling — the
+    // dense backbone a density/spam filter extracts; the wider window
+    // keeps the core non-empty at every fixture scale (one year's 5-core
+    // is empty at sf0.001) and the higher k peels to fixpoint in 2-3
+    // rounds; oracle unrolls 10 (no-ops past the fixpoint)
+    "q_kcore" -> t("lineitem")(li => Graph.kCore(
+      Graph.basketEdges(li, until = "1999-01-01"), k = 8)),
     // bounded BFS from one brand's parts over the basket graph: exact
     // hop distance to the nearest seed within 4 hops — the discrete
     // proximity feature beside personalized PageRank
@@ -874,7 +877,7 @@ object SparkEntry {
          ORDER BY antecedent, consequent""",
     "q_pagerank_trade" -> Graph.tradeRankOracleSql(),
     "q_hits" -> Graph.hitsTradeOracleSql(iters = 5),
-    "q_kcore" -> Graph.kCoreBasketOracleSql(k = 5, rounds = 10),
+    "q_kcore" -> Graph.kCoreBasketOracleSql(k = 8, rounds = 10, until = "1999-01-01"),
     "q_hop_distance" -> Graph.hopDistanceOracleSql("Brand#1", maxHops = 4),
     // the operator generates pairs row-locally from sorted basket arrays;
     // the oracle replays the equivalent basket self-join (same multiset)
