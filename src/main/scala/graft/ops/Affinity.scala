@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Affinity {
 
-  /** Distinct (basket, item) pairs from order lines — the input shape
-    * [[associationRules]] mines. */
+  /** (basket, item) pairs from order lines — the input shape
+    * [[associationRules]] mines. NOT deduplicated here: the mining
+    * operators distinct their input as part of their own contract, so a
+    * distinct at the source would be a second identical shuffle. */
   def basketItems(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
 
   /** Brand-level baskets: the same orders with items coarsened to the
     * part BRAND through a broadcast dimension join — the item space a
@@ -50,7 +51,6 @@ object Affinity {
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("basket"), col("p_brand").as("item"))
-      .distinct()
 
   /** Row-local unordered-pair expansion of each basket: one aggregate
     * keyed by basket builds the sorted item array, then a nested

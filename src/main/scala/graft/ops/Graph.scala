@@ -576,10 +576,11 @@ object Graph {
         col("l_shipdate") < lit(until).cast("timestamp"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
+    // no pair-level distinct here: every consumer canonicalizes its edge
+    // input ([[canonicalEdges]] dedups), so it would be a duplicate shuffle
     items.as("x")
       .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
-      .distinct()
   }
 
   /** Bounded BFS hop distance from a seed set: min-plus relaxation for

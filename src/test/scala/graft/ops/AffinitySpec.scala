@@ -42,8 +42,9 @@ class AffinitySpec extends SparkSpec {
 
   test("associationRules: Apriori item pruning is invisible in the result") {
     // recompute pair counts WITHOUT the frequent-item pre-filter; the
-    // surviving rules must be identical (monotonicity)
-    val b = Affinity.basketItems(graft.core.Tables.lineitem(spark, sfDir))
+    // surviving rules must be identical (monotonicity). basketItems no
+    // longer dedups (the operators own that), so the recount distincts
+    val b = Affinity.basketItems(graft.core.Tables.lineitem(spark, sfDir)).distinct()
     val x = b.select(col("basket"), col("item").as("x"))
     val y = b.select(col("basket"), col("item").as("y"))
     val unpruned = x.join(y, "basket").filter(col("x") < col("y"))
