@@ -30,7 +30,26 @@ object Bench {
     try run() catch { case e: Throwable =>
       val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         .flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-      println(s"""{"metric":"total","value":-1,"unit":"sec","fatal":"$msg","n_errors":1}""")
+      val line = s"""{"metric":"total","value":-1,"unit":"sec","fatal":"$msg","n_errors":1}"""
+      writeSidecar(line)
+      println(line)
+    }
+
+  /** Sidecar copy of the summary JSON (round-10 postmortem): BENCH_r10.json
+    * carried `parsed: null` because Spark-teardown WARN lines printed AFTER
+    * the summary and pushed its front out of the driver's 2000-char tail
+    * window. The stdout protocol is now teardown-silenced (see run()), and
+    * this file is the belt-and-suspenders copy: the official artifact can
+    * be truncated by a capture window, a file in the repo cannot.
+    */
+  private def writeSidecar(lines: String*): Unit =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_summary.json"))
+      java.nio.file.Files.write(p,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
 
   private def run(): Unit = {
@@ -208,18 +227,28 @@ object Bench {
         memoized.sorted.map(k => s""""$k":true""").mkString("{", ",", "}")}$filterDesc"""
     val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s"""$header,"total_first_run":$totalFirst}"""
-    // short line BEFORE and AFTER the long per-query line: whichever end a
-    // log-tail capture keeps, one complete parseable JSON line survives
-    println(shortLine)
     val qs = ok.map { case (k, (_, mn, _)) => s""""$k":$mn""" }.mkString("{", ",", "}")
     val firsts = ok.map { case (k, (f, _, _)) => s""""$k":$f""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""first_runs":$firsts,"errors":$es,"sf":${jstr(sfDir)},$header}""")
-    println(shortLine)
+    val longLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""first_runs":$firsts,"errors":$es,"sf":${jstr(sfDir)},$header}"""
+    // Teardown BEFORE the summary lines (round-10 postmortem): releasing the
+    // probe checkpoints and stopping the session logs WARN MapPartitionsRDD
+    // lines, and anything printed after the summary can push it out of the
+    // driver's fixed tail window — BENCH_r10.json lost its headline value
+    // exactly that way. Silence the context first (nothing left to diagnose
+    // at this point), tear down, and only then emit the protocol lines as
+    // the absolute last output of the process.
+    spark.sparkContext.setLogLevel("OFF")
     // explicit probe-artifact release at session teardown (no in-flight
     // plans remain after the last timed rep)
     ops.ProbeCache.clear()
     spark.stop()
+    writeSidecar(shortLine, longLine)
+    // short line BEFORE and AFTER the long per-query line: whichever end a
+    // log-tail capture keeps, one complete parseable JSON line survives
+    println(shortLine)
+    println(longLine)
+    println(shortLine)
   }
 }

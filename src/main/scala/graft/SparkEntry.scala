@@ -171,9 +171,12 @@ object SparkEntry {
     // dense backbone a density/spam filter extracts; the wider window
     // keeps the core non-empty at every fixture scale (one year's 5-core
     // is empty at sf0.001) and the higher k peels to fixpoint in 2-3
-    // rounds; oracle unrolls 10 (no-ops past the fixpoint)
+    // rounds; oracle unrolls 10, and maxIters is pinned to the SAME 10 so
+    // a slow-converging corpus throws the designed fail-fast instead of
+    // letting the operator run rounds the oracle never replays (round-10
+    // review: maxIters=20 vs rounds=10 could silently hash-mismatch)
     "q_kcore" -> t("lineitem")(li => Graph.kCore(
-      Graph.basketEdges(li, until = "1999-01-01"), k = 8)),
+      Graph.basketEdges(li, until = "1999-01-01"), k = 8, maxIters = 10)),
     // bounded BFS from one brand's parts over the basket graph: exact
     // hop distance to the nearest seed within 4 hops — the discrete
     // proximity feature beside personalized PageRank

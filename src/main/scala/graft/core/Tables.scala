@@ -25,24 +25,30 @@ object Tables {
   // temp view) and reuses the relation across queries; this memo is that
   // catalog analog for the fixture loader. Fixture dirs are immutable by
   // contract (TESTDATA.md), so a cached listing snapshot cannot go stale.
-  // Retention is bounded to ONE session: the memo holds frames for the
-  // session that loaded last, and the first load from any newer session
-  // (test suites create short-lived ones) swaps the whole map out,
-  // releasing the previous session's plans. Only resolution is cached —
-  // no data is persisted; every query still scans.
-  @volatile private var memo:
-    (SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]) = null
+  // Retention is keyed PER SESSION with weak keys (round-11, from round-10
+  // review): the previous single last-session-wins slot meant two
+  // concurrently active sessions (parallel suites using newSession)
+  // ping-ponged the memo and silently lost all resolution caching. A
+  // WeakHashMap keyed by session keeps one map per LIVE session — a
+  // stopped/unreferenced session's entry (and its cached plans) falls away
+  // with the session itself, so residency stays bounded by live sessions.
+  // Only resolution is cached — no data is persisted; every query still
+  // scans.
+  private val memo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown fixture table: $name")
-    val frames = {
-      val cur = memo
-      if (cur != null && (cur._1 eq spark)) cur._2
-      else {
-        val fresh = (spark, scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
-        memo = fresh
-        fresh._2
+    // WeakHashMap is not thread-safe: the brief lock covers only the map
+    // lookup; resolution itself runs outside it on the per-session TrieMap.
+    val frames = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        memo.put(spark, m)
       }
+      m
     }
     // TrieMap.getOrElseUpdate may resolve twice under a first-load race;
     // both results are equivalent plans, so last-write-wins is harmless.

@@ -21,6 +21,31 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Derive an edge frame ONCE and hand back (edges, nParts): the
+    * derivation is localCheckpointed at its natural width, counted (a
+    * cheap job over the just-cached blocks), re-shuffled to the iteration
+    * width [[Helpers.iterParts]] derives from that count, checkpointed at
+    * that width, and the first checkpoint released.
+    *
+    * Round 10 shipped count-then-checkpoint on the assumption that the
+    * count job and the repartition job shared e0's shuffle map outputs —
+    * they don't: separate Dataset actions compile to independent physical
+    * plans with fresh shuffle IDs, so an expensive derivation (tradeEdges:
+    * three joins + an aggregate) executed TWICE. Derive-once instead pays
+    * one transient second copy of the (projected, deduped) edge set and
+    * one narrow re-shuffle of already-materialized rows — strictly cheaper
+    * than re-deriving at any scale where the derivation is more than a
+    * scan.
+    */
+  private def materializeEdges(e0: DataFrame, partKey: String): (DataFrame, Int) = {
+    val first = e0.localCheckpoint()
+    val nEdges = first.count()
+    val nParts = Helpers.iterParts(first, nEdges)
+    val edges = first.repartition(nParts, col(partKey)).localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(first)
+    (edges, nParts)
+  }
+
   /** Damped PageRank, `iters` fixed synchronous iterations:
     * r⁰ = 1/n;  r^{t+1}(v) = (1−d)/n + d·(Σ_{u→v} r^t(u)/outdeg(u) + D^t/n)
     * where D^t is the total rank on DANGLING nodes (no out-edges) —
@@ -61,18 +86,7 @@ object Graph {
           .distinct()
           .withColumn("w", lit(1L))
     }
-    // size the iteration's partitioning from the measured edge count (the
-    // clusterPairs formula, ceilinged at the session's scheduler slots —
-    // see Helpers.iterParts): a fixture-scale graph on 32 shuffle
-    // partitions pays pure scheduler overhead × iterations; on a large
-    // cluster the same formula widens with both the graph and the slots.
-    // The count is its own aggregate job BEFORE the one materialization —
-    // Spark reuses e0's shuffle map outputs across the two jobs, so this
-    // is strictly cheaper than the pre-r10 double checkpoint (which wrote
-    // the full edge set to storage twice)
-    val nEdges = e0.count()
-    val nParts = Helpers.iterParts(e0, nEdges)
-    val edges = e0.repartition(nParts, col("src")).localCheckpoint()
+    val (edges, nParts) = materializeEdges(e0, "src")
     val outdeg = edges.groupBy("src")
       .agg(sum("w").cast("double").as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
@@ -200,9 +214,7 @@ object Graph {
           .distinct()
           .withColumn("w", lit(1L))
     }
-    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
-    val nParts = Helpers.iterParts(e0, nEdges)
-    val edges = e0.repartition(nParts, col("src")).localCheckpoint()
+    val (edges, nParts) = materializeEdges(e0, "src")
     val outdeg = edges.groupBy("src")
       .agg(sum("w").cast("double").as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
@@ -446,9 +458,7 @@ object Graph {
     require(iters >= 1 && checkpointEvery >= 1)
     val e0 = edgeList.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
-    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
-    val nParts = Helpers.iterParts(e0, nEdges)
-    val edges = e0.repartition(nParts, col("src")).localCheckpoint()
+    val (edges, nParts) = materializeEdges(e0, "src")
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -601,9 +611,7 @@ object Graph {
   def hopDistance(edgeList: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e0 = canonicalEdges(edgeList)
-    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
-    val nParts = Helpers.iterParts(e0, nEdges)
-    val edges = e0.repartition(nParts, col("a")).localCheckpoint()
+    val (edges, _) = materializeEdges(e0, "a")
     val nodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
     var dist = nodes
@@ -670,17 +678,19 @@ object Graph {
     * driver sees one survivor COUNT per round (the [[Dedup.clusterPairs]]
     * convergence-probe pattern) and the loop THROWS past `maxIters`
     * rather than silently returning a non-fixpoint. Peel depth, not
-    * diameter, bounds the rounds; the registered k=5 basket query
-    * converges in ≤5 rounds at every fixture scale (measured), and the
-    * generated oracle unrolls a fixed 10 — extra rounds past the fixpoint
-    * are no-ops, so the two agree whenever the operator converges.
+    * diameter, bounds the rounds; the registered basket query converges
+    * in 2-3 rounds at every fixture scale (measured), and the generated
+    * oracle unrolls a fixed 10 — extra rounds past the fixpoint are
+    * no-ops, so the two agree whenever the operator converges within the
+    * unrolled rounds. Registered `maxIters` must therefore equal the
+    * oracle's `rounds` (the registration pins both to 10): with a larger
+    * maxIters, a corpus converging in rounds 11..maxIters would succeed
+    * here while the oracle silently returned a non-fixpoint.
     */
   def kCore(edgeList: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
     require(k >= 1 && maxIters >= 1, s"need k >= 1 and maxIters >= 1, got $k/$maxIters")
     val e0 = canonicalEdges(edgeList)
-    val nEdges = e0.count() // aggregate job; shuffle outputs reused below
-    val nParts = Helpers.iterParts(e0, nEdges)
-    val edges = e0.repartition(nParts, col("a")).localCheckpoint()
+    val (edges, _) = materializeEdges(e0, "a")
     var survivors: DataFrame = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
       .withColumn("deg", lit(-1L)) // placeholder; replaced by round 1

@@ -1180,33 +1180,120 @@ object Text {
     * of it. Result-identical to the naive window (the oracle replays the
     * naive form; equality also spec-asserted).
     */
-  def budgetSelect(documents: DataFrame, budgetTokens: Long): DataFrame = {
+  def budgetSelect(documents: DataFrame, budgetTokens: Long,
+                   minWindowRows: Long = 4096L,
+                   maxWindowFraction: Double = 0.1): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(minWindowRows >= 1 && maxWindowFraction > 0)
     val toks = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
-    val base = Helpers.releaseAfterFirstAction(
-      documents.select(col("doc_id"),
-          qualityRatios.typeTokenRatio,
-          size(toks).cast("long").as("n_tokens"))
-        .withColumn("_b", floor(col("type_token_ratio") * 100).cast("int"))
-        .persist())
-    // bounded driver-side bucket prefix (≤101 rows — the maxDriverKeys
-    // discipline): best-first, whole buckets while they fit, then at most
-    // one boundary bucket with its exact prefix offset
-    val buckets = base.groupBy("_b").agg(sum("n_tokens").as("bt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
-    val (kept, boundary, _) =
-      buckets.foldLeft((List.empty[Int], Option.empty[(Int, Long)], 0L)) {
-        case ((ks, None, cum), (b, bt)) =>
-          if (cum + bt <= budgetTokens) (b :: ks, None, cum + bt)
-          else (ks, Some((b, cum)), cum)
+    // coalesce makes the operator TOTAL on null text (round-10 review: a
+    // null `_b` bucket NPE'd the driver collect): a null-text doc scores
+    // as worst quality (sentinel score -1.0, sorted last) and costs 0
+    // tokens — and the fixtures are non-null, so registered results are
+    // byte-identical
+    val ttr = coalesce(qualityRatios.typeTokenRatio, lit(-1.0))
+      .as("type_token_ratio")
+    val base = documents.select(col("doc_id"), ttr,
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"))
+      .persist()
+    // Bounded driver-side bucket prefix (≤ ~102 rows per level — the
+    // maxDriverKeys discipline): best-first, whole buckets while they fit,
+    // then at most one boundary bucket. The boundary bucket normally holds
+    // ~1/100 of the corpus and gets the exact cumulative window directly;
+    // on a score-DEGENERATE corpus (post-dedup boilerplate where most docs
+    // share one TTR) that single bucket IS the corpus and the window would
+    // collapse to the naive single-task global sort this operator exists
+    // to avoid (round-10 review). So the boundary descends through finer
+    // buckets until it is window-small: score hundredths → score
+    // ten-thousandths → the EXACT score value (each step ≤ ~102 groups
+    // inside one parent bucket, because scores are round(·,6) ratios) —
+    // and once the boundary is a single exact score, order within it is
+    // doc_id alone, so contiguous doc_id RANGES (span/100 per step) keep
+    // subdividing it; doc_id is unique, so each range step shrinks the
+    // span ≥100× and the loop terminates. Every step is one ≤ ~102-row
+    // driver aggregate; the exact window finally runs over the small
+    // terminal bucket only, offset by the tokens of everything kept
+    // wholesale above it.
+    val scoreLevels: List[Column] = List(
+      floor(col("type_token_ratio") * 100).cast("long"),
+      floor(col("type_token_ratio") * 10000).cast("long"),
+      col("type_token_ratio"))
+    // prefix-scan one level's collected (key, tokens, rows) stats:
+    // returns (kept keys, boundary key with its offset and row count)
+    def prefix(stats: Seq[(Any, Long, Long)], startOffset: Long)
+        : (Seq[Any], Option[(Any, Long, Long)]) =
+      stats.foldLeft((List.empty[Any], Option.empty[(Any, Long, Long)], startOffset)) {
+        case ((ks, None, cum), (k, bt, rows)) =>
+          if (cum + bt <= budgetTokens) (k :: ks, None, cum + bt)
+          else (ks, Some((k, cum, rows)), cum)
         case (acc, _) => acc // past the boundary: dropped wholesale
+      } match { case (ks, b, _) => (ks, b) }
+    def levelStats(scope: Column, key: Column, asc: Boolean): Seq[(Any, Long, Long)] = {
+      val rows = base.filter(scope).groupBy(key.as("_k"))
+        .agg(sum("n_tokens").as("_bt"), count(lit(1)).as("_cnt"))
+        .collect()
+        .map(r => (r.get(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+      // score keys order best-first (desc); doc_id-range keys order asc
+      // (within one exact score the cumulative order is doc_id alone)
+      val byKey = rows.sortBy(_._1.asInstanceOf[Number].doubleValue())
+      if (asc) byKey.toSeq else byKey.reverse.toSeq
+    }
+    var keptPreds = List.empty[Column]
+    var scope: Column = lit(true)
+    var offset = 0L
+    var boundary = Option.empty[(Long, Long)] // (offset, rows) of current boundary
+    var totalRows = 0L
+    var level = 0
+    var docLevels = 0
+    var done = false
+    while (!done) {
+      val (key, asc) =
+        if (level < scoreLevels.length) (scoreLevels(level), false)
+        else {
+          // doc_id-range level: only reached once the boundary is a single
+          // exact score; one bounded 1-row min/max job sizes the ranges
+          val mm = base.filter(scope).agg(min("doc_id"), max("doc_id")).head()
+          val lo = mm.getLong(0)
+          val width = (mm.getLong(1) - lo) / 100L + 1L
+          docLevels += 1
+          // long cast truncates the (monotonic) double quotient, so range
+          // buckets stay contiguous in doc_id even when the division
+          // rounds — assignment only needs monotonicity, not exactness
+          (((col("doc_id") - lit(lo)) / lit(width)).cast("long"), true)
+        }
+      val stats = levelStats(scope, key, asc)
+      if (level == 0) totalRows = stats.map(_._3).sum
+      val (keptKeys, bnd) = prefix(stats, offset)
+      if (keptKeys.nonEmpty) keptPreds ::= scope && key.isin(keptKeys: _*)
+      bnd match {
+        case None => boundary = None; done = true // everything fits
+        case Some((bk, off, rows)) =>
+          scope = scope && key === lit(bk)
+          offset = off
+          boundary = Some((off, rows))
+          // window-small, or the hard depth backstop (doc_id uniqueness
+          // caps useful range levels at log100(id span) ≤ 7 for 48-bit
+          // ids; past it the remaining bucket is as small as ranges make
+          // it and the window is still exact, just wider than the target)
+          if (rows <= math.max(minWindowRows, (maxWindowFraction * totalRows).toLong)
+              || docLevels >= 8) done = true
+          else level += 1
       }
-    val full = base.filter(col("_b").isin(kept: _*))
+    }
+    // every driver-side probe above ran against the persisted base; hand
+    // the cache to the CONSUMER'S action now (round-10 review: releasing
+    // after the first internal collect meant pass 2 re-tokenized the
+    // corpus twice, defeating the documented one-scan design)
+    Helpers.releaseAfterFirstAction(base)
+    val full = keptPreds match {
+      case Nil => base.filter(lit(false))
+      case ps => base.filter(ps.reduce(_ || _)) // disjoint ≡ union, one scan
+    }
     val out = boundary match {
-      case Some((b, off)) =>
+      case Some((off, _)) =>
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("type_token_ratio").desc, col("doc_id"))
-        val bounded = base.filter(col("_b") === b)
+        val bounded = base.filter(scope)
           .withColumn("_cum", sum("n_tokens").over(w) + lit(off))
           .filter(col("_cum") <= budgetTokens)
           .drop("_cum")

