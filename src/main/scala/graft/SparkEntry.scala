@@ -335,6 +335,11 @@ object SparkEntry {
     // next to q_repetition's lighter dup-3-gram/top-token pair; exact
     // integer counts ride along so the oracle pins them
     "q_repetition_gopher" -> t("documents")(Text.repetitionSignals),
+    // trained quality classifier: 4 full-batch softsign-sigmoid gradient
+    // steps distilling the Gopher rule gate into a smooth score — the
+    // rules-to-classifier curation step; decimal-exact gradient sums make
+    // the whole training loop replayable (iteration-unrolled oracle)
+    "q_quality_classifier" -> t("documents")(Text.qualityClassifier(_)),
     "q_heavy_hitters" -> t("documents")(Text.heavyHitters(_)),
     "q_temperature_mix" -> t("documents")(Text.temperatureMixture(_)),
     "q_top_ngrams" -> t("documents")(Text.topNgrams(_, 20)),
@@ -364,6 +369,11 @@ object SparkEntry {
     "q_bpe_encode" -> t("documents")(Bpe.encode(_, 30)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_dup_passages" -> t("documents")(Text.duplicatePassageStats(_)),
+    // exact substring-run dedup (Lee et al. shape): maximal token spans
+    // whose every 8-gram window exists in another document, spans >= 15
+    // tokens — duplicated runs at ANY alignment, the sub-document
+    // modality fixed chunks / lines / paragraphs all miss
+    "q_substring_runs" -> t("documents")(Text.duplicateRuns(_)),
     "q_train_split" -> t("documents")(Text.trainValSplit(_)),
     // leakage-safe split: fold keyed by near-dup CLUSTER root, so a val
     // doc can never have a near-copy in train
@@ -1457,6 +1467,7 @@ object SparkEntry {
                  AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
                  AND n_stop_hits >= 1) AS keep
          FROM s ORDER BY doc_id""",
+    "q_quality_classifier" -> ops.Text.qualityClassifierOracleSql(),
     "q_repetition_gopher" ->
       // mirrors repetitionSignals exactly: dup counts/chars = total minus
       // distinct (beyond-first occurrences), lines split on \n and
@@ -1684,6 +1695,25 @@ object SparkEntry {
                 round(CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
          FROM h JOIN df USING (hh)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_substring_runs" ->
+      // overlapping 8-gram hashes (the gramHash48 md5 family) with their
+      // 1-based positions; grams shared across >= 2 docs; per-doc
+      // gaps-and-islands (pos - row_number constant on a consecutive run)
+      // merges them into maximal spans, reported when >= 15 tokens
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 CAST('0x' || substring(md5(array_to_string(t[i : i+7], ' ')), 1, 12) AS BIGINT) AS h
+               FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+         shared AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM shared)),
+         isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM hits),
+         runs AS (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 7 AS end_tok
+                  FROM isl GROUP BY doc_id, grp)
+         SELECT doc_id, start_tok, end_tok, end_tok - start_tok + 1 AS n_tokens
+         FROM runs WHERE end_tok - start_tok + 1 >= 15
+         ORDER BY doc_id, start_tok""",
     "q_train_split" ->
       """SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                              IN ('0','1','2','3','4') THEN 'val' ELSE 'train' END AS split

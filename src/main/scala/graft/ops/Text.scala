@@ -992,6 +992,79 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-run extraction (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" substring axis): the
+    * MAXIMAL token spans of each document whose every k-token window also
+    * appears in at least one OTHER document — the sub-document modality
+    * between [[duplicatePassageStats]] (fixed non-overlapping chunks, a
+    * statistic) and line/paragraph dedup (delimiter-bounded units): a
+    * duplicated run of length L ≥ k is detected at ANY alignment, not just
+    * on chunk or line boundaries. Where the paper builds a corpus suffix
+    * array, the distributed formulation is: hash every OVERLAPPING k-gram
+    * with its position, mark grams whose hash occurs in ≥ 2 distinct
+    * documents (cross-document: a doc repeating itself is repetition, not
+    * duplication — the [[duplicatePassageStats]] convention), and merge
+    * each document's consecutive marked positions into maximal spans
+    * (gaps-and-islands: `pos − row_number()` is constant exactly on a
+    * consecutive run). A span [s, e] is reported when every window inside
+    * it is shared somewhere, i.e. any substring of ≥ k tokens that exists
+    * elsewhere is covered by exactly one maximal span per document.
+    *
+    * Output: (doc_id, start_tok, end_tok, n_tokens) in 1-based inclusive
+    * token positions, spans below `minRunTokens` dropped.
+    *
+    * Scale shape: the shingling is one row-local typed pass (the
+    * [[winnowing]] carve-out — a HOF gram builder pays k interpreted
+    * lambda steps per gram); the shuffle carries (hash48, doc_id, pos)
+    * triples — never text — through one combining distinct-count
+    * aggregate and one hash semi-join back; the island window partitions
+    * per document, so no global sort exists at any corpus size. The gram
+    * pass is persisted because both sides of the shared-hash join read it
+    * (the [[duplicatePassageStats]] one-pass contract). Hashes are
+    * [[gramHash48]] (md5-derived), so the whole operator carries a full
+    * DuckDB value oracle.
+    */
+  def duplicateRuns(documents: DataFrame, k: Int = 8,
+                    minRunTokens: Int = 15): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minRunTokens >= k, s"minRunTokens must be >= k=$k, got $minRunTokens")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tokenRe = "[a-z0-9]+".r
+    val grams = Helpers.releaseAfterFirstAction(
+      documents.select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String]
+                     else tokenRe.findAllIn(text).toArray
+          if (toks.length < k) Iterator.empty
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            Iterator.tabulate(toks.length - k + 1) { i =>
+              (id, (i + 1).toLong, // 1-based gram position
+                gramHash48Local(md, toks.slice(i, i + k).mkString(" ")))
+            }
+          }
+        }
+        .toDF("doc_id", "pos", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shared = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val hits = grams.join(shared, Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min("pos").as("start_tok"),
+        (max("pos") + lit(k.toLong - 1)).as("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1L).as("n_tokens"))
+      .filter(col("n_tokens") >= minRunTokens)
+      .orderBy("doc_id", "start_tok")
+  }
+
   /** Deterministic corpus mixture: downsample each source to its configured
     * rate using md5 hex buckets (16ths) of the id — the weighted-mixing
     * step that balances sources before training. Same determinism contract
@@ -1413,6 +1486,134 @@ object Text {
         when(col("_dx") =!= 0.0 && col("_dy") =!= 0.0,
           (col("_cov") * col("_cov")) / (col("_dx") * col("_dy"))).as("r2"))
       .orderBy("grp")
+  }
+
+  /** TRAINED quality classifier: fixed-iteration distributed gradient
+    * descent that distills the [[gopherKeep]] rule gate into a smooth
+    * per-document score over the graded quality features — the standard
+    * curation pattern (fastText/CCNet-style: train a cheap classifier on
+    * weak rule labels, gate on its calibrated score) next to the
+    * closed-form [[linearFit]]. Features: mean word length
+    * ([[gopherSignals]]), stopword ratio and type-token ratio
+    * ([[qualityRatios]]) — all round(·,6) per-row columns; label: the
+    * Gopher keep boolean.
+    *
+    * The activation is the SOFTSIGN sigmoid σ(z) = 0.5 + 0.5·z/(1+|z|) —
+    * a genuine squashing nonlinearity built ONLY from add/mul/div/abs,
+    * every one an IEEE-correctly-rounded operation both engines execute
+    * bit-identically. (Logistic exp() is not ulp-portable across
+    * runtimes; softsign keeps the whole training loop inside the exact
+    * replay discipline.) Each iteration computes the full-batch gradient
+    * g_j = Σ (σ(w·x)−y)·x_j as ONE algebraic aggregate with
+    * DECIMAL(28,18)-cast per-row terms (order-independent, the
+    * [[Helpers.dsum]] / [[graft.ops.Graph.pageRank]] contract), then
+    * updates w ← w − lr·g/n in double over identical operands — no
+    * driver math, no sampling: the weights live in a 1-row broadcast
+    * frame, so the whole fit is ONE lazy plan.
+    *
+    * Scale shape: the feature frame is localCheckpointed once (it feeds
+    * every iteration's aggregate and the final scoring) and each
+    * iteration is one map-side-combining aggregate over it — at 100 TB
+    * the fit costs `iters` scans of a 5-column frame, nothing shuffles
+    * but 5 partial sums per task, and the broadcast weight row is bytes.
+    * Output: (doc_id, label, score, pred), score = round(σ,6), pred
+    * thresholded at 0.5 on the ROUNDED score so both engines threshold
+    * the identical value.
+    */
+  def qualityClassifier(documents: DataFrame, iters: Int = 4,
+                        lr: Double = 0.5): DataFrame = {
+    require(iters >= 1 && lr > 0, s"need iters >= 1 and lr > 0, got $iters/$lr")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 18)
+    def sigma(z: Column): Column =
+      lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+    val q = qualityRatios
+    val feat = documents.select(col("doc_id"),
+        gopherSignals.meanWordLen.as("x1"),
+        q.stopwordRatio.as("x2"),
+        q.typeTokenRatio.as("x3"),
+        when(gopherKeep(), lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .localCheckpoint()
+    val z = col("b") + col("w1") * col("x1") +
+      col("w2") * col("x2") + col("w3") * col("x3")
+    val err = sigma(z) - col("y")
+    var w: DataFrame = documents.sparkSession.range(1)
+      .select(lit(0.0).as("b"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"), lit(0.0).as("w3"))
+    for (_ <- 1 to iters) {
+      // previous weights ride the aggregate as max() of their constant
+      // broadcast column, so the update stays inside the one plan
+      val g = feat.crossJoin(broadcast(w)).agg(
+        max("b").as("pb"), max("w1").as("p1"),
+        max("w2").as("p2"), max("w3").as("p3"),
+        sum(err.cast(dec)).cast("double").as("g0"),
+        sum((err * col("x1")).cast(dec)).cast("double").as("g1"),
+        sum((err * col("x2")).cast(dec)).cast("double").as("g2"),
+        sum((err * col("x3")).cast(dec)).cast("double").as("g3"),
+        count(lit(1)).as("n"))
+      w = g.select(
+        (col("pb") - lit(lr) * col("g0") / col("n")).as("b"),
+        (col("p1") - lit(lr) * col("g1") / col("n")).as("w1"),
+        (col("p2") - lit(lr) * col("g2") / col("n")).as("w2"),
+        (col("p3") - lit(lr) * col("g3") / col("n")).as("w3"))
+    }
+    feat.crossJoin(broadcast(w))
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        round(sigma(z), 6).as("score"))
+      .withColumn("pred", col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[qualityClassifier]]: the `iters`
+    * gradient steps unrolled as chained CTE pairs (gradient aggregate,
+    * then weight update) — the [[graft.ops.Graph.pageRankOracleSql]]
+    * pattern. `lr` must print exactly (a small power-of-two fraction)
+    * so both engines multiply the identical literal.
+    */
+  def qualityClassifierOracleSql(iters: Int = 4, lr: Double = 0.5): String = {
+    def sig(z: String) = s"(0.5 + 0.5 * $z / (1 + abs($z)))"
+    def z(w: String) = s"($w.b + $w.w1 * f.x1 + $w.w2 * f.x2 + $w.w3 * f.x3)"
+    def e(w: String) = s"(${sig(z(w))} - f.y)"
+    val steps = (1 to iters).map { i =>
+      val p = s"w${i - 1}"
+      s"""g$i AS (SELECT max(b) AS pb, max(w1) AS p1, max(w2) AS p2, max(w3) AS p3,
+         |  CAST(SUM(CAST(${e(p)} AS DECIMAL(28,18))) AS DOUBLE) AS g0,
+         |  CAST(SUM(CAST((${e(p)} * f.x1) AS DECIMAL(28,18))) AS DOUBLE) AS g1,
+         |  CAST(SUM(CAST((${e(p)} * f.x2) AS DECIMAL(28,18))) AS DOUBLE) AS g2,
+         |  CAST(SUM(CAST((${e(p)} * f.x3) AS DECIMAL(28,18))) AS DOUBLE) AS g3,
+         |  COUNT(*) AS n
+         |  FROM f, $p),
+         |w$i AS (SELECT pb - $lr * g0 / n AS b, p1 - $lr * g1 / n AS w1,
+         |  p2 - $lr * g2 / n AS w2, p3 - $lr * g3 / n AS w3 FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT doc_id,
+       |    round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+       |          / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS x1,
+       |    round(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS DOUBLE)
+       |          / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS x2,
+       |    round(CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+       |          / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS x3,
+       |    CASE WHEN (len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 40
+       |               AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) <= 100000
+       |               AND round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+       |                     / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) >= 2.0
+       |               AND round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+       |                     / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) <= 12.0
+       |               AND round(CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS DOUBLE)
+       |                     / greatest(len(string_split(text, chr(10))), 1), 6) <= 0.9
+       |               AND round(CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.${"$"}')) AS DOUBLE)
+       |                     / greatest(len(string_split(text, chr(10))), 1), 6) <= 0.3
+       |               AND len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                   ['the','be','to','of','and','that','have','with'])) >= 1)
+       |         THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+       |       CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+       |$steps
+       |SELECT doc_id, CAST(f.y AS BIGINT) AS label,
+       |       round(${sig(z(s"w$iters"))}, 6) AS score,
+       |       round(${sig(z(s"w$iters"))}, 6) >= 0.5 AS pred
+       |FROM f, w$iters ORDER BY doc_id""".stripMargin
   }
 
   /** [[linearFit]] instantiated on the quality surface: per source, does

@@ -573,6 +573,88 @@ class TextSpec extends SparkSpec {
       Text.budgetSelect(d.repartition(7), 5000).collect().toSeq)
   }
 
+  test("qualityClassifier: matches a driver-computed gradient descent bit-for-bit") {
+    val iters = 4
+    val lr = 0.5
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val q = Text.qualityRatios
+    val rows = d.select(col("doc_id"), Text.gopherSignals.meanWordLen.as("x1"),
+        q.stopwordRatio, q.typeTokenRatio,
+        org.apache.spark.sql.functions.when(Text.gopherKeep(), 1.0).otherwise(0.0).as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._5).distinct.length == 2,
+      "fixture must contain both keep and drop labels for a meaningful fit")
+    // replay the training loop on the driver: scale-18 HALF_UP per-term
+    // quantization + exact BigDecimal summation = the operator's
+    // DECIMAL(28,18) aggregate
+    def sig(z: Double) = 0.5 + 0.5 * z / (1.0 + math.abs(z))
+    val n = rows.length
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(4)(BigDecimal(0))
+      rows.foreach { case (_, x1, x2, x3, y) =>
+        val e = sig(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3) - y
+        val terms = Array(e, e * x1, e * x2, e * x3)
+        var j = 0
+        while (j < 4) {
+          sums(j) += BigDecimal(terms(j)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+          j += 1
+        }
+      }
+      w = Array.tabulate(4)(j => w(j) - lr * (sums(j).toDouble / n))
+    }
+    val expected = rows.map { case (id, x1, x2, x3, y) =>
+      val s = sig(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)
+      (id, y.toLong,
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = Text.qualityClassifier(d, iters, lr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the fit genuinely learned the gate: kept docs score higher on average
+    val (kept, dropped) = expected.partition(_._2 == 1L)
+    assert(kept.map(_._3).sum / kept.size > dropped.map(_._3).sum / dropped.size,
+      "mean score of keep-labeled docs must exceed the drop-labeled mean")
+  }
+
+  test("duplicateRuns: hand-computed maximal spans, cross-document only") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e x y z"),      // shares "a b c d e" with doc 2
+      (2L, "q r a b c d e s"),
+      (3L, "m n o m n o m n o"))    // self-repetition only: no cross-doc hit
+      .toDF("doc_id", "text")
+    val got = Text.duplicateRuns(d, k = 3, minRunTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1: shared 3-grams at positions 1,2,3 → span tokens [1,5]
+    // doc 2: shared 3-grams at positions 3,4,5 → span tokens [3,7]
+    assert(got == Seq((1L, 1L, 5L, 5L), (2L, 3L, 7L, 5L)))
+    // raising the floor above the span length drops both
+    assert(Text.duplicateRuns(d, k = 3, minRunTokens = 6).count() == 0)
+  }
+
+  test("duplicateRuns: adjacent shared windows from DIFFERENT partners merge") {
+    import spark.implicits._
+    // doc 6 contains doc 4's text and doc 5's text overlapping at "c d e":
+    // every 3-gram of doc 6 is shared with SOME doc, so its whole 7-token
+    // body is one maximal span even though no single partner holds it all
+    val d = Seq(
+      (4L, "a b c d e"),
+      (5L, "c d e f g"),
+      (6L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = Text.duplicateRuns(d, k = 3, minRunTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((4L, 1L, 5L), (5L, 1L, 5L), (6L, 1L, 7L)))
+  }
+
+  test("duplicateRuns: bit-identical under repartitioning") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val a = Text.duplicateRuns(d).collect().toSeq
+    assert(a.nonEmpty, "fixture corpus must contain duplicated runs")
+    assert(a == Text.duplicateRuns(d.repartition(7)).collect().toSeq)
+  }
+
   test("budgetSelect: score-degenerate corpus never windows the full input") {
     import spark.implicits._
     // every doc has the SAME type-token ratio (all tokens distinct → 1.0)
