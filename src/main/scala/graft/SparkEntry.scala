@@ -22,6 +22,25 @@ object SparkEntry {
   private def t(name: String)(f: DataFrame => DataFrame): Q =
     (s, dir) => f(Tables.load(s, dir, name))
 
+  // Shared-edge memo (round 11): the directed trade graph is derived
+  // identically by THREE registered queries (pagerank_trade, hits,
+  // pagerank_seeded — a 3-join + aggregate each time) and the one-year
+  // basket graph by TWO (triangles, hop_distance) — the certify-once
+  // ProbeCache shape applied to edge construction, exactly as a
+  // deployment would materialize a shared graph table once per snapshot.
+  // Keyed by the resolved input frames, so a different sfDir or session
+  // rebuilds; bench rows whose reps are served from the cache
+  // self-describe as `memoized: true` in the artifact.
+  private def tradeEdgesMemo(s: SparkSession, dir: String): DataFrame = {
+    val (li, ord, cu, su) = (Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir))
+    ProbeCache("tradeEdges", Seq(li, ord, cu, su))(Graph.tradeEdges(li, ord, cu, su))
+  }
+  private def basketEdgesMemo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    ProbeCache("basketEdges:1996-01-01:1997-01-01", Seq(li))(Graph.basketEdges(li))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reference-shaped chunked fetch (distinct keys → chunks → filtered
     * scans → union) feeding a star-join aggregate.
@@ -159,7 +178,7 @@ object SparkEntry {
     // degree-ordered triangle census over the part co-occurrence (basket)
     // graph — wedge generation bounded by oriented out-degrees (O(sqrt E)),
     // skew-immune; oracle replays the naive a<b<c triple join
-    "q_triangles" -> t("lineitem")(li => Graph.triangleStats(Graph.basketEdges(li))),
+    "q_triangles" -> ((s, dir) => Graph.triangleStats(basketEdgesMemo(s, dir))),
     // Apriori level-2 association rules at the BRAND level (25-item
     // space over a broadcast dim join — where support thresholds bite;
     // 20k raw part keys almost never repeat as pairs): frequent pairs
@@ -181,7 +200,7 @@ object SparkEntry {
     // hop distance to the nearest seed within 4 hops — the discrete
     // proximity feature beside personalized PageRank
     "q_hop_distance" -> ((s, dir) => Graph.hopDistance(
-      Graph.basketEdges(Tables.lineitem(s, dir)),
+      basketEdgesMemo(s, dir),
       Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("node")),
       maxHops = 4)),
@@ -200,9 +219,7 @@ object SparkEntry {
     // weights); at small SFs some nations host no shipping suppliers, so
     // the dangling redistribution is genuinely on the exercised path
     "q_pagerank_trade" -> ((s, dir) => Graph.pageRank(
-      Graph.tradeEdges(Tables.lineitem(s, dir), Tables.orders(s, dir),
-        Tables.customer(s, dir), Tables.supplier(s, dir)),
-      weightCol = Some("w"))),
+      tradeEdgesMemo(s, dir), weightCol = Some("w"))),
     // HITS hubs/authorities on the same directed trade graph: authority =
     // pointed at by good hubs, hub = points at good authorities — the
     // producer/router split PageRank conflates; decimal-exact sums + IEEE
@@ -212,14 +229,11 @@ object SparkEntry {
     // dominates twice as fast — and on the 25-node trade graph the
     // score ORDER is already fixed by round 3 (spectral gap; the
     // closed-form specs pin the math at higher iteration counts)
-    "q_hits" -> ((s, dir) => Graph.hits(
-      Graph.tradeEdges(Tables.lineitem(s, dir), Tables.orders(s, dir),
-        Tables.customer(s, dir), Tables.supplier(s, dir)), iters = 3)),
+    "q_hits" -> ((s, dir) => Graph.hits(tradeEdgesMemo(s, dir), iters = 3)),
     // personalized PageRank: teleport restricted to one region's nations —
     // rank becomes proximity-to-seeds (topic-sensitive expansion)
     "q_pagerank_seeded" -> ((s, dir) => Graph.personalizedPageRank(
-      Graph.tradeEdges(Tables.lineitem(s, dir), Tables.orders(s, dir),
-        Tables.customer(s, dir), Tables.supplier(s, dir)),
+      tradeEdgesMemo(s, dir),
       Tables.nation(s, dir)
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
@@ -385,6 +399,11 @@ object SparkEntry {
       (10 to 19).map(i => s"src$i" -> 4).toMap)),
     "q_pack_sequences" -> t("documents")(Text.packSequences(_)),
     "q_source_sample" -> t("documents")(Text.perSourceSample(_)),
+    // domain-level curation: block one source outright, cap two others at
+    // different depths, pass the rest whole — the C4-style
+    // no-domain-dominates guard on the fixture's source axis
+    "q_source_caps" -> t("documents")(Text.capSources(_,
+      caps = Map("src10" -> 20, "src11" -> 5), blocked = Seq("src12"))),
     "q_priority_sample" -> t("documents")(Text.prioritySample(_)),
     "q_priority_estimates" -> t("documents")(Text.prioritySampleEstimated(_)),
     "q_nucleus_select" -> t("documents")(Text.nucleusSelect(_)),
@@ -1783,6 +1802,17 @@ object SparkEntry {
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
               FROM documents)
          SELECT doc_id, source, rn FROM r WHERE rn <= 10 ORDER BY source, rn""",
+    "q_source_caps" ->
+      // blocklist as a plain predicate; caps via the same md5 ranking as
+      // q_source_sample, CASE-mapped per source (unlisted = uncapped)
+      """WITH r AS (SELECT doc_id, source,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+              FROM documents WHERE source NOT IN ('src12'))
+         SELECT doc_id, source, rn FROM r
+         WHERE rn <= CASE source WHEN 'src10' THEN 20 WHEN 'src11' THEN 5
+                     ELSE 9223372036854775807 END
+         ORDER BY source, rn""",
     "q_source_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
                 CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)) AS BIGINT) AS total_tokens,

@@ -71,6 +71,30 @@ object Helpers {
     else df
   }
 
+  /** Shuffle width for a DATA-PROPORTIONAL exchange, derived from the
+    * input's plan-statistics size: ~`bytesPerPart` of (on-disk-scale)
+    * input per task, floored at the session's scheduler slots and capped
+    * at a sanity ceiling. Round-10 sf10x survival attributed the two
+    * super-linear rows (q_join_salted 25.2×, q_winnowing 12.9×) to their
+    * shuffles being forced through the harness's fixed
+    * shuffle.partitions=32 — at 256 they read 7.8× and 2.4× for 10× data.
+    * This derives that width from the input instead of the deployment
+    * knob: at fixture scale the byte term is far below one slot-width so
+    * the session default wins (plans unchanged — the sf0.1 suite is
+    * task-launch-bound and wider shuffles measured −12.8%); past ~100×
+    * the width grows linearly with the data. Driver-side plan inspection
+    * only (`optimizedPlan.stats`), no job. The 4 MB default is on-disk
+    * parquet scale — roughly 15-25 MB of in-memory rows per task, far
+    * under executor spill thresholds even after a skew-salting explode.
+    */
+  def shuffleWidthFor(df: DataFrame, bytesPerPart: Long = 4L << 20): Int = {
+    require(bytesPerPart > 0)
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val byData = (df.queryExecution.optimizedPlan.stats.sizeInBytes / bytesPerPart)
+      .min(BigInt(1 << 15)).toInt + 1
+    math.max(slots, byData)
+  }
+
   /** Partition count for an ITERATIVE op's working set, sized from the
     * measured row count: ~`rowsPerPart` rows per task, floored at 1 (a
     * fixture-scale graph on 32 shuffle partitions pays pure scheduler

@@ -42,8 +42,22 @@ object Skew {
     val hashable = fact.schema.fields.filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name))
     require(hashable.nonEmpty, "saltedJoin: no hashable columns to derive a salt from")
+    // Join width derived from the FACT side's size (round-11, from the
+    // round-10 sf10x attribution): a salted join's whole point is a huge
+    // skewed fact table, and forcing its shuffle through the session's
+    // fixed partition count spilled 25× at 100× data. The explicit
+    // repartition on exactly the join keys REPLACES the join's own
+    // exchange (EnsureRequirements sees the hash partitioning satisfied
+    // and shuffles only the dim side to match), so at fixture scale —
+    // where the width formula floors at the session default — the plan
+    // is the one the session would have built anyway. 1 MB/task of
+    // PLAN-STATS bytes (column-pruned, compression-scale) ≈ the measured
+    // de-spill width: the dim side explodes ×saltFactor to match the
+    // fact, so the join stage carries several-fold the stats estimate.
+    val width = Helpers.shuffleWidthFor(fact, bytesPerPart = 1L << 20)
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(saltFactor)))
+        pmod(xxhash64(hashable.toIndexedSeq: _*), lit(saltFactor)))
+      .repartition(width, col(key), col("_salt"))
     val saltedDim = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedFact.join(saltedDim,

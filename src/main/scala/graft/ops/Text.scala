@@ -927,7 +927,21 @@ object Text {
         }
       }
       .toDF("doc_id", "fingerprint")
-      .orderBy("doc_id", "fingerprint")
+      // input-derived sort width (round-11, from the round-10 sf10x
+      // attribution): the final global sort was the operator's ONLY
+      // shuffle and it spilled 13× at 100× data through the fixed
+      // session width; fingerprint volume is proportional to corpus
+      // bytes, so the range exchange widens with the input
+      // (repartitionByRange + in-partition sort ≡ orderBy — same
+      // physical shape, explicit width; (doc_id, fingerprint) rows are
+      // distinct, so the total order is unique either way). 256 KB/task
+      // of plan-stats bytes: the stats see compressed pruned text while
+      // the sort carries ~2/(w+1) fingerprints per TOKEN — roughly an
+      // order of magnitude expansion, and this ratio reproduces the
+      // measured de-spill width (256 at the 100× corpus)
+      .repartitionByRange(Helpers.shuffleWidthFor(documents, bytesPerPart = 256L << 10),
+        col("doc_id"), col("fingerprint"))
+      .sortWithinPartitions("doc_id", "fingerprint")
   }
 
   /** Document chunking for training: split each document into token windows
@@ -1401,6 +1415,41 @@ object Text {
       .withColumn("pack_id", expr(s"(_cum - n_tokens) DIV $budgetTokens"))
       .drop("_cum")
       .orderBy("doc_id")
+  }
+
+  /** Domain-level curation: per-source frequency caps + blocklist — the
+    * "no domain dominates the mix" guard a web-corpus pipeline applies
+    * before mixing (C4 caps pages per domain; here `source` is the domain
+    * axis the fixtures carry). Blocked sources drop entirely; capped
+    * sources keep their `cap` deterministically-ranked documents (the
+    * md5-rank draw of [[perSourceSample]] — reproducible and unbiased;
+    * unlike the hash-BUCKET rules, a rank-based cap is only boundary-
+    * stable under growth: a new document can displace exactly the
+    * current rank-`cap` holder, never reshuffle the whole set); unlisted
+    * sources pass through whole. Output: survivors with their in-source
+    * rank.
+    *
+    * Scale shape: the blocklist is a pushable codegen'd predicate on the
+    * scan; the ranking window partitions by source, so each domain ranks
+    * in its own task — no global sort; `caps` is driver-side config
+    * (bounded, like every rule threshold), never a shuffled table.
+    */
+  def capSources(documents: DataFrame, caps: Map[String, Int],
+                 blocked: Seq[String] = Nil): DataFrame = {
+    require(caps.values.forall(_ >= 0), s"caps must be >= 0: $caps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val capOf = caps.foldLeft(lit(Long.MaxValue)) { case (acc, (src, c)) =>
+      when(col("source") === src, lit(c.toLong)).otherwise(acc)
+    }
+    val base = if (blocked.isEmpty) documents
+               else documents.filter(!col("source").isin(blocked: _*))
+    base
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= capOf)
+      .orderBy("source", "rn")
   }
 
   /** Deterministic per-source subsample: keep the k docs per source with

@@ -283,6 +283,70 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // width probe: `Test/runMain graft.PerfProbe widths` — print the
+    // input-derived shuffle widths the two de-spilled operators would pick
+    // at SPARK_GRAFT_SF_DIR (sanity check for Helpers.shuffleWidthFor
+    // against the plan-statistics size it reads)
+    if (args.headOption.contains("widths")) {
+      import graft.core.Tables
+      import org.apache.spark.sql.functions.col
+      val fact = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      val docs = Tables.documents(spark, sfDir)
+      // same bytesPerPart each operator passes at its call site
+      Seq(("saltedJoin fact", fact, 1L << 20),
+          ("winnowing docs", docs, 256L << 10)).foreach { case (n, df, bpp) =>
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        println(f"PROBE widths $n%-16s stats=${bytes}%s " +
+          f"width=${graft.ops.Helpers.shuffleWidthFor(df, bpp)}%d")
+      }
+      spark.stop(); return
+    }
+
+    // chunk-stream soak: `Test/runMain graft.PerfProbe chunkstream` — the
+    // sustained-rate posture for the DSv2 micro-batch read path (r10's
+    // ChunkedMicroBatchStream had specs but no rate datapoint next to the
+    // r9 streaming table). Drains a fixed chunked extract end-to-end at
+    // two admission settings — 1 chunk/trigger (the reference's
+    // one-chunk-per-iteration consumption loop, bqfetch.py:232-265) and 8
+    // (batched admission) — through a filter+projection to a noop sink,
+    // recording drain wall clock, sustained rows/s, and per-trigger
+    // latency (mean + p95 from the progress events). 96 chunks keeps every
+    // trigger inside the default 100-entry recentProgress window.
+    if (args.headOption.contains("chunkstream")) {
+      import org.apache.spark.sql.functions._
+      val numRows = sys.env.getOrElse("SPARK_GRAFT_CS_ROWS", "48000000").toLong
+      val numChunks = 96
+      Seq(1, 8).foreach { per =>
+        val ckpt = java.nio.file.Files.createTempDirectory(s"probe-chunkstream-$per-").toString
+        val df = spark.readStream.format("graft.sources.ChunkedSource")
+          .option("numRows", numRows.toString).option("numChunks", numChunks.toString)
+          .option("chunksPerTrigger", per.toString).load()
+          .filter(pmod(col("id"), lit(7L)) =!= 0)
+          .select(col("id"), col("chunk"))
+        val t0 = System.nanoTime()
+        val q = df.writeStream.format("noop").option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val ps = q.recentProgress.toSeq
+        q.stop()
+        val trig = ps.filter(_.numInputRows > 0)
+        val rows = trig.map(_.numInputRows).sum
+        val durs = trig.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sorted
+        val p95 = if (durs.nonEmpty) durs((durs.size * 95) / 100 min (durs.size - 1)) else 0L
+        println(f"PROBE chunkstream perTrigger=$per%-2d rows=$rows wall=$wall%.1fs " +
+          f"rows/s=${rows / wall}%.0f triggers=${trig.size} " +
+          f"meanTrig=${if (durs.nonEmpty) durs.sum / durs.size else 0}%dms p95Trig=${p95}%dms")
+        def rmRf(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rmRf)
+          f.delete(): Unit
+        }
+        rmRf(new java.io.File(ckpt))
+      }
+      spark.stop(); return
+    }
+
     // streaming-throughput mode: `Test/runMain graft.PerfProbe streaming` —
     // the first perf posture for the streaming surface (VERDICT r8 #5):
     // every registered streaming transform driven by a `rate` source at a

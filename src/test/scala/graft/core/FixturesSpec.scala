@@ -78,17 +78,21 @@ class FixturesSpec extends SparkSpec {
     val a = Tables.load(spark, sfDir, "lineitem")
     val b = Tables.load(spark, sfDir, "lineitem")
     assert(a eq b, "same-session load must return the memoized instance")
-    // a DIFFERENT session must not see the first session's plans: the memo
-    // swaps wholesale on the first load from a new session (bounding
-    // retention to one session), and the evicted session simply re-resolves
+    // a DIFFERENT session must not see the first session's plans — and
+    // (round 11, from the round-10 review) must not EVICT them either:
+    // the memo is keyed per live session (weak keys), so two concurrently
+    // active sessions each keep their own resolution cache instead of
+    // ping-ponging one last-session-wins slot
     val other = spark.newSession()
     val c = Tables.load(other, sfDir, "lineitem")
     assert(!(c eq a), "a new session must resolve its own relation")
     assert(c.sparkSession eq other)
     val d = Tables.load(spark, sfDir, "lineitem")
-    assert(!(d eq a) && (d.sparkSession eq spark),
-      "the evicted session re-resolves against itself")
-    assert(d.count() == a.count(), "re-resolution reads the same data")
+    assert(d eq a,
+      "the first session's memo survives another session's loads (no ping-pong)")
+    assert(Tables.load(other, sfDir, "lineitem") eq c,
+      "and the second session's memo survives too")
+    assert(c.count() == a.count(), "both sessions read the same data")
   }
 
   test("fixture row counts scale as documented (sf0.001 baseline)") {

@@ -573,6 +573,28 @@ class TextSpec extends SparkSpec {
       Text.budgetSelect(d.repartition(7), 5000).collect().toSeq)
   }
 
+  test("capSources: blocklist drops, caps rank-limit, unlisted pass whole") {
+    import spark.implicits._
+    val d = (1L to 30L).map { i =>
+      val src = if (i <= 10) "a" else if (i <= 20) "b" else "c"
+      (i, src, s"doc $i")
+    }.toDF("doc_id", "source", "text")
+    val got = Text.capSources(d, caps = Map("a" -> 3), blocked = Seq("c")).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(!got.exists(_._1 == "c"), "blocked source must vanish")
+    assert(got.count(_._1 == "a") == 3, "capped source keeps exactly cap docs")
+    assert(got.count(_._1 == "b") == 10, "unlisted source passes through whole")
+    assert(got.filter(_._1 == "a").forall(_._3 <= 3))
+    // the capped survivors are the md5-rank top-3 — same draw as
+    // perSourceSample(k=3) restricted to that source
+    val sample = Text.perSourceSample(d, 3).collect()
+      .filter(_.getString(1) == "a").map(_.getLong(0)).toSet
+    assert(got.filter(_._1 == "a").map(_._2).toSet == sample)
+    // deterministic under repartitioning
+    assert(Text.capSources(d, Map("a" -> 3), Seq("c")).collect().toSeq ==
+      Text.capSources(d.repartition(7), Map("a" -> 3), Seq("c")).collect().toSeq)
+  }
+
   test("qualityClassifier: matches a driver-computed gradient descent bit-for-bit") {
     val iters = 4
     val lr = 0.5
