@@ -532,6 +532,27 @@ object Similarity {
     * cost. Shared by [[annTopK]] and [[cosinePairsLsh]] so the encoding
     * (which their recall math depends on) cannot diverge.
     */
+  /** One table's bucket for one vector — the single definition of the
+    * bit encoding, shared by the id-only and payload-carrying signature
+    * emitters so the encoding (which every recall floor and embedded-
+    * plane oracle depends on) cannot diverge between them.
+    */
+  private def lshBucketOf(planeMatrix: Array[Array[Double]], t: Int,
+                          bpt: Int, v: Array[Double]): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < bpt) {
+      val p = planeMatrix(t * bpt + b)
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, p.length)
+      while (i < n) { s += v(i) * p(i); i += 1 }
+      if (s > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
   private[graft] def lshSignatures(e: DataFrame, nTables: Int, bitsPerTable: Int,
                             dim: Int): DataFrame = {
     val spark = e.sparkSession
@@ -542,21 +563,38 @@ object Similarity {
     val bpt = bitsPerTable
     e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
-        Iterator.tabulate(nT) { t =>
-          var bucket = 0L
-          var b = 0
-          while (b < bpt) {
-            val p = planeMatrix(t * bpt + b)
-            var s = 0.0
-            var i = 0
-            val n = math.min(v.length, p.length)
-            while (i < n) { s += v(i) * p(i); i += 1 }
-            if (s > 0) bucket |= (1L << b)
-            b += 1
-          }
-          (id, t, bucket)
-        }
+        Iterator.tabulate(nT) { t => (id, t, lshBucketOf(planeMatrix, t, bpt, v)) }
       }.toDF("sig_id", "tbl", "bucket")
+  }
+
+  /** [[lshSignatures]] with the vector and its norm RIDING each signature
+    * row — for the pair generators, whose round-10 shape joined the
+    * candidate ids back to the embeddings to fetch payloads: at 100×
+    * data that join-back shuffled the (candidates × 0.5 KB-vector)
+    * stream TWICE (once per endpoint) and dominated the operator.
+    * Carrying the payload through the bucket self-join instead means the
+    * fat intermediate (both endpoint vectors) exists only INSIDE the
+    * join task — the cosine is computed and projected to a 24-byte
+    * (id_a, id_b, sim) row before anything shuffles again. Cost: the
+    * bucket exchange carries nTables copies of each vector (n·L·~0.5 KB)
+    * — always ≤ the join-back's candidate-stream volume once bucket
+    * occupancy ≥ 2, i.e. at every corpus size the LSH path exists for.
+    */
+  private[graft] def lshSignaturesWithVec(e: DataFrame, nTables: Int,
+                                          bitsPerTable: Int, dim: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val planeMatrix: Array[Array[Double]] =
+      planes(nTables * bitsPerTable, dim).map(_.toArray).toArray
+    val nT = nTables
+    val bpt = bitsPerTable
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, nrm) =>
+        Iterator.tabulate(nT) { t =>
+          (id, t, lshBucketOf(planeMatrix, t, bpt, v), v, nrm)
+        }
+      }.toDF("sig_id", "tbl", "bucket", "v", "nrm")
   }
 
   def annTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
@@ -1034,20 +1072,22 @@ object Similarity {
     // has no unpersist point)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val sigs = lshSignatures(e, nTables, bitsPerTable, dim)
-      .withColumnRenamed("sig_id", "vec_id")
-    val cand = sigs.as("x").join(sigs.as("y"),
+    // payload-carrying signatures (round 11): cosine computed INSIDE the
+    // bucket self-join and projected to (id_a, id_b, sim) immediately —
+    // no candidate-id join-back, so the fat pair stream never shuffles
+    // (see lshSignaturesWithVec). The threshold filter runs per collision
+    // BEFORE the dedup, shrinking the distinct to survivors only; sim is
+    // a deterministic function of the pair, so deduping (id_a, id_b, sim)
+    // after rounding is exactly the old dedup-then-verify cardinality.
+    val sigv = lshSignaturesWithVec(e, nTables, bitsPerTable, dim)
+    val out = sigv.as("x").join(sigv.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
-    val out = cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+          col("x.sig_id") < col("y.sig_id"))
+      .select(col("x.sig_id").as("id_a"), col("y.sig_id").as("id_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
     if (sorted) out.orderBy("id_a", "id_b") else out
   }
 
@@ -1100,18 +1140,19 @@ object Similarity {
                   nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val sigs = lshSignatures(e, nTables, bitsPerTable, dim)
-      .withColumnRenamed("sig_id", "vec_id")
-    val cand = sigs.as("x").join(sigs.as("y"),
+    // payload-carrying signatures (round 11, the cosinePairsLsh shape):
+    // cosine inside the bucket join, 24-byte rows after — the former
+    // candidate-id join-back shuffled the (candidates × vector) stream
+    // twice and dominated this operator at 100× data. sim is a
+    // deterministic function of the pair, so the (id_a, id_b, sim)
+    // distinct is exactly the old id-pair distinct's cardinality.
+    val sigv = lshSignaturesWithVec(e, nTables, bitsPerTable, dim)
+    val sim = sigv.as("x").join(sigv.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          col("x.sig_id") =!= col("y.sig_id"))
+      .select(col("x.sig_id").as("id_a"), col("y.sig_id").as("id_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
       .distinct()
-    val sim = cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
     val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b"))
     sim.select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
         round(col("sim"), 6).as("sim"),

@@ -1370,7 +1370,13 @@ object Text {
     // every driver-side probe above ran against the persisted base; hand
     // the cache to the CONSUMER'S action now (round-10 review: releasing
     // after the first internal collect meant pass 2 re-tokenized the
-    // corpus twice, defeating the documented one-scan design)
+    // corpus twice, defeating the documented one-scan design). Residual
+    // if the returned frame is NEVER consumed: unlike the usual
+    // releaseAfterFirstAction residual (empty registration), the probes
+    // above already MATERIALIZED this cache — an abandoned call holds the
+    // 3-column feature frame until session close. Callers that build-and-
+    // discard should unpersist explicitly; consumed frames self-release
+    // (spec-asserted).
     Helpers.releaseAfterFirstAction(base)
     val full = keptPreds match {
       case Nil => base.filter(lit(false))

@@ -700,6 +700,22 @@ class TextSpec extends SparkSpec {
     assert(naive == got, "refined and default paths must agree")
   }
 
+  test("budgetSelect: scoped persist survives the internal probes, releases on the consumer's action") {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.clearSqlCache(spark)
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val out = Text.budgetSelect(d, 5000)
+    // construction has already run the bounded driver probes (bucket
+    // aggregates) — the round-10 form released the cache on the FIRST of
+    // those and re-tokenized the corpus in pass 2; the cache must still
+    // be registered here so pass 2 reads it
+    assert(!GraftSqlBridge.sqlCacheIsEmpty(spark),
+      "the feature cache must stay registered for the consumer's pass")
+    out.count()
+    assert(awaitSqlCacheEmpty(),
+      "the consumer's action must release the scoped persist")
+  }
+
   test("budgetSelect: total on null text (worst quality, zero tokens)") {
     import spark.implicits._
     val d = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "a a b"))
