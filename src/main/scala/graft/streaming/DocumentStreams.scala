@@ -76,6 +76,37 @@ object DocumentStreams {
       .filter(clean(col("text")))
   }
 
+  /** Score an incoming document stream with a TRAINED quality classifier
+    * — the deployment half of the train-batch / score-stream split: the
+    * weights come from [[graft.ops.Text.qualityClassifierWeights]] (a
+    * 4-double model artifact trained offline on the corpus) and ride the
+    * plan as literals, so scoring is a STATELESS row-local codegen
+    * expression on the stream scan — no stream-static join, no state
+    * store, sustained at whatever rate the scan itself runs. The scoring
+    * expression is the batch operator's own softsign over the same
+    * feature columns (single definitions: [[graft.ops.Text.softsign]],
+    * [[graft.ops.Text.qualityRatios]], [[graft.ops.Text.gopherSignals]]),
+    * so stream scores ≡ batch scores row-for-row — spec-asserted in
+    * `DocumentStreamsSpec`.
+    *
+    * Emits every document with its score and keep flag; compose with
+    * [[curateStream]] upstream for gating + dedup, or filter on `pred`
+    * directly for a score-gated ingest.
+    */
+  def scoreStream(docs: DataFrame, weights: Array[Double],
+                  threshold: Double = 0.5): DataFrame = {
+    require(weights.length == 4,
+      s"weights must be (b, w1, w2, w3), got length ${weights.length}")
+    val q = Text.qualityRatios
+    val z = lit(weights(0)) +
+      lit(weights(1)) * Text.gopherSignals.meanWordLen +
+      lit(weights(2)) * q.stopwordRatio +
+      lit(weights(3)) * q.typeTokenRatio
+    docs.select(col("doc_id"), col("source"), col("ingest_ts"),
+        round(Text.softsign(z), 6).as("score"))
+      .withColumn("pred", col("score") >= threshold)
+  }
+
   /** Per-source ingest audit over tumbling windows: documents and token
     * volume per source per window — the live counterpart of the batch
     * [[Text.sourceStats]] a mixture controller watches.

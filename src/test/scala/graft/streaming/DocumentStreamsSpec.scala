@@ -155,4 +155,34 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(ids == Vector(1L, 4L), s"second batch appends atomically: $ids")
     graft.sources.ChunkedSink.drop(target)
   }
+
+  test("scoreStream: trained weights score the stream identically to the batch classifier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train on the fixture corpus (the offline half), then stream the
+    // same documents through the live scorer and demand row-identical
+    // scores/preds — single-definition feature + softsign expressions
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    val weights = graft.ops.Text.qualityClassifierWeights(corpus)
+    val batch = graft.ops.Text.qualityClassifier(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val rows = corpus.select("doc_id", "source", "text").collect().map(r =>
+      DocRow(r.getLong(0), r.getString(1), r.getString(2), ts("2024-01-01 00:01:00")))
+    val mem = MemoryStream[DocRow]
+    mem.addData(rows.take(rows.length / 2): _*)
+    val q = DocumentStreams.scoreStream(mem.toDF(), weights)
+      .writeStream.format("memory").queryName("t_score")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.length / 2): _*) // scores are batch-invariant
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_score").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(streamed.size == rows.length)
+    assert(streamed == batch, "stream scores must equal batch scores row-for-row")
+    // a genuinely trained model: scores spread, they are not one constant
+    // (threshold calibration is a deployment choice, not asserted here —
+    // class separation itself is pinned in TextSpec's driver-replay test)
+    assert(streamed.values.map(_._1).toSet.size > 1)
+  }
 }
