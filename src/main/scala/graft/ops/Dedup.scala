@@ -289,7 +289,7 @@ object Dedup {
     * seeded generator, inlined as literals into both the Spark plan and
     * the generated SQL.
     */
-  private val MinhashP = 2147483647L // 2^31 - 1
+  private[graft] val MinhashP = 2147483647L // 2^31 - 1
   private[graft] def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(k)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -122,6 +124,132 @@ object DocumentStreams {
           .as("total_tokens"))
       .select(col("w.start").as("w_start"), col("source"),
         col("n_docs"), col("total_tokens"))
+
+  final case class BandedDoc(doc_id: Long, ingest_ts: Timestamp,
+                             band: Int, bucket: String, sig: Array[Long])
+  final case class BucketEntry(doc_id: Long, sig: Array[Long], seen_ms: Long)
+  final case class BucketState(entries: List[BucketEntry])
+  final case class NearDupCandidate(doc_id: Long, matched_id: Long,
+                                    est_jaccard: Double, band: Int)
+
+  /** Streaming MinHash-LSH near-dup detection — the live prefilter of the
+    * batch [[graft.ops.Dedup.minhashPairs]]: each arriving document's
+    * k-min signature is computed ROW-LOCALLY (same md5-derived 48-bit
+    * shingle hashes, same seeded prime-field affine family —
+    * `Dedup.minhashCoeffs` is the single source, so streamed signatures
+    * are bit-identical to the batch aggregate's), banded into the same
+    * (band, row-values) buckets, and compared against the documents seen
+    * in that bucket inside the watermark horizon. Emits one candidate row
+    * per (arriving doc, stored bucket-mate, band) with the SIGNATURE
+    * estimate of their Jaccard (matching-position fraction — unbiased,
+    * ±~1/√k): the batch operator's exact shingle-set verification needs
+    * both documents' full shingle sets, which streaming state deliberately
+    * does not hold, so the contract here is CANDIDATES — a downstream
+    * `foreachBatch` verifies exactly against the corpus store, exactly as
+    * the batch operator verifies its band-join candidates. Candidate
+    * GENERATION is therefore parity-complete with batch by construction
+    * (same buckets ⇒ same co-bucket pairs, spec-asserted), modulo the two
+    * documented stream bounds below.
+    *
+    * State per bucket: up to `maxBucketDocs` (doc_id, signature, seen-ms)
+    * entries — 8·k bytes of signature per doc, NEVER shingle sets or text
+    * — newest kept on overflow (a saturated bucket means a degenerate
+    * near-dup cluster; its members are already pairwise-candidates via
+    * the retained entries). Buckets evict wholesale via EVENT-TIME
+    * timeout once the watermark passes their last arrival + horizon, so
+    * state ≈ in-horizon docs × bands × (8k+24) B, rate-bounded like
+    * [[curateStream]]'s digest dedup. Within a micro-batch, arrivals
+    * process in (ingest_ts, doc_id) order, so output is deterministic for
+    * a given batch decomposition; a pair co-bucketed in several bands
+    * emits once per band (at-least-once per pair — the downstream
+    * verifier dedups, as the batch operator's `distinct()` does).
+    */
+  def nearDupCandidatesStream(docs: DataFrame, watermark: String,
+                              bands: Int = 16, rows: Int = 4,
+                              maxBucketDocs: Int = 64)
+      : org.apache.spark.sql.Dataset[NearDupCandidate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bands >= 1 && rows >= 1 && maxBucketDocs >= 2,
+      s"need bands/rows >= 1 and maxBucketDocs >= 2, got $bands/$rows/$maxBucketDocs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rows
+    val coeffs = Dedup.minhashCoeffs(k).toArray
+    val p = Dedup.MinhashP
+    val tokenRe = "[a-z0-9]+".r
+    val banded = docs
+      .select(col("doc_id"), col("ingest_ts"), lower(col("text")).as("t"))
+      .as[(Long, Timestamp, String)]
+      .flatMap { case (id, ts, text) =>
+        val toks = tokenRe.findAllIn(if (text == null) "" else text).toArray
+        if (toks.length < 3) Iterator.empty // no shingles — absent in batch too
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hs = new java.util.HashSet[Long]()
+          var i = 0
+          while (i <= toks.length - 3) {
+            val d = md.digest(
+              s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}".getBytes("UTF-8"))
+            var h = 0L
+            var j = 0
+            while (j < 6) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+            hs.add(h): Unit
+            i += 1
+          }
+          // k minima of the affine family over the distinct shingle hashes
+          // — identical arithmetic to the batch pmod aggregate (operands
+          // positive, products < 2^62)
+          val sig = Array.tabulate(k) { ki =>
+            val (a, b) = coeffs(ki)
+            var m = Long.MaxValue
+            val it = hs.iterator()
+            while (it.hasNext) {
+              val v = (a * (it.next() % p) + b) % p
+              if (v < m) m = v
+            }
+            m
+          }
+          Iterator.tabulate(bands) { bnd =>
+            BandedDoc(id, ts, bnd,
+              (bnd * rows until (bnd + 1) * rows).map(sig(_)).mkString(","), sig)
+          }
+        }
+      }
+      // watermark AFTER the typed flatMap: event-time tracking attaches to
+      // the output column the stateful operator actually sees
+      .withWatermark("ingest_ts", watermark)
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, String), rows_ : Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rows_.toArray.sortBy(d => (d.ingest_ts.getTime, d.doc_id))
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+            arrivals.foreach { d =>
+              entries.foreach { e =>
+                if (e.doc_id != d.doc_id) {
+                  var eq = 0
+                  var i = 0
+                  while (i < k) { if (d.sig(i) == e.sig(i)) eq += 1; i += 1 }
+                  val est = BigDecimal(eq.toDouble / k)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  out += NearDupCandidate(d.doc_id, e.doc_id, est, key._1)
+                }
+              }
+              entries = BucketEntry(d.doc_id, d.sig, d.ingest_ts.getTime) :: entries
+              if (entries.length > maxBucketDocs) entries = entries.take(maxBucketDocs)
+            }
+            state.update(BucketState(entries))
+            // evict once the watermark passes the bucket's newest arrival
+            // + the horizon (the dedupWithinWatermark retention shape)
+            state.setTimeoutTimestamp(entries.map(_.seen_ms).max, watermark)
+            out.iterator
+          }
+      }
+  }
 
   final case class TokenWindowRow(w_start: java.sql.Timestamp, tok: String)
   final case class MgState(counters: Map[String, Long], total: Long)

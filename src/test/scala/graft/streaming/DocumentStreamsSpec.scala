@@ -156,6 +156,81 @@ class DocumentStreamsSpec extends SparkSpec {
     graft.sources.ChunkedSink.drop(target)
   }
 
+  test("nearDupCandidatesStream: streamed candidate pairs equal the batch band-join candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 150).select("doc_id", "source", "text")
+    // the batch candidate set: the distinct pairs the band-bucket
+    // equi-join materializes (exactly what minhashPairs verifies)
+    val coeffs = Dedup.minhashCoeffs(64)
+    val buckets = Dedup.minhashBuckets(
+      Dedup.shingles(Dedup.shingleArrays48(corpus)), coeffs, 16, 4)
+    val batchPairs = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture must contain band-collision candidates")
+    val rows = corpus.collect().map(r =>
+      DocRow(r.getLong(0), r.getString(1), r.getString(2), ts("2024-01-01 00:01:00")))
+    val mem = MemoryStream[DocRow]
+    mem.addData(rows.take(rows.length / 2): _*)
+    val q = DocumentStreams.nearDupCandidatesStream(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(streamed == batchPairs,
+      s"stream-only=${(streamed -- batchPairs).take(5)} batch-only=${(batchPairs -- streamed).take(5)}")
+    // signature-identical pairs estimate 1.0 — and estimates are valid fractions
+    val ests = spark.table("t_neardup").collect().map(_.getDouble(2))
+    assert(ests.forall(e => e >= 0.0 && e <= 1.0))
+  }
+
+  test("nearDupCandidatesStream: bucket state evicts once the watermark passes the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[DocRow]
+    val q = DocumentStreams.nearDupCandidatesStream(mem.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("t_evict")
+      .outputMode("update").start()
+    // batch 1: the original document
+    mem.addData(DocRow(1L, "web", text, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    // batch 2: an unrelated doc an hour later advances the watermark far
+    // past doc 1's bucket timeout (00:01 + 5 min)
+    mem.addData(DocRow(2L, "web", "one two three four five six seven", ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    // batch 3: an exact copy of doc 1 — its bucket was evicted, so no
+    // cross-horizon candidate may appear
+    mem.addData(DocRow(3L, "web", text, ts("2024-01-01 01:05:00")))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("t_evict").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((3L, 1L)) && !pairs.contains((1L, 3L)),
+      s"evicted bucket must not match across the horizon: $pairs")
+    // sanity on a fresh stream: a copy INSIDE the horizon does match
+    // (MemoryStream does not replay for a second query, so a new one)
+    val mem2 = MemoryStream[DocRow]
+    mem2.addData(
+      DocRow(3L, "web", text, ts("2024-01-01 01:05:00")),
+      DocRow(4L, "web", text, ts("2024-01-01 01:06:00")))
+    val q2 = DocumentStreams.nearDupCandidatesStream(mem2.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("t_evict2")
+      .outputMode("update").start()
+    q2.processAllAvailable(); q2.stop()
+    val pairs2 = spark.table("t_evict2").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(pairs2.contains((3L, 4L)), s"in-horizon copy must match: $pairs2")
+  }
+
   test("scoreStream: trained weights score the stream identically to the batch classifier") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
