@@ -383,6 +383,10 @@ object SparkEntry {
     "q_bpe_encode" -> t("documents")(Bpe.encode(_, 30)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_dup_passages" -> t("documents")(Text.duplicatePassageStats(_)),
+    // in-document repeated-line removal: the remediation step behind the
+    // Gopher repetition signals — first occurrence of each distinct line
+    // survives, order preserved, one row-local pass
+    "q_dedup_lines_within" -> t("documents")(Text.dedupLinesWithinDoc(_)),
     // exact substring-run dedup (Lee et al. shape): maximal token spans
     // whose every 8-gram window exists in another document, spans >= 15
     // tokens — duplicated runs at ANY alignment, the sub-document
@@ -1713,6 +1717,23 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
                 round(CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
          FROM h JOIN df USING (hh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_lines_within" ->
+      // first occurrence per (doc, line) by position; survivors re-joined
+      // in order; split keeps empty segments (blank-run collapse)
+      """WITH l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+             SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+                      i -> {'pos': i, 'line': ls[i]})) AS u
+             FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+                   FROM documents))),
+         k AS (SELECT doc_id, pos, line,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_lines
+               FROM l)
+         SELECT doc_id,
+                COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS clean_text,
+                CAST(MAX(n_lines) - COUNT(*) AS BIGINT) AS n_removed
+         FROM k WHERE rn = 1
          GROUP BY doc_id ORDER BY doc_id""",
     "q_substring_runs" ->
       // overlapping 8-gram hashes (the gramHash48 md5 family) with their

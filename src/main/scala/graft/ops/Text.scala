@@ -1006,6 +1006,42 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** In-document repeated-unit REMOVAL — the remediation step behind the
+    * Gopher repetition signals ([[repetitionSignals]] measures, this
+    * fixes): within each document, keep the FIRST occurrence of every
+    * distinct line (or paragraph, via `sep`) and drop the repeats,
+    * re-joining the survivors in order. The within-document counterpart
+    * of the cross-document [[Dedup.dedupLines]]: that operator removes a
+    * line because some OTHER document said it first; this one removes a
+    * line because the SAME document already said it (navigation chrome,
+    * boilerplate footers, generation loops).
+    *
+    * One row-local typed pass (order-preserving first-occurrence set per
+    * document), no shuffle at any corpus size; split keeps empty
+    * segments, so a run of blank lines collapses to one — exactly the
+    * repetition the signals flag. Null text is treated as empty (total,
+    * the [[repetitionSignals]] convention).
+    */
+  def dedupLinesWithinDoc(documents: DataFrame, sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, raw) =>
+        val text = if (raw == null) "" else raw
+        val parts = text.split(java.util.regex.Pattern.quote(sep), -1)
+        val seen = new java.util.LinkedHashSet[String]()
+        parts.foreach(p => seen.add(p): Unit)
+        val kept = new Array[String](seen.size)
+        val it = seen.iterator()
+        var i = 0
+        while (it.hasNext) { kept(i) = it.next(); i += 1 }
+        (id, kept.mkString(sep), (parts.length - kept.length).toLong)
+      }
+      .toDF("doc_id", "clean_text", "n_removed")
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicated-run extraction (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" substring axis): the
     * MAXIMAL token spans of each document whose every k-token window also

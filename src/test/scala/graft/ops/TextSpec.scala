@@ -640,6 +640,25 @@ class TextSpec extends SparkSpec {
       "mean score of keep-labeled docs must exceed the drop-labeled mean")
   }
 
+  test("dedupLinesWithinDoc: first occurrence survives in order, blank runs collapse") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),   // chrome repeated 3x
+      (2L, "a\n\n\n\nb"),                          // blank-line run
+      (3L, "unique\nlines\nonly"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Text.dedupLinesWithinDoc(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("nav\nbody one\nbody two", 2L)))
+    assert(got(2L) == (("a\n\nb", 2L)), "empty segments dedup like any line")
+    assert(got(3L) == (("unique\nlines\nonly", 0L)))
+    assert(got(4L) == (("", 0L)), "null text is total (treated as empty)")
+    // paragraph variant: the same semantics on \n\n units
+    val p = Seq((1L, "para one\n\npara one\n\npara two")).toDF("doc_id", "text")
+    val gp = Text.dedupLinesWithinDoc(p, sep = "\n\n").collect().head
+    assert(gp.getString(1) == "para one\n\npara two" && gp.getLong(2) == 1L)
+  }
+
   test("duplicateRuns: hand-computed maximal spans, cross-document only") {
     import spark.implicits._
     val d = Seq(
