@@ -62,6 +62,42 @@ class TextPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("duplicateRuns equals a brute-force reference on random corpora, any partitioning") {
+    import spark.implicits._
+    val k = 3
+    val minRun = 4
+    val tokRe = "[a-z0-9]+".r
+    val prop = Prop.forAll(corpusGen, Gen.chooseNum(1, 5)) { (docs, parts) =>
+      // independent reference: shared k-grams by TEXT equality (the
+      // operator's 48-bit md5 hashes collide with probability ~|grams|²/2⁴⁹
+      // — negligible at these sizes), islands merged by hand
+      val toks = docs.map { case (id, t) =>
+        id -> tokRe.findAllIn(t.toLowerCase).toVector }
+      val occurrences = toks.flatMap { case (id, ts) =>
+        (0 to ts.length - k).map(i => (ts.slice(i, i + k).mkString(" "), id, i + 1)) }
+      val shared = occurrences.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val want = toks.flatMap { case (id, ts) =>
+        val pos = (0 to ts.length - k)
+          .filter(i => shared(ts.slice(i, i + k).mkString(" "))).map(_ + 1)
+        // group runs of consecutive positions into maximal islands
+        val spans = pos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+        spans.map { case (s, e) => (id, s.toLong, (e + k - 1).toLong,
+          (e + k - 1 - s + 1).toLong) }
+          .filter(_._4 >= minRun)
+      }.toSet
+      val got = Text.duplicateRuns(
+          docs.toDF("doc_id", "text").repartition(parts), k, minRun)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("zOrderKey is injective: distinct coordinate pairs get distinct keys") {
     import spark.implicits._
     val pairsGen = Gen.listOfN(200, for {
