@@ -25,30 +25,58 @@ object Tables {
   // temp view) and reuses the relation across queries; this memo is that
   // catalog analog for the fixture loader. Fixture dirs are immutable by
   // contract (TESTDATA.md), so a cached listing snapshot cannot go stale.
-  // Retention is keyed PER SESSION with weak keys (round-11, from round-10
-  // review): the previous single last-session-wins slot meant two
-  // concurrently active sessions (parallel suites using newSession)
-  // ping-ponged the memo and silently lost all resolution caching. A
-  // WeakHashMap keyed by session keeps one map per LIVE session — a
-  // stopped/unreferenced session's entry (and its cached plans) falls away
-  // with the session itself, so residency stays bounded by live sessions.
+  // Retention is keyed PER SESSION (round-11, from round-10 review): the
+  // previous single last-session-wins slot meant two concurrently active
+  // sessions (parallel suites using newSession) ping-ponged the memo and
+  // silently lost all resolution caching. Round-12 (from round-11 review):
+  // the per-session keying must NOT be a WeakHashMap keyed by the session —
+  // the cached DataFrames strongly reference their SparkSession, so a
+  // value→key chain kept every weak key reachable forever and the map grew
+  // with every session ever created. Instead the key is `sessionUUID` (a
+  // plain String holding no session reference) and retention is explicitly
+  // bounded two ways:
+  //   - stopped sessions are swept on every access (an `isStopped` flag
+  //     read per resident entry — entries are capped, so O(8) per load);
+  //   - the map is a small access-ordered LRU over sessions (parallel
+  //     suites run a handful of concurrent sessions; the 178-session
+  //     churn of a full test run retains only the live tail).
   // Only resolution is cached — no data is persisted; every query still
   // scans.
+  private val maxSessions = 8
   private val memo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    new java.util.LinkedHashMap[String,
+        (SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame])](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            (SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame])])
+        : Boolean = size() > maxSessions
+    }
+
+  /** Test hook: resident session entries (bounded by `maxSessions`). */
+  private[graft] def memoSessionCount: Int = memo.synchronized(memo.size())
+
+  // `sessionUUID` is private[sql], so it routes through the bridge; the
+  // identity-hash fallback keeps the key total for any non-classic
+  // SparkSession implementation without referencing the session itself.
+  private def sessionKey(spark: SparkSession): String =
+    try org.apache.spark.sql.GraftSqlBridge.sessionUUID(spark)
+    catch { case _: ClassCastException =>
+      "idhash-" + System.identityHashCode(spark).toHexString }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown fixture table: $name")
-    // WeakHashMap is not thread-safe: the brief lock covers only the map
+    // LinkedHashMap is not thread-safe: the brief lock covers the sweep and
     // lookup; resolution itself runs outside it on the per-session TrieMap.
     val frames = memo.synchronized {
-      var m = memo.get(spark)
+      val it = memo.values.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      var m = memo.get(sessionKey(spark))
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        memo.put(spark, m)
+        m = (spark, scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+        memo.put(sessionKey(spark), m)
       }
-      m
+      m._2
     }
     // TrieMap.getOrElseUpdate may resolve twice under a first-load race;
     // both results are equivalent plans, so last-write-wins is harmless.

@@ -90,9 +90,22 @@ object Helpers {
   def shuffleWidthFor(df: DataFrame, bytesPerPart: Long = 4L << 20): Int = {
     require(bytesPerPart > 0)
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    val byData = (df.queryExecution.optimizedPlan.stats.sizeInBytes / bytesPerPart)
-      .min(BigInt(1 << 15)).toInt + 1
-    math.max(slots, byData)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Plans with no computable statistics — LogicalRDD leaves
+    // (localCheckpoint, ProbeCache results), streaming sources — report the
+    // `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue unless
+    // overridden), not a size. Round-12 (from round-11 review): without
+    // this check the byData term saturated at the 32769 cap, so a TINY
+    // checkpointed input would have been shuffled into ~32K partitions.
+    // Unknown size ⇒ fall back to the slot floor, the same width a
+    // stats-free session default would pick.
+    val sentinel = BigInt(df.sparkSession.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
+    if (size >= sentinel) slots
+    else {
+      val byData = (size / bytesPerPart).min(BigInt(1 << 15)).toInt + 1
+      math.max(slots, byData)
+    }
   }
 
   /** Partition count for an ITERATIVE op's working set, sized from the

@@ -98,6 +98,14 @@ object GraftSqlBridge {
   def queryListenerCount(spark: SparkSession): Int =
     spark.listenerManager.listListeners().length
 
+  /** Stable per-session identity as a plain String (holds no session
+    * reference) — `SparkSession.sessionUUID` is `private[sql]`, and
+    * graft.core.Tables needs it as a retention key that cannot itself keep
+    * the session alive.
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Release the storage blocks behind a `localCheckpoint()`ed DataFrame.
     *
     * `Dataset.unpersist` cannot do this — checkpoint blocks live on the

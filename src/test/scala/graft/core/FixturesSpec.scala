@@ -80,8 +80,10 @@ class FixturesSpec extends SparkSpec {
     assert(a eq b, "same-session load must return the memoized instance")
     // a DIFFERENT session must not see the first session's plans — and
     // (round 11, from the round-10 review) must not EVICT them either:
-    // the memo is keyed per live session (weak keys), so two concurrently
-    // active sessions each keep their own resolution cache instead of
+    // the memo is keyed per session UUID (round 12: an LRU over session
+    // IDs, not a WeakHashMap — the cached plans strongly reference their
+    // session, so weak keys could never clear), so two concurrently active
+    // sessions each keep their own resolution cache instead of
     // ping-ponging one last-session-wins slot
     val other = spark.newSession()
     val c = Tables.load(other, sfDir, "lineitem")
@@ -93,6 +95,34 @@ class FixturesSpec extends SparkSpec {
     assert(Tables.load(other, sfDir, "lineitem") eq c,
       "and the second session's memo survives too")
     assert(c.count() == a.count(), "both sessions read the same data")
+  }
+
+  test("Tables.load memo residency is bounded under session churn (round-11 review)") {
+    // The round-11 WeakHashMap keyed the memo by the session while its
+    // cached DataFrames strongly referenced that same session — per the
+    // WeakHashMap contract a value that reaches its own key is never
+    // reclaimed, so every session ever created (test suites make many)
+    // leaked for the JVM lifetime. The round-12 memo is an explicit LRU
+    // over session UUIDs: churning far more sessions than the bound must
+    // leave the resident count at the bound, and the evicted (oldest)
+    // session must simply re-resolve on its next load — correct, just
+    // uncached.
+    val first = spark.newSession()
+    val a = Tables.load(first, sfDir, "region")
+    val churned = (1 to 12).map { _ =>
+      val s = spark.newSession()
+      Tables.load(s, sfDir, "region")
+      s
+    }
+    assert(Tables.memoSessionCount <= 8,
+      s"memo must stay bounded under churn, saw ${Tables.memoSessionCount}")
+    // `first` fell off the LRU tail: a fresh load re-resolves (new frame),
+    // and after it the memo is again bounded
+    val a2 = Tables.load(first, sfDir, "region")
+    assert(!(a2 eq a), "evicted session must re-resolve, not resurrect the old entry")
+    assert(Tables.load(first, sfDir, "region") eq a2, "and is memoized again after")
+    assert(Tables.memoSessionCount <= 8)
+    churned.foreach(_ => ()) // keep the sessions reachable through the assertions above
   }
 
   test("fixture row counts scale as documented (sf0.001 baseline)") {

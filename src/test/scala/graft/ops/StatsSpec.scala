@@ -64,6 +64,33 @@ class StatsSpec extends SparkSpec {
       "already-wide frame must pass through untouched")
   }
 
+  test("shuffleWidthFor: data-proportional on sized plans; slot fallback on the no-stats sentinel") {
+    val slots = spark.sparkContext.defaultParallelism
+    val scan = graft.core.Tables.lineitem(spark, sfDir)
+    // a file scan carries real size stats: at 1 byte/part the byData term
+    // dominates the slot floor (and is capped, not unbounded)
+    val wide = Helpers.shuffleWidthFor(scan, bytesPerPart = 1L)
+    assert(wide > slots && wide <= (1 << 15) + 1, s"expected data-driven width, got $wide")
+    // at the default 4 MB/part a fixture-scale input stays at the slot floor
+    assert(Helpers.shuffleWidthFor(scan) == slots)
+    // round-12 (from round-11 review): a stats-free LogicalRDD leaf (a
+    // frame built over an external RDD; Spark-4 localCheckpoint now carries
+    // origin stats, external RDDs still don't) reports the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), not a size —
+    // before the sentinel check a TINY such frame saturated byData at the
+    // 32769 cap and would have been shuffled into ~32K partitions. Unknown
+    // stats must fall back to the slot floor.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rdd = spark.sparkContext.parallelize(Seq(Row(1L), Row(2L)), 1)
+    val statless = spark.createDataFrame(rdd, StructType(Seq(StructField("id", LongType))))
+    val size = statless.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size >= BigInt(Long.MaxValue), // precondition: this leaf really is stats-free
+      s"external-RDD frame now reports real stats ($size) — rework the sentinel fixture")
+    assert(Helpers.shuffleWidthFor(statless, bytesPerPart = 1L) == slots,
+      "sentinel-sized plan must take the slot fallback, not the 32K cap")
+  }
+
   test("iqrOutliers: hand-computed fences on a small group; clean group reports zero") {
     val spark2 = spark
     import spark2.implicits._
