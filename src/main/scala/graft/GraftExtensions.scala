@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorExpressions
+import graft.functions.{TextExpressions, VectorExpressions}
+import graft.functions.TextExpressions.NfcNormalize
 import graft.functions.VectorExpressions.{DotProduct, L2Norm, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: makes the native vector expressions
@@ -50,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "silently undercounts.",
         "", "", "", "", "", "", ""),
       (children: Seq[Expression]) => VectorExpressions.intersectSizeBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => TextExpressions.nfcBuilder(children)))
   }
 }

@@ -196,6 +196,12 @@ object SparkEntry {
     // review: maxIters=20 vs rounds=10 could silently hash-mismatch)
     "q_kcore" -> t("lineitem")(li => Graph.kCore(
       Graph.basketEdges(li, until = "1999-01-01"), k = 8, maxIters = 10)),
+    // community detection: 4 synchronous label-propagation rounds over
+    // the basket graph, deterministic min-label tie-break — the round
+    // count is the semantic contract (sync LPA can oscillate), so the
+    // oracle unrolls exactly the same 4 rounds
+    "q_communities" -> ((s, dir) =>
+      Graph.communities(basketEdgesMemo(s, dir), rounds = 4)),
     // bounded BFS from one brand's parts over the basket graph: exact
     // hop distance to the nearest seed within 4 hops — the discrete
     // proximity feature beside personalized PageRank
@@ -387,6 +393,14 @@ object SparkEntry {
     // Gopher repetition signals — first occurrence of each distinct line
     // survives, order preserved, one row-local pass
     "q_dedup_lines_within" -> t("documents")(Text.dedupLinesWithinDoc(_)),
+    // Unicode canonicalization: NFC (native codegen Expression) + control
+    // strip + whitespace collapse — the pass that belongs before every
+    // hash; one narrow projection, no typed boundary
+    "q_normalize_text" -> t("documents")(Text.normalizeText),
+    // C4 boilerplate cleanup: terminal-punctuation / min-words /
+    // "javascript" line rules + lorem-ipsum / curly-brace page gates,
+    // every doc kept with a page_kept verdict — one row-local pass
+    "q_c4_clean" -> t("documents")(Text.c4Clean(_)),
     // exact substring-run dedup (Lee et al. shape): maximal token spans
     // whose every 8-gram window exists in another document, spans >= 15
     // tokens — duplicated runs at ANY alignment, the sub-document
@@ -917,6 +931,7 @@ object SparkEntry {
     "q_hits" -> Graph.hitsTradeOracleSql(iters = 3),
     "q_kcore" -> Graph.kCoreBasketOracleSql(k = 8, rounds = 10, until = "1999-01-01"),
     "q_hop_distance" -> Graph.hopDistanceOracleSql("Brand#1", maxHops = 4),
+    "q_communities" -> Graph.communitiesBasketOracleSql(rounds = 4),
     // the operator generates pairs row-locally from sorted basket arrays;
     // the oracle replays the equivalent basket self-join (same multiset)
     "q_item_neighbors" ->
@@ -1718,6 +1733,8 @@ object SparkEntry {
                 round(CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
          FROM h JOIN df USING (hh)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_c4_clean" -> Text.c4CleanOracleSql(),
+    "q_normalize_text" -> Text.normalizeTextOracleSql,
     "q_dedup_lines_within" ->
       // first occurrence per (doc, line) by position; survivors re-joined
       // in order; split keeps empty segments (blank-run collapse)

@@ -750,6 +750,88 @@ object Graph {
        |SELECT node, deg FROM a$rounds ORDER BY node""".stripMargin
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007, the RAK algorithm): every node starts as its own label; each
+    * round, every node simultaneously adopts the most frequent label among
+    * its neighbors, ties broken toward the SMALLEST label — the
+    * deterministic restatement of the paper's random tie-break, so a fixed
+    * round count yields one reproducible labeling on both engines (the
+    * [[hopDistance]] philosophy: the round count is a semantic parameter,
+    * not a convergence heuristic — synchronous LPA can 2-cycle on
+    * bipartite-ish structure, so "run R rounds" is the contract and
+    * operator and oracle agree by construction). Output: `(node,
+    * community)` where the community id is the surviving label.
+    *
+    * Scale shape: each round is two co-partitioned edge⋈label joins (one
+    * per direction of the undirected canonical edge set) + one combining
+    * (node, label) count + one per-node arg-max folded into a single
+    * `min(struct(-count, label))` aggregate — NO window sort anywhere;
+    * label frames are lineage-truncated per round with superseded
+    * checkpoint blocks released ([[pageRank]] hygiene). Label volume per
+    * round is exactly one row per (node, distinct-neighbor-label) pair,
+    * bounded by the edge count — linear at any scale.
+    */
+  def communities(edgeList: DataFrame, rounds: Int = 4,
+                  sorted: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = canonicalEdges(edgeList)
+    val (edges, _) = materializeEdges(e0, "a")
+    var labels = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+      .withColumn("community", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val viaA = edges
+        .join(labels.select(col("node").as("a"), col("community")), "a")
+        .select(col("b").as("node"), col("community"))
+      val viaB = edges
+        .join(labels.select(col("node").as("b"), col("community")), "b")
+        .select(col("a").as("node"), col("community"))
+      val next = viaA.unionByName(viaB)
+        .groupBy("node", "community").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("community").as("lab"))).as("m"))
+        .select(col("node"), col("m.lab").as("community"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(labels)
+      labels = next
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    if (sorted) labels.orderBy("node") else labels
+  }
+
+  /** Generated DuckDB oracle for [[communities]] over [[basketEdges]]:
+    * `rounds` synchronous label-propagation rounds unrolled as chained
+    * MATERIALIZED CTEs, arg-max replayed as `ROW_NUMBER() OVER (ORDER BY
+    * count DESC, label)`.
+    */
+  def communitiesBasketOracleSql(rounds: Int = 4,
+                                 from: String = "1996-01-01",
+                                 until: String = "1997-01-01"): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT node, community FROM (
+         |    SELECT node, community,
+         |           ROW_NUMBER() OVER (PARTITION BY node
+         |                              ORDER BY cnt DESC, community) AS rn
+         |    FROM (SELECT n.node, l.community, COUNT(*) AS cnt
+         |          FROM nbr n JOIN c${i - 1} l ON n.nb = l.node
+         |          GROUP BY n.node, l.community))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |nbr AS MATERIALIZED (
+       |  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |c0 AS MATERIALIZED (SELECT DISTINCT node, node AS community FROM nbr),
+       |$iterCtes
+       |SELECT node, community FROM c$rounds ORDER BY node""".stripMargin
+  }
+
   /** Global triangle census: nodes, edges, wedges (2-paths), triangles and
     * the global clustering coefficient 3·triangles / wedges — one summary
     * row.

@@ -1042,6 +1042,156 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Unicode text normalization — the canonicalization pass that belongs
+    * BEFORE every hash in the library ([[fingerprints]], the dedup
+    * shinglers, [[gramHash48]]): "é" as U+00E9 and as "e"+U+0301 are
+    * different strings to a hash while being the same text to a reader.
+    * Three regex/NFC-pinned steps, each replayable on DuckDB:
+    *   1. NFC (UAX #15 canonical composition) via the native codegen
+    *      [[graft.functions.TextExpressions.NfcNormalize]] — Spark has no
+    *      builtin; DuckDB has `nfc_normalize`;
+    *   2. strip C0 control characters except tab/newline, plus DEL —
+    *      the ranges U+0000-U+0008, U+000B-U+001F and U+007F removed (CRLF collapses to
+    *      LF because CR is in the range);
+    *   3. collapse horizontal-whitespace runs `[ \t]+` to one space, then
+    *      trim spaces at both ends.
+    * Output keeps every document: `(doc_id, clean_text, n_chars_before,
+    * n_chars_after, changed)`. Null text is treated as empty (total).
+    *
+    * Scale shape: one narrow codegen'd projection — no typed boundary, no
+    * UDF, no shuffle; the NFC expression takes a no-allocation fast path
+    * on already-normalized rows (at 100 TB nearly all of them), so the
+    * pass costs roughly a scan.
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    val clean = trim(
+      regexp_replace(
+        regexp_replace(
+          graft.functions.TextExpressions.nfc_normalize(raw),
+          "[\\u0000-\\u0008\\u000B-\\u001F\\u007F]", ""),
+        "[ \\t]+", " "))
+    documents.select(
+        col("doc_id"),
+        clean.as("clean_text"),
+        length(raw).as("n_chars_before"),
+        length(clean).as("n_chars_after"),
+        (clean =!= raw).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[normalizeText]] — the same three steps
+    * over `nfc_normalize` and RE2 classes equivalent to the Java ones.
+    */
+  def normalizeTextOracleSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, COALESCE(text, '') AS raw,
+      |         trim(regexp_replace(regexp_replace(
+      |           nfc_normalize(COALESCE(text, '')),
+      |           '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+      |           '[ \t]+', ' ', 'g')) AS clean_text
+      |  FROM documents)
+      |SELECT doc_id, clean_text,
+      |       CAST(length(raw) AS BIGINT) AS n_chars_before,
+      |       CAST(length(clean_text) AS BIGINT) AS n_chars_after,
+      |       (clean_text <> raw) AS changed
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** C4-style boilerplate LINE cleanup (Raffel et al. 2020 §2.2 — the rule
+    * set behind the C4 corpus, restated per-document): keep a line only if
+    * it (a) ends in a terminal punctuation mark (`. ! ? "`), (b) carries at
+    * least `minWords` whitespace-separated words, and (c) does not mention
+    * "javascript"; drop the WHOLE page when its text contains "lorem ipsum"
+    * or a curly brace (the C4 code-page heuristic), and mark a page as
+    * dropped when fewer than `minKeptLines` lines survive (C4 counts
+    * sentences; the line-unit restatement is documented here because the
+    * fixture corpus is line-structured). The measurement/remediation
+    * sibling of [[dedupLinesWithinDoc]]: that one removes repeats, this one
+    * removes non-prose chrome.
+    *
+    * Output keeps EVERY document — `(doc_id, clean_text, n_lines, n_kept,
+    * page_kept)` — so downstream can audit drop reasons instead of losing
+    * the rows; a curation pipeline filters on `page_kept`.
+    *
+    * Scale shape: one row-local typed pass (split, trim, test, re-join —
+    * the [[dedupLinesWithinDoc]] carve-out), no shuffle at any corpus
+    * size; the final orderBy exists for the oracle only. Trim/word-split
+    * semantics are regex-pinned (`^\s+|\s+$`, `\s+`) so the DuckDB
+    * restatement replays them exactly; Java and RE2 agree on `\s` for
+    * every char class member. Null text is treated as empty (total).
+    */
+  def c4Clean(documents: DataFrame, minWords: Int = 5,
+              minKeptLines: Int = 3): DataFrame = {
+    require(minWords >= 1 && minKeptLines >= 1,
+      s"need minWords >= 1 and minKeptLines >= 1, got $minWords/$minKeptLines")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val terminal = "[.!?\"]$".r
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, raw) =>
+        val text = if (raw == null) "" else raw
+        val lines = text.split("\n", -1)
+        val nLines = lines.length.toLong
+        val lowerAll = text.toLowerCase
+        if (lowerAll.contains("lorem ipsum") || lowerAll.contains("{"))
+          (id, "", nLines, 0L, false)
+        else {
+          val kept = lines.iterator
+            .map(_.replaceAll("^\\s+|\\s+$", ""))
+            .filter { t =>
+              terminal.findFirstIn(t).isDefined &&
+                t.split("\\s+").length >= minWords &&
+                !t.toLowerCase.contains("javascript")
+            }
+            .toArray
+          (id, kept.mkString("\n"), nLines, kept.length.toLong,
+            kept.length >= minKeptLines)
+        }
+      }
+      .toDF("doc_id", "clean_text", "n_lines", "n_kept", "page_kept")
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[c4Clean]]: the same regex-pinned trim,
+    * word-split and terminal-punctuation tests replayed per line, the page
+    * gates replayed per document.
+    */
+  def c4CleanOracleSql(minWords: Int = 5, minKeptLines: Int = 3): String =
+    s"""WITH l AS (
+       |  SELECT doc_id, lower(COALESCE(text, '')) AS lt,
+       |         string_split(COALESCE(text, ''), chr(10)) AS ls
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, u.pos AS pos,
+       |         regexp_replace(u.line, '^\\s+|\\s+$$', '', 'g') AS line
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+       |                i -> {'pos': i, 'line': ls[i]})) AS u
+       |        FROM l)),
+       |k AS (
+       |  SELECT doc_id, pos, line,
+       |         CASE WHEN regexp_matches(line, '[.!?"]$$')
+       |               AND len(list_filter(regexp_split_to_array(line, '\\s+'),
+       |                                   x -> x <> '')) >= $minWords
+       |               AND NOT contains(lower(line), 'javascript')
+       |              THEN 1 ELSE 0 END AS keep
+       |  FROM e),
+       |pg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN contains(lt, 'lorem ipsum') OR contains(lt, '{')
+       |              THEN 0 ELSE 1 END AS page_ok,
+       |         CAST(len(ls) AS BIGINT) AS n_lines
+       |  FROM l)
+       |SELECT k.doc_id,
+       |       CASE WHEN MAX(pg.page_ok) = 0 THEN ''
+       |            ELSE COALESCE(string_agg(CASE WHEN keep = 1 THEN line END,
+       |                                     chr(10) ORDER BY pos), '') END AS clean_text,
+       |       MAX(pg.n_lines) AS n_lines,
+       |       CAST(CASE WHEN MAX(pg.page_ok) = 0 THEN 0
+       |                 ELSE SUM(keep) END AS BIGINT) AS n_kept,
+       |       (MAX(pg.page_ok) = 1 AND SUM(keep) >= $minKeptLines) AS page_kept
+       |FROM k JOIN pg ON k.doc_id = pg.doc_id
+       |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   /** Exact duplicated-run extraction (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" substring axis): the
     * MAXIMAL token spans of each document whose every k-token window also

@@ -749,4 +749,49 @@ class TextSpec extends SparkSpec {
     // like the naive window (its cum 6 > 3 even at zero cost)
     assert(Text.budgetSelect(d, 3).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("c4Clean: line rules, page gates, and the kept-lines page verdict") {
+    import spark.implicits._
+    val good = "This line has five proper words.\nAnd this one also has enough words!\nA third sentence keeps the page alive?"
+    val d = Seq(
+      (1L, good),                                        // 3 good lines → kept
+      (2L, "Too short.\nno terminal punctuation here at all\n  Trimmed line that ends well and has words.  "),
+      (3L, "Please enable JavaScript to view this page.\nThe other line is long enough to survive here."),
+      (4L, "Perfectly fine prose with many words here.\nBut the page contains { a curly brace."),
+      (5L, "Lorem Ipsum dolor sit amet is boilerplate text."),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Text.c4Clean(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((good, 3L, 3L, true)))
+    // doc 2: "Too short." fails minWords; middle line fails terminal punct;
+    // third survives TRIMMED; 1 kept < 3 → page dropped but text audited
+    assert(out(2L) == (("Trimmed line that ends well and has words.", 3L, 1L, false)))
+    // doc 3: javascript line removed regardless of its shape
+    assert(out(3L) == (("The other line is long enough to survive here.", 2L, 1L, false)))
+    // docs 4/5: page gates fire before any line is considered
+    assert(out(4L) == (("", 2L, 0L, false)))
+    assert(out(5L) == (("", 1L, 0L, false)))
+    // null text → one empty line, nothing kept
+    assert(out(6L) == (("", 1L, 0L, false)))
+  }
+
+  test("normalizeText: NFC composition, control strip, whitespace collapse — hashes unify") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "caf\u00e9 au lait"),          // precomposed e-acute
+      (2L, "cafe\u0301 au \t\t lait\r"), // decomposed e+U+0301, tab run, CR
+      (3L, "  leading and trailing  "),
+      (4L, "ctrl\u0001chars\u0007gone"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Text.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L)._1 == "caf\u00e9 au lait" && !out(1L)._4, "already-clean row unchanged")
+    assert(out(2L)._1 == "caf\u00e9 au lait" && out(2L)._4,
+      "decomposed accent composes, tab run collapses, CR stripped")
+    assert(out(3L)._1 == "leading and trailing")
+    assert(out(4L)._1 == "ctrlcharsgone" && out(4L)._2 == 15L && out(4L)._3 == 13L)
+    assert(out(5L) == (("", 0L, 0L, false)), "null text is total (empty, unchanged)")
+  }
 }
