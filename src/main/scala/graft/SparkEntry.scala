@@ -202,6 +202,13 @@ object SparkEntry {
     // oracle unrolls exactly the same 4 rounds
     "q_communities" -> ((s, dir) =>
       Graph.communities(basketEdgesMemo(s, dir), rounds = 4)),
+    // modularity of that same 4-round LPA partition — the quality score a
+    // user checks before acting on the communities; labels passed in
+    // unsorted (the operator reads them three times, communities returns
+    // a checkpointed frame, and the score is order-free)
+    "q_modularity" -> ((s, dir) =>
+      Graph.modularity(basketEdgesMemo(s, dir),
+        Graph.communities(basketEdgesMemo(s, dir), rounds = 4, sorted = false))),
     // bounded BFS from one brand's parts over the basket graph: exact
     // hop distance to the nearest seed within 4 hops — the discrete
     // proximity feature beside personalized PageRank
@@ -932,6 +939,7 @@ object SparkEntry {
     "q_kcore" -> Graph.kCoreBasketOracleSql(k = 8, rounds = 10, until = "1999-01-01"),
     "q_hop_distance" -> Graph.hopDistanceOracleSql("Brand#1", maxHops = 4),
     "q_communities" -> Graph.communitiesBasketOracleSql(rounds = 4),
+    "q_modularity" -> Graph.modularityBasketOracleSql(rounds = 4),
     // the operator generates pairs row-locally from sorted basket arrays;
     // the oracle replays the equivalent basket self-join (same multiset)
     "q_item_neighbors" ->

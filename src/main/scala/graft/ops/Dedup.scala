@@ -832,14 +832,21 @@ object Dedup {
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        ORDER BY d.doc_id"""
 
-  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
-    val benchSh = hashedShingles(benchmark, n).select("shingle").distinct()
-    val contaminated = hashedShingles(train, n)
-      .join(benchSh, Seq("shingle"), "left_semi")
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame =
+    exactSurvivors(train, hashedShingles(train, n), hashedShingles(benchmark, n))
+      .orderBy("doc_id")
+
+  /** The exact decontamination leg over PRE-SHINGLED frames — shared by
+    * [[decontaminate]] and [[decontaminateBloomReport]] so the report can
+    * persist one shingling of each corpus across both of its legs.
+    */
+  private def exactSurvivors(train: DataFrame, trainSh: DataFrame,
+                             benchSh: DataFrame): DataFrame = {
+    val contaminated = trainSh
+      .join(benchSh.select("shingle").distinct(), Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
     train.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .orderBy("doc_id")
   }
 
   /** Fuzzy decontamination by benchmark-side n-gram CONTAINMENT — the
@@ -918,17 +925,27 @@ object Dedup {
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame, n: Int = 3,
                          expectedShingles: Long = 1000000L,
                          fpp: Double = 0.001): DataFrame = {
+    val bf = hashedShingles(benchmark, n)
+      .stat.bloomFilter("shingle", expectedShingles, fpp)
+    bloomSurvivors(train, hashedShingles(train, n), bf).orderBy("doc_id")
+  }
+
+  /** The Bloom decontamination leg over a PRE-SHINGLED train frame and a
+    * PRE-BUILT filter — shared by [[decontaminateBloom]] and
+    * [[decontaminateBloomReport]] so the report builds the filter (an eager
+    * driver aggregation) exactly once and reuses one persisted shingling.
+    */
+  private def bloomSurvivors(train: DataFrame, trainSh: DataFrame,
+                             bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val spark = train.sparkSession
-    val bf = hashedShingles(benchmark, n).stat.bloomFilter("shingle", expectedShingles, fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
     import spark.implicits._
-    val contaminated = hashedShingles(train, n).as[(Long, Long)]
+    val bcast = spark.sparkContext.broadcast(bf)
+    val contaminated = trainSh.as[(Long, Long)]
       .filter(r => bcast.value.mightContainLong(r._2))
       .toDF("doc_id", "shingle")
       .select("doc_id").distinct()
     train.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .orderBy("doc_id")
   }
 
   /** The oracle-anchored report over [[decontaminateBloom]] (the
@@ -947,9 +964,21 @@ object Dedup {
                                n: Int = 3, expectedShingles: Long = 1000000L,
                                fpp: Double = 0.001,
                                slack: Double = 0.05): DataFrame = {
-    val e = decontaminate(train, benchmark, n).select(col("doc_id"), lit(1).as("e"))
-    val b = decontaminateBloom(train, benchmark, n, expectedShingles, fpp)
-      .select(col("doc_id"), lit(1).as("b"))
+    // Round-13 (from round-12 review): composing the two public operators
+    // shingled BOTH corpora twice — the exact leg and the Bloom leg each
+    // re-ran the typed tokenize+hash pass independently (the report's
+    // dominant constant factor). Shingle each corpus ONCE, persisted and
+    // scoped: the benchmark shingles feed the eager filter build first
+    // (which materializes the cache) and then the exact leg's semi-join;
+    // the train shingles feed both legs inside the single report action.
+    // releaseAfterFirstAction is registered AFTER the filter build so the
+    // probe-action gotcha doesn't spend the cache on the build itself.
+    val tsh = Helpers.releaseAfterFirstAction(hashedShingles(train, n).persist())
+    val bsh = hashedShingles(benchmark, n).persist()
+    val bf = bsh.stat.bloomFilter("shingle", expectedShingles, fpp)
+    Helpers.releaseAfterFirstAction(bsh)
+    val e = exactSurvivors(train, tsh, bsh).select(col("doc_id"), lit(1).as("e"))
+    val b = bloomSurvivors(train, tsh, bf).select(col("doc_id"), lit(1).as("b"))
     e.join(b, Seq("doc_id"), "full_outer")
       .agg(
         count(col("e")).as("n_survivors_exact"),

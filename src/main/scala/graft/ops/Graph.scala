@@ -832,6 +832,105 @@ object Graph {
        |SELECT node, community FROM c$rounds ORDER BY node""".stripMargin
   }
 
+  /** Newman modularity of a node labeling over the undirected canonical
+    * graph — the quality score a user checks BEFORE trusting a
+    * [[communities]] partition for source-mixture decisions:
+    * Q = Σ_c (e_c/m − (d_c/2m)²), where m is the (distinct canonical) edge
+    * count, e_c the intra-community edge count and d_c the total degree of
+    * community c. Q ≈ 0 for a labeling no better than random (or one giant
+    * community), approaches 1 for dense well-separated modules. Output is
+    * one row: `(n_communities, n_intra_edges, modularity)`.
+    *
+    * Determinism: m, the intra count, and Σd_c² are exact integer/decimal
+    * aggregates (order-independent); Σd_c² sums in DECIMAL(38,0) so a
+    * 100 TB graph's squared degrees cannot overflow a long. Only the final
+    * two divisions run in double — one expression both engines replay
+    * bit-identically (round(·, 6) discipline, [[triangleStats]]).
+    *
+    * Scale shape: one edges⋈labels⋈labels join folded into a 1-row
+    * aggregate, one degree aggregate joined to labels and reduced to a
+    * second 1-row aggregate, then a broadcast cross of the two single rows
+    * — every step a keyed shuffle or a 1-row broadcast, nothing collected.
+    * The labels frame is read three times; callers holding an expensive
+    * labeling (an iterative [[communities]] run) should pass the operator
+    * its checkpointed output — the registered query does.
+    */
+  def modularity(edgeList: DataFrame, labels: DataFrame): DataFrame = {
+    val e = Helpers.releaseAfterFirstAction(canonicalEdges(edgeList).persist())
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("community"))
+    val em = e
+      .join(lab.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("node").as("b"), col("community").as("cb")), "b")
+      .agg(count(lit(1)).as("m"),
+        coalesce(sum(when(col("ca") === col("cb"), 1L).otherwise(0L)), lit(0L))
+          .as("intra"))
+    val dsq = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .join(lab, "node")
+      .groupBy("community").agg(sum(col("deg")).as("d"))
+      .agg(count(lit(1)).as("n_communities"),
+        coalesce(sum(col("d").cast(DecimalType(18, 0)) *
+          col("d").cast(DecimalType(18, 0))), lit(0).cast(DecimalType(38, 0)))
+          .as("sdd"))
+    val md = greatest(col("m").cast("double"), lit(1.0))
+    em.crossJoin(broadcast(dsq))
+      .select(col("n_communities"), col("intra").as("n_intra_edges"),
+        round(col("intra").cast("double") / md -
+          col("sdd").cast("double") / (lit(4.0) * md * md), 6).as("modularity"))
+  }
+
+  /** Generated DuckDB oracle for [[modularity]] over the
+    * [[communities]]-labeled basket graph: the same `rounds` unrolled LPA
+    * CTEs as [[communitiesBasketOracleSql]], then the modularity arithmetic
+    * replayed — integer aggregates (HUGEINT for Σd²), double only in the
+    * final rounded expression.
+    */
+  def modularityBasketOracleSql(rounds: Int = 4,
+                                from: String = "1996-01-01",
+                                until: String = "1997-01-01"): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT node, community FROM (
+         |    SELECT node, community,
+         |           ROW_NUMBER() OVER (PARTITION BY node
+         |                              ORDER BY cnt DESC, community) AS rn
+         |    FROM (SELECT n.node, l.community, COUNT(*) AS cnt
+         |          FROM nbr n JOIN c${i - 1} l ON n.nb = l.node
+         |          GROUP BY n.node, l.community))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |nbr AS MATERIALIZED (
+       |  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |c0 AS MATERIALIZED (SELECT DISTINCT node, node AS community FROM nbr),
+       |$iterCtes,
+       |lab AS MATERIALIZED (SELECT node, community FROM c$rounds),
+       |em AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |              CAST(SUM(CASE WHEN la.community = lb.community
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS intra
+       |       FROM e JOIN lab la ON e.a = la.node
+       |              JOIN lab lb ON e.b = lb.node),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY node),
+       |dc AS (SELECT l.community, SUM(d.deg) AS d
+       |       FROM deg d JOIN lab l ON d.node = l.node GROUP BY l.community),
+       |dsq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |               SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd
+       |        FROM dc)
+       |SELECT n_communities, intra AS n_intra_edges,
+       |       round(CAST(intra AS DOUBLE) / greatest(CAST(m AS DOUBLE), 1.0) -
+       |             CAST(sdd AS DOUBLE) / (4.0 * greatest(CAST(m AS DOUBLE), 1.0)
+       |                                        * greatest(CAST(m AS DOUBLE), 1.0)),
+       |             6) AS modularity
+       |FROM em, dsq""".stripMargin
+  }
+
   /** Global triangle census: nodes, edges, wedges (2-paths), triangles and
     * the global clustering coefficient 3·triangles / wedges — one summary
     * row.

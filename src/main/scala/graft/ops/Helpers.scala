@@ -97,11 +97,18 @@ object Helpers {
     // overridden), not a size. Round-12 (from round-11 review): without
     // this check the byData term saturated at the 32769 cap, so a TINY
     // checkpointed input would have been shuffled into ~32K partitions.
+    // Round-13 (from round-12 review): the root-size test alone is not
+    // enough — a Project/Filter ABOVE a stats-free leaf multiplies the
+    // sentinel by a selectivity/column ratio, landing below it while still
+    // meaningless — so unknownness is ALSO detected structurally: any leaf
+    // whose own stats report the sentinel poisons every derived size.
     // Unknown size ⇒ fall back to the slot floor, the same width a
     // stats-free session default would pick.
     val sentinel = BigInt(df.sparkSession.conf
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
-    if (size >= sentinel) slots
+    val statsFreeLeaf = df.queryExecution.optimizedPlan.collectLeaves()
+      .exists(_.stats.sizeInBytes >= sentinel)
+    if (size >= sentinel || statsFreeLeaf) slots
     else {
       val byData = (size / bytesPerPart).min(BigInt(1 << 15)).toInt + 1
       math.max(slots, byData)

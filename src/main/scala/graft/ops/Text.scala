@@ -1074,8 +1074,8 @@ object Text {
     documents.select(
         col("doc_id"),
         clean.as("clean_text"),
-        length(raw).as("n_chars_before"),
-        length(clean).as("n_chars_after"),
+        length(raw).cast("long").as("n_chars_before"),
+        length(clean).cast("long").as("n_chars_after"),
         (clean =!= raw).as("changed"))
       .orderBy("doc_id")
   }
@@ -1116,9 +1116,13 @@ object Text {
     * Scale shape: one row-local typed pass (split, trim, test, re-join —
     * the [[dedupLinesWithinDoc]] carve-out), no shuffle at any corpus
     * size; the final orderBy exists for the oracle only. Trim/word-split
-    * semantics are regex-pinned (`^\s+|\s+$`, `\s+`) so the DuckDB
-    * restatement replays them exactly; Java and RE2 agree on `\s` for
-    * every char class member. Null text is treated as empty (total).
+    * semantics are pinned to the EXPLICIT class `[ \t\n\f\r]` — exactly
+    * RE2's `\s` — because Java's `\s` additionally matches U+000B and
+    * Java's unanchored `$` matches before a trailing U+0085/U+2028, either
+    * of which would silently diverge the operator from the DuckDB replay
+    * on exotic whitespace (round-13, from round-12 review; the Java side
+    * uses `\z` where the oracle's RE2 `$` means end-of-text). Null text is
+    * treated as empty (total).
     */
   def c4Clean(documents: DataFrame, minWords: Int = 5,
               minKeptLines: Int = 3): DataFrame = {
@@ -1126,7 +1130,7 @@ object Text {
       s"need minWords >= 1 and minKeptLines >= 1, got $minWords/$minKeptLines")
     val spark = documents.sparkSession
     import spark.implicits._
-    val terminal = "[.!?\"]$".r
+    val terminal = "[.!?\"]\\z".r
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, raw) =>
         val text = if (raw == null) "" else raw
@@ -1137,10 +1141,10 @@ object Text {
           (id, "", nLines, 0L, false)
         else {
           val kept = lines.iterator
-            .map(_.replaceAll("^\\s+|\\s+$", ""))
+            .map(_.replaceAll("^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+\\z", ""))
             .filter { t =>
               terminal.findFirstIn(t).isDefined &&
-                t.split("\\s+").length >= minWords &&
+                t.split("[ \\t\\n\\f\\r]+").length >= minWords &&
                 !t.toLowerCase.contains("javascript")
             }
             .toArray

@@ -47,15 +47,27 @@ class TextExpressionsSpec extends SparkSpec {
   }
 
   test("nfc_normalize is callable from SQL via GraftExtensions") {
-    // the shared test session may not carry the extensions; build a child
-    // session with them injected, the q_scalar_funcs pattern
-    val s = org.apache.spark.sql.SparkSession.builder()
+    // getOrCreate returns any existing default session and would ignore
+    // extensions \u2014 clear them so a fresh session (reusing the context)
+    // gets the injected functions, then restore (GraftExtensionsSpec pattern)
+    import org.apache.spark.sql.SparkSession
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
-    val one = s.sql("SELECT nfc_normalize('cafe\u0301') AS n").head().getString(0)
-    assert(one == composed)
+    try {
+      val one = s.sql("SELECT nfc_normalize('cafe\u0301') AS n").head().getString(0)
+      assert(one == composed)
+    } finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
   }
 }

@@ -282,4 +282,83 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleStats(e).collect().toSeq ==
       Graph.triangleStats(e.repartition(7)).collect().toSeq)
   }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("communities: two 3-cliques bridged by one edge settle into two communities") {
+    // cliques {1,2,3} and {4,5,6}, bridge 3-4; hand-simulated sync LPA with
+    // the min-label tie-break is STABLE from round 3 at {1,2,3}->1, {4,5,6}->3
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val out = labelsOf(Graph.communities(e, rounds = 4))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // stability: one more round changes nothing (the partition is a fixpoint)
+    assert(labelsOf(Graph.communities(e, rounds = 5)) == out)
+  }
+
+  test("communities: min-label tie-break pinned on a triangle's first round") {
+    // round 1 from self-labels: every neighbor label has count 1, so each
+    // node adopts the SMALLEST neighbor id — node 1 takes 2, nodes 2/3 take 1
+    val tri = edges((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(labelsOf(Graph.communities(tri, rounds = 1)) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // and by round 2 the clique agrees on label 1 (stable thereafter)
+    assert(labelsOf(Graph.communities(tri, rounds = 2)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("communities: synchronous LPA 2-cycles on a 4-cycle — rounds is a semantic parameter") {
+    // bipartite C4: from round 1 the labeling oscillates between
+    // (2,1,2,1) on odd rounds and (1,2,1,2) on even rounds — the documented
+    // reason operator and oracle agree on a FIXED round count
+    val c4 = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val odd = Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L)
+    val even = Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)
+    assert(labelsOf(Graph.communities(c4, rounds = 3)) == odd)
+    assert(labelsOf(Graph.communities(c4, rounds = 4)) == even)
+  }
+
+  test("communities: invariant to direction/duplicates; bit-identical under repartitioning") {
+    val e = edges((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L))
+    val base = labelsOf(Graph.communities(e, rounds = 2))
+    assert(base == labelsOf(Graph.communities(e.repartition(7), rounds = 2)))
+    assert(base == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    intercept[IllegalArgumentException](Graph.communities(e, rounds = 0))
+  }
+
+  test("modularity: two disjoint triangles under their clique labels score 0.5") {
+    // m=6, each community: e_c=3, d_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val labels = Graph.communities(e, rounds = 2) // settles to {1,..}->1, {4,..}->4
+    val row = Graph.modularity(e, labels).collect().head
+    assert(row.getLong(0) == 2 && row.getLong(1) == 6)
+    assert(row.getDouble(2) == 0.5)
+  }
+
+  test("modularity: one giant community scores exactly 0; singletons score negative") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val allOne = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("node", "community")
+    val one = Graph.modularity(e, allOne).collect().head
+    assert(one.getLong(0) == 1 && one.getLong(1) == 4 && one.getDouble(2) == 0.0)
+    val singletons = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("node", "community")
+    val sing = Graph.modularity(e, singletons).collect().head
+    assert(sing.getLong(1) == 0 && sing.getDouble(2) < 0.0)
+  }
+
+  test("modularity: separated cliques beat a mixed labeling; bit-identical under repartitioning") {
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val good = Graph.communities(e, rounds = 4)
+    val qGood = Graph.modularity(e, good).collect().head.getDouble(2)
+    val spark2 = spark
+    import spark2.implicits._
+    // mixed: split each clique across the two labels
+    val mixed = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L), (6L, 2L))
+      .toDF("node", "community")
+    val qMixed = Graph.modularity(e, mixed).collect().head.getDouble(2)
+    assert(qGood > qMixed, s"separated labeling must dominate: $qGood vs $qMixed")
+    assert(Graph.modularity(e.repartition(5), good).collect().toSeq ==
+      Graph.modularity(e, good).collect().toSeq)
+  }
 }

@@ -82,13 +82,26 @@ class StatsSpec extends SparkSpec {
     // stats must fall back to the slot floor.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val rdd = spark.sparkContext.parallelize(Seq(Row(1L), Row(2L)), 1)
-    val statless = spark.createDataFrame(rdd, StructType(Seq(StructField("id", LongType))))
+    val rdd = spark.sparkContext.parallelize(Seq(Row(1L, 1L), Row(2L, 2L)), 1)
+    val statless = spark.createDataFrame(rdd, StructType(
+      Seq(StructField("id", LongType), StructField("pad", LongType))))
     val size = statless.queryExecution.optimizedPlan.stats.sizeInBytes
     assert(size >= BigInt(Long.MaxValue), // precondition: this leaf really is stats-free
       s"external-RDD frame now reports real stats ($size) — rework the sentinel fixture")
     assert(Helpers.shuffleWidthFor(statless, bytesPerPart = 1L) == slots,
       "sentinel-sized plan must take the slot fallback, not the 32K cap")
+    // round-13 (from round-12 review): a Project/Filter ABOVE a stats-free
+    // leaf multiplies the sentinel by a selectivity/column ratio, landing
+    // below it while still meaningless — the structural leaf check must
+    // catch the derived plan too
+    // projecting one of two equal-width columns halves the propagated size:
+    // the root lands at ~sentinel/2, below the raw sentinel test
+    val derived = statless.filter(col("id") > 0).select((col("id") * 2).as("id2"))
+    val dsize = derived.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(dsize < BigInt(Long.MaxValue), // precondition: root size alone would NOT trip the sentinel
+      s"derived plan still reports the raw sentinel ($dsize) — fixture no longer exercises the leaf check")
+    assert(Helpers.shuffleWidthFor(derived, bytesPerPart = 1L) == slots,
+      "plan derived from a stats-free leaf must take the slot fallback")
   }
 
   test("iqrOutliers: hand-computed fences on a small group; clean group reports zero") {
