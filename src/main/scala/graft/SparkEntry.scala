@@ -40,6 +40,14 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
     ProbeCache("basketEdges:1996-01-01:1997-01-01", Seq(li))(Graph.basketEdges(li))
   }
+  // The triangle LIST of that basket graph, enumerated once and shared by
+  // the two triangle-derived profile queries (r13) — the certify-once
+  // shape one level up: a deployment materializes the triangle table once
+  // per graph snapshot and derives node/edge profiles from it.
+  private def triCornersMemo(s: SparkSession, dir: String): DataFrame = {
+    val edges = basketEdgesMemo(s, dir)
+    ProbeCache("triCorners", Seq(edges))(Graph.triangleCorners(edges))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reference-shaped chunked fetch (distinct keys → chunks → filtered
@@ -209,6 +217,24 @@ object SparkEntry {
     "q_modularity" -> ((s, dir) =>
       Graph.modularity(basketEdgesMemo(s, dir),
         Graph.communities(basketEdgesMemo(s, dir), rounds = 4, sorted = false))),
+    // per-node triangle profile over the basket graph: degree, triangle
+    // count, local clustering coefficient — the Watts-Strogatz density
+    // feature (spam cliques score ≈1, bridges/hubs ≈0); shares one
+    // triangle enumeration with q_embeddedness through the corners memo
+    "q_tri_profile" -> ((s, dir) =>
+      Graph.triangleProfile(basketEdgesMemo(s, dir),
+        corners = Some(triCornersMemo(s, dir)))),
+    // per-edge embeddedness: common-neighbor count + neighborhood Jaccard
+    // for every basket-graph edge — the strong-tie/local-bridge score,
+    // from the same shared triangle list
+    "q_embeddedness" -> ((s, dir) =>
+      Graph.edgeEmbeddedness(basketEdgesMemo(s, dir),
+        corners = Some(triCornersMemo(s, dir)))),
+    // degree assortativity of the basket graph: Pearson correlation of
+    // endpoint degrees (Newman 2002, both directions) — one summary row,
+    // decimal-exact sums, double only in the final division
+    "q_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(basketEdgesMemo(s, dir))),
     // bounded BFS from one brand's parts over the basket graph: exact
     // hop distance to the nearest seed within 4 hops — the discrete
     // proximity feature beside personalized PageRank
@@ -940,6 +966,9 @@ object SparkEntry {
     "q_hop_distance" -> Graph.hopDistanceOracleSql("Brand#1", maxHops = 4),
     "q_communities" -> Graph.communitiesBasketOracleSql(rounds = 4),
     "q_modularity" -> Graph.modularityBasketOracleSql(rounds = 4),
+    "q_tri_profile" -> Graph.triangleProfileBasketOracleSql(),
+    "q_embeddedness" -> Graph.edgeEmbeddednessBasketOracleSql(),
+    "q_assortativity" -> Graph.assortativityBasketOracleSql(),
     // the operator generates pairs row-locally from sorted basket arrays;
     // the oracle replays the equivalent basket self-join (same multiset)
     "q_item_neighbors" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -963,6 +963,33 @@ object Graph {
     val census = deg.agg(
       count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("deg * (deg - 1) DIV 2")), lit(0L)).as("n_wedges"))
+    val tri = cornersFrom(e, deg).agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(broadcast(census))
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_wedges"), col("n_triangles"),
+        round(col("n_triangles").cast("double") * lit(3.0) /
+          greatest(col("n_wedges").cast("double"), lit(1.0)), 6).as("clustering"))
+  }
+
+  /** Undirected degree of every node of the canonical edge set `e` —
+    * `(node, deg)`, one map-side-combining aggregate over both endpoint
+    * columns. `e` MUST already be canonical ([[canonicalEdges]]). */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered triangle enumeration shared by [[triangleStats]],
+    * [[triangleCorners]] and the per-node/per-edge profiles: orient every
+    * canonical edge from the (degree, id)-earlier endpoint to the later
+    * one, generate wedges only between a node's oriented SUCCESSORS
+    * (Σ outdeg² ≤ E^{3/2}, skew-immune — Suri & Vassilvitskii, WWW'11),
+    * and close each wedge with one oriented equi-join. Returns `(u, x, y)`
+    * — each triangle EXACTLY once, `u` its (degree, id)-minimum corner;
+    * x/y carry no id order (they are (degree, id)-ordered), so consumers
+    * canonicalize derived pairs with least/greatest themselves.
+    */
+  private def cornersFrom(e: DataFrame, deg: DataFrame): DataFrame = {
     val da = deg.select(col("node").as("a"), col("deg").as("da"))
     val db = deg.select(col("node").as("b"), col("deg").as("db"))
     val aFirst = col("da") < col("db") ||
@@ -981,14 +1008,220 @@ object Graph {
       .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
-      .select("x", "y")
-    val tri = wedges
-      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-      .agg(count(lit(1)).as("n_triangles"))
-    tri.crossJoin(broadcast(census))
-      .select(col("n_nodes"), lit(nEdges).as("n_edges"),
-        col("n_wedges"), col("n_triangles"),
-        round(col("n_triangles").cast("double") * lit(3.0) /
-          greatest(col("n_wedges").cast("double"), lit(1.0)), 6).as("clustering"))
+      .select("u", "x", "y")
+    wedges.join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select("u", "x", "y")
   }
+
+  /** The triangle LIST of the graph: one `(u, x, y)` row per triangle of
+    * the canonical undirected edge set, each triangle exactly once (`u`
+    * its (degree, id)-minimum corner; row order undefined — sort or
+    * canonicalize downstream). This is the shared enumeration the derived
+    * profiles consume: a pipeline that wants per-node counts
+    * ([[triangleProfile]]) AND per-edge embeddedness
+    * ([[edgeEmbeddedness]]) should materialize this frame once and pass
+    * it to both — the registered queries do exactly that through the
+    * probe cache.
+    *
+    * Scale shape: identical to [[triangleStats]] (same joins, no final
+    * aggregate) — every step a keyed shuffle, wedge volume bounded
+    * E^{3/2} by the degree orientation, nothing collected.
+    */
+  def triangleCorners(edgeList: DataFrame): DataFrame = {
+    val e = Helpers.releaseAfterFirstAction(canonicalEdges(edgeList).persist())
+    cornersFrom(e, degreesOf(e))
+  }
+
+  /** Per-node triangle profile: `(node, deg, n_tri, lcc)` — undirected
+    * degree, triangles through the node, and the LOCAL clustering
+    * coefficient 2·tri / (deg·(deg−1)) (0 for deg < 2) — the classic
+    * Watts-Strogatz density feature a curation pipeline thresholds to
+    * find spam cliques (lcc ≈ 1 at moderate degree) and bridge/hub nodes
+    * (lcc ≈ 0 at high degree).
+    *
+    * `corners` optionally supplies a pre-enumerated [[triangleCorners]]
+    * frame OF THE SAME edge list (the certify-once shape: enumerate
+    * triangles once, derive every profile); when absent the enumeration
+    * runs here. Scale shape: corner explode is row-local ×3, then one
+    * combining count keyed by node + one left join onto the degree frame
+    * — nothing beyond the enumeration itself.
+    *
+    * Determinism: counts are exact longs; lcc is one double expression
+    * replayed identically by the oracle (round(·, 6) discipline).
+    */
+  def triangleProfile(edgeList: DataFrame,
+                      corners: Option[DataFrame] = None): DataFrame = {
+    val e = Helpers.releaseAfterFirstAction(canonicalEdges(edgeList).persist())
+    val deg = degreesOf(e)
+    val tri = corners.getOrElse(cornersFrom(e, deg))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val d = col("deg").cast("double")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(col("deg") >= 2,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+              (d * (d - lit(1.0))))
+          .otherwise(lit(0.0)), 6).as("lcc"))
+      .orderBy("node")
+  }
+
+  /** Per-edge embeddedness: for every canonical edge `(a, b)` the number
+    * of COMMON neighbors and the neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| = common / (deg(a)+deg(b)−common) — the
+    * strong-tie score of structural link analysis (embedded edges sit
+    * inside communities; zero-common edges are local bridges). The
+    * denominator is ≥ 2 by construction (each endpoint is in the other's
+    * neighborhood), so the ratio is total.
+    *
+    * A common neighbor of an ADJACENT pair is exactly a triangle through
+    * that edge, so the counts come from the shared triangle enumeration:
+    * explode each triangle into its three canonicalized edges, one
+    * combining count keyed by the pair, one left join back onto the edge
+    * set (triangle-free edges keep count 0), two keyed degree joins.
+    * `corners` as in [[triangleProfile]].
+    */
+  def edgeEmbeddedness(edgeList: DataFrame,
+                       corners: Option[DataFrame] = None): DataFrame = {
+    val e = Helpers.releaseAfterFirstAction(canonicalEdges(edgeList).persist())
+    val deg = degreesOf(e)
+    def cedge(p: Column, q: Column): Column =
+      struct(least(p, q).as("a"), greatest(p, q).as("b"))
+    val common = corners.getOrElse(cornersFrom(e, deg))
+      .select(explode(array(
+        cedge(col("u"), col("x")),
+        cedge(col("u"), col("y")),
+        cedge(col("x"), col("y")))).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val nc = coalesce(col("n_common"), lit(0L))
+    e.join(common, Seq("a", "b"), "left")
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
+        nc.as("n_common"),
+        round(nc.cast("double") /
+          (col("deg_a") + col("deg_b") - nc).cast("double"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the edge set (each undirected edge contributing both ordered
+    * directions, the standard Newman 2002 convention) — one summary row
+    * `(n_edges, assortativity)`. Positive r: hubs link to hubs (social
+    * graphs); negative: hubs link to leaves (star-like / web graphs);
+    * the one-number health check beside [[triangleStats]]' clustering.
+    *
+    * With both directions included the x/y marginals coincide, so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) with M = 2·edges — computed
+    * from four exact sums. All sums run in DECIMAL(38,0) (squared degrees
+    * summed over a 100 TB graph overflow a long); only the final division
+    * runs in double, one expression the oracle replays identically. When
+    * every degree is equal the denominator is 0 and r is defined as 0.0.
+    *
+    * Scale shape: two keyed degree joins folded into one 1-row aggregate
+    * — nothing collected, no driver loop.
+    */
+  def degreeAssortativity(edgeList: DataFrame): DataFrame = {
+    val e = Helpers.releaseAfterFirstAction(canonicalEdges(edgeList).persist())
+    val deg = degreesOf(e)
+    val dec = DecimalType(38, 0)
+    val x = col("da").cast(dec)
+    val y = col("db").cast(dec)
+    val s = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        coalesce(sum(x + y), lit(0).cast(dec)).as("sx"),
+        coalesce(sum(x * x + y * y), lit(0).cast(dec)).as("sxx"),
+        coalesce(sum(x * y * lit(2)), lit(0).cast(dec)).as("sxy"))
+    val mm = col("m").cast(dec) * lit(2)
+    val num = (mm * col("sxy") - col("sx") * col("sx")).cast("double")
+    val den = (mm * col("sxx") - col("sx") * col("sx")).cast("double")
+    s.select(col("m").as("n_edges"),
+      round(when(den === 0.0, lit(0.0)).otherwise(num / den), 6)
+        .as("assortativity"))
+  }
+
+  /** Shared basket-graph CTE prefix for the triangle-derived oracles:
+    * `items`, canonical `e`, the triangle list `tri` (naive a<b<c triple
+    * join — the fixture-scale reference the degree-ordered enumeration is
+    * spec-equivalent to), both-direction `nbr` and `deg`.
+    */
+  private def triBasketCtes(from: String, until: String): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |nbr AS (SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY node)""".stripMargin
+
+  /** Generated DuckDB oracle for [[triangleProfile]] over [[basketEdges]]. */
+  def triangleProfileBasketOracleSql(from: String = "1996-01-01",
+                                     until: String = "1997-01-01"): String =
+    s"""${triBasketCtes(from, until)},
+       |tpn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |          SELECT x AS node FROM tri
+       |          UNION ALL SELECT y FROM tri
+       |          UNION ALL SELECT z FROM tri) GROUP BY node)
+       |SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       |       round(CASE WHEN d.deg >= 2
+       |                  THEN 2.0 * CAST(COALESCE(t.n_tri, 0) AS DOUBLE) /
+       |                       (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+       |                  ELSE 0.0 END, 6) AS lcc
+       |FROM deg d LEFT JOIN tpn t ON d.node = t.node
+       |ORDER BY d.node""".stripMargin
+
+  /** Generated DuckDB oracle for [[edgeEmbeddedness]] over [[basketEdges]]. */
+  def edgeEmbeddednessBasketOracleSql(from: String = "1996-01-01",
+                                      until: String = "1997-01-01"): String =
+    s"""${triBasketCtes(from, until)},
+       |te AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common FROM (
+       |         SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+       |         UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+       |         UNION ALL SELECT least(y, z), greatest(y, z) FROM tri)
+       |       GROUP BY a, b)
+       |SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b,
+       |       COALESCE(te.n_common, 0) AS n_common,
+       |       round(CAST(COALESCE(te.n_common, 0) AS DOUBLE) /
+       |             CAST(da.deg + db.deg - COALESCE(te.n_common, 0) AS DOUBLE),
+       |             6) AS jaccard
+       |FROM e LEFT JOIN te ON e.a = te.a AND e.b = te.b
+       |       JOIN deg da ON e.a = da.node
+       |       JOIN deg db ON e.b = db.node
+       |ORDER BY e.a, e.b""".stripMargin
+
+  /** Generated DuckDB oracle for [[degreeAssortativity]] over
+    * [[basketEdges]] — the four exact sums in HUGEINT, one double
+    * division. */
+  def assortativityBasketOracleSql(from: String = "1996-01-01",
+                                   until: String = "1997-01-01"): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |nbr AS (SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY node),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |             SUM(CAST(da.deg AS HUGEINT) + db.deg) AS sx,
+       |             SUM(CAST(da.deg AS HUGEINT) * da.deg
+       |                 + CAST(db.deg AS HUGEINT) * db.deg) AS sxx,
+       |             SUM(CAST(da.deg AS HUGEINT) * db.deg * 2) AS sxy
+       |      FROM e JOIN deg da ON e.a = da.node
+       |             JOIN deg db ON e.b = db.node)
+       |SELECT m AS n_edges,
+       |       round(CASE WHEN CAST(m AS HUGEINT) * 2 * sxx - sx * sx = 0 THEN 0.0
+       |                  ELSE CAST(CAST(m AS HUGEINT) * 2 * sxy - sx * sx AS DOUBLE) /
+       |                       CAST(CAST(m AS HUGEINT) * 2 * sxx - sx * sx AS DOUBLE)
+       |             END, 6) AS assortativity
+       |FROM s""".stripMargin
 }

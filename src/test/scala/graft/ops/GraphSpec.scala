@@ -361,4 +361,48 @@ class GraphSpec extends SparkSpec {
     assert(Graph.modularity(e.repartition(5), good).collect().toSeq ==
       Graph.modularity(e, good).collect().toSeq)
   }
+
+  test("triangleProfile: closed form on triangle + pendant (deg, n_tri, lcc per node)") {
+    // triangle 1-2-3 with pendant edge 3-4
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val rows = Graph.triangleProfile(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((2L, 1L, 1.0)))
+    assert(rows(2L) == ((2L, 1L, 1.0)))
+    assert(rows(3L) == ((3L, 1L, 0.333333))) // 2·1/(3·2)
+    assert(rows(4L) == ((1L, 0L, 0.0)))      // deg < 2 → defined as 0
+  }
+
+  test("triangleProfile: precomputed corners path is identical; Σn_tri = 3·triangles") {
+    val e = Graph.basketEdges(graft.core.Tables.lineitem(spark, sfDir))
+    val corners = Graph.triangleCorners(e).localCheckpoint()
+    val inline = Graph.triangleProfile(e).collect().toSeq
+    val shared = Graph.triangleProfile(e, corners = Some(corners)).collect().toSeq
+    assert(inline == shared, "corner reuse must not change the profile")
+    val sumTri = inline.map(_.getLong(2)).sum
+    val global = Graph.triangleStats(e).collect().head.getLong(3)
+    assert(sumTri == 3 * global, s"each triangle counted at 3 corners: $sumTri vs $global")
+  }
+
+  test("edgeEmbeddedness: closed form on triangle + pendant (common neighbors + Jaccard)") {
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val rows = Graph.edgeEmbeddedness(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows((1L, 2L)) == ((2L, 2L, 1L, 0.333333))) // common {3}, 1/(2+2-1)
+    assert(rows((1L, 3L)) == ((2L, 3L, 1L, 0.25)))     // common {2}, 1/(2+3-1)
+    assert(rows((2L, 3L)) == ((2L, 3L, 1L, 0.25)))
+    assert(rows((3L, 4L)) == ((3L, 1L, 0L, 0.0)))      // a local bridge
+  }
+
+  test("degreeAssortativity: star is -1, path is -1, regular graph hits the 0/0 → 0 contract") {
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val s = Graph.degreeAssortativity(star).collect().head
+    assert(s.getLong(0) == 4 && s.getDouble(1) == -1.0)
+    val path = edges((1L, 2L), (2L, 3L))
+    assert(Graph.degreeAssortativity(path).collect().head.getDouble(1) == -1.0)
+    // K3: every degree equal → zero variance → defined as 0.0
+    val k3 = edges((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(Graph.degreeAssortativity(k3).collect().head.getDouble(1) == 0.0)
+  }
 }
