@@ -506,6 +506,42 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // c4 A/B mode: `Test/runMain graft.PerfProbe c4ab` — the round-12
+    // VERDICT's optional item: does re-expressing c4Clean's per-line rules
+    // as codegen'd higher-order array functions (split → transform →
+    // filter → array_join, all inside Tungsten) beat the typed .map
+    // (object deserialization, but single-pass imperative line loop)?
+    // Rules replicated for TIMING equivalence (same regexes, same gates);
+    // the oracle-exact operator stays the .map until this measurement
+    // says the HOF path wins.
+    if (args.headOption.contains("c4ab")) {
+      import graft.core.Tables
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+      val minWords = 5
+      val txt = coalesce(col("text"), lit(""))
+      val pageBad = lower(txt).contains("lorem ipsum") || lower(txt).contains("{")
+      val trimmed = transform(split(txt, "\n", -1), l =>
+        regexp_replace(l, "^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$", ""))
+      val keptArr = filter(trimmed, t =>
+        t.rlike("[.!?\"]$") &&
+          size(split(t, "[ \\t\\n\\f\\r]+")) >= minWords &&
+          !lower(t).contains("javascript"))
+      val hof = docs.select(col("doc_id"),
+          when(pageBad, lit("")).otherwise(array_join(keptArr, "\n")).as("clean_text"),
+          size(split(txt, "\n", -1)).cast("long").as("n_lines"),
+          when(pageBad, lit(0L)).otherwise(size(keptArr).cast("long")).as("n_kept"))
+        .withColumn("page_kept", !pageBad && col("n_kept") >= 3)
+        .orderBy("doc_id")
+      def rep(n: Int)(f: => Unit): Seq[Double] =
+        (1 to n).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val tMap = rep(7)(SparkEntry.queries("q_c4_clean")(spark, sfDir).count())
+      val tHof = rep(7)(hof.count())
+      println(f"PROBE c4ab typed_map min=${tMap.min}%.3f med=${tMap.sorted.apply(3)}%.3f")
+      println(f"PROBE c4ab hof_codegen min=${tHof.min}%.3f med=${tHof.sorted.apply(3)}%.3f")
+      spark.stop(); return
+    }
+
     // ad-hoc mode: `Test/runMain graft.PerfProbe q_x q_y` times just those
     if (args.nonEmpty) { args.foreach(timeQ(_)); spark.stop(); return }
 
