@@ -48,6 +48,16 @@ object SparkEntry {
     val edges = basketEdgesMemo(s, dir)
     ProbeCache("triCorners", Seq(edges))(Graph.triangleCorners(edges))
   }
+  // The converged component labeling of the basket graph, computed once
+  // (iterative pointer-jumped min propagation) and shared by the label
+  // and size-census queries — the same materialize-once-per-snapshot
+  // shape as the triangle list above. connectedComponents already
+  // returns a checkpointed frame; unsorted here, each consumer orders.
+  private def componentsMemo(s: SparkSession, dir: String): DataFrame = {
+    val edges = basketEdgesMemo(s, dir)
+    ProbeCache("componentsBasket", Seq(edges))(
+      Graph.connectedComponents(edges, sorted = false))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reference-shaped chunked fetch (distinct keys → chunks → filtered
@@ -217,6 +227,17 @@ object SparkEntry {
     "q_modularity" -> ((s, dir) =>
       Graph.modularity(basketEdgesMemo(s, dir),
         Graph.communities(basketEdgesMemo(s, dir), rounds = 4, sorted = false))),
+    // connected components of the basket graph, run to CONVERGENCE
+    // (pointer-jumped min-label propagation, O(log diameter) rounds) —
+    // the oracle is a recursive-CTE transitive closure, a deliberately
+    // different algorithm, so agreement certifies true reachability
+    "q_components" -> ((s, dir) =>
+      componentsMemo(s, dir).orderBy("node")),
+    // component-size census of that labeling: size → component count,
+    // the shape check (one giant component? a tail of pairs?) a dedup
+    // pipeline reads before trusting transitive closures
+    "q_component_sizes" -> ((s, dir) =>
+      Graph.componentSizes(componentsMemo(s, dir))),
     // per-node triangle profile over the basket graph: degree, triangle
     // count, local clustering coefficient — the Watts-Strogatz density
     // feature (spam cliques score ≈1, bridges/hubs ≈0); shares one
@@ -969,6 +990,8 @@ object SparkEntry {
     "q_tri_profile" -> Graph.triangleProfileBasketOracleSql(),
     "q_embeddedness" -> Graph.edgeEmbeddednessBasketOracleSql(),
     "q_assortativity" -> Graph.assortativityBasketOracleSql(),
+    "q_components" -> Graph.componentsBasketOracleSql(),
+    "q_component_sizes" -> Graph.componentSizesBasketOracleSql(),
     // the operator generates pairs row-locally from sorted basket arrays;
     // the oracle replays the equivalent basket self-join (same multiset)
     "q_item_neighbors" ->

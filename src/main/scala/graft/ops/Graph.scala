@@ -931,6 +931,137 @@ object Graph {
        |FROM em, dsq""".stripMargin
   }
 
+  /** Connected components of the undirected canonical graph, run to
+    * CONVERGENCE (not a fixed round count): every node is labeled with
+    * the minimum node id reachable from it. [[communities]] answers
+    * "which dense module"; this answers "which component" — the exact
+    * partition leakage-safe train/eval splits and transitive duplicate
+    * closures key on.
+    *
+    * Algorithm: PRAM-style min-label propagation WITH POINTER JUMPING.
+    * Each round first relaxes labels across edges
+    * (label(v) ← min over {v} ∪ Γ(v)), then shortcuts through the label
+    * relation itself (label(v) ← label(label(v))) — valid because a label
+    * is always the id of a node already known connected to v, so adopting
+    * THAT node's label stays within the component. The shortcut step
+    * collapses label chains geometrically: convergence in O(log diameter)
+    * rounds instead of plain propagation's O(diameter) — on a path graph
+    * of length 1000 that is ~10 rounds, not 1000 (spec-pinned).
+    *
+    * Convergence is detected exactly and cheaply: per node the label is
+    * monotone non-increasing and bounded below by the component minimum,
+    * so Σ labels (DECIMAL(38,0) — overflow-free at any node count)
+    * strictly decreases every round until the global fixpoint — one
+    * scalar aggregate action per round, no row-level diff join. At the
+    * fixpoint the relaxation leaves every label ≤ its neighbors' labels,
+    * forcing labels constant across each edge, hence constant per
+    * component; that constant is a node whose own label is itself and is
+    * ≤ the component minimum's label — i.e. the minimum.
+    *
+    * Scale shape per round: two co-partitioned edge⋈label joins + one
+    * map-side-combining MIN aggregate + one label⋈label self-join keyed
+    * on the label value — all keyed shuffles at the slot-derived width
+    * ([[materializeEdges]]), superseded checkpoints released each round.
+    * `maxIters` is a safety fence, not a semantic knob: the operator
+    * THROWS if the fixpoint is not reached rather than returning a
+    * partial labeling (2·log₂(n) pointer-jumped rounds cover any graph;
+    * 64 covers n = 2⁶⁴ nodes).
+    */
+  def connectedComponents(edgeList: DataFrame, maxIters: Int = 64,
+                          sorted: Boolean = true): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e0 = canonicalEdges(edgeList)
+    val (edges, _) = materializeEdges(e0, "a")
+    var labels = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val viaA = edges.join(labels.select(col("node").as("a"), col("comp")), "a")
+        .select(col("b").as("node"), col("comp"))
+      val viaB = edges.join(labels.select(col("node").as("b"), col("comp")), "b")
+        .select(col("a").as("node"), col("comp"))
+      val relaxed = labels.unionByName(viaA).unionByName(viaB)
+        .groupBy("node").agg(min("comp").as("comp"))
+      // pointer jump: adopt the current label OF the label node. Every
+      // label value is itself a node (labels only ever take node ids), so
+      // the left join always hits; coalesce is belt-and-braces for the
+      // self-labeled roots.
+      val jumped = relaxed
+        .join(relaxed.select(col("node").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("node"), coalesce(col("jump"), col("comp")).as("comp"))
+        .localCheckpoint()
+      val s = jumped
+        .agg(sum(col("comp").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(labels)
+      labels = jumped
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      iters += 1
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds — " +
+        "pointer-jumped min propagation needs ~log2(diameter) rounds; " +
+        "raise maxIters only if the graph genuinely has 2^64-scale chains")
+    if (sorted) labels.orderBy("node") else labels
+  }
+
+  /** Component-size census over a [[connectedComponents]] labeling: for
+    * each component cardinality, how many components have it — the
+    * one-glance shape check (is there one giant component? a long tail of
+    * pairs?) a dedup pipeline reads before trusting transitive closures.
+    * Two map-side-combining aggregates; output rows bounded by the number
+    * of distinct sizes (≤ √(2·V)).
+    */
+  def componentSizes(labels: DataFrame): DataFrame =
+    labels.groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+
+  private def componentsClosureCtes(from: String, until: String): String =
+    s"""items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |          WHERE l_shipdate >= TIMESTAMP '$from'
+       |            AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |nbr AS MATERIALIZED (
+       |  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |nodes AS (SELECT DISTINCT node FROM nbr),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT n.nb, r.lab FROM reach r JOIN nbr n ON n.node = r.node),
+       |comp AS MATERIALIZED (
+       |  SELECT node, MIN(lab) AS comp FROM reach GROUP BY node)""".stripMargin
+
+  /** Generated DuckDB oracle for [[connectedComponents]] over
+    * [[basketEdges]] — deliberately a DIFFERENT algorithm: a
+    * recursive-CTE transitive closure (minimum reachable id per node),
+    * so the two engines agree only if the iterative Spark fixpoint
+    * equals true graph reachability, independent of round structure.
+    */
+  def componentsBasketOracleSql(from: String = "1996-01-01",
+                                until: String = "1997-01-01"): String =
+    s"""WITH RECURSIVE ${componentsClosureCtes(from, until)}
+       |SELECT node, comp FROM comp ORDER BY node""".stripMargin
+
+  /** Generated DuckDB oracle for [[componentSizes]] over the same
+    * closure: size → component count. */
+  def componentSizesBasketOracleSql(from: String = "1996-01-01",
+                                    until: String = "1997-01-01"): String =
+    s"""WITH RECURSIVE ${componentsClosureCtes(from, until)},
+       |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS size
+       |       FROM comp GROUP BY comp)
+       |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+       |FROM cs GROUP BY size ORDER BY size""".stripMargin
+
   /** Global triangle census: nodes, edges, wedges (2-paths), triangles and
     * the global clustering coefficient 3·triangles / wedges — one summary
     * row.

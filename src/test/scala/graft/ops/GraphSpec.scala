@@ -405,4 +405,40 @@ class GraphSpec extends SparkSpec {
     val k3 = edges((1L, 2L), (1L, 3L), (2L, 3L))
     assert(Graph.degreeAssortativity(k3).collect().head.getDouble(1) == 0.0)
   }
+
+  test("connectedComponents: two components labeled by their minima") {
+    // path {1,2,3} + pair {10,11}: every node takes its component min
+    val e = edges((2L, 3L), (1L, 2L), (10L, 11L))
+    assert(labelsOf(Graph.connectedComponents(e)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: pointer jumping collapses a 64-path in O(log d) rounds") {
+    // path 0-1-…-63 (diameter 63): plain min propagation needs 63 rounds;
+    // the relax+jump round reaches the fixpoint well inside 12 — the
+    // log-round contract the 100 TB design depends on
+    val path = edges((0L until 63L).map(i => (i, i + 1)): _*)
+    val out = labelsOf(Graph.connectedComponents(path, maxIters = 12))
+    assert(out.size == 64 && out.values.forall(_ == 0L))
+    // and the safety fence THROWS (never a partial labeling) when capped
+    // below what convergence + the one confirmation round need
+    intercept[IllegalArgumentException](
+      Graph.connectedComponents(path, maxIters = 2))
+  }
+
+  test("connectedComponents: invariant to direction/duplicates; bit-identical under repartitioning") {
+    val e = edges((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+    val base = labelsOf(Graph.connectedComponents(e))
+    assert(base == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(base == labelsOf(Graph.connectedComponents(e.repartition(7))))
+  }
+
+  test("componentSizes: size census on a mixed-shape graph") {
+    // sizes: one 4-cycle (4), one triangle (3), two pairs (2,2)
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (20L, 21L), (30L, 31L))
+    val sizes = Graph.componentSizes(Graph.connectedComponents(e))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }
