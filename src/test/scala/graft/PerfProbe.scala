@@ -530,8 +530,8 @@ object PerfProbe {
       val hof = docs.select(col("doc_id"),
           when(pageBad, lit("")).otherwise(array_join(keptArr, "\n")).as("clean_text"),
           size(split(txt, "\n", -1)).cast("long").as("n_lines"),
-          when(pageBad, lit(0L)).otherwise(size(keptArr).cast("long")).as("n_kept"))
-        .withColumn("page_kept", !pageBad && col("n_kept") >= 3)
+          when(pageBad, lit(0L)).otherwise(size(keptArr).cast("long")).as("n_kept"),
+          (!pageBad && size(keptArr) >= 3).as("page_kept"))
         .orderBy("doc_id")
       def rep(n: Int)(f: => Unit): Seq[Double] =
         (1 to n).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
