@@ -264,6 +264,15 @@ object SparkEntry {
       Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("node")),
       maxHops = 4)),
+    // weighted shortest paths from the same brand seeds: Bellman-Ford
+    // over co-purchase PROXIMITY weights (maxCnt+1−cnt, exact longs —
+    // strong ties are short), 4 relaxation rounds as the semantic cap;
+    // the weighted twin of q_hop_distance
+    "q_shortest_paths" -> ((s, dir) => Graph.shortestPaths(
+      Graph.basketProximityEdges(Tables.lineitem(s, dir)),
+      Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("node")),
+      rounds = 4)),
     // item-item collaborative filtering: top-3 neighbors per part by
     // co-occurrence cosine over one ship-date year (the basket-graph
     // window), ranked through the custom bounded-heap top-k operator
@@ -985,6 +994,7 @@ object SparkEntry {
     "q_hits" -> Graph.hitsTradeOracleSql(iters = 3),
     "q_kcore" -> Graph.kCoreBasketOracleSql(k = 8, rounds = 10, until = "1999-01-01"),
     "q_hop_distance" -> Graph.hopDistanceOracleSql("Brand#1", maxHops = 4),
+    "q_shortest_paths" -> Graph.shortestPathsOracleSql("Brand#1", rounds = 4),
     "q_communities" -> Graph.communitiesBasketOracleSql(rounds = 4),
     "q_modularity" -> Graph.modularityBasketOracleSql(rounds = 4),
     "q_tri_profile" -> Graph.triangleProfileBasketOracleSql(),

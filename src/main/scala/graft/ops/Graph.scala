@@ -664,6 +664,108 @@ object Graph {
        |SELECT node, dist FROM d$maxHops ORDER BY node""".stripMargin
   }
 
+  /** Weighted single-source(-set) shortest paths: `rounds` synchronous
+    * Bellman-Ford relaxations over an undirected weighted graph —
+    * dist(v) = minimum total weight among paths from any seed to v using
+    * at most `rounds` edges, emitted only for nodes reached within the
+    * cap. The weighted generalization of [[hopDistance]] (which is this
+    * operator with unit weights), and like it the round cap is a SEMANTIC
+    * parameter — "reachable cheaply within H steps" — not a convergence
+    * heuristic, so operator and oracle run exactly H relaxations and
+    * agree by construction. Weights are LONGS: every relaxation sums
+    * exactly, so min-of-sums is order-free and the value oracle is total
+    * (a double weight would make tie-breaking float-order-dependent).
+    * Duplicate/opposite-direction input edges keep the cheapest weight.
+    *
+    * Scale shape: identical to [[hopDistance]] — per round two
+    * co-partitioned edge⋈dist joins + one map-side-combining MIN
+    * aggregate, frontier-sparse dist frame, superseded checkpoints
+    * released each round.
+    */
+  def shortestPaths(weightedEdges: DataFrame, seeds: DataFrame,
+                    rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = weightedEdges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"),
+        col("w").cast("long").as("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+    val (edges, _) = materializeEdges(e0, "a")
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    var dist = nodes
+      .join(seeds.select(col("node").cast("long")).distinct(), Seq("node"), "left_semi")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val viaA = edges.join(dist.select(col("node").as("a"), col("dist")), "a")
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+      val viaB = edges.join(dist.select(col("node").as("b"), col("dist")), "b")
+        .select(col("a").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(viaA).unionByName(viaB)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(dist)
+      dist = next
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    dist.orderBy("node")
+  }
+
+  /** Co-purchase PROXIMITY weights for [[shortestPaths]] over the basket
+    * graph: per canonical pair, cnt = number of orders containing both
+    * parts, weight = (max cnt over all pairs) + 1 − cnt — an exact-integer
+    * monotone inverse of tie strength, so strongly co-purchased parts are
+    * CLOSE and the cheapest path is the strongest chain of associations.
+    * The max is a 1-row broadcast (the dispersion/scalar-subquery
+    * pattern); everything else is the [[basketEdges]] pair aggregate.
+    */
+  def basketProximityEdges(lineitem: DataFrame,
+                           from: String = "1996-01-01",
+                           until: String = "1997-01-01"): DataFrame = {
+    val cnt = basketEdges(lineitem, from, until)
+      .groupBy(col("src").as("a"), col("dst").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = cnt.agg(max(col("cnt")).as("m"))
+    cnt.crossJoin(broadcast(mx))
+      .select(col("a").as("src"), col("b").as("dst"),
+        (col("m") + 1 - col("cnt")).as("w"))
+  }
+
+  /** Generated DuckDB oracle for [[shortestPaths]] over
+    * [[basketProximityEdges]] with one brand's parts as seeds — the
+    * weighted twin of [[hopDistanceOracleSql]]'s unrolled relaxations.
+    */
+  def shortestPathsOracleSql(brand: String, rounds: Int = 4,
+                             from: String = "1996-01-01",
+                             until: String = "1997-01-01"): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.dist + e.w AS dist FROM e JOIN d${i - 1} d ON e.a = d.node
+         |    UNION ALL
+         |    SELECT e.a AS node, d.dist + e.w AS dist FROM e JOIN d${i - 1} d ON e.b = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |ep AS MATERIALIZED (
+       |  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS cnt FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2),
+       |mx AS (SELECT MAX(cnt) AS m FROM ep),
+       |e AS MATERIALIZED (SELECT a, b, m + 1 - cnt AS w FROM ep, mx),
+       |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+       |d0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       |  WHERE node IN (SELECT p_partkey FROM part WHERE p_brand = '$brand')),
+       |$iterCtes
+       |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   /** k-core extraction: the maximal subgraph in which every node has
     * degree ≥ k, by synchronous peeling — each round recomputes degrees
     * over the surviving subgraph and drops nodes below k, until a round

@@ -433,6 +433,42 @@ class GraphSpec extends SparkSpec {
     assert(base == labelsOf(Graph.connectedComponents(e.repartition(7))))
   }
 
+  private def wedges(triples: (Long, Long, Long)*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    triples.toDF("src", "dst", "w")
+  }
+  private def seedsOf(ids: Long*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.toDF("node")
+  }
+
+  test("shortestPaths: a cheap 2-hop path beats an expensive direct edge — rounds is semantic") {
+    // 1-2 costs 10 direct, but 1-3-2 costs 1+1=2; one round sees only the
+    // direct edge, two rounds find the cheap detour
+    val e = wedges((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 1L))
+    val r1 = labelsOf(Graph.shortestPaths(e, seedsOf(1L), rounds = 1))
+    assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    val r2 = labelsOf(Graph.shortestPaths(e, seedsOf(1L), rounds = 2))
+    assert(r2 == Map(1L -> 0L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("shortestPaths: unit weights reproduce hopDistance; unreached nodes stay absent") {
+    val uw = wedges((1L, 2L, 1L), (2L, 3L, 1L), (5L, 6L, 1L))
+    val hop = labelsOf(Graph.hopDistance(
+      edges((1L, 2L), (2L, 3L), (5L, 6L)), seedsOf(1L), maxHops = 3))
+    val sp = labelsOf(Graph.shortestPaths(uw, seedsOf(1L), rounds = 3))
+    assert(sp == hop && sp == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("shortestPaths: duplicate/opposite-direction edges keep the cheapest weight") {
+    val e = wedges((1L, 2L, 5L), (2L, 1L, 3L), (1L, 2L, 7L))
+    assert(labelsOf(Graph.shortestPaths(e, seedsOf(1L), rounds = 1)) ==
+      Map(1L -> 0L, 2L -> 3L))
+    intercept[IllegalArgumentException](Graph.shortestPaths(e, seedsOf(1L), rounds = 0))
+  }
+
   test("componentSizes: size census on a mixed-shape graph") {
     // sizes: one 4-cycle (4), one triangle (3), two pairs (2,2)
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
