@@ -450,6 +450,11 @@ object SparkEntry {
     // BpeSpec on top
     "q_bpe_merges" -> t("documents")(Bpe.train(_, 30)),
     "q_bpe_encode" -> t("documents")(Bpe.encode(_, 30)),
+    // per-source fertility (BPE tokens per word) + compression (chars per
+    // token) of the learned vocabulary — the stratified cost audit run
+    // before a mixture decision bakes in a tokenizer that fits one source
+    // badly
+    "q_tokenizer_audit" -> t("documents")(Bpe.tokenizerAudit(_, 30)),
     "q_chunk_docs" -> t("documents")(Text.chunkDocuments(_)),
     "q_dup_passages" -> t("documents")(Text.duplicatePassageStats(_)),
     // in-document repeated-line removal: the remediation step behind the
@@ -1035,6 +1040,7 @@ object SparkEntry {
     "q_pagerank_seeded" -> Graph.seededTradeRankOracleSql(iters = 5),
     "q_bpe_merges" -> Bpe.mergesOracleSql(nMerges = 30),
     "q_bpe_encode" -> Bpe.encodeOracleSql(nMerges = 30),
+    "q_tokenizer_audit" -> Bpe.tokenizerAuditOracleSql(nMerges = 30),
     "q_hll_rollup" -> Sketches.weeklyReportOracleSql(),
     "q_cms_rollup" -> Sketches.cmsReportOracleSql(),
     "q_approx_distinct" -> Grouping.approxDistinctReportOracleSql(),

@@ -195,8 +195,17 @@ object Bpe {
     * occurrence can never create an earlier occurrence of the same pair —
     * together these collapse the priority loop into one in-order sweep.
     */
-  def encodeOracleSql(nMerges: Int = 30, maxVocabWords: Int = 10000): String = {
-    val encCtes = (1 to nMerges).map { i =>
+  def encodeOracleSql(nMerges: Int = 30, maxVocabWords: Int = 10000): String =
+    s"""${encodeCtes(nMerges, maxVocabWords)}
+       |SELECT d.doc_id, COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
+       |       COALESCE(n_char_floor, 0) AS n_char_floor
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Training chain + per-document encode aggregate (`agg`), shared by the
+    * per-document and per-source oracles. */
+  private def encodeCtes(nMerges: Int, maxVocabWords: Int): String = {
+    val encRounds = (1 to nMerges).map { i =>
       s"""e$i AS MATERIALIZED (SELECT w, COALESCE(
          |    replace(rep, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|'),
          |    rep) AS rep
@@ -208,16 +217,72 @@ object Bpe {
        |  FROM documents),
        |e0 AS (SELECT w, '|' || array_to_string(string_split(w, ''), '||') || '||$EndOfWord|' AS rep
        |       FROM (SELECT DISTINCT w FROM dt)),
-       |$encCtes,
+       |$encRounds,
        |elen AS (SELECT w, len(string_split(trim(rep, '|'), '||')) AS n FROM e$nMerges),
        |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens,
        |               CAST(SUM(len(w) + 1) AS BIGINT) AS n_char_floor
-       |        FROM dt JOIN elen USING (w) GROUP BY doc_id)
-       |SELECT d.doc_id, COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
-       |       COALESCE(n_char_floor, 0) AS n_char_floor
-       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |        FROM dt JOIN elen USING (w) GROUP BY doc_id)""".stripMargin
   }
+
+  /** Per-source tokenizer audit over the learned BPE: fertility (tokens
+    * per word — THE cost metric a tokenizer is judged by: fertility ≈ 1
+    * means whole words merged back, high fertility means the vocabulary
+    * fits the source badly and every training step pays more sequence
+    * positions for the same text) and compression (chars per token), next
+    * to the raw totals. The per-source stratification is the point: a
+    * vocabulary trained on the corpus mixture can still be a poor fit for
+    * ONE source (code, another language), and this is the query that
+    * shows it before a mixture decision bakes the cost in.
+    *
+    * Determinism/scale: rides [[encode]] (broadcast merge table,
+    * per-partition word memo, one narrow pass) joined back to the doc's
+    * source + regex word count — one co-partitioned join and one
+    * combining aggregate on top; doubles only in the two final rounded
+    * divisions. Sources are few, so the output is a broadcast-size frame.
+    */
+  def tokenizerAudit(documents: DataFrame, nMerges: Int = 30,
+                     maxVocabWords: Int = 10000): DataFrame = {
+    val enc = encode(documents, nMerges, maxVocabWords)
+    val words = documents.select(col("doc_id"), col("source"),
+      size(regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+        lit(Text.wordRe), lit(0))).cast("long").as("n_words"))
+    words.join(enc, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_tokens"),
+        sum("n_char_floor").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 6).as("compression"))
+      .orderBy("source")
+  }
+
+  /** Generated DuckDB oracle for [[tokenizerAudit]]: the shared encode
+    * chain rolled up by source with the same rounded divisions. */
+  def tokenizerAuditOracleSql(nMerges: Int = 30,
+                              maxVocabWords: Int = 10000): String =
+    s"""${encodeCtes(nMerges, maxVocabWords)},
+       |wcnt AS (SELECT doc_id, source,
+       |           CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+       |                                       '[a-z0-9]+')) AS BIGINT) AS n_words
+       |         FROM documents),
+       |per AS (SELECT w.source, w.n_words,
+       |               COALESCE(a.n_bpe_tokens, 0) AS n_tokens,
+       |               COALESCE(a.n_char_floor, 0) AS n_chars
+       |        FROM wcnt w LEFT JOIN agg a ON w.doc_id = a.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |       round(CAST(SUM(n_tokens) AS DOUBLE)
+       |             / CAST(greatest(SUM(n_words), 1) AS DOUBLE), 6) AS fertility,
+       |       round(CAST(SUM(n_chars) AS DOUBLE)
+       |             / CAST(greatest(SUM(n_tokens), 1) AS DOUBLE), 6) AS compression
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
   /** Shared WITH-chain: word counts → wrapped char reps → nMerges rounds of
     * (pair count, winner, merge application). MATERIALIZED throughout —

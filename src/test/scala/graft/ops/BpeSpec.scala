@@ -68,4 +68,25 @@ class BpeSpec extends SparkSpec {
     assert(out(1L) == 6L)
     assert(out(2L) == 3L)
   }
+
+  test("tokenizerAudit: per-source fertility separates a well-fit source from a poor fit") {
+    import spark.implicits._
+    // source 'rep': one word repeated → the vocabulary learns it whole,
+    // fertility 1.0, compression = chars-per-token = 4.0 ('cat' + </w>).
+    // source 'rare': two once-seen words → no merge applies, every word
+    // stays at the char floor: fertility (3+1) = 4.0, compression 1.0.
+    val d = Seq((1L, "rep", "cat cat"), (2L, "rep", "cat"),
+        (3L, "rare", "xyz qrs"))
+      .toDF("doc_id", "source", "text")
+    val out = Bpe.tokenizerAudit(d, nMerges = 30).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("rep") == ((2L, 3L, 3L, 12L, 1.0, 4.0)))
+    assert(out("rare") == ((1L, 2L, 8L, 8L, 4.0, 1.0)))
+    // zero merges: every source sits at the char floor (compression 1.0)
+    val floor = Bpe.tokenizerAudit(d, nMerges = 0).collect()
+      .map(r => r.getString(0) -> (r.getDouble(5), r.getDouble(6))).toMap
+    assert(floor("rep") == ((4.0, 1.0)) && floor("rare") == ((4.0, 1.0)))
+  }
 }
