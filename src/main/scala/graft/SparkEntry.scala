@@ -269,7 +269,7 @@ object SparkEntry {
     // strong ties are short), 4 relaxation rounds as the semantic cap;
     // the weighted twin of q_hop_distance
     "q_shortest_paths" -> ((s, dir) => Graph.shortestPaths(
-      Graph.basketProximityEdges(Tables.lineitem(s, dir)),
+      Graph.proximityEdges(basketEdgesMemo(s, dir)),
       Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("node")),
       rounds = 4)),

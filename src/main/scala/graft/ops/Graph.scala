@@ -723,8 +723,16 @@ object Graph {
     */
   def basketProximityEdges(lineitem: DataFrame,
                            from: String = "1996-01-01",
-                           until: String = "1997-01-01"): DataFrame = {
-    val cnt = basketEdges(lineitem, from, until)
+                           until: String = "1997-01-01"): DataFrame =
+    proximityEdges(basketEdges(lineitem, from, until))
+
+  /** [[basketProximityEdges]] from an already-derived co-occurrence pair
+    * frame (one row per co-occurrence, `src < dst`) — the overload the
+    * registry feeds from the shared basket-pair memo so the scan+join
+    * derivation is paid once per snapshot, not once per consumer.
+    */
+  def proximityEdges(pairs: DataFrame): DataFrame = {
+    val cnt = pairs
       .groupBy(col("src").as("a"), col("dst").as("b"))
       .agg(count(lit(1)).as("cnt"))
     val mx = cnt.agg(max(col("cnt")).as("m"))
