@@ -553,6 +553,10 @@ object SparkEntry {
     // a benchmark item's n-grams are dropped (C4/Dolma-style overlap rule)
     "q_decontaminate_fuzzy" -> t("documents")(d =>
       Dedup.decontaminateFuzzy(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+    // which FEED is leaking eval data: per-source contaminated-doc counts
+    // and rates under the exact any-shared-shingle rule
+    "q_contamination_by_source" -> t("documents")(d =>
+      Dedup.contaminationBySource(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
     // C4-style cross-document line dedup: every long line keeps exactly
     // its first corpus occurrence; per-doc reconstruction + removal counts
     "q_dedup_lines" -> t("documents")(Dedup.dedupLines(_)),
@@ -2115,6 +2119,19 @@ object SparkEntry {
          cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle))
          SELECT d.doc_id FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
          WHERE cont.doc_id IS NULL ORDER BY d.doc_id""",
+    "q_contamination_by_source" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle))
+         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+                round(CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate
+         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         GROUP BY d.source ORDER BY d.source""",
     // the Bloom report: exact survivor count from the same CTE chain, both
     // guarantee booleans pinned TRUE
     "q_decontaminate_bloom" ->

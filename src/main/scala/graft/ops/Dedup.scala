@@ -849,6 +849,37 @@ object Dedup {
       .select("doc_id")
   }
 
+  /** Per-source contamination audit: for each training source, how many
+    * documents share at least one n-gram with the benchmark (the
+    * [[decontaminate]] rule) and the resulting rate — the breakdown a
+    * pipeline owner reads to find WHICH feed is leaking eval data before
+    * deciding between dropping documents and dropping the feed. Benchmark
+    * members that are themselves in `train` count as contaminated (they
+    * share their own shingles) — the same convention as the exact leg.
+    *
+    * Scale shape: the [[decontaminate]] semi-join (shuffle keyed by the
+    * 48-bit shingle hash, benchmark side distinct) reduced to a per-doc
+    * flag, then one combining aggregate by source; output is one row per
+    * source. The only double is the final rounded rate.
+    */
+  def contaminationBySource(train: DataFrame, benchmark: DataFrame,
+                            n: Int = 3): DataFrame = {
+    val contaminated = hashedShingles(train, n)
+      .join(hashedShingles(benchmark, n).select("shingle").distinct(),
+        Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    train.select(col("doc_id"), col("source"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") /
+          col("n_docs").cast("double"), 6).as("contamination_rate"))
+      .orderBy("source")
+  }
+
   /** Fuzzy decontamination by benchmark-side n-gram CONTAINMENT — the
     * production middle ground between [[decontaminate]] (ANY shared
     * shingle drops the doc: trigger-happy on boilerplate phrases) and no

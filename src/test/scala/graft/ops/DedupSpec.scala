@@ -135,6 +135,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("contaminationBySource: per-feed rates agree with the exact guard's doc verdicts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val train = Seq(
+      (1L, "web", "alpha beta gamma delta epsilon zeta eta theta"),   // contaminated
+      (2L, "web", "prefix words then alpha beta gamma delta epsilon"), // contaminated
+      (3L, "web", "unrelated content zebra walrus pelican otter"),     // clean
+      (4L, "books", "tiny"),                                           // <3 tokens: clean
+      (5L, "books", "totally different prose with no benchmark overlap at all"))
+      .toDF("doc_id", "source", "text")
+    val benchmark = docs((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val out = Dedup.contaminationBySource(train, benchmark).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("web") == ((3L, 2L, 0.666667)))
+    assert(out("books") == ((2L, 0L, 0.0)))
+  }
+
   test("dedupLines: first corpus occurrence survives, short lines untouched, empty-doc preserved") {
     val spark2 = spark
     import spark2.implicits._
