@@ -2125,13 +2125,16 @@ object SparkEntry {
                   generate_series(1, greatest(len(t) - 2, 0)),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-         cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle))
-         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
-                round(CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-                      / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate
-         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
-         GROUP BY d.source ORDER BY d.source""",
+         cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)),
+         g AS (SELECT d.source, (c.doc_id IS NOT NULL) AS contaminated,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+               GROUP BY 1, 2)
+         SELECT source, contaminated, n_docs,
+                round(CAST(n_docs AS DOUBLE)
+                      / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE),
+                      6) AS share
+         FROM g ORDER BY source, contaminated""",
     // the Bloom report: exact survivor count from the same CTE chain, both
     // guarantee booleans pinned TRUE
     "q_decontaminate_bloom" ->

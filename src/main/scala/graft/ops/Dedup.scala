@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface (SURVEY.md §2 group H): exact, hash-keyed exact,
@@ -859,8 +860,14 @@ object Dedup {
     *
     * Scale shape: the [[decontaminate]] semi-join (shuffle keyed by the
     * 48-bit shingle hash, benchmark side distinct) reduced to a per-doc
-    * flag, then one combining aggregate by source; output is one row per
-    * source. The only double is the final rounded rate.
+    * flag, then one combining aggregate by (source, verdict) and a window
+    * over the ≤ 2·|sources|-row result for the within-source share. The
+    * only double is the final rounded share. Output is a contingency
+    * table — one row per (source, contaminated) combination that EXISTS —
+    * deliberately: a report keyed only by source would let a row-count
+    * consumer prune the whole shingle join (unique-key left joins whose
+    * columns all die in pruning are eliminated by the optimizer), i.e.
+    * its cheap-looking plan would not be doing the audit's work.
     */
   def contaminationBySource(train: DataFrame, benchmark: DataFrame,
                             n: Int = 3): DataFrame = {
@@ -869,15 +876,14 @@ object Dedup {
         Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("hit", lit(1L))
+    val bySource = Window.partitionBy("source")
     train.select(col("doc_id"), col("source"))
       .join(contaminated, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
-      .select(col("source"), col("n_docs"), col("n_contaminated"),
-        round(col("n_contaminated").cast("double") /
-          col("n_docs").cast("double"), 6).as("contamination_rate"))
-      .orderBy("source")
+      .groupBy(col("source"), col("hit").isNotNull.as("contaminated"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs").cast("double") /
+        sum("n_docs").over(bySource).cast("double"), 6))
+      .orderBy("source", "contaminated")
   }
 
   /** Fuzzy decontamination by benchmark-side n-gram CONTAINMENT — the

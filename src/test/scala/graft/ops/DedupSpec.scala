@@ -147,9 +147,14 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
     val benchmark = docs((100L, "alpha beta gamma delta epsilon zeta eta theta"))
     val out = Dedup.contaminationBySource(train, benchmark).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out("web") == ((3L, 2L, 0.666667)))
-    assert(out("books") == ((2L, 0L, 0.0)))
+      .map(r => (r.getString(0), r.getBoolean(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // contingency rows exist only for observed verdicts: books has no
+    // contaminated row at all
+    assert(out == Map(
+      ("books", false) -> ((2L, 1.0)),
+      ("web", false) -> ((1L, 0.333333)),
+      ("web", true) -> ((2L, 0.666667))))
   }
 
   test("dedupLines: first corpus occurrence survives, short lines untouched, empty-doc preserved") {
