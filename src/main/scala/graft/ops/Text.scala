@@ -1113,45 +1113,56 @@ object Text {
     * page_kept)` — so downstream can audit drop reasons instead of losing
     * the rows; a curation pipeline filters on `page_kept`.
     *
-    * Scale shape: one row-local projection built from higher-order array
-    * functions (split → transform-trim → filter → array_join), no typed
-    * serialization boundary, no UDF, no shuffle at any corpus size; the
-    * final orderBy exists for the oracle only. Round 12 shipped this as a
-    * typed `.map` under the [[dedupLinesWithinDoc]] carve-out; the
-    * round-13 A/B (`PerfProbe c4ab`, sf0.1, min-of-7) measured the HOF
-    * formulation 2.3× faster (0.125 s vs 0.281 s) — the lambda bodies are
-    * interpreted per element, but skipping the Dataset encoder round-trip
-    * dominates — so the carve-out no longer applies. Trim/word-split
-    * semantics are pinned to the EXPLICIT class `[ \t\n\f\r]` — exactly
-    * RE2's `\s` — because Java's `\s` additionally matches U+000B, and
-    * line anchors are `\z` (Java's unanchored `$` matches before a
-    * trailing U+0085/U+2028, which would silently diverge the operator
-    * from the DuckDB replay on exotic whitespace; RE2's `$` means
-    * end-of-text, so oracle `$` ≡ operator `\z`). Null text is treated as
-    * empty (total).
+    * Scale shape: one row-local typed pass (split, trim, test, re-join —
+    * the [[dedupLinesWithinDoc]] carve-out), no shuffle at any corpus
+    * size; the final orderBy exists for the oracle only. The round-12
+    * VERDICT asked for an A/B against the higher-order-function
+    * formulation (split → transform → filter → array_join): under HONEST
+    * forcing (a checksum aggregate over every output column — `PerfProbe
+    * c4ab`, sf0.1, min-of-7) the typed map WINS 1.5× (0.338 s vs
+    * 0.510 s): the per-line regex lambdas are interpreted per element
+    * under the HOF evaluator and cost more than the Dataset encoder
+    * round-trip they avoid. (A count()-forced A/B says the opposite —
+    * 0.125 s vs 0.281 s — because Catalyst prunes the pure-projection HOF
+    * plan to a bare scan while the typed map is opaque; that artifact
+    * briefly shipped this operator as HOFs mid-round-13 before the
+    * forcing bug was caught.) Trim/word-split semantics are pinned to the
+    * EXPLICIT class `[ \t\n\f\r]` — exactly RE2's `\s` — because Java's
+    * `\s` additionally matches U+000B, and Java's unanchored `$` matches
+    * before a trailing U+0085/U+2028, either of which would silently
+    * diverge the operator from the DuckDB replay on exotic whitespace
+    * (the Java side uses `\z` where the oracle's RE2 `$` means
+    * end-of-text). Null text is treated as empty (total).
     */
   def c4Clean(documents: DataFrame, minWords: Int = 5,
               minKeptLines: Int = 3): DataFrame = {
     require(minWords >= 1 && minKeptLines >= 1,
       s"need minWords >= 1 and minKeptLines >= 1, got $minWords/$minKeptLines")
-    val raw = coalesce(col("text"), lit(""))
-    val lowerAll = lower(raw)
-    val pageBad = lowerAll.contains("lorem ipsum") || lowerAll.contains("{")
-    val trimmed = transform(split(raw, "\n", -1), l =>
-      regexp_replace(l, "^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+\\z", ""))
-    // trimmed lines carry no leading/trailing separators, so Spark's
-    // keep-trailing-empties split (limit -1) and Java's drop-trailing
-    // split count identical words — the .map formulation's exact semantics
-    val kept = filter(trimmed, t =>
-      t.rlike("[.!?\"]\\z") &&
-        size(split(t, "[ \\t\\n\\f\\r]+", -1)) >= minWords &&
-        !lower(t).contains("javascript"))
-    documents.select(
-        col("doc_id"),
-        when(pageBad, lit("")).otherwise(array_join(kept, "\n")).as("clean_text"),
-        size(split(raw, "\n", -1)).cast("long").as("n_lines"),
-        when(pageBad, lit(0L)).otherwise(size(kept).cast("long")).as("n_kept"),
-        (!pageBad && size(kept) >= minKeptLines).as("page_kept"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val terminal = "[.!?\"]\\z".r
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, raw) =>
+        val text = if (raw == null) "" else raw
+        val lines = text.split("\n", -1)
+        val nLines = lines.length.toLong
+        val lowerAll = text.toLowerCase
+        if (lowerAll.contains("lorem ipsum") || lowerAll.contains("{"))
+          (id, "", nLines, 0L, false)
+        else {
+          val kept = lines.iterator
+            .map(_.replaceAll("^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+\\z", ""))
+            .filter { t =>
+              terminal.findFirstIn(t).isDefined &&
+                t.split("[ \\t\\n\\f\\r]+").length >= minWords &&
+                !t.toLowerCase.contains("javascript")
+            }
+            .toArray
+          (id, kept.mkString("\n"), nLines, kept.length.toLong,
+            kept.length >= minKeptLines)
+        }
+      }
+      .toDF("doc_id", "clean_text", "n_lines", "n_kept", "page_kept")
       .orderBy("doc_id")
   }
 

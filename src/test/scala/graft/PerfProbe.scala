@@ -507,36 +507,59 @@ object PerfProbe {
     }
 
     // c4 A/B mode: `Test/runMain graft.PerfProbe c4ab` — the round-12
-    // VERDICT's optional item: does re-expressing c4Clean's per-line rules
-    // as codegen'd higher-order array functions (split → transform →
-    // filter → array_join, all inside Tungsten) beat the typed .map
-    // (object deserialization, but single-pass imperative line loop)?
-    // Rules replicated for TIMING equivalence (same regexes, same gates);
-    // the oracle-exact operator stays the .map until this measurement
-    // says the HOF path wins.
+    // VERDICT's optional item: do higher-order array functions (split →
+    // transform → filter → array_join) beat the typed .map (object
+    // deserialization, but single-pass imperative line loop)?
+    //
+    // FORCING: both plans are reduced through a checksum aggregate over
+    // every output column, NOT count() — under count() Catalyst prunes a
+    // pure projection entirely (the HOF leg would time the bare scan while
+    // the typed leg, opaque to pruning, does real work — the round-13
+    // contamination-audit lesson applied retroactively to this probe).
     if (args.headOption.contains("c4ab")) {
       import graft.core.Tables
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, sfDir)
       val minWords = 5
-      val txt = coalesce(col("text"), lit(""))
-      val pageBad = lower(txt).contains("lorem ipsum") || lower(txt).contains("{")
-      val trimmed = transform(split(txt, "\n", -1), l =>
-        regexp_replace(l, "^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$", ""))
-      val keptArr = filter(trimmed, t =>
-        t.rlike("[.!?\"]$") &&
-          size(split(t, "[ \\t\\n\\f\\r]+")) >= minWords &&
-          !lower(t).contains("javascript"))
-      val hof = docs.select(col("doc_id"),
-          when(pageBad, lit("")).otherwise(array_join(keptArr, "\n")).as("clean_text"),
-          size(split(txt, "\n", -1)).cast("long").as("n_lines"),
-          when(pageBad, lit(0L)).otherwise(size(keptArr).cast("long")).as("n_kept"),
-          (!pageBad && size(keptArr) >= 3).as("page_kept"))
-        .orderBy("doc_id")
+      // typed-map leg: the round-12 implementation, inlined (the operator
+      // itself is the HOF formulation since round 13)
+      val terminal = "[.!?\"]\\z".r
+      def typedLeg(): org.apache.spark.sql.DataFrame = {
+        val spark2 = spark
+        import spark2.implicits._
+        docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, raw) =>
+            val text = if (raw == null) "" else raw
+            val lines = text.split("\n", -1)
+            val nLines = lines.length.toLong
+            val lowerAll = text.toLowerCase
+            if (lowerAll.contains("lorem ipsum") || lowerAll.contains("{"))
+              (id, "", nLines, 0L, false)
+            else {
+              val kept = lines.iterator
+                .map(_.replaceAll("^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+\\z", ""))
+                .filter { t =>
+                  terminal.findFirstIn(t).isDefined &&
+                    t.split("[ \\t\\n\\f\\r]+").length >= minWords &&
+                    !t.toLowerCase.contains("javascript")
+                }
+                .toArray
+              (id, kept.mkString("\n"), nLines, kept.length.toLong,
+                kept.length >= 3)
+            }
+          }
+          .toDF("doc_id", "clean_text", "n_lines", "n_kept", "page_kept")
+      }
+      def force(df: org.apache.spark.sql.DataFrame): Unit = {
+        val all = struct(df.columns.map(col).toIndexedSeq: _*)
+        df.select(sum(xxhash64(all)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"))
+          .collect(): Unit
+      }
       def rep(n: Int)(f: => Unit): Seq[Double] =
         (1 to n).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-      val tMap = rep(7)(SparkEntry.queries("q_c4_clean")(spark, sfDir).count())
-      val tHof = rep(7)(hof.count())
+      val tMap = rep(7)(force(typedLeg()))
+      val tHof = rep(7)(force(SparkEntry.queries("q_c4_clean")(spark, sfDir)))
       println(f"PROBE c4ab typed_map min=${tMap.min}%.3f med=${tMap.sorted.apply(3)}%.3f")
       println(f"PROBE c4ab hof_codegen min=${tHof.min}%.3f med=${tHof.sorted.apply(3)}%.3f")
       spark.stop(); return
