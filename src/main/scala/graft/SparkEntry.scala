@@ -40,6 +40,24 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
     ProbeCache("basketEdges:1996-01-01:1997-01-01", Seq(li))(Graph.basketEdges(li))
   }
+  // The k-core query's wider 3-year window and the co-purchase bipartite
+  // projection — same snapshot-scoped edge-table materialization as above.
+  private def basketEdges3yMemo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    ProbeCache("basketEdges:1996-01-01:1999-01-01", Seq(li))(
+      Graph.basketEdges(li, until = "1999-01-01"))
+  }
+  private def copurchaseEdgesMemo(s: SparkSession, dir: String): DataFrame = {
+    val (ord, li) = (Tables.orders(s, dir), Tables.lineitem(s, dir))
+    ProbeCache("copurchaseEdges", Seq(ord, li))(Graph.copurchaseEdges(ord, li))
+  }
+  // ONE shingle table per corpus snapshot, shared by the three
+  // decontamination guards (shingling is row-local, so the benchmark
+  // subset is a filter of the same table — see Dedup.docShingles).
+  private def docShinglesMemo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    ProbeCache("docShingles:3", Seq(docs))(Dedup.docShingles(docs, 3))
+  }
   // The triangle LIST of that basket graph, enumerated once and shared by
   // the two triangle-derived profile queries (r13) — the certify-once
   // shape one level up: a deployment materializes the triangle table once
@@ -57,6 +75,14 @@ object SparkEntry {
     val edges = basketEdgesMemo(s, dir)
     ProbeCache("componentsBasket", Seq(edges))(
       Graph.connectedComponents(edges, sorted = false))
+  }
+  // The 4-round LPA labeling, computed once and shared by the community
+  // and modularity queries (modularity grades exactly this labeling —
+  // recomputing the iterative LPA inside it was paying the loop twice).
+  private def communityLabelsMemo(s: SparkSession, dir: String): DataFrame = {
+    val edges = basketEdgesMemo(s, dir)
+    ProbeCache("lpaLabels:4", Seq(edges))(
+      Graph.communities(edges, rounds = 4, sorted = false))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -191,8 +217,8 @@ object SparkEntry {
     // 5 iterations on the 3.5k-node co-purchase graph (per-round overhead
     // dominates at fixture scale — PERF.md); the trade query below keeps
     // the full 10-iteration demonstration on its 25-node graph
-    "q_pagerank" -> ((s, dir) => Graph.pageRank(Graph.copurchaseEdges(
-      Tables.orders(s, dir), Tables.lineitem(s, dir)), iters = 5)),
+    "q_pagerank" -> ((s, dir) => Graph.pageRank(copurchaseEdgesMemo(s, dir),
+      iters = 5)),
     // degree-ordered triangle census over the part co-occurrence (basket)
     // graph — wedge generation bounded by oriented out-degrees (O(sqrt E)),
     // skew-immune; oracle replays the naive a<b<c triple join
@@ -212,21 +238,20 @@ object SparkEntry {
     // a slow-converging corpus throws the designed fail-fast instead of
     // letting the operator run rounds the oracle never replays (round-10
     // review: maxIters=20 vs rounds=10 could silently hash-mismatch)
-    "q_kcore" -> t("lineitem")(li => Graph.kCore(
-      Graph.basketEdges(li, until = "1999-01-01"), k = 8, maxIters = 10)),
+    "q_kcore" -> ((s, dir) => Graph.kCore(
+      basketEdges3yMemo(s, dir), k = 8, maxIters = 10)),
     // community detection: 4 synchronous label-propagation rounds over
     // the basket graph, deterministic min-label tie-break — the round
     // count is the semantic contract (sync LPA can oscillate), so the
     // oracle unrolls exactly the same 4 rounds
     "q_communities" -> ((s, dir) =>
-      Graph.communities(basketEdgesMemo(s, dir), rounds = 4)),
+      communityLabelsMemo(s, dir).orderBy("node")),
     // modularity of that same 4-round LPA partition — the quality score a
-    // user checks before acting on the communities; labels passed in
-    // unsorted (the operator reads them three times, communities returns
-    // a checkpointed frame, and the score is order-free)
+    // user checks before acting on the communities; reads the SHARED
+    // labeling memo (the operator reads labels three times, the memo is a
+    // checkpointed frame, and the score is order-free)
     "q_modularity" -> ((s, dir) =>
-      Graph.modularity(basketEdgesMemo(s, dir),
-        Graph.communities(basketEdgesMemo(s, dir), rounds = 4, sorted = false))),
+      Graph.modularity(basketEdgesMemo(s, dir), communityLabelsMemo(s, dir))),
     // connected components of the basket graph, run to CONVERGENCE
     // (pointer-jumped min-label propagation, O(log diameter) rounds) —
     // the oracle is a recursive-CTE transitive closure, a deliberately
@@ -547,16 +572,22 @@ object SparkEntry {
     "q_fuzzy_pairs" -> t("documents")(Dedup.fuzzyPairs(_)),
     // every 50th doc stands in for a benchmark/eval set; training docs
     // sharing any 3-gram with it (including themselves) are removed
-    "q_decontaminate" -> t("documents")(d =>
-      Dedup.decontaminate(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+    "q_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminatePreShingled(Tables.documents(s, dir),
+        docShinglesMemo(s, dir),
+        docShinglesMemo(s, dir).filter(pmod(col("doc_id"), lit(50)) === 0))),
     // the containment form of the same guard: only docs covering >= tau of
     // a benchmark item's n-grams are dropped (C4/Dolma-style overlap rule)
-    "q_decontaminate_fuzzy" -> t("documents")(d =>
-      Dedup.decontaminateFuzzy(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+    "q_decontaminate_fuzzy" -> ((s, dir) =>
+      Dedup.decontaminateFuzzyPreShingled(Tables.documents(s, dir),
+        docShinglesMemo(s, dir),
+        docShinglesMemo(s, dir).filter(pmod(col("doc_id"), lit(50)) === 0))),
     // which FEED is leaking eval data: per-source contaminated-doc counts
-    // and rates under the exact any-shared-shingle rule
-    "q_contamination_by_source" -> t("documents")(d =>
-      Dedup.contaminationBySource(d, d.filter(pmod(col("doc_id"), lit(50)) === 0))),
+    // and shares under the exact any-shared-shingle rule
+    "q_contamination_by_source" -> ((s, dir) =>
+      Dedup.contaminationBySourcePreShingled(Tables.documents(s, dir),
+        docShinglesMemo(s, dir),
+        docShinglesMemo(s, dir).filter(pmod(col("doc_id"), lit(50)) === 0))),
     // C4-style cross-document line dedup: every long line keeps exactly
     // its first corpus occurrence; per-doc reconstruction + removal counts
     "q_dedup_lines" -> t("documents")(Dedup.dedupLines(_)),

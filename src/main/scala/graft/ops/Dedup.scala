@@ -837,6 +837,21 @@ object Dedup {
     exactSurvivors(train, hashedShingles(train, n), hashedShingles(benchmark, n))
       .orderBy("doc_id")
 
+  /** The (doc_id, shingle-hash) table the decontamination guards consume —
+    * exposed so a deployment (and the registry) can materialize ONE
+    * shingle table per corpus snapshot and feed [[decontaminate]],
+    * [[decontaminateFuzzy]] and [[contaminationBySource]] from it.
+    * Shingling is row-local, so a FILTERED benchmark subset of a
+    * pre-shingled corpus is identical to shingling the filtered corpus.
+    */
+  def docShingles(df: DataFrame, n: Int = 3): DataFrame = hashedShingles(df, n)
+
+  /** [[decontaminate]] over pre-shingled frames (the [[docShingles]]
+    * materialize-once path). */
+  def decontaminatePreShingled(train: DataFrame, trainSh: DataFrame,
+                               benchSh: DataFrame): DataFrame =
+    exactSurvivors(train, trainSh, benchSh).orderBy("doc_id")
+
   /** The exact decontamination leg over PRE-SHINGLED frames — shared by
     * [[decontaminate]] and [[decontaminateBloomReport]] so the report can
     * persist one shingling of each corpus across both of its legs.
@@ -870,9 +885,16 @@ object Dedup {
     * its cheap-looking plan would not be doing the audit's work.
     */
   def contaminationBySource(train: DataFrame, benchmark: DataFrame,
-                            n: Int = 3): DataFrame = {
-    val contaminated = hashedShingles(train, n)
-      .join(hashedShingles(benchmark, n).select("shingle").distinct(),
+                            n: Int = 3): DataFrame =
+    contaminationBySourcePreShingled(train,
+      hashedShingles(train, n), hashedShingles(benchmark, n))
+
+  /** [[contaminationBySource]] over pre-shingled frames (the
+    * [[docShingles]] materialize-once path). */
+  def contaminationBySourcePreShingled(train: DataFrame, trainSh: DataFrame,
+                                       benchSh: DataFrame): DataFrame = {
+    val contaminated = trainSh
+      .join(benchSh.select("shingle").distinct(),
         Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("hit", lit(1L))
@@ -905,9 +927,17 @@ object Dedup {
     * hash-48 shingling and the containment rule in SQL.
     */
   def decontaminateFuzzy(train: DataFrame, benchmark: DataFrame,
-                         tau: Double = 0.5, n: Int = 3): DataFrame = {
-    val tsh = hashedShingles(train, n)
-    val bsh = hashedShingles(benchmark, n)
+                         tau: Double = 0.5, n: Int = 3): DataFrame =
+    decontaminateFuzzyPreShingled(train,
+      hashedShingles(train, n), hashedShingles(benchmark, n), tau)
+
+  /** [[decontaminateFuzzy]] over pre-shingled frames (the [[docShingles]]
+    * materialize-once path). */
+  def decontaminateFuzzyPreShingled(train: DataFrame, trainSh: DataFrame,
+                                    benchShingles: DataFrame,
+                                    tau: Double = 0.5): DataFrame = {
+    val tsh = trainSh
+    val bsh = benchShingles
       .select(col("doc_id").as("bid"), col("shingle"))
     // hashedShingles dedups per doc, so plain counts are distinct counts
     val bn = bsh.groupBy("bid").agg(count(lit(1)).as("bn"))
