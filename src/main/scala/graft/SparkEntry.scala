@@ -172,6 +172,9 @@ object SparkEntry {
     "q_corr_matrix" -> t("lineitem")(Stats.corrMatrix(_,
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_iqr_outliers" -> t("orders")(Stats.iqrOutliers(_, "o_totalprice", "o_orderstatus")),
+    // the remediation sibling: raw vs winsorized mean with the tail
+    // clamped to the 5th/95th percentile fences, all sums exact decimals
+    "q_winsorized" -> t("orders")(Stats.winsorizedStats(_, "o_totalprice", "o_orderstatus")),
     "q_dup_rate" -> t("documents")(Dedup.dupRateBySource),
     "q_order_count_dist" -> ((s, dir) => Subqueries.orderCountDistribution(
       Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -1157,6 +1160,8 @@ object SparkEntry {
          FROM orders o JOIN f ON o.o_orderstatus = f.o_orderstatus
          GROUP BY o.o_orderstatus, q1, q3
          ORDER BY o.o_orderstatus""",
+    "q_winsorized" ->
+      Stats.winsorizedOracleSql("orders", "o_totalprice", "o_orderstatus"),
     "q_dup_rate" ->
       """WITH d AS (SELECT doc_id, source, sha256(text) AS digest FROM documents),
          c AS (SELECT digest, COUNT(*) AS n_copies FROM d GROUP BY digest)

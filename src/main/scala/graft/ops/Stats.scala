@@ -81,6 +81,80 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** Winsorized robust statistics per group — the remediation sibling of
+    * [[iqrOutliers]] (that one counts the tail, this one shows what the
+    * mean looks like with the tail CLAMPED to the [lo, hi] percentile
+    * fences): per group, row count, clamped-row count, raw vs winsorized
+    * mean, and the two fences. The standard robust-mean report a pipeline
+    * reads before deciding whether outliers are data or noise.
+    *
+    * Determinism: the fences are the same Spark `percentile` ↔ DuckDB
+    * `quantile_cont` pair the percentile/IQR queries already hash-match
+    * on; they are then cast to the value's own DECIMAL scale so every
+    * comparison and the clamped value itself stay EXACT decimals —
+    * the winsorized sum is an order-free DECIMAL(30,6) aggregate, never
+    * a float sum (a double clamp would make the mean partition-order
+    * dependent). Doubles appear only in the four final rounded outputs.
+    *
+    * Scale shape: the [[iqrOutliers]] two-pass — one-row-per-group fence
+    * aggregate joined back onto the scan (deliberately NOT hint-forced
+    * broadcast: high-cardinality groups must be free to shuffle), then
+    * one combining aggregate. No global sort at any scale.
+    */
+  def winsorizedStats(df: DataFrame, valueCol: String, groupCol: String,
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    val v = col(valueCol)
+    val fences = df.groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile($valueCol, $lo)").as("plo"),
+        expr(s"percentile($valueCol, $hi)").as("phi"))
+      .withColumn("plo_d", col("plo").cast(DecimalType(15, 2)))
+      .withColumn("phi_d", col("phi").cast(DecimalType(15, 2)))
+    val clamped = when(v < col("plo_d"), col("plo_d"))
+      .when(v > col("phi_d"), col("phi_d"))
+      .otherwise(v)
+    df.select(col(groupCol), v)
+      .join(fences, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(v < col("plo_d") || v > col("phi_d"), 1L).otherwise(0L))
+          .as("n_clamped"),
+        round(sum(v.cast(DecimalType(30, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_raw"),
+        round(sum(clamped.cast(DecimalType(30, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_winsorized"),
+        round(first("plo"), 4).as("p_lo"),
+        round(first("phi"), 4).as("p_hi"))
+      .orderBy(groupCol)
+  }
+
+  /** Generated DuckDB oracle for [[winsorizedStats]]: the same fence pair,
+    * decimal clamp and exact sums replayed. */
+  def winsorizedOracleSql(table: String, valueCol: String, groupCol: String,
+                          lo: Double = 0.05, hi: Double = 0.95): String =
+    s"""WITH f AS (SELECT $groupCol,
+       |             quantile_cont($valueCol, $lo) AS plo,
+       |             quantile_cont($valueCol, $hi) AS phi
+       |           FROM $table GROUP BY $groupCol),
+       |fd AS (SELECT $groupCol, plo, phi,
+       |              CAST(plo AS DECIMAL(15,2)) AS plo_d,
+       |              CAST(phi AS DECIMAL(15,2)) AS phi_d FROM f)
+       |SELECT t.$groupCol, COUNT(*) AS n_rows,
+       |       CAST(SUM(CASE WHEN $valueCol < plo_d OR $valueCol > phi_d
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       |       round(CAST(SUM(CAST($valueCol AS DECIMAL(30,6))) AS DOUBLE)
+       |             / COUNT(*), 6) AS mean_raw,
+       |       round(CAST(SUM(CAST(CASE WHEN $valueCol < plo_d THEN plo_d
+       |                                WHEN $valueCol > phi_d THEN phi_d
+       |                                ELSE $valueCol END AS DECIMAL(30,6)))
+       |                  AS DOUBLE) / COUNT(*), 6) AS mean_winsorized,
+       |       round(plo, 4) AS p_lo, round(phi, 4) AS p_hi
+       |FROM $table t JOIN fd USING ($groupCol)
+       |GROUP BY t.$groupCol, plo, phi
+       |ORDER BY t.$groupCol""".stripMargin
+
   /** Generated DuckDB oracle for [[corrMatrix]] — same sums, same double
     * sequence, one UNION ALL branch per pair off a shared aggregate CTE.
     */

@@ -119,4 +119,24 @@ class StatsSpec extends SparkSpec {
     // interpolated quartiles for 1..9,100: Q1 at rank 3.25 -> 3.25
     assert(math.abs(out("a")._1 - 3.25) < 1e-9)
   }
+
+  test("winsorizedStats: closed form — tail clamps to the fences, means exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // group 'a': 1,2,3,4,100 with [0.0, 0.8] fences: p0 = 1, p80 at rank
+    // (n-1)*0.8 = 3.2 -> 4 + 0.2*(100-4) = 23.2; clamp 100 -> 23.20;
+    // raw mean 22, winsorized (1+2+3+4+23.2)/5 = 6.64, one clamped row
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0))
+      .toDF("g", "v0").select(col("g"), col("v0").cast(DecimalType(15, 2)).as("v"))
+    val r = Stats.winsorizedStats(df, "v", "g", lo = 0.0, hi = 0.8).collect().head
+    assert(r.getString(0) == "a" && r.getLong(1) == 5L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 22.0, s"raw mean: ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 6.64, s"winsorized mean: ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 23.2)
+    // bit-identical under repartitioning (the exact-decimal-sum contract)
+    val b = Stats.winsorizedStats(df.repartition(7), "v", "g", 0.0, 0.8).collect().head
+    assert(r.toSeq == b.toSeq)
+    intercept[IllegalArgumentException](Stats.winsorizedStats(df, "v", "g", 0.9, 0.1))
+  }
 }
