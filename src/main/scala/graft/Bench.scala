@@ -7,13 +7,32 @@ import org.apache.spark.sql.SparkSession
   * Noise robustness (round 4): a single wall-clock pass per query cannot
   * support a 2x gate on a shared host — round 3's driver capture read
   * 208.9 s where an identical-config controlled re-run measured 66.5 s.
-  * So each query now runs SPARK_GRAFT_BENCH_REPS times (default 3) and
-  * the reported per-query number (and the headline total) is the MIN
-  * across reps — the run least polluted by host load. The first-run
-  * times are kept in a separate "first_runs" map so cold-start cost
-  * stays observable, and a fixed calibration workload is timed the same
-  * way and emitted as "calib_sec" in every line so captures taken under
-  * different host load can be normalized against each other.
+  * So each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * reported per-query number (and the headline total) is the MIN across
+  * reps — the run least polluted by host load. The first-run times are
+  * kept in a separate "first_runs" map so cold-start cost stays
+  * observable, and a fixed calibration workload is timed the same way so
+  * captures taken under different host load can be compared.
+  *
+  * Interleaved passes (round 14, from the round-13 gate breach): reps
+  * used to run BACK-TO-BACK per query, so a co-tenant burst lasting
+  * longer than one query's three reps poisoned ALL of that query's
+  * samples (BENCH_r13: q_min_cost_supplier read 22 s min-of-3 where
+  * controlled probes read ~1.1 s — one ~70 s burst covered all three
+  * consecutive reps). Reps are now FULL PASSES over the whole registry:
+  * pass 1 times every query once (these are the first runs), then pass 2,
+  * then pass 3 — per-query samples are ~a-full-pass apart in time, so a
+  * burst must persist across the entire capture to poison every sample of
+  * any one query. Each pass is BRACKETED by the calibration workload and
+  * /proc/loadavg readings, all recorded per pass in the artifact
+  * ("passes" array); a pass whose opening calib breaches the ceiling
+  * sleeps and re-calibrates (15/30/45/60/75 s schedule) before running,
+  * and if any planned pass still ran hot, up to SPARK_GRAFT_EXTRA_PASSES
+  * (default 2) additional passes run so the min-composition has at least
+  * one clean window per query whenever the host allows it. The headline
+  * "calib_hot" stamp now means "NO clean pass existed" — with per-query
+  * min composed across passes, one clean pass bounds every query's
+  * reported time by a clean-window sample (contention only ever inflates).
   *
   * Output protocol: the full per-query JSON line (with an explicit
   * `errors` object — a failing query must be a visible error, never a
@@ -133,45 +152,99 @@ object Bench {
     // both "calib_loaded" (artifact lineage, key kept since r5) and
     // "calib_hot" so a loaded-window number can never again pass as idle.
     val calibMax = sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX", "0.26").toDouble
+    val maxExtraPasses = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_EXTRA_PASSES", "2").toInt)
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     // one untimed calibration pass first: the very first execution of the
     // calib query pays its own codegen/JIT, which is OUR cold start, not
     // host load — without this the gate's first attempt reads hot on an
     // idle host and burns a retry sleep for nothing
     calibrate()
-    var calib = calibrate()
     var calibRetries = 0
-    while (calib > calibMax && calibRetries < 5) {
-      calibRetries += 1
-      Thread.sleep(15000L * calibRetries)
-      calib = calibrate()
+    // the 15/30/45/60/75 s schedule outlasts a co-tenant burst instead of
+    // re-sampling inside it; the retry budget is GLOBAL across passes so a
+    // persistently loaded host adds at most ~3.75 min, not 3.75 min/pass
+    def gatedCalib(): Double = {
+      var c = calibrate()
+      while (c > calibMax && calibRetries < 5) {
+        calibRetries += 1
+        Thread.sleep(15000L * calibRetries)
+        c = calibrate()
+      }
+      c
     }
-    val calibLoaded = calib > calibMax
 
     // local-iteration filter (same contract as Verify): comma-separated
     // query names; unset = all. Official driver captures never set it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    // (name, (all rep times in execution order, reps-hit-probe-cache)) or
-    // error. The memoized flag brackets the query's reps with the
-    // ProbeCache hit counter: a row whose reps 2..n were served memoized
-    // probe artifacts (the two fidelity dashboards) reports the refresh
-    // cost as its min — correct per the dashboard contract, but the flag
-    // makes it machine-readable so a 26x max/median suspect ratio on such
-    // a row is self-explained instead of reading as host noise.
-    val results: Seq[(String, Either[String, (Seq[Double], Boolean)])] =
+    val plan: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .sortBy(_._1).map { case (name, fn) =>
-        try {
-          val hits0 = ops.ProbeCache.hits
-          val ts = (1 to reps).map(_ => timeOnce(() => fn(spark, sfDir).count()))
-          name -> Right((ts, ops.ProbeCache.hits > hits0))
-        } catch { case e: Throwable =>
-          name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+        .sortBy(_._1)
+    // Per-query samples accumulate ACROSS passes; a query that errors is
+    // recorded once and skipped in later passes (a deterministic failure
+    // re-thrown n times is noise, not information). The memoized flag
+    // brackets each timed run with the ProbeCache hit counter: a row whose
+    // pass-2+ runs were served memoized probe artifacts (fidelity
+    // dashboards, graph memos) reports the refresh cost as its min —
+    // correct per the dashboard contract, and machine-readable so a large
+    // max/median suspect ratio on such a row is self-explained.
+    val samples = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val memoFlag = scala.collection.mutable.Set.empty[String]
+    // per-pass lineage: (calib_open, calib_close, load_open, load_close,
+    // pass wall seconds, hot)
+    final case class PassInfo(calib: Double, calibEnd: Double,
+                              load0: Double, load1: Double,
+                              sec: Double, hot: Boolean)
+    val passes = scala.collection.mutable.ArrayBuffer.empty[PassInfo]
+    def runPass(): Unit = {
+      val c0 = gatedCalib()
+      val l0 = loadavg()
+      val t0 = System.nanoTime()
+      plan.foreach { case (name, fn) =>
+        if (!errs.contains(name)) {
+          try {
+            val hits0 = ops.ProbeCache.hits
+            val t = timeOnce(() => fn(spark, sfDir).count())
+            if (ops.ProbeCache.hits > hits0) memoFlag += name
+            samples.getOrElseUpdate(name,
+              scala.collection.mutable.ArrayBuffer.empty[Double]) += t
+          } catch { case e: Throwable =>
+            errs(name) =
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+          }
         }
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val c1 = calibrate()
+      passes += PassInfo(c0, c1, l0, loadavg(), sec,
+        c0 > calibMax || c1 > calibMax)
+    }
+    (1 to reps).foreach(_ => runPass())
+    // top-up: if no planned pass ran with both calib brackets clean, the
+    // min-composition has no clean window — buy up to maxExtraPasses more
+    var extra = 0
+    while (passes.forall(_.hot) && extra < maxExtraPasses) {
+      extra += 1
+      runPass()
+    }
+    val results: Seq[(String, Either[String, (Seq[Double], Boolean)])] =
+      plan.map { case (name, _) =>
+        if (samples.get(name).exists(_.nonEmpty))
+          name -> Right((samples(name).toSeq, memoFlag.contains(name)))
+        else name -> Left(errs.getOrElse(name, "no sample recorded"))
       }
     val ok = results.collect { case (k, Right((ts, _))) => k -> ((ts.head, ts.min, ts)) }
     val memoized = results.collect { case (k, Right((_, true))) => k }
-    val errs = results.collect { case (k, Left(m)) => k -> m }
+    // a query with at least one timed sample reports as timed — a pass-2+
+    // failure on a query that succeeded earlier would be both a timing and
+    // an error, so errors are exactly the Left rows
+    val errsSeq = results.collect { case (k, Left(m)) => k -> m }
     // Stall self-description (round-6 VERDICT): the calib bracket sees
     // broad host load but not a SINGLE-QUERY stall (round 6's official
     // artifact read q_surprisal_bigram 3x its same-session controls with
@@ -188,12 +261,16 @@ object Bench {
       if (ts.size >= 2 && ratio >= suspectRatio)
         Some(k -> math.rint(ratio * 100) / 100) else None
     }
-    // the opening calibration cannot see load that ARRIVES mid-run (the
-    // round-6 90.75 s capture read an idle-band calib yet ran 28% slow) —
-    // a closing calibration brackets the run, and the loaded stamp takes
-    // the worse of the two
-    val calibEnd = calibrate()
-    val calibLoadedAny = calibLoaded || calibEnd > calibMax
+    // calib lineage keys: "calib_sec"/"calib_end_sec" are the FIRST pass's
+    // open bracket and the LAST pass's close bracket (cross-round
+    // comparability with pre-r14 captures). The hot stamp is per the new
+    // semantics: hot ⇔ NO pass ran with both brackets clean — with
+    // per-query mins composed across passes, one clean pass bounds every
+    // query's reported time by a clean-window sample.
+    val calib = passes.headOption.map(_.calib).getOrElse(-1.0)
+    val calibEnd = passes.lastOption.map(_.calibEnd).getOrElse(-1.0)
+    val nCleanPasses = passes.count(!_.hot)
+    val calibLoadedAny = nCleanPasses == 0
     // Metric lineage: "value"/"queries" are min-across-reps as of round 4
     // (noise-robust); BENCH_r01..r03 captured single-pass wall clock, which
     // lives on as "total_first_run"/"queries_first_run" — compare pre-r04
@@ -217,10 +294,18 @@ object Bench {
        else "")
     val suspectsJson = suspects.map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
     val warmupJson = warmupErrs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val passesJson = passes.map { p =>
+      s"""{"calib":${r3(p.calib)},"calib_end":${r3(p.calibEnd)},""" +
+        s""""loadavg_start":${p.load0},"loadavg_end":${p.load1},""" +
+        s""""sec":${r3(p.sec)},"hot":${p.hot}}"""
+    }.mkString("[", ",", "]")
     val header = s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
-      s""""n_errors":${errs.size},"reps":$reps,"cpus":$cpus,""" +
+      s""""n_errors":${errsSeq.size},"reps":$reps,"cpus":$cpus,""" +
       s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_loaded":$calibLoadedAny,""" +
       s""""calib_hot":$calibLoadedAny,"calib_retries":$calibRetries,"calib_max":$calibMax,""" +
+      s""""interleaved":true,"n_passes":${passes.size},"n_clean_passes":$nCleanPasses,""" +
+      s""""n_extra_passes":$extra,"passes":$passesJson,""" +
       s""""n_warmup_errors":${warmupErrs.size},"warmup_errors":$warmupJson,""" +
       s""""n_suspect":${suspects.size},"suspect":$suspectsJson,""" +
       s""""n_memoized":${memoized.size},"memoized":${
@@ -229,7 +314,7 @@ object Bench {
       s"""$header,"total_first_run":$totalFirst}"""
     val qs = ok.map { case (k, (_, mn, _)) => s""""$k":$mn""" }.mkString("{", ",", "}")
     val firsts = ok.map { case (k, (f, _, _)) => s""""$k":$f""" }.mkString("{", ",", "}")
-    val es = errs.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
+    val es = errsSeq.map { case (k, m) => s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
     val longLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""first_runs":$firsts,"errors":$es,"sf":${jstr(sfDir)},$header}"""
     // Teardown BEFORE the summary lines (round-10 postmortem): releasing the

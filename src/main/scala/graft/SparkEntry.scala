@@ -255,6 +255,14 @@ object SparkEntry {
     // checkpointed frame, and the score is order-free)
     "q_modularity" -> ((s, dir) =>
       Graph.modularity(basketEdgesMemo(s, dir), communityLabelsMemo(s, dir))),
+    // Louvain-style refinement of that same LPA partition: 2 synchronous
+    // local-move rounds, each node adopting the neighbor community with
+    // the best EXACT integer modularity gain (swap-guarded, stay-on-tie)
+    // — the modularity ASCENT step LPA proposes and q_modularity grades;
+    // rides the shared edge + labeling memos
+    "q_louvain" -> ((s, dir) =>
+      Graph.refineCommunities(basketEdgesMemo(s, dir),
+        communityLabelsMemo(s, dir), rounds = 2)),
     // connected components of the basket graph, run to CONVERGENCE
     // (pointer-jumped min-label propagation, O(log diameter) rounds) —
     // the oracle is a recursive-CTE transitive closure, a deliberately
@@ -1040,6 +1048,7 @@ object SparkEntry {
     "q_shortest_paths" -> Graph.shortestPathsOracleSql("Brand#1", rounds = 4),
     "q_communities" -> Graph.communitiesBasketOracleSql(rounds = 4),
     "q_modularity" -> Graph.modularityBasketOracleSql(rounds = 4),
+    "q_louvain" -> Graph.louvainBasketOracleSql(lpaRounds = 4, moveRounds = 2),
     "q_tri_profile" -> Graph.triangleProfileBasketOracleSql(),
     "q_embeddedness" -> Graph.edgeEmbeddednessBasketOracleSql(),
     "q_assortativity" -> Graph.assortativityBasketOracleSql(),
@@ -1161,7 +1170,10 @@ object SparkEntry {
          GROUP BY o.o_orderstatus, q1, q3
          ORDER BY o.o_orderstatus""",
     "q_winsorized" ->
-      Stats.winsorizedOracleSql("orders", "o_totalprice", "o_orderstatus"),
+      // o_totalprice loads as double → the operator derives the documented
+      // DECIMAL(30,6) fence for non-decimal value columns; keep in sync
+      Stats.winsorizedOracleSql("orders", "o_totalprice", "o_orderstatus",
+        fenceType = "DECIMAL(30,6)"),
     "q_dup_rate" ->
       """WITH d AS (SELECT doc_id, source, sha256(text) AS digest FROM documents),
          c AS (SELECT digest, COUNT(*) AS n_copies FROM d GROUP BY digest)

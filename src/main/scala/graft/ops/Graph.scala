@@ -1041,6 +1041,156 @@ object Graph {
        |FROM em, dsq""".stripMargin
   }
 
+  /** Louvain-style local-move refinement of a community labeling — the
+    * modularity ASCENT step on top of [[communities]] (which proposes
+    * labelings) and [[modularity]] (which grades them): each round, every
+    * node considers its neighbors' communities and adopts the one with the
+    * best exact modularity gain, or stays. `rounds` fixed synchronous
+    * rounds (the [[communities]] contract), so operator and oracle replay
+    * identical decisions.
+    *
+    * Gain arithmetic is EXACT: moving v to community c changes Q by
+    * (k_{v,c} − k_{v,cur})/m − deg_v·(d'_c − d'_cur)/(2m²) with d'_c the
+    * community degree sum excluding v when v ∈ c — so argmax_c of
+    * score(c) = 2m·k_{v,c} − deg_v·d'_c, an INTEGER (computed in
+    * DECIMAL(38,0): 2m·k at 1e14 edges is ~1e28, overflow-free), decides
+    * the move with no floating point anywhere. Ties prefer staying, then
+    * the smallest community id — fully deterministic.
+    *
+    * Synchronous local moves can 2-swap forever (two adjacent nodes
+    * trading communities each round — the [[communities]] bipartite
+    * oscillation in gain form), so moves carry the standard parallel-
+    * Louvain swap guard (Lu, Halappanavar & Kalyanaraman 2015, "Parallel
+    * heuristics for scalable community detection"): a node may only move
+    * to a community with a SMALLER id than its current one. Swaps need
+    * one node moving up, so no swap cycle survives the guard; the ascent
+    * direction is preserved because any positive-gain 2-swap has a
+    * positive-gain smaller-id half.
+    *
+    * Scale shape per round: one nbr⋈labels join + count aggregate for
+    * k_{v,c}, one degree⋈labels aggregate for d_c, a keyed candidate join
+    * and one min(struct) argmax — all keyed shuffles at the slot-derived
+    * width; labels checkpointed per round, superseded checkpoints
+    * released ([[communities]] hygiene). m, deg are computed once from
+    * the checkpointed edge set.
+    */
+  def refineCommunities(edgeList: DataFrame, labels: DataFrame,
+                        rounds: Int = 2, sorted: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = canonicalEdges(edgeList)
+    val (edges, _) = materializeEdges(e0, "a")
+    val m = edges.count() // one job over already-checkpointed blocks
+    val nbr = edges.select(col("a").as("node"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("node"), col("a").as("nb")))
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val dec = DecimalType(38, 0)
+    val twoM = lit(m).cast(dec) * lit(2)
+    var lab = labels.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("community")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val dc = lab.join(deg, "node")
+        .groupBy("community").agg(sum(col("deg")).as("d"))
+      val k = nbr
+        .join(lab.select(col("node").as("nb"), col("community").as("c")), "nb")
+        .groupBy("node", "c").agg(count(lit(1)).as("k"))
+      // the current community rides the candidate set with k >= 0 (a node
+      // may have no remaining neighbor in it), via a max-merge of a 0-row
+      val cand = k
+        .unionByName(lab.select(col("node"), col("community").as("c"),
+          lit(0L).as("k")))
+        .groupBy("node", "c").agg(max(col("k")).as("k"))
+      val scored = cand
+        .join(lab, "node")
+        .filter(col("c") <= col("community")) // swap guard: stay or move down
+        .join(deg, "node")
+        .join(dc.select(col("community").as("c"), col("d")), "c")
+        .select(col("node"), col("c"),
+          (twoM * col("k").cast(dec) -
+            col("deg").cast(dec) * (col("d").cast(dec) -
+              when(col("c") === col("community"), col("deg"))
+                .otherwise(lit(0L)).cast(dec))).as("score"),
+          when(col("c") === col("community"), 0).otherwise(1).as("not_cur"))
+      val next = scored.groupBy("node")
+        .agg(min(struct((-col("score")).as("ns"), col("not_cur").as("nc"),
+          col("c").as("lab"))).as("m"))
+        .select(col("node"), col("m.lab").as("community"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(lab)
+      lab = next
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(deg)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    if (sorted) lab.orderBy("node") else lab
+  }
+
+  /** Generated DuckDB oracle for [[refineCommunities]] over the
+    * [[communities]]-labeled basket graph: the `lpaRounds` unrolled LPA
+    * CTEs, then `moveRounds` unrolled local-move rounds — the same
+    * integer score, swap guard and (stay, smallest-id) tie order replayed
+    * via ROW_NUMBER.
+    */
+  def louvainBasketOracleSql(lpaRounds: Int = 4, moveRounds: Int = 2,
+                             from: String = "1996-01-01",
+                             until: String = "1997-01-01"): String = {
+    val lpaCtes = (1 to lpaRounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT node, community FROM (
+         |    SELECT node, community,
+         |           ROW_NUMBER() OVER (PARTITION BY node
+         |                              ORDER BY cnt DESC, community) AS rn
+         |    FROM (SELECT n.node, l.community, COUNT(*) AS cnt
+         |          FROM nbr n JOIN c${i - 1} l ON n.nb = l.node
+         |          GROUP BY n.node, l.community))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val moveCtes = (1 to moveRounds).map { i =>
+      val prev = if (i == 1) s"c$lpaRounds" else s"l${i - 1}"
+      s"""dc$i AS (SELECT l.community, SUM(CAST(d.deg AS HUGEINT)) AS d
+         |         FROM deg d JOIN $prev l ON d.node = l.node
+         |         GROUP BY l.community),
+         |k$i AS (SELECT n.node, l.community AS c, CAST(COUNT(*) AS HUGEINT) AS k
+         |        FROM nbr n JOIN $prev l ON n.nb = l.node
+         |        GROUP BY n.node, l.community),
+         |cand$i AS (SELECT node, c, MAX(k) AS k FROM (
+         |             SELECT node, c, k FROM k$i
+         |             UNION ALL
+         |             SELECT node, community AS c, CAST(0 AS HUGEINT) AS k
+         |             FROM $prev)
+         |           GROUP BY node, c),
+         |sc$i AS (SELECT cand.node, cand.c,
+         |                2 * mm.m * cand.k - CAST(deg.deg AS HUGEINT) *
+         |                  (dc.d - CASE WHEN cand.c = l.community
+         |                               THEN deg.deg ELSE 0 END) AS score,
+         |                CASE WHEN cand.c = l.community THEN 0 ELSE 1 END AS not_cur
+         |         FROM cand$i cand
+         |         JOIN $prev l ON cand.node = l.node
+         |         JOIN deg ON cand.node = deg.node
+         |         JOIN dc$i dc ON cand.c = dc.community
+         |         CROSS JOIN mm
+         |         WHERE cand.c <= l.community),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, c AS community FROM (
+         |    SELECT node, c, ROW_NUMBER() OVER (PARTITION BY node
+         |             ORDER BY score DESC, not_cur ASC, c ASC) AS rn
+         |    FROM sc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |nbr AS MATERIALIZED (
+       |  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS MATERIALIZED (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY node),
+       |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+       |c0 AS MATERIALIZED (SELECT DISTINCT node, node AS community FROM nbr),
+       |$lpaCtes,
+       |$moveCtes
+       |SELECT node, community FROM l$moveRounds ORDER BY node""".stripMargin
+  }
+
   /** Connected components of the undirected canonical graph, run to
     * CONVERGENCE (not a fixed round count): every node is labeled with
     * the minimum node id reachable from it. [[communities]] answers
@@ -1357,9 +1507,14 @@ object Graph {
     * With both directions included the x/y marginals coincide, so
     * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) with M = 2·edges — computed
     * from four exact sums. All sums run in DECIMAL(38,0) (squared degrees
-    * summed over a 100 TB graph overflow a long); only the final division
-    * runs in double, one expression the oracle replays identically. When
-    * every degree is equal the denominator is 0 and r is defined as 0.0.
+    * summed over a 100 TB graph overflow a long); the sums are then cast
+    * to double BEFORE the num/den products — forming M·Σxy and (Σx)² in
+    * DECIMAL(38,0) would overflow to NULL on an extreme-skew graph
+    * (hub degree ~1e10 ⇒ Σd² ≈ 1e20 ⇒ (Σd²)² ≈ 1e40 > 1e38) and report a
+    * silent NULL. Precision is unaffected in practice: the output is a
+    * 6-decimal-rounded double, and the oracle replays the identical
+    * double sequence. When every degree is equal the denominator is 0 and
+    * r is defined as 0.0.
     *
     * Scale shape: two keyed degree joins folded into one 1-row aggregate
     * — nothing collected, no driver loop.
@@ -1377,9 +1532,10 @@ object Graph {
         coalesce(sum(x + y), lit(0).cast(dec)).as("sx"),
         coalesce(sum(x * x + y * y), lit(0).cast(dec)).as("sxx"),
         coalesce(sum(x * y * lit(2)), lit(0).cast(dec)).as("sxy"))
-    val mm = col("m").cast(dec) * lit(2)
-    val num = (mm * col("sxy") - col("sx") * col("sx")).cast("double")
-    val den = (mm * col("sxx") - col("sx") * col("sx")).cast("double")
+    val mm = col("m").cast("double") * lit(2.0)
+    val sxD = col("sx").cast("double")
+    val num = mm * col("sxy").cast("double") - sxD * sxD
+    val den = mm * col("sxx").cast("double") - sxD * sxD
     s.select(col("m").as("n_edges"),
       round(when(den === 0.0, lit(0.0)).otherwise(num / den), 6)
         .as("assortativity"))
@@ -1440,8 +1596,9 @@ object Graph {
        |ORDER BY e.a, e.b""".stripMargin
 
   /** Generated DuckDB oracle for [[degreeAssortativity]] over
-    * [[basketEdges]] — the four exact sums in HUGEINT, one double
-    * division. */
+    * [[basketEdges]] — the four exact sums in HUGEINT, then the sums cast
+    * to double BEFORE the num/den products (the engine's overflow-safe
+    * double sequence, replayed operation-for-operation). */
   def assortativityBasketOracleSql(from: String = "1996-01-01",
                                    until: String = "1997-01-01"): String =
     s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
@@ -1460,9 +1617,12 @@ object Graph {
        |      FROM e JOIN deg da ON e.a = da.node
        |             JOIN deg db ON e.b = db.node)
        |SELECT m AS n_edges,
-       |       round(CASE WHEN CAST(m AS HUGEINT) * 2 * sxx - sx * sx = 0 THEN 0.0
-       |                  ELSE CAST(CAST(m AS HUGEINT) * 2 * sxy - sx * sx AS DOUBLE) /
-       |                       CAST(CAST(m AS HUGEINT) * 2 * sxx - sx * sx AS DOUBLE)
+       |       round(CASE WHEN CAST(m AS DOUBLE) * 2.0 * CAST(sxx AS DOUBLE)
+       |                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+       |                  ELSE (CAST(m AS DOUBLE) * 2.0 * CAST(sxy AS DOUBLE)
+       |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+       |                       (CAST(m AS DOUBLE) * 2.0 * CAST(sxx AS DOUBLE)
+       |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |             END, 6) AS assortativity
        |FROM s""".stripMargin
 }

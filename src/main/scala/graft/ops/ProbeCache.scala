@@ -49,7 +49,15 @@ private[graft] object ProbeCache {
         e.keys.length == keys.length &&
         e.keys.zip(keys).forall { case (a, b) => a.sameSemantics(b) }
     }.map { e => hitCount += 1; e.result }.getOrElse {
-      val res = build.localCheckpoint()
+      // An operator that already returns a materialized checkpoint shell
+      // (connectedComponents/communities with sorted=false) is memoized
+      // as-is: a second localCheckpoint() would copy the blocks and strand
+      // the inner set with no release path (round-14 ADVICE #4). clear()
+      // releases the one retained copy either way.
+      val built = build
+      val res =
+        if (GraftSqlBridge.isMaterializedCheckpointShell(built)) built
+        else built.localCheckpoint()
       entries += Entry(tag, keys, res)
       res
     }

@@ -90,11 +90,19 @@ object Stats {
     *
     * Determinism: the fences are the same Spark `percentile` ↔ DuckDB
     * `quantile_cont` pair the percentile/IQR queries already hash-match
-    * on; they are then cast to the value's own DECIMAL scale so every
-    * comparison and the clamped value itself stay EXACT decimals —
-    * the winsorized sum is an order-free DECIMAL(30,6) aggregate, never
-    * a float sum (a double clamp would make the mean partition-order
-    * dependent). Doubles appear only in the four final rounded outputs.
+    * on; they are then cast to the value column's OWN DecimalType
+    * (derived from the schema, round-14 ADVICE fix — previously a
+    * hard-coded DECIMAL(15,2) that silently quantized other scales and
+    * NULLed out-of-range fences under the non-ANSI cast, disabling the
+    * clamp) so every comparison and the clamped value itself stay EXACT
+    * decimals — the winsorized sum is an order-free DECIMAL(30,6)
+    * aggregate, never a float sum (a double clamp would make the mean
+    * partition-order dependent). Non-decimal value columns take a
+    * documented DECIMAL(30,6) fence — 6-decimal fence quantization on a
+    * double/integer input, stated here rather than silent. Callers
+    * generating a DuckDB oracle must pass the matching fence type to
+    * [[winsorizedOracleSql]]. Doubles appear only in the four final
+    * rounded outputs.
     *
     * Scale shape: the [[iqrOutliers]] two-pass — one-row-per-group fence
     * aggregate joined back onto the scan (deliberately NOT hint-forced
@@ -105,12 +113,16 @@ object Stats {
                       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo/$hi")
     val v = col(valueCol)
+    val fenceType = df.schema(valueCol).dataType match {
+      case d: DecimalType => d
+      case _ => DecimalType(30, 6)
+    }
     val fences = df.groupBy(col(groupCol))
       .agg(
         expr(s"percentile($valueCol, $lo)").as("plo"),
         expr(s"percentile($valueCol, $hi)").as("phi"))
-      .withColumn("plo_d", col("plo").cast(DecimalType(15, 2)))
-      .withColumn("phi_d", col("phi").cast(DecimalType(15, 2)))
+      .withColumn("plo_d", col("plo").cast(fenceType))
+      .withColumn("phi_d", col("phi").cast(fenceType))
     val clamped = when(v < col("plo_d"), col("plo_d"))
       .when(v > col("phi_d"), col("phi_d"))
       .otherwise(v)
@@ -131,16 +143,19 @@ object Stats {
   }
 
   /** Generated DuckDB oracle for [[winsorizedStats]]: the same fence pair,
-    * decimal clamp and exact sums replayed. */
+    * decimal clamp and exact sums replayed. `fenceType` must name the
+    * value column's own DecimalType — the type [[winsorizedStats]] derives
+    * from the schema (DECIMAL(30,6) for non-decimal value columns). */
   def winsorizedOracleSql(table: String, valueCol: String, groupCol: String,
-                          lo: Double = 0.05, hi: Double = 0.95): String =
+                          lo: Double = 0.05, hi: Double = 0.95,
+                          fenceType: String = "DECIMAL(15,2)"): String =
     s"""WITH f AS (SELECT $groupCol,
        |             quantile_cont($valueCol, $lo) AS plo,
        |             quantile_cont($valueCol, $hi) AS phi
        |           FROM $table GROUP BY $groupCol),
        |fd AS (SELECT $groupCol, plo, phi,
-       |              CAST(plo AS DECIMAL(15,2)) AS plo_d,
-       |              CAST(phi AS DECIMAL(15,2)) AS phi_d FROM f)
+       |              CAST(plo AS $fenceType) AS plo_d,
+       |              CAST(phi AS $fenceType) AS phi_d FROM f)
        |SELECT t.$groupCol, COUNT(*) AS n_rows,
        |       CAST(SUM(CASE WHEN $valueCol < plo_d OR $valueCol > phi_d
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,

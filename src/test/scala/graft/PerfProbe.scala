@@ -521,8 +521,11 @@ object PerfProbe {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, sfDir)
       val minWords = 5
-      // typed-map leg: the round-12 implementation, inlined (the operator
-      // itself is the HOF formulation since round 13)
+      val minKeptLines = 3
+      // typed-map leg: the SHIPPED implementation (Text.c4Clean reverted to
+      // the typed map in r13 after the honest checksum-forced A/B), inlined
+      // WITHOUT its orderBy so neither leg pays a global sort the other
+      // doesn't
       val terminal = "[.!?\"]\\z".r
       def typedLeg(): org.apache.spark.sql.DataFrame = {
         val spark2 = spark
@@ -550,6 +553,29 @@ object PerfProbe {
           }
           .toDF("doc_id", "clean_text", "n_lines", "n_kept", "page_kept")
       }
+      // HOF leg: the round-12 higher-order-function formulation, inlined
+      // (split → transform-trim → filter gates → array_join), no orderBy —
+      // since d1b1730 reverted the operator to the typed map, calling the
+      // registered q_c4_clean here would compare the typed map against
+      // itself (round-14 ADVICE #1)
+      def hofLeg(): org.apache.spark.sql.DataFrame = {
+        val raw = coalesce(col("text"), lit(""))
+        val lowerAll = lower(raw)
+        val pageOk = !(lowerAll.contains("lorem ipsum") || lowerAll.contains("{"))
+        val lines = split(raw, "\n", -1)
+        val kept = filter(
+          transform(lines, l =>
+            regexp_replace(l, "^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+\\z", "")),
+          t => t.rlike("[.!?\"]\\z") &&
+            size(split(t, "[ \\t\\n\\f\\r]+", -1)) >= minWords &&
+            !lower(t).contains("javascript"))
+        docs.select(
+          col("doc_id"),
+          when(!pageOk, lit("")).otherwise(array_join(kept, "\n")).as("clean_text"),
+          size(lines).cast("long").as("n_lines"),
+          when(!pageOk, lit(0L)).otherwise(size(kept).cast("long")).as("n_kept"),
+          (pageOk && size(kept) >= minKeptLines).as("page_kept"))
+      }
       def force(df: org.apache.spark.sql.DataFrame): Unit = {
         val all = struct(df.columns.map(col).toIndexedSeq: _*)
         df.select(sum(xxhash64(all)
@@ -558,8 +584,17 @@ object PerfProbe {
       }
       def rep(n: Int)(f: => Unit): Seq[Double] =
         (1 to n).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      // legs agree before they race: a perf A/B over divergent outputs
+      // proves nothing
+      def checksum(df: org.apache.spark.sql.DataFrame): Any = {
+        val all = struct(df.columns.map(col).toIndexedSeq: _*)
+        df.select(sum(xxhash64(all)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head.get(0)
+      }
+      val (cm, ch) = (checksum(typedLeg()), checksum(hofLeg()))
+      println(s"PROBE c4ab checksums_equal=${cm == ch} typed=$cm hof=$ch")
       val tMap = rep(7)(force(typedLeg()))
-      val tHof = rep(7)(force(SparkEntry.queries("q_c4_clean")(spark, sfDir)))
+      val tHof = rep(7)(force(hofLeg()))
       println(f"PROBE c4ab typed_map min=${tMap.min}%.3f med=${tMap.sorted.apply(3)}%.3f")
       println(f"PROBE c4ab hof_codegen min=${tHof.min}%.3f med=${tHof.sorted.apply(3)}%.3f")
       spark.stop(); return

@@ -326,6 +326,48 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.communities(e, rounds = 0))
   }
 
+  test("refineCommunities: one move round lifts a suboptimal LPA-1 labeling's Q (two cliques + bridge)") {
+    // cliques {1,2,3} and {4,5,6}, bridge 3-4. LPA-1 from self-labels gives
+    // the fragmented {1->2, 2->1, 3->1, 4->3, 5->4, 6->4} (Q = 0.0102);
+    // hand-simulated local moves with the swap guard: only node 1 has a
+    // positive-gain down-move (to community 1, score 18 > 0), everyone
+    // else stays -> {1,2,3}->1, 4->3, {5,6}->4, Q = 0.1939
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val lpa1 = Graph.communities(e, rounds = 1)
+    val refined = Graph.refineCommunities(e, lpa1, rounds = 1)
+    assert(labelsOf(refined) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    val qBefore = Graph.modularity(e, lpa1).collect().head.getDouble(2)
+    val qAfter = Graph.modularity(e, refined).collect().head.getDouble(2)
+    assert(qAfter > qBefore,
+      s"Louvain move round must lift LPA-1's modularity: $qBefore -> $qAfter")
+    // a second move round changes nothing (local optimum reached)
+    assert(labelsOf(Graph.refineCommunities(e, lpa1, rounds = 2)) == labelsOf(refined))
+  }
+
+  test("refineCommunities: the LPA-4 fixpoint on two cliques + bridge is already locally optimal") {
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val lpa4 = Graph.communities(e, rounds = 4)
+    assert(labelsOf(Graph.refineCommunities(e, lpa4, rounds = 2)) == labelsOf(lpa4))
+  }
+
+  test("refineCommunities: swap guard blocks the 2-swap oscillation; bit-identical under repartitioning") {
+    // one edge 1-2 with swapped labels {1->2, 2->1}: unguarded synchronous
+    // moves would trade communities forever; the guard lets only node 1
+    // move down (community 1), node 2 must stay -> both land in 1
+    val spark2 = spark
+    import spark2.implicits._
+    val e = edges((1L, 2L))
+    val swapped = Seq((1L, 2L), (2L, 1L)).toDF("node", "community")
+    assert(labelsOf(Graph.refineCommunities(e, swapped, rounds = 1)) ==
+      Map(1L -> 1L, 2L -> 1L))
+    val big = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val lab = Graph.communities(big, rounds = 1)
+    assert(labelsOf(Graph.refineCommunities(big.repartition(7), lab, rounds = 2)) ==
+      labelsOf(Graph.refineCommunities(big, lab, rounds = 2)))
+    intercept[IllegalArgumentException](Graph.refineCommunities(e, swapped, rounds = 0))
+  }
+
   test("modularity: two disjoint triangles under their clique labels score 0.5") {
     // m=6, each community: e_c=3, d_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
