@@ -263,6 +263,12 @@ object SparkEntry {
     "q_louvain" -> ((s, dir) =>
       Graph.refineCommunities(basketEdgesMemo(s, dir),
         communityLabelsMemo(s, dir), rounds = 2)),
+    // HyperANF neighborhood function of the basket graph: per hop, the
+    // exact ≤h-hop pair count over 64 probe seeds + the declared HLL
+    // bound + whether the sketch-propagation estimate lands inside it —
+    // the exact-bound pattern (estimates stay OUT of the hashed columns)
+    "q_anf" -> ((s, dir) =>
+      Graph.neighborhoodReport(basketEdgesMemo(s, dir))),
     // connected components of the basket graph, run to CONVERGENCE
     // (pointer-jumped min-label propagation, O(log diameter) rounds) —
     // the oracle is a recursive-CTE transitive closure, a deliberately
@@ -1049,6 +1055,7 @@ object SparkEntry {
     "q_communities" -> Graph.communitiesBasketOracleSql(rounds = 4),
     "q_modularity" -> Graph.modularityBasketOracleSql(rounds = 4),
     "q_louvain" -> Graph.louvainBasketOracleSql(lpaRounds = 4, moveRounds = 2),
+    "q_anf" -> Graph.anfBasketOracleSql(),
     "q_tri_profile" -> Graph.triangleProfileBasketOracleSql(),
     "q_embeddedness" -> Graph.edgeEmbeddednessBasketOracleSql(),
     "q_assortativity" -> Graph.assortativityBasketOracleSql(),

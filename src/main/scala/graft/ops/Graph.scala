@@ -1595,6 +1595,123 @@ object Graph {
        |       JOIN deg db ON e.b = db.node
        |ORDER BY e.a, e.b""".stripMargin
 
+  /** HyperANF neighborhood-function report (Boldi, Rosa & Vigna 2011,
+    * "HyperANF: approximating the neighbourhood function of very large
+    * graphs on a budget"): per hop h = 1..`hops`, how many (node,
+    * reachable-node) pairs lie within distance ≤ h — the curve effective
+    * diameter, spid and reachability audits read. The sketch path IS
+    * HyperANF: every node holds an HLL sketch, initialized to {node}, and
+    * each round unions in its neighbors' sketches — per-register max is
+    * commutative/associative/idempotent, so h rounds give exactly the
+    * sketch of the h-ball, at O(n·2^lgK) state instead of the exact
+    * ball's O(n²) worst case.
+    *
+    * Reported the exact-bound way ([[Sketches.weeklyDistinctReport]] /
+    * q_ann_recall): sketches and their estimates stay OUT of the output —
+    * each row carries the EXACT ball-pair count over a bounded probe set
+    * (the `nSeeds` smallest node ids, BFS-materialized — bounded by
+    * nSeeds·n rows, never n²), the declared kσ·1.04/√2^lgK HLL bound, and
+    * whether the seed-summed sketch estimates land inside it. Every
+    * emitted column is DuckDB-reproducible; the oracle pins
+    * `within_bound = TRUE`, so estimator drift turns the row red instead
+    * of hiding in an unverifiable estimate column.
+    *
+    * Scale shape per hop: one nbr⋈sketch join + one `hll_union_agg` keyed
+    * by node (map-side combining — register-max merges partially), the
+    * sketch generation checkpointed and the superseded one released; the
+    * exact side is one frontier join + distinct over seed-bounded pairs.
+    * Driver traffic is one scalar per hop per side ([[connectedComponents]]
+    * convergence-sum discipline).
+    */
+  def neighborhoodReport(edgeList: DataFrame, hops: Int = 3, lgK: Int = 10,
+                         kSigma: Double = 3.0, nSeeds: Int = 64): DataFrame = {
+    require(hops >= 1 && hops <= 16, s"hops must be in [1,16], got $hops")
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    val spark = edgeList.sparkSession
+    import spark.implicits._
+    val e0 = canonicalEdges(edgeList)
+    val (edges, _) = materializeEdges(e0, "a")
+    val nbr = edges.select(col("a").as("node"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("node"), col("a").as("nb")))
+    val nodes = nbr.select("node").distinct()
+    val seeds = nodes.orderBy("node").limit(nSeeds).localCheckpoint()
+    val nSeedsActual = seeds.count()
+    var sk = nodes.groupBy("node")
+      .agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk")).localCheckpoint()
+    var ball = seeds.select(col("node").as("seed"), col("node").as("reached"))
+      .localCheckpoint()
+    val bound = Sketches.relErrBound(lgK, kSigma)
+    val rows = (1 to hops).map { h =>
+      val viaNbr = nbr
+        .join(sk.withColumnRenamed("node", "nb"), "nb")
+        .select(col("node"), col("sk"))
+      val skNext = viaNbr.unionByName(sk.select("node", "sk"))
+        .groupBy("node").agg(expr("hll_union_agg(sk)").as("sk"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(sk)
+      sk = skNext
+      val est = sk.join(broadcast(seeds), "node")
+        .agg(sum(expr("hll_sketch_estimate(sk)")).as("est"))
+        .head.getAs[Number]("est").doubleValue()
+      val grown = ball.unionByName(
+        ball.join(nbr, ball("reached") === nbr("node"))
+          .select(col("seed"), col("nb").as("reached")))
+        .distinct().localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(ball)
+      ball = grown
+      val exact = ball.count()
+      (h.toLong, nSeedsActual, exact, bound,
+        math.abs(est - exact.toDouble) <= bound * exact.toDouble)
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(sk)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(ball)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(seeds)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
+    rows.toDF("h", "n_seeds", "n_reach_exact", "rel_err_bound", "within_bound")
+      .orderBy("h")
+  }
+
+  /** Generated DuckDB oracle for [[neighborhoodReport]] over
+    * [[basketEdges]]: the seed balls BFS-unrolled as chained distinct
+    * CTEs, exact pair counts per hop, the declared bound as a literal,
+    * and `TRUE` pinned for every bound check.
+    */
+  def anfBasketOracleSql(hops: Int = 3, lgK: Int = 10, kSigma: Double = 3.0,
+                         nSeeds: Int = 64,
+                         from: String = "1996-01-01",
+                         until: String = "1997-01-01"): String = {
+    val bound = Sketches.relErrBound(lgK, kSigma)
+    val ballCtes = (1 to hops).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT DISTINCT seed, reached FROM (
+         |    SELECT seed, reached FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT b.seed, n.nb FROM b${i - 1} b JOIN nbr n ON b.reached = n.node))""".stripMargin
+    }.mkString(",\n")
+    val branches = (1 to hops).map { i =>
+      s"""  SELECT CAST($i AS BIGINT) AS h,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS n_seeds,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM b$i) AS n_reach_exact,
+         |         CAST($bound AS DOUBLE) AS rel_err_bound,
+         |         TRUE AS within_bound""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |               WHERE l_shipdate >= TIMESTAMP '$from'
+       |                 AND l_shipdate < TIMESTAMP '$until'),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM items x
+       |  JOIN items y ON x.ok = y.ok AND x.p < y.p),
+       |nbr AS MATERIALIZED (
+       |  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM nbr ORDER BY node LIMIT $nSeeds),
+       |b0 AS (SELECT node AS seed, node AS reached FROM seeds),
+       |$ballCtes
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY h""".stripMargin
+  }
+
   /** Generated DuckDB oracle for [[degreeAssortativity]] over
     * [[basketEdges]] — the four exact sums in HUGEINT, then the sums cast
     * to double BEFORE the num/den products (the engine's overflow-safe

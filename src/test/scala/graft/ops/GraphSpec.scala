@@ -368,6 +368,27 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.refineCommunities(e, swapped, rounds = 0))
   }
 
+  test("neighborhoodReport: exact ball counts on a path; estimates within bound; self-describing seeds") {
+    // path 1-2-3-4-5, all 5 nodes seeded: |ball_1| = 2+3+3+3+2 = 13,
+    // |ball_2| = 3+4+5+4+3 = 19, |ball_3| = 4+5+5+5+4 = 23
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val rows = Graph.neighborhoodReport(e, hops = 3, nSeeds = 5).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getLong(1) == 5L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(13L, 19L, 23L))
+    assert(rows.forall(_.getBoolean(4)),
+      "HLL ball estimates must land inside the declared bound on a 5-node graph")
+  }
+
+  test("neighborhoodReport: seed cap limits the exact side to the smallest node ids") {
+    // seeds = {1, 2}: |ball_1| = 2+3 = 5, |ball_2| = 3+4 = 7
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val rows = Graph.neighborhoodReport(e, hops = 2, nSeeds = 2).collect()
+    assert(rows.forall(_.getLong(1) == 2L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(5L, 7L))
+    intercept[IllegalArgumentException](Graph.neighborhoodReport(e, hops = 0))
+  }
+
   test("modularity: two disjoint triangles under their clique labels score 0.5") {
     // m=6, each community: e_c=3, d_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
