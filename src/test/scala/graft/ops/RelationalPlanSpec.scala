@@ -82,6 +82,34 @@ class RelationalPlanSpec extends SparkSpec {
     assert(esPushed, s"l_shipdate window must reach the lineitem scan:\n$es")
   }
 
+  test("q_market_share: part broadcast prune sits BELOW the orderkey join (r14 reorder)") {
+    // the round-13 plan joined lineitem⋈orders FIRST and pruned by part
+    // type after — the orderkey exchange carried ~150x the rows it needed.
+    // Pin the fixed shape: the broadcast join against the part scan must
+    // be a descendant of the LINEITEM side of the orderkey join, so the
+    // prune happens before the fact-fact shuffle at any scale.
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("q_market_share")(spark, sfDir).queryExecution.sparkPlan
+    val okJoin = plan.collectFirst {
+      case j: BaseJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("orderkey")) => j
+    }
+    assert(okJoin.isDefined, s"no orderkey join found:\n$plan")
+    val liSide = okJoin.get.children.find(_.exists {
+      case s: FileSourceScanExec => s.output.exists(_.name == "l_extendedprice")
+      case _ => false
+    })
+    assert(liSide.isDefined, s"orderkey join has no lineitem side:\n${okJoin.get}")
+    val partPruneBelow = liSide.get.collect {
+      case b: BroadcastHashJoinExec if b.exists {
+        case s: FileSourceScanExec => s.output.exists(_.name == "p_partkey")
+        case _ => false
+      } => b
+    }
+    assert(partPruneBelow.nonEmpty,
+      s"part broadcast prune must sit below the orderkey exchange:\n$plan")
+  }
+
   test("q_local_volume: values match a same-session SQL re-statement") {
     import graft.core.Tables
     Seq("customer" -> Tables.customer(spark, sfDir), "orders" -> Tables.orders(spark, sfDir),
