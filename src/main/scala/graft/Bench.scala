@@ -254,8 +254,14 @@ object Bench {
     // diagnosable from the artifact alone instead of by cross-round
     // archaeology. The reported min is unaffected; the flag only says
     // "this row's reps disagreed enough that the min may not be typical".
+    // Under interleaved passes the FIRST sample is excluded from the
+    // ratio: pass 1 is every query's true first run (JIT, codegen, memo
+    // builds), systematically slow, and separately visible in
+    // "first_runs" — flagging it as a stall would mark the whole registry
+    // suspect on every capture.
     val suspectRatio = sys.env.getOrElse("SPARK_GRAFT_SUSPECT_RATIO", "3.0").toDouble
-    val suspects = ok.flatMap { case (k, (_, _, ts)) =>
+    val suspects = ok.flatMap { case (k, (_, _, tsAll)) =>
+      val ts = if (tsAll.size >= 3) tsAll.drop(1) else tsAll
       val median = ts.sorted.apply(ts.size / 2)
       val ratio = if (median > 0) ts.max / median else 1.0
       if (ts.size >= 2 && ratio >= suspectRatio)
