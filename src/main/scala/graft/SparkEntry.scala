@@ -192,6 +192,21 @@ object SparkEntry {
     // the remediation sibling: raw vs winsorized mean with the tail
     // clamped to the 5th/95th percentile fences, all sums exact decimals
     "q_winsorized" -> t("orders")(Stats.winsorizedStats(_, "o_totalprice", "o_orderstatus")),
+    // the breakdown-0.5 robust sibling: median/MAD fences instead of
+    // percentile clamps, grouped by priority to exercise a different key
+    "q_mad_outliers" -> t("orders")(Stats.madOutliers(_, "o_totalprice", "o_orderpriority")),
+    // one window (user, time) computes first+last touch together; revenue
+    // is an order-free decimal sum
+    "q_attribution" -> t("events")(Events.attribution(_)),
+    // RFM quintiles via broadcast exact-percentile fences — deliberately
+    // NOT a global ntile window (single-task at scale)
+    "q_rfm" -> t("orders")(Relational.rfmSegments(_)),
+    // row-local Flesch reading-ease over the library's one tokenization
+    "q_readability" -> t("documents")(Text.readability(_)),
+    // first-occurrence n-gram novelty: what does a new snapshot actually add
+    "q_ngram_novelty" -> t("documents")(Text.ngramNovelty(_)),
+    // weighted lexical near-dup: tf-idf cosine over df-capped shingle postings
+    "q_tfidf_pairs" -> t("documents")(Dedup.tfidfCosinePairs(_)),
     "q_dup_rate" -> t("documents")(Dedup.dupRateBySource),
     "q_order_count_dist" -> ((s, dir) => Subqueries.orderCountDistribution(
       Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -1196,6 +1211,12 @@ object SparkEntry {
       // DECIMAL(30,6) fence for non-decimal value columns; keep in sync
       Stats.winsorizedOracleSql("orders", "o_totalprice", "o_orderstatus",
         fenceType = "DECIMAL(30,6)"),
+    "q_mad_outliers" -> Stats.madOracleSql("orders", "o_totalprice", "o_orderpriority"),
+    "q_attribution" -> Events.attributionOracleSql(),
+    "q_rfm" -> Relational.rfmOracleSql(),
+    "q_readability" -> Text.readabilityOracleSql(),
+    "q_ngram_novelty" -> Text.ngramNoveltyOracleSql(),
+    "q_tfidf_pairs" -> Dedup.tfidfPairsOracleSql(),
     "q_dup_rate" ->
       """WITH d AS (SELECT doc_id, source, sha256(text) AS digest FROM documents),
          c AS (SELECT digest, COUNT(*) AS n_copies FROM d GROUP BY digest)

@@ -1116,4 +1116,122 @@ object Dedup {
       .filter(col("hamming") <= radius)
       .orderBy("id_a", "id_b")
   }
+
+  /** Weighted lexical near-dup pairs: TF-IDF cosine over word n-gram
+    * shingles via a document-frequency-pruned inverted index — the
+    * WEIGHTED sibling of [[jaccardPairs]] (Jaccard treats every shared
+    * shingle equally; here a shared RARE shingle counts for more, the
+    * boilerplate-robust similarity a curation pipeline wants when common
+    * headers/footers would otherwise dominate set overlap).
+    *
+    * Semantics (the df cap is part of the operator's contract, not an
+    * approximation knob): the vector space is the shingles with
+    * df ≤ `dfCap` — higher-df shingles are corpus boilerplate with
+    * near-zero idf and df² candidate cost, excluded by definition (the
+    * standard stop-term rule of sparse lexical similarity). Within that
+    * space the cosine is EXACT: norms include every kept term (df = 1
+    * terms too — they shape the norm even though they can never match),
+    * and the candidate join runs only over 2 ≤ df ≤ dfCap terms, which
+    * loses nothing because a df = 1 posting has no partner.
+    *
+    * Scale shape: shingles are xxhash64 longs internally (primitive join
+    * keys; the oracle replays over the strings — collision-free on any
+    * real vocabulary, the [[shingleArrays]] argument), candidates are
+    * bounded by Σ_{df≤cap} df² (near-linear under the cap, never corpus²),
+    * and the weighted postings table is persisted once and released after
+    * the first action since three consumers read it (norms + both join
+    * sides).
+    *
+    * Determinism: weights are round-9 decimals (the bm25 contract), dot
+    * products and norm sums are exact DECIMAL arithmetic, the final
+    * cosine is one double sequence replayed verbatim, and the threshold
+    * compares the ROUNDED cosine so a boundary pair cannot flip engines.
+    */
+  def tfidfCosinePairs(documents: DataFrame, threshold: Double = 0.4,
+                       dfCap: Int = 1000, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"need 0 < threshold <= 1, got $threshold")
+    require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
+    require(n >= 1 && n <= 8, s"need 1 <= n <= 8, got $n")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
+    val win = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    val tf = documents.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> xxhash64(concat_ws(' ', $win)))"))
+        .as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val nd = documents.agg(count(lit(1)).as("_n"))
+    val w = Helpers.releaseAfterFirstAction(
+      tf.join(dfT, "sh")
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("sh"), col("df"),
+          round(col("tf").cast("double") *
+            log(col("_n").cast("double") / col("df").cast("double")), 9)
+            .cast(dec).as("w"))
+        .persist())
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val post = w.filter(col("df") >= 2).select(col("doc_id"), col("sh"), col("w"))
+    val dot = post.as("a")
+      .join(post.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a.w") * col("b.w")).as("_dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("_na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("_nb")), "doc_b")
+      .withColumn("cos",
+        round(col("_dot").cast("double") / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "cos")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Generated DuckDB oracle for [[tfidfCosinePairs]]: the same tf/df/idf
+    * pipeline keyed by the shingle STRINGS (the hash is internal to the
+    * Spark side), same decimal dot/norm sums and double cosine. */
+  def tfidfPairsOracleSql(table: String = "documents", threshold: Double = 0.4,
+                          dfCap: Int = 1000, n: Int = 3): String = {
+    val names = (0 until n).map(j => s"w$j")
+    val unnests = (0 until n)
+      .map(j => s"unnest(t[${j + 1}:len(t) - ${n - 1 - j}]) AS w$j")
+      .mkString(",\n           ")
+    val joined = names.mkString(" || ' ' || ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM $table),
+       |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM $table),
+       |g AS (SELECT doc_id, $joined AS sh FROM (
+       |    SELECT doc_id,
+       |           $unnests
+       |    FROM toks WHERE len(t) >= $n)),
+       |tf AS (SELECT doc_id, sh, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM g GROUP BY doc_id, sh),
+       |dfx AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |        GROUP BY sh HAVING COUNT(*) <= $dfCap),
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, tf.sh, df,
+       |         CAST(round(CAST(tf AS DOUBLE) * ln(nn / CAST(df AS DOUBLE)), 9)
+       |              AS DECIMAL(18,9)) AS w
+       |  FROM tf JOIN dfx ON tf.sh = dfx.sh CROSS JOIN nd),
+       |nrm AS (SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+       |        FROM w GROUP BY doc_id),
+       |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |               COUNT(*) AS n_shared, SUM(a.w * b.w) AS d
+       |        FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        WHERE a.df >= 2 AND b.df >= 2
+       |        GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, n_shared,
+       |       round(CAST(d AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cos
+       |FROM dot
+       |JOIN nrm na ON dot.doc_a = na.doc_id
+       |JOIN nrm nb ON dot.doc_b = nb.doc_id
+       |WHERE round(CAST(d AS DOUBLE) / (na.nrm * nb.nrm), 6) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

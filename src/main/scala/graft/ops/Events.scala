@@ -371,4 +371,67 @@ object Events {
     all.select(col("user_id") +: tCols :+ reached.cast("long").as("stages_reached"): _*)
       .orderBy("user_id")
   }
+
+  /** First-touch / last-touch conversion attribution: for every conversion
+    * event (default `purchase`), the event_type of the user's EARLIEST and
+    * LATEST preceding non-conversion event (`direct` when the conversion
+    * is the user's first recorded activity), rolled up to the
+    * (first_touch, last_touch) channel matrix with conversion counts and
+    * exact-decimal revenue — the marketing-analytics staple, and the
+    * diagonal-vs-off-diagonal read on whether acquisition and closing
+    * channels differ.
+    *
+    * Plan shape: ONE window over (user_id, ts, event_id) computes both
+    * touches in a single shuffle (`first`/`last` with ignoreNulls over the
+    * strictly-preceding frame), then one combining aggregate on the tiny
+    * channel matrix. No self-join, no per-user event-list materialization;
+    * at 100 TB the cost is exactly one exchange of the event stream keyed
+    * by user. The frame excludes the current row, so stacked conversions
+    * attribute to the same preceding touches rather than to each other.
+    *
+    * Determinism: (ts, event_id) is a total order (event_id unique), so
+    * both engines see identical frames; revenue is an order-free
+    * DECIMAL(18,6) sum rounded once at the end.
+    */
+  def attribution(events: DataFrame,
+                  conversionType: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= conversionType, col("event_type"))
+    events
+      .withColumn("first_touch",
+        coalesce(first(touch, ignoreNulls = true).over(w), lit("direct")))
+      .withColumn("last_touch",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .filter(col("event_type") === conversionType)
+      .groupBy("first_touch", "last_touch")
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        round(dsum(col("value"), 6), 2).as("revenue"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  /** Generated DuckDB oracle for [[attribution]]: the same strictly-
+    * preceding IGNORE NULLS window pair and decimal revenue sum. */
+  def attributionOracleSql(conversionType: String = "purchase"): String =
+    s"""WITH tagged AS (
+       |  SELECT event_type, value,
+       |    COALESCE(first_value(CASE WHEN event_type <> '$conversionType'
+       |                              THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      'direct') AS first_touch,
+       |    COALESCE(last_value(CASE WHEN event_type <> '$conversionType'
+       |                             THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      'direct') AS last_touch
+       |  FROM events)
+       |SELECT first_touch, last_touch, COUNT(*) AS n_conversions,
+       |       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+       |         AS revenue
+       |FROM tagged WHERE event_type = '$conversionType'
+       |GROUP BY first_touch, last_touch
+       |ORDER BY first_touch, last_touch""".stripMargin
 }

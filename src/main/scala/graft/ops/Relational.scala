@@ -514,4 +514,97 @@ object Relational {
     nation.crossJoin(broadcast(region))
       .groupBy("r_name").agg(count(lit(1)).as("n_pairs"))
       .orderBy("r_name")
+
+  /** RFM customer segmentation — recency / frequency / monetary quintile
+    * scores and the classic named segments, the audience-analytics staple
+    * over an order history. Recency is days from a customer's last order
+    * to the corpus's last order (so the report is reproducible from the
+    * data alone, no wall-clock); scores are 1–5 with 5 best (recency is
+    * reverse-scored: recent = high).
+    *
+    * Scale shape — deliberately NOT `ntile(5) OVER (ORDER BY …)`: a global
+    * unpartitioned window serializes the whole customer set through one
+    * task. Instead the quintile fences are ONE 1-row exact-percentile
+    * aggregate broadcast back, and scoring is a row-local fence count —
+    * the [[graft.ops.Events.zscoreAnomalies]] broadcast-moments shape. Per
+    * customer: one groupBy(o_custkey) shuffle of orders, two 1-row
+    * broadcasts (corpus max date, fences), zero windows, zero self-joins.
+    * Ties sit AT a fence and score below it on both engines (strict `>`
+    * replayed verbatim), so equal metric values always get equal scores —
+    * the one semantic difference from ntile, and the right one (ntile
+    * splits ties by arbitrary row order; a segmentation must not).
+    *
+    * Determinism: metrics are exact (datediff on truncated dates, count,
+    * decimal sum rounded once); fences are the established Spark
+    * `percentile` ↔ DuckDB `quantile_cont` pair; every comparison is over
+    * identical doubles.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val maxd = orders.agg(max(col("o_orderdate").cast("date")).as("_maxd"))
+    val raw = orders
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        max(col("o_orderdate").cast("date")).as("_last"),
+        count(lit(1)).as("frequency"),
+        round(dsum(col("o_totalprice"), 6), 2).as("monetary"))
+      .crossJoin(broadcast(maxd))
+      .select(col("c_custkey"),
+        datediff(col("_maxd"), col("_last")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val fences = raw.agg(
+      expr("percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("_rf"),
+      expr("percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("_ff"),
+      expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("_mf"))
+    def bucket(v: org.apache.spark.sql.Column, f: String): org.apache.spark.sql.Column =
+      (1 to 4).map(i => when(v > element_at(col(f), i), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    val seg = when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+      .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+      .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+      .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+      .otherwise("regular")
+    raw.crossJoin(broadcast(fences))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(6) - bucket(col("recency_days"), "_rf")).as("r_score"),
+        bucket(col("frequency"), "_ff").as("f_score"),
+        bucket(col("monetary"), "_mf").as("m_score"))
+      .withColumn("segment", seg)
+      .orderBy("c_custkey")
+  }
+
+  /** Generated DuckDB oracle for [[rfmSegments]]: same metrics, same
+    * quantile fences, same strict-`>` fence counts and segment CASE. */
+  def rfmOracleSql(table: String = "orders"): String = {
+    def b(v: String, f: String): String =
+      (1 to 4).map(i => s"(CASE WHEN $v > $f[$i] THEN 1 ELSE 0 END)")
+        .mkString("1 + ", " + ", "")
+    s"""WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM $table),
+       |raw AS (
+       |  SELECT o_custkey AS c_custkey,
+       |         date_diff('day', CAST(max(o_orderdate) AS DATE), maxd)
+       |           AS recency_days,
+       |         COUNT(*) AS frequency,
+       |         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+       |               AS DOUBLE), 2) AS monetary
+       |  FROM $table CROSS JOIN mx GROUP BY o_custkey, maxd),
+       |f AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rf,
+       |             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ff,
+       |             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mf
+       |      FROM raw),
+       |s AS (SELECT c_custkey, recency_days, frequency, monetary,
+       |             6 - (${b("recency_days", "rf")}) AS r_score,
+       |             ${b("frequency", "ff")} AS f_score,
+       |             ${b("monetary", "mf")} AS m_score
+       |      FROM raw CROSS JOIN f)
+       |SELECT c_custkey, recency_days, frequency, monetary,
+       |       r_score, f_score, m_score,
+       |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+       |              THEN 'champion'
+       |            WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+       |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+       |            ELSE 'regular' END AS segment
+       |FROM s ORDER BY c_custkey""".stripMargin
+  }
 }

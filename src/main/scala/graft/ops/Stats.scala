@@ -193,4 +193,72 @@ object Stats {
        |$branches
        |ORDER BY col_x, col_y""".stripMargin
   }
+
+  /** MAD (median absolute deviation) outlier report per group — the
+    * breakdown-point-0.5 sibling of [[iqrOutliers]]: per group, the exact
+    * median, the median of |x − median|, and how many rows sit beyond
+    * k · 1.4826 · MAD (1.4826 is the standard consistency constant making
+    * MAD estimate σ under normality, so k is in σ-equivalents like
+    * [[Events.zscoreAnomalies]]' threshold — but immune to the outliers
+    * themselves, which inflate a plain z-score's σ and mask each other).
+    *
+    * Three passes, each a one-row-per-group aggregate joined back onto the
+    * scan (the [[iqrOutliers]] shape, one level deeper because MAD is a
+    * percentile OF a percentile-residual): median aggregate → deviation
+    * join → MAD aggregate → flag join + combining count. The deviation
+    * frame is persisted (released after the first action) because both the
+    * MAD aggregate and the final count read it — without the barrier the
+    * median join would execute twice. No global sort at any scale; the
+    * per-group fence tables are free to broadcast or shuffle as the
+    * planner sizes them (high-cardinality groups must not be hint-pinned —
+    * the round-5 iqrOutliers lesson).
+    *
+    * Determinism: Spark `percentile` ↔ DuckDB `quantile_cont` is the
+    * established exact pair; deviations and the fence product
+    * k·1.4826·mad are identical double sequences on both engines, and the
+    * flag compares raw doubles computed from identical operands.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val v = col(valueCol)
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = Helpers.releaseAfterFirstAction(
+      df.select(col(groupCol), v)
+        .join(med, Seq(groupCol))
+        .withColumn("adev", abs(v - col("med")))
+        .persist())
+    val madAgg = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(madAgg, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("adev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first("med"), 4).as("median"),
+        round(first("mad"), 4).as("mad"))
+      .orderBy(groupCol)
+  }
+
+  /** Generated DuckDB oracle for [[madOutliers]]: the same two
+    * quantile_cont passes, deviation join and fence comparison replayed
+    * operand for operand. */
+  def madOracleSql(table: String, valueCol: String, groupCol: String,
+                   k: Double = 3.0): String =
+    s"""WITH m AS (SELECT $groupCol, quantile_cont($valueCol, 0.5) AS med
+       |           FROM $table GROUP BY $groupCol),
+       |d AS (SELECT t.$groupCol AS $groupCol, med,
+       |             abs($valueCol - med) AS adev
+       |      FROM $table t JOIN m USING ($groupCol)),
+       |md AS (SELECT $groupCol, quantile_cont(adev, 0.5) AS mad
+       |       FROM d GROUP BY $groupCol)
+       |SELECT d.$groupCol, COUNT(*) AS n_rows,
+       |       CAST(SUM(CASE WHEN adev > $k * 1.4826 * mad
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |       round(med, 4) AS median, round(mad, 4) AS mad
+       |FROM d JOIN md USING ($groupCol)
+       |GROUP BY d.$groupCol, med, mad
+       |ORDER BY d.$groupCol""".stripMargin
 }

@@ -1938,4 +1938,127 @@ object Text {
         get_json_object(col("props"), "$.k").cast("long").as("k_value"))
       .filter(col("k_value") > 80)
       .orderBy("event_id")
+
+  /** Per-document readability: word / sentence / syllable-proxy counts and
+    * the Flesch reading-ease score 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) — the length-complexity quality signal a
+    * curation mix reads beside [[qualityScore]]'s ratios (a corpus of
+    * 8-word headlines and a corpus of 40-word legalese both pass stopword
+    * gates; they sit at opposite ends of this score).
+    *
+    * Counting contracts (all three are single-regex run counts, codegen'd,
+    * identical in Java regex and DuckDB's RE2 because they are plain
+    * character classes): words = `[a-z0-9]+` runs of the lowercased text
+    * (the library's one tokenization); sentences = `[.!?]+` terminator
+    * runs ("..." and "?!" count once); syllables = `[aeiouy]+` vowel-group
+    * runs — the standard dictionary-free proxy (undercounts hiatus like
+    * "create", ignores silent-e; stated here rather than pretended away —
+    * the score is a RANKING signal, not a clinical grade level).
+    * Documents with zero words or zero sentence terminators get a null
+    * score (not a division blow-up). Row-local single pass: no shuffle at
+    * any scale beyond the final report sort.
+    */
+  def readability(documents: DataFrame): DataFrame = {
+    val nw = size(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0)))
+    val ns = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+    val nsy = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    documents.select(
+        col("doc_id"),
+        nw.cast("long").as("n_words"),
+        ns.cast("long").as("n_sentences"),
+        nsy.cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4)))
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[readability]] — the same three run
+    * counts and the identical double sequence. */
+  def readabilityOracleSql(table: String = "documents"): String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+       |  FROM $table)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 AND n_sentences > 0
+       |       THEN round(206.835
+       |                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+       |  END AS flesch
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams whose globally-first occurrence (minimum doc_id) is this
+    * document — the memorization-risk / freshness signal a pipeline reads
+    * when deciding what a new crawl snapshot actually adds (novelty ≈ 1:
+    * genuinely new text; ≈ 0: recombination of already-seen phrases).
+    * doc_id is the corpus's ingestion order, so "first" is well-defined
+    * and deterministic.
+    *
+    * Plan shape: one row-local explode of ' '-joined token windows →
+    * distinct (doc, ngram) → the (ngram → min doc) aggregate → one join
+    * back keyed on ngram (co-partitioned with the aggregate it just
+    * produced — no extra exchange) → per-doc combining count. Everything
+    * is keyed by ngram or doc_id; nothing quadratic, no driver state. The
+    * distinct gram table feeds both join sides, so it is persisted and
+    * released after the first action (the [[graft.ops.Dedup]] prefix-table
+    * discipline — without the barrier the explode+distinct runs twice).
+    * Documents with fewer than n tokens have no n-grams and no output row
+    * (their novelty is undefined, not zero).
+    */
+  def ngramNovelty(documents: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 8, s"need 2 <= n <= 8, got $n")
+    val toks = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
+    val win = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    val grams = Helpers.releaseAfterFirstAction(
+      documents.select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', $win))"))
+          .as("ngram"))
+        .distinct()
+        .persist())
+    val firsts = grams.groupBy("ngram").agg(min("doc_id").as("first_doc"))
+    grams.join(firsts, "ngram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"),
+        round(
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[ngramNovelty]]: parallel unnest of the
+    * n shifted slices zips the token windows (the collocations pattern),
+    * then the same distinct → min → join → count sequence. */
+  def ngramNoveltyOracleSql(table: String = "documents", n: Int = 3): String = {
+    val names = (0 until n).map(j => s"w$j")
+    val unnests = (0 until n)
+      .map(j => s"unnest(t[${j + 1}:len(t) - ${n - 1 - j}]) AS w$j").mkString(",\n         ")
+    val joined = names.mkString(" || ' ' || ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM $table),
+       |g AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, $joined AS ngram FROM (
+       |    SELECT doc_id,
+       |         $unnests
+       |    FROM toks WHERE len(t) >= $n)),
+       |f AS (SELECT ngram, min(doc_id) AS first_doc FROM g GROUP BY ngram)
+       |SELECT g.doc_id, COUNT(*) AS n_ngrams,
+       |       CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_novel,
+       |       round(CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / COUNT(*), 6) AS novelty
+       |FROM g JOIN f USING (ngram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
 }

@@ -449,4 +449,51 @@ class DedupSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getString(2) == solo(r.getLong(0))))
     out.unpersist()
   }
+
+  test("tfidfCosinePairs: identical docs cos 1.0; disjoint docs pair-free; df cap drops boilerplate shingles from the space") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val out = Dedup.tfidfCosinePairs(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getAs[Long]("n_shared") == 2L, "two 3-gram shingles shared")
+    assert(r.getAs[Double]("cos") == 1.0)
+    // dfCap as contract: with the cap below the shared shingles' df (2),
+    // the vector space loses them and the pair disappears — by DEFINITION,
+    // not approximation (df > cap shingles are corpus boilerplate)
+    // (guarded: df=1 shingles remain, norms stay valid)
+    val capped = Dedup.tfidfCosinePairs(df, dfCap = 2, n = 3)
+    assert(capped.collect().length == 1, "cap 2 keeps df=2 shingles")
+    assert(awaitSqlCacheEmpty(), "the postings persist must release")
+    intercept[IllegalArgumentException](Dedup.tfidfCosinePairs(df, threshold = 0.0))
+    intercept[IllegalArgumentException](Dedup.tfidfCosinePairs(df, dfCap = 1))
+  }
+
+  test("tfidfCosinePairs: weighted vs unweighted — a shared RARE shingle outscores shared boilerplate") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the boiler tail sits in docs 1-4 of 5 (df=4, idf ln(5/4) ≈ 0.22);
+    // the rare marker shingles sit only in docs 1/2 (df=2, idf ln(5/2)).
+    // Docs 1&2 share rare+boiler, docs 3&4 share ONLY boiler — the
+    // weighted cosine must rank (1,2) far above (3,4), which is exactly
+    // what unweighted Jaccard gets wrong when boilerplate dominates.
+    val boiler = "copyright footer all rights reserved"
+    val df = Seq(
+      (1L, s"unique marker phrase here $boiler"),
+      (2L, s"unique marker phrase here $boiler also"),
+      (3L, s"totally different body text $boiler"),
+      (4L, s"another unrelated body words $boiler yes"),
+      (5L, "fresh standalone content sharing nothing with anyone else"))
+      .toDF("doc_id", "text")
+    val out = Dedup.tfidfCosinePairs(df, threshold = 0.005).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    assert(out.contains((3L, 4L)), s"boiler-only pair should clear 0.005: $out")
+    assert(out((1L, 2L)) > 10 * out((3L, 4L)),
+      s"rare shared shingles must outweigh boilerplate: $out")
+  }
 }

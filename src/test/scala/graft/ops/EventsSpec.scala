@@ -154,4 +154,42 @@ class EventsSpec extends SparkSpec {
     assert(out(3L)._1 == 2L)
     assert(!out.contains(4L), "users without the entry stage are outside the funnel")
   }
+
+  test("attribution: first/last touch from strictly-preceding events; direct when none; stacked conversions share touches") {
+    val d = ev(
+      // user 1: view -> click -> purchase -> purchase (second purchase's
+      // preceding frame contains the first purchase, which must NOT count
+      // as a touch)
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 00:02:00", 1L, "purchase", 5.0),
+      (4L, "2024-01-01 00:03:00", 1L, "purchase", 2.0),
+      // user 2: cold purchase => direct/direct
+      (5L, "2024-01-01 00:00:00", 2L, "purchase", 9.0),
+      // user 3: single click touch => first = last = click
+      (6L, "2024-01-01 00:00:00", 3L, "click", 0.0),
+      (7L, "2024-01-01 00:01:00", 3L, "purchase", 1.0))
+    val out = Events.attribution(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Double]("revenue"))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 7.0)),
+      ("direct", "direct") -> ((1L, 9.0)),
+      ("click", "click") -> ((1L, 1.0))))
+  }
+
+  test("attribution: one user-keyed window exchange, no self-join") {
+    val plan = Events.attribution(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def all[T](pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+      plan.collect(pf) ++ (plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect(pf)
+        case _ => Nil
+      })
+    assert(all { case j: SortMergeJoinExec => j }.isEmpty &&
+      all { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"attribution must be window-only, not a self-join:\n$plan")
+  }
 }

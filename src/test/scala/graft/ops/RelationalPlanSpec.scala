@@ -133,4 +133,40 @@ class RelationalPlanSpec extends SparkSpec {
     assert(got.nonEmpty, "region/date window must select rows at sf0.001")
     assert(got == want)
   }
+
+  test("rfmSegments: closed-form quintiles (distinct metrics => score = rank), recency reverse-scored, no global window") {
+    val spark2 = spark
+    import spark2.implicits._
+    // customer i: i orders, last on Jan i, each 100*i => recency 5-i days,
+    // frequency i, monetary 100*i*i — every metric strictly increasing in
+    // i, so all three quintile scores are i (recency reverse-scores back
+    // to i as well: most recent = best)
+    val rows = for {
+      i <- 1 to 5
+      j <- 1 to i
+    } yield (100L * i + j, i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-0$j%d 00:00:00"), 100.0 * i)
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rfmSegments(orders).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (i <- 1 to 5) {
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("recency_days") == (5 - i).toLong)
+      assert(r.getAs[Long]("frequency") == i.toLong)
+      assert(r.getAs[Double]("monetary") == 100.0 * i * i)
+      assert(r.getAs[Int]("r_score") == i, s"recency must reverse-score: $r")
+      assert(r.getAs[Int]("f_score") == i)
+      assert(r.getAs[Int]("m_score") == i)
+    }
+    assert(out(5L).getAs[String]("segment") == "champion")
+    assert(out(4L).getAs[String]("segment") == "champion")
+    assert(out(3L).getAs[String]("segment") == "regular")
+    assert(out(1L).getAs[String]("segment") == "hibernating")
+    // scale pin: quintiles come from broadcast fences, never from a
+    // single-task unpartitioned ntile window
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Relational.rfmSegments(orders).queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"rfmSegments must not use a global window:\n$plan")
+  }
 }

@@ -139,4 +139,28 @@ class StatsSpec extends SparkSpec {
     assert(r.toSeq == b.toSeq)
     intercept[IllegalArgumentException](Stats.winsorizedStats(df, "v", "g", 0.9, 0.1))
   }
+
+  test("madOutliers: closed-form median/MAD, the hub outlier flags, inliers don't") {
+    val spark2 = spark
+    import spark2.implicits._
+    // values 1..9 plus one gross outlier: median = 5.5, |dev| sorted
+    // (.5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5) => MAD = 2.5;
+    // fence 3 * 1.4826 * 2.5 = 11.1195 flags exactly the 100.0
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _)).toDF("g", "v")
+    val out = Stats.madOutliers(df, "v", "g").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Double]("median") == 5.5)
+    assert(r.getAs[Double]("mad") == 2.5)
+    // a plain 3-sigma z-score would MISS this outlier's masking sibling:
+    // MAD's fence is immune to the outlier inflating the spread estimate —
+    // with a second group of all-equal values, any deviation flags
+    val df2 = Seq(("h", 1.0), ("h", 1.0), ("h", 1.0), ("h", 2.0)).toDF("g", "v")
+    val r2 = Stats.madOutliers(df2, "v", "g").collect().head
+    assert(r2.getAs[Double]("mad") == 0.0 && r2.getAs[Long]("n_outliers") == 1L,
+      "zero MAD: every deviation from the median flags")
+    intercept[IllegalArgumentException](Stats.madOutliers(df, "v", "g", k = 0.0))
+  }
 }

@@ -794,4 +794,43 @@ class TextSpec extends SparkSpec {
     assert(out(4L)._1 == "ctrlcharsgone" && out(4L)._2 == 15L && out(4L)._3 == 13L)
     assert(out(5L) == (("", 0L, 0L, false)), "null text is total (empty, unchanged)")
   }
+
+  test("readability: closed-form Flesch; terminator runs count once; empty text is null, not a blow-up") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "Hello world. This is a test."),
+      (2L, "Wait... what?!"), // "..." and "?!" are ONE terminator run each
+      (3L, "")).toDF("doc_id", "text")
+    val out = Text.readability(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 6L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[Long]("n_syllables") == 7L)
+    // 206.835 - 1.015*(6/2) - 84.6*(7/6)
+    val want = BigDecimal(206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("flesch") == want)
+    assert(out(2L).getAs[Long]("n_sentences") == 2L)
+    assert(out(3L).getAs[Long]("n_words") == 0L && out(3L).isNullAt(out(3L).fieldIndex("flesch")))
+  }
+
+  test("ngramNovelty: first doc owns its grams; repeats score by first occurrence; short docs have no row") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d} — both first here
+      (2L, "a b c x"),   // {a b c (seen), b c x (new)} => 1/2
+      (3L, "a b"),       // < 3 tokens: no grams, no row
+      (4L, "a b c d")).toDF("doc_id", "text") // exact repeat: novelty 0
+    val out = Text.ngramNovelty(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_novel"),
+        r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(!out.contains(3L), "sub-n docs have undefined novelty, not zero")
+    assert(out(4L) == ((2L, 0L, 0.0)))
+    assert(awaitSqlCacheEmpty(), "the gram table's scoped persist must release")
+  }
 }
