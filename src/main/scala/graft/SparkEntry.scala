@@ -875,6 +875,29 @@ object SparkEntry {
     "q_events_sessions" -> t("events")(Events.sessions),
     "q_events_sessions_lag" -> t("events")(Events.sessionsViaLag(_)),
     "q_events_asof" -> t("events")(Events.asofPurchaseView),
+    // nearest-direction as-of: each error attributed to the CLOSEST
+    // purchase of the same user in either direction, ties to the past —
+    // the clock-skew-robust attribution backward-only as-of gets wrong
+    "q_asof_nearest" -> t("events")(ev => {
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      Events.asofJoinNearest(errs, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("near_p_event_id"), round(col("near_p_value"), 4).as("near_p_value"),
+          col("near_delta_us"))
+        .orderBy("event_id")
+    }),
+    // Markov transition matrix + top taken paths off the same one-exchange
+    // user-keyed window family
+    "q_event_transitions" -> t("events")(Events.eventTransitions(_)),
+    "q_event_paths" -> t("events")(Events.eventPaths(_)),
+    // monthly priority-mix drift vs the first month (PSI, smoothed grid)
+    "q_psi_drift" -> t("orders")(o => Stats.psiDrift(o, "o_orderpriority",
+      unix_timestamp(date_trunc("month", col("o_orderdate"))))),
     // KEYLESS as-of at scale: every event attributed to the latest order
     // at-or-before it, globally — no equi-key to co-partition on, so the
     // plan is the range-binned merge (one bin shuffle per side, carry-in
@@ -1212,6 +1235,29 @@ object SparkEntry {
       Stats.winsorizedOracleSql("orders", "o_totalprice", "o_orderstatus",
         fenceType = "DECIMAL(30,6)"),
     "q_mad_outliers" -> Stats.madOracleSql("orders", "o_totalprice", "o_orderpriority"),
+    // nearest-direction as-of replayed as an obviously-correct bounded
+    // LATERAL top-1 per left row: closest |Δt|, ties to the past — the
+    // operator's exact contract (quadratic SQL is fine for an oracle)
+    "q_asof_nearest" ->
+      """WITH lefts AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'error'),
+         rights AS (SELECT user_id, ts, event_id AS p_event_id,
+                           value AS p_value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                r.p_event_id AS near_p_event_id,
+                round(r.p_value, 4) AS near_p_value,
+                epoch_us(r.ts) - epoch_us(l.ts) AS near_delta_us
+         FROM lefts l LEFT JOIN LATERAL (
+           SELECT * FROM rights r WHERE r.user_id = l.user_id
+           ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)),
+                    (r.ts > l.ts), r.p_event_id
+           LIMIT 1) r ON true
+         ORDER BY l.event_id""",
+    "q_event_transitions" -> Events.transitionsOracleSql(),
+    "q_event_paths" -> Events.pathsOracleSql(),
+    "q_psi_drift" -> Stats.psiOracleSql("orders", "o_orderpriority",
+      "CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)"),
     "q_attribution" -> Events.attributionOracleSql(),
     "q_rfm" -> Relational.rfmOracleSql(),
     "q_readability" -> Text.readabilityOracleSql(),

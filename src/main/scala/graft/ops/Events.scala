@@ -412,6 +412,168 @@ object Events {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** Nearest-direction as-of join: each left row matches the right row of
+    * the same key whose timestamp is CLOSEST in either direction (pandas
+    * `merge_asof(direction='nearest')`), ties broken toward the past —
+    * the attribution shape when an effect may be logged slightly before
+    * or after its cause (clock skew, buffered emitters) and backward-only
+    * as-of silently mis-attributes the "before" half.
+    *
+    * Same engine as [[asofJoin]]: union both sides, ONE shuffle keyed on
+    * `key`, then TWO frames over it — the strictly-at-or-before `last`
+    * (rights sort before lefts at equal ts: an exact-tie right matches at
+    * distance 0) and the at-or-after `first` (side order reversed so the
+    * same-ts right is visible forward too) — and a row-local
+    * microsecond-distance pick. Two in-partition sorts, zero joins, no
+    * per-key quadratic work.
+    *
+    * Tie contracts: equal distance → the PAST match wins (strict `<` on
+    * the forward distance). Among rights at the SAME timestamp the
+    * backward frame keeps the greatest orderable-payload struct (the
+    * [[asofJoin]] contract) and the forward frame the smallest — stated,
+    * deterministic, and irrelevant on any stream with unique (key, ts).
+    * `ts` must be a timestamp column on both sides (distances are
+    * `unix_micros`).
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, prefix: String = "near_"): DataFrame = {
+    val rPayloadCols = right.columns.filter(_ != key).toSeq
+    val tieCols = rPayloadCols.filter(c => org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(right.schema(c).dataType))
+    val r = right.select(Seq(col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
+      struct(rPayloadCols.map(col): _*).as("_payload")) ++
+      (if (tieCols.nonEmpty) Seq(struct(tieCols.map(col): _*).as("_tie")) else Nil): _*)
+    val payloadType = r.schema("_payload").dataType
+    val l = left
+      .withColumn("_lrow", struct(left.columns.map(col): _*))
+      .select(Seq(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(payloadType).as("_payload")) ++
+        (if (tieCols.nonEmpty)
+           Seq(lit(null).cast(r.schema("_tie").dataType).as("_tie")) else Nil) :+
+        col("_lrow"): _*)
+    val merged = r.withColumn("_lrow", lit(null).cast(l.schema("_lrow").dataType))
+      .unionByName(l.select(r.columns.map(col) :+ col("_lrow"): _*))
+    val tieAsc = if (tieCols.nonEmpty) Seq(col("_tie")) else Nil
+    val wB = Window.partitionBy("_k")
+      .orderBy(Seq(col("_ts"), col("_side")) ++ tieAsc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("_k")
+      .orderBy(Seq(col("_ts"), col("_side").desc) ++ tieAsc: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightOnly = when(col("_side") === 0, col("_payload"))
+    val picked = merged
+      .withColumn("_prev", last(rightOnly, ignoreNulls = true).over(wB))
+      .withColumn("_next", first(rightOnly, ignoreNulls = true).over(wF))
+      .filter(col("_side") === 1)
+      .withColumn("_dprev", unix_micros(col("_ts")) - unix_micros(col(s"_prev.$ts")))
+      .withColumn("_dnext", unix_micros(col(s"_next.$ts")) - unix_micros(col("_ts")))
+      .withColumn("_chosen",
+        when(col("_prev").isNull, col("_next"))
+          .when(col("_next").isNotNull && col("_dnext") < col("_dprev"), col("_next"))
+          .otherwise(col("_prev")))
+    val leftOut = left.columns.map(c => col(s"_lrow.$c").as(c))
+    val rightOut = rPayloadCols.map(c => col(s"_chosen.$c").as(s"$prefix$c"))
+    val delta = (unix_micros(col(s"_chosen.$ts")) - unix_micros(col("_ts")))
+      .as(s"${prefix}delta_us")
+    picked.select(leftOut ++ rightOut :+ delta: _*)
+  }
+
+  /** Event-type transition matrix: counts and row-normalized probabilities
+    * of consecutive (from → to) event pairs per user — the maximum-
+    * likelihood Markov-chain estimate behind next-action prediction and
+    * behavioral-cohort comparison. Consecutive = adjacent in the user's
+    * (ts, event_id) total order; the last event of each user has no
+    * successor and contributes no pair.
+    *
+    * Plan shape: one user-keyed window (`lead`) — the same single exchange
+    * as [[attribution]] — then a combining count on the |types|² matrix;
+    * the row-normalizing share is a window over the ALREADY-AGGREGATED
+    * matrix (≤ |types|² rows — bounded by the type vocabulary, not the
+    * event volume, so the unpartitioned-looking window is safe at any
+    * scale).
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Generated DuckDB oracle for [[eventTransitions]]. */
+  def transitionsOracleSql(): String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+      |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |       round(CAST(n AS DOUBLE) /
+      |             SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
+  /** Top event paths: the `len`-step event-type sequences users actually
+    * take, ranked by frequency — the path-analysis staple ("what do users
+    * do right before purchasing?"). A path is `len` consecutive events in
+    * one user's (ts, event_id) order, rendered `a>b>c`; every event starts
+    * one path (windows shorter than `len` at the tail of a user's history
+    * don't count).
+    *
+    * Plan shape: `len−1` leads off ONE user-keyed window sort (one
+    * exchange, one in-partition sort — Spark collapses same-spec window
+    * functions into a single WindowExec), a combining count on the
+    * ≤ |types|^len matrix, and a rank window over that bounded aggregate.
+    * `topK` keeps the report bounded; ties rank by path string so the
+    * cut is total on both engines.
+    */
+  def eventPaths(events: DataFrame, len: Int = 3, topK: Int = 10): DataFrame = {
+    require(len >= 2 && len <= 6, s"need 2 <= len <= 6, got $len")
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = col("event_type") +:
+      (1 until len).map(i => lead("event_type", i).over(w))
+    val rankW = Window.orderBy(col("n").desc, col("path"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("path", concat_ws(">", steps: _*))
+      .withColumn("_last_step", steps.last) // window exprs must land in a
+      .filter(col("_last_step").isNotNull)  // projection before any filter
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topK)
+      .orderBy("rank")
+  }
+
+  /** Generated DuckDB oracle for [[eventPaths]]. */
+  def pathsOracleSql(len: Int = 3, topK: Int = 10): String = {
+    val leads = (1 until len)
+      .map(i => s"lead(event_type, $i) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s$i")
+      .mkString(",\n         ")
+    val pathExpr = ("event_type" +: (1 until len).map(i => s"s$i"))
+      .mkString(" || '>' || ")
+    s"""WITH p AS (
+       |  SELECT event_type,
+       |         $leads
+       |  FROM events),
+       |c AS (SELECT $pathExpr AS path, COUNT(*) AS n
+       |      FROM p WHERE s${len - 1} IS NOT NULL
+       |      GROUP BY 1),
+       |r AS (SELECT path, n,
+       |             row_number() OVER (ORDER BY n DESC, path) AS rank
+       |      FROM c)
+       |SELECT path, n, CAST(rank AS BIGINT) AS rank FROM r
+       |WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
   /** Generated DuckDB oracle for [[attribution]]: the same strictly-
     * preceding IGNORE NULLS window pair and decimal revenue sum. */
   def attributionOracleSql(conversionType: String = "purchase"): String =

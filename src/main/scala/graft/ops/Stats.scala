@@ -242,6 +242,90 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** Population stability index per period: how far each period's
+    * categorical mix has drifted from the FIRST period's —
+    * PSI = Σ_c (p_c − b_c) · ln(p_c / b_c), the industry-standard drift
+    * monitor a pipeline reads before trusting a model trained on the
+    * baseline mix (rule of thumb: < 0.1 stable, > 0.25 retrain — the
+    * `drifted` flag uses the caller's threshold on the ROUNDED psi so a
+    * boundary period cannot flip engines).
+    *
+    * Add-one (Laplace) smoothing over the GLOBAL category set makes every
+    * share strictly positive — a category absent from one period
+    * contributes a finite term instead of ±∞/NaN, and the complete
+    * period×category grid is built from the two tiny post-aggregation
+    * distinct frames (never from the raw scan). Each PSI term is ≥ 0 by
+    * construction (sign(p−b) = sign(ln(p/b))), rounded to 9 decimals and
+    * summed in exact DECIMAL(18,9) — the bm25/surprisal portability
+    * contract — then rounded once to 6.
+    *
+    * Scale shape: ONE (period, cat) combining aggregate over the scan;
+    * everything after operates on bounded frames (|periods| × |cats|
+    * grid, 1-row category-count broadcast). No windows, no scan re-reads.
+    */
+  def psiDrift(df: DataFrame, catCol: String, periodCol: Column,
+               threshold: Double = 0.1): DataFrame = {
+    val counts = df.select(periodCol.as("period"), col(catCol).as("cat"))
+      .groupBy("period", "cat").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("period").agg(sum("n").as("tot"))
+    val cats = counts.select("cat").distinct()
+    val kDf = cats.agg(count(lit(1)).as("_k"))
+    val filled = totals.select("period").crossJoin(cats)
+      .join(counts, Seq("period", "cat"), "left")
+      .join(totals, "period")
+      .select(col("period"), col("cat"),
+        coalesce(col("n"), lit(0L)).as("n"), col("tot"))
+    val basePeriod = totals.agg(min("period").as("_bp"))
+    val baseline = filled.join(broadcast(basePeriod), col("period") === col("_bp"))
+      .select(col("cat"), col("n").as("bn"), col("tot").as("btot"))
+    val p = (col("n") + lit(1)).cast("double") / (col("tot") + col("_k")).cast("double")
+    val b = (col("bn") + lit(1)).cast("double") / (col("btot") + col("_k")).cast("double")
+    filled.join(baseline, "cat")
+      .crossJoin(broadcast(kDf))
+      .withColumn("_p", p).withColumn("_b", b)
+      .withColumn("_term",
+        round((col("_p") - col("_b")) * log(col("_p") / col("_b")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy("period")
+      .agg(max("tot").as("n_rows"),
+        round(sum("_term").cast("double"), 6).as("psi"))
+      .withColumn("drifted", col("psi") > threshold)
+      .orderBy("period")
+  }
+
+  /** Generated DuckDB oracle for [[psiDrift]]: same grid, same smoothed
+    * shares, same round-9 decimal term sum. `periodExpr`/`catExpr` must
+    * compute exactly what the Spark call's columns compute. */
+  def psiOracleSql(table: String, catExpr: String, periodExpr: String,
+                   threshold: Double = 0.1): String =
+    s"""WITH src AS (SELECT $periodExpr AS period, $catExpr AS cat FROM $table),
+       |counts AS (SELECT period, cat, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM src GROUP BY period, cat),
+       |totals AS (SELECT period, CAST(SUM(n) AS BIGINT) AS tot
+       |           FROM counts GROUP BY period),
+       |cats AS (SELECT DISTINCT cat FROM counts),
+       |kk AS (SELECT COUNT(*) AS k FROM cats),
+       |filled AS (
+       |  SELECT g.period, g.cat, COALESCE(c.n, 0) AS n, t.tot
+       |  FROM (SELECT period, cat FROM totals CROSS JOIN cats) g
+       |  LEFT JOIN counts c ON g.period = c.period AND g.cat = c.cat
+       |  JOIN totals t ON g.period = t.period),
+       |bp AS (SELECT min(period) AS bpv FROM totals),
+       |base AS (SELECT cat, n AS bn, tot AS btot
+       |         FROM filled CROSS JOIN bp WHERE period = bpv),
+       |terms AS (
+       |  SELECT f.period, f.tot,
+       |         CAST(f.n + 1 AS DOUBLE) / CAST(f.tot + k AS DOUBLE) AS p,
+       |         CAST(b.bn + 1 AS DOUBLE) / CAST(b.btot + k AS DOUBLE) AS b
+       |  FROM filled f JOIN base b ON f.cat = b.cat CROSS JOIN kk)
+       |SELECT period, MAX(tot) AS n_rows,
+       |       round(CAST(SUM(CAST(round((p - b) * ln(p / b), 9)
+       |                          AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+       |       round(CAST(SUM(CAST(round((p - b) * ln(p / b), 9)
+       |                          AS DECIMAL(18,9))) AS DOUBLE), 6) > $threshold
+       |         AS drifted
+       |FROM terms GROUP BY period ORDER BY period""".stripMargin
+
   /** Generated DuckDB oracle for [[madOutliers]]: the same two
     * quantile_cont passes, deviation join and fence comparison replayed
     * operand for operand. */

@@ -2000,10 +2000,12 @@ object Text {
     * doc_id is the corpus's ingestion order, so "first" is well-defined
     * and deterministic.
     *
-    * Plan shape: one row-local explode of ' '-joined token windows →
-    * distinct (doc, ngram) → the (ngram → min doc) aggregate → one join
-    * back keyed on ngram (co-partitioned with the aggregate it just
-    * produced — no extra exchange) → per-doc combining count. Everything
+    * Plan shape: one typed row-local pass emits each doc's DISTINCT gram
+    * hashes directly (within-doc dedup is per-row work — no cross-doc
+    * `.distinct()` shuffle, no interpreted HOF) → the (ngram → min doc)
+    * aggregate → one join back keyed on ngram (co-partitioned with the
+    * aggregate it just produced — no extra exchange) → per-doc combining
+    * count. Everything
     * is keyed by ngram or doc_id; nothing quadratic, no driver state. The
     * distinct gram table feeds both join sides, so it is persisted and
     * released after the first action (the [[graft.ops.Dedup]] prefix-table
@@ -2013,15 +2015,49 @@ object Text {
     */
   def ngramNovelty(documents: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 2 && n <= 8, s"need 2 <= n <= 8, got $n")
-    val toks = regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))
-    val win = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    // distinct grams per doc in ONE typed row-local pass (the shingler
+    // trade: interpreted transform() HOFs pay per-element overhead, and a
+    // per-doc LinkedHashSet makes the cross-doc `.distinct()` shuffle
+    // unnecessary — within-doc dedup is row-local). Grams travel as
+    // catalyst-XXH64/seed-42 longs: the grouping key is 8 bytes instead of
+    // the gram string, and the oracle replays over the strings (counts and
+    // min-doc identical while the hash is collision-free on the gram
+    // vocabulary — the [[graft.ops.Dedup.shingleArrays]] argument).
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tokenRe = "[a-z0-9]+".r
     val grams = Helpers.releaseAfterFirstAction(
-      documents.select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= n)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', $win))"))
-          .as("ngram"))
-        .distinct()
+      documents.select(col("doc_id"), lower(col("text")).as("t"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val toks = tokenRe.findAllIn(text).toArray
+              val m = toks.length - n + 1
+              if (m <= 0) Iterator.empty
+              else {
+                val seen = new java.util.LinkedHashSet[java.lang.Long]()
+                var i = 0
+                while (i < m) {
+                  val sb = new java.lang.StringBuilder(toks(i))
+                  var j = 1
+                  while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+                  val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+                    bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                    bytes.length, 42L))
+                  i += 1
+                }
+                val itr = seen.iterator()
+                new Iterator[(Long, Long)] {
+                  def hasNext: Boolean = itr.hasNext
+                  def next(): (Long, Long) = (id, itr.next())
+                }
+              }
+            }
+          }
+        }.toDF("doc_id", "ngram")
         .persist())
     val firsts = grams.groupBy("ngram").agg(min("doc_id").as("first_doc"))
     grams.join(firsts, "ngram")

@@ -178,6 +178,67 @@ class EventsSpec extends SparkSpec {
       ("click", "click") -> ((1L, 1.0))))
   }
 
+  test("asofJoinNearest: picks the closer side, exact tie goes to the past, no-match keeps nulls") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lefts = Seq(
+      (10L, 1L, ts("2024-01-01 00:10:00")), // prev @00:09 (60s) vs next @00:12 (120s) => prev
+      (11L, 1L, ts("2024-01-01 00:11:30")), // prev @00:09 (150s) vs next @00:12 (30s) => next
+      (12L, 1L, ts("2024-01-01 00:15:00")), // prev @00:12 (180s) vs next @00:18 (180s) => TIE => past
+      (13L, 2L, ts("2024-01-01 00:00:00")) // user 2 has no rights => nulls
+    ).toDF("event_id", "user_id", "ts")
+    val rights = Seq(
+      (1L, ts("2024-01-01 00:09:00"), 900L),
+      (1L, ts("2024-01-01 00:12:00"), 1200L),
+      (1L, ts("2024-01-01 00:18:00"), 1800L)
+    ).toDF("user_id", "ts", "tag")
+    val out = Events.asofJoinNearest(lefts, rights, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Long]("near_tag") == 900L)
+    assert(out(10L).getAs[Long]("near_delta_us") == -60L * 1000000)
+    assert(out(11L).getAs[Long]("near_tag") == 1200L)
+    assert(out(11L).getAs[Long]("near_delta_us") == 30L * 1000000)
+    assert(out(12L).getAs[Long]("near_tag") == 1200L, "equal distance must go backward")
+    assert(out(13L).isNullAt(out(13L).fieldIndex("near_tag")))
+    // a right exactly AT the left's timestamp is distance 0 from both
+    // directions and must match (backward wins, same row)
+    val exact = Events.asofJoinNearest(
+      Seq((1L, 1L, ts("2024-01-01 00:09:00"))).toDF("event_id", "user_id", "ts"),
+      rights, "user_id", "ts").collect().head
+    assert(exact.getAs[Long]("near_tag") == 900L &&
+      exact.getAs[Long]("near_delta_us") == 0L)
+  }
+
+  test("eventTransitions: ML estimate of the chain; last event contributes no pair; rows normalize to 1") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 00:02:00", 1L, "view", 0.0),
+      (4L, "2024-01-01 00:03:00", 1L, "click", 0.0),
+      (5L, "2024-01-01 00:00:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 00:01:00", 2L, "buy", 0.0))
+    val out = Events.eventTransitions(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // view->click x2, click->view x1, view->buy x1; view row: 2/3 + 1/3
+    assert(out == Map(
+      ("view", "click") -> ((2L, 0.666667)),
+      ("view", "buy") -> ((1L, 0.333333)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
+
+  test("eventPaths: windows shorter than len don't count; ties rank by path string") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 00:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 00:02:00", 1L, "c", 0.0), // paths: a>b>c
+      (4L, "2024-01-01 00:00:00", 2L, "a", 0.0),
+      (5L, "2024-01-01 00:01:00", 2L, "b", 0.0)) // too short: none
+    val out = Events.eventPaths(d, len = 3, topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a>b>c", 1L, 1)))
+    intercept[IllegalArgumentException](Events.eventPaths(d, len = 1))
+  }
+
   test("attribution: one user-keyed window exchange, no self-join") {
     val plan = Events.attribution(Tables.events(spark, sfDir))
       .queryExecution.executedPlan

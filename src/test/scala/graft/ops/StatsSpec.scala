@@ -163,4 +163,33 @@ class StatsSpec extends SparkSpec {
       "zero MAD: every deviation from the median flags")
     intercept[IllegalArgumentException](Stats.madOutliers(df, "v", "g", k = 0.0))
   }
+
+  test("psiDrift: baseline period scores 0; identical mix scores 0; a category swap drifts; absent category stays finite") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows =
+      Seq.fill(50)((1L, "a")) ++ Seq.fill(50)((1L, "b")) ++ // baseline: 50/50
+      Seq.fill(50)((2L, "a")) ++ Seq.fill(50)((2L, "b")) ++ // same mix
+      Seq.fill(100)((3L, "a"))                              // b vanished
+    val df = rows.toDF("p", "cat")
+    val out = Stats.psiDrift(df, "cat", col("p")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("psi") == 0.0 && !out(1L).getAs[Boolean]("drifted"),
+      "the baseline compared to itself is exactly 0")
+    assert(out(2L).getAs[Double]("psi") == 0.0, "identical mix = no drift")
+    val p3 = out(3L)
+    assert(p3.getAs[Double]("psi") > 0.25 && p3.getAs[Boolean]("drifted"),
+      s"a vanished category is gross drift: $p3")
+    assert(!p3.getAs[Double]("psi").isInfinite && !p3.getAs[Double]("psi").isNaN,
+      "Laplace smoothing keeps absent categories finite")
+    assert(out.values.forall(_.getAs[Long]("n_rows") == 100L))
+    // hand-check period 3 against the smoothed closed form:
+    // p_a=101/102, p_b=1/102 vs b_a=51/102, b_b=51/102
+    val (pa, pb, ba) = (101.0 / 102, 1.0 / 102, 51.0 / 102)
+    def t9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = BigDecimal((t9((pa - ba) * math.log(pa / ba)) +
+      t9((pb - ba) * math.log(pb / ba))).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p3.getAs[Double]("psi") == want)
+  }
 }
