@@ -48,8 +48,17 @@ class AnalyticsPlanSpec extends SparkSpec {
   }
 
   test("q_item_neighbors / q_keyterms: custom bounded-heap top-k in the plan, no window sort for ranking") {
-    for (name <- Seq("q_item_neighbors", "q_keyterms")) {
-      val plan = planOf(name)
+    // q_item_neighbors reads the certify-once result memo since r14 (its
+    // registered plan is a checkpoint scan), so the rank-operator pin is
+    // asserted on the BUILD plan — the same derivation the memo runs once
+    import org.apache.spark.sql.functions.{col, lit}
+    val itemBuild = Affinity.itemNeighbors(Affinity.basketItems(
+        graft.core.Tables.lineitem(spark, sfDir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))),
+      topK = 3, minPairs = 1, pruneItems = false).queryExecution.sparkPlan
+    for ((name, plan) <- Seq("q_item_neighbors(build)" -> itemBuild,
+        "q_keyterms" -> planOf("q_keyterms"))) {
       assert(plan.collect { case t: graft.plans.TopKPerGroupExec => t }.nonEmpty,
         s"$name must rank through TopKPerGroupExec:\n$plan")
       assert(plan.collect { case w: WindowExec => w }.isEmpty,
