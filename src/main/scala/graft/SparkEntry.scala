@@ -961,6 +961,13 @@ object SparkEntry {
     // user-keyed window family
     "q_event_transitions" -> t("events")(Events.eventTransitions(_)),
     "q_event_paths" -> t("events")(Events.eventPaths(_)),
+    // co-presence: cross-user session-interval overlaps via the binned
+    // interval join (pair dedup by overlap-start bin — no distinct shuffle)
+    "q_overlap_sessions" -> t("events")(Events.concurrentSessions(_)),
+    // per-user cadence + relative rapid-fire fence (bot-triage velocity)
+    "q_cadence" -> t("events")(Events.cadenceStats(_)),
+    // per-language HHI over the source mix — the no-domain-dominates audit
+    "q_source_concentration" -> t("documents")(Text.sourceConcentration(_)),
     // monthly priority-mix drift vs the first month (PSI, smoothed grid)
     "q_psi_drift" -> t("orders")(o => Stats.psiDrift(o, "o_orderpriority",
       unix_timestamp(date_trunc("month", col("o_orderdate"))))),
@@ -1322,6 +1329,9 @@ object SparkEntry {
          ORDER BY l.event_id""",
     "q_event_transitions" -> Events.transitionsOracleSql(),
     "q_event_paths" -> Events.pathsOracleSql(),
+    "q_overlap_sessions" -> Events.concurrentSessionsOracleSql(),
+    "q_cadence" -> Events.cadenceOracleSql(),
+    "q_source_concentration" -> Text.concentrationOracleSql(),
     "q_psi_drift" -> Stats.psiOracleSql("orders", "o_orderpriority",
       "CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)"),
     "q_attribution" -> Events.attributionOracleSql(),

@@ -412,6 +412,162 @@ object Events {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** Binned interval-overlap join: every (left, right) pair whose
+    * [start_s, end_s] second-ranges overlap (touching counts, overlap 0) —
+    * the interval analog of [[graft.plans.BinnedRangeJoinRule]]'s
+    * point-in-range binning, and the standard distributed interval-join
+    * shape: explode each interval onto the `binSec`-wide time bins it
+    * covers, equi-join on the bin, verify the exact overlap predicate
+    * row-locally, and report each pair ONLY in the bin containing the
+    * overlap's start (`greatest(a.start, b.start) div binSec = bin`) — the
+    * classic duplicate-elimination trick that needs no distinct shuffle.
+    *
+    * Scale: candidates per bin ∝ (intervals alive in the bin)², the
+    * right bound for co-presence analytics where concurrency is the
+    * output; bins per interval = span/binSec (size `binSec` to the
+    * expected interval length). One exchange per side on the bin key,
+    * zero global sorts. `joinCond` adds an extra pair predicate (e.g.
+    * cross-user only) evaluated with the overlap check.
+    *
+    * Inputs carry `start_s`/`end_s` as epoch-second longs plus payload;
+    * outputs are the payloads prefixed `a_`/`b_` plus `overlap_s`.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, binSec: Long = 3600,
+                  joinCond: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                    => org.apache.spark.sql.Column] = None): DataFrame = {
+    require(binSec >= 1, s"need binSec >= 1, got $binSec")
+    def explodeBins(df: DataFrame, tag: String): DataFrame =
+      df.select(struct(df.columns.map(col): _*).as(s"_$tag"),
+          col("start_s").as(s"_${tag}s"), col("end_s").as(s"_${tag}e"))
+        .withColumn("_bin", explode(sequence(
+          (col(s"_${tag}s") / binSec).cast("long"),
+          (col(s"_${tag}e") / binSec).cast("long"))))
+    val la = explodeBins(left, "a")
+    val lb = explodeBins(right, "b")
+    val overlap = col("_as") <= col("_be") && col("_bs") <= col("_ae")
+    val anchor = (greatest(col("_as"), col("_bs")) / binSec).cast("long") === la("_bin")
+    val extra = joinCond.map(f => f(col("_a"), col("_b"))).getOrElse(lit(true))
+    val joined = la.join(lb, la("_bin") === lb("_bin") && overlap && anchor && extra)
+    val aOut = left.columns.map(c => col(s"_a.$c").as(s"a_$c"))
+    val bOut = right.columns.map(c => col(s"_b.$c").as(s"b_$c"))
+    joined.select(aOut ++ bOut :+
+      (least(col("_ae"), col("_be")) - greatest(col("_as"), col("_bs")))
+        .as("overlap_s"): _*)
+  }
+
+  /** Session intervals per user — the gaps-and-islands sessionization of
+    * [[sessionsViaLag]] extended with the session END, as epoch-second
+    * longs ready for [[overlapJoin]]. */
+  def sessionIntervals(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_timestamp(col("ts"))).as("start_s"),
+        max(unix_timestamp(col("ts"))).as("end_s"))
+  }
+
+  /** Concurrent-session report: for every cross-user pair, how many of
+    * their session intervals overlapped and for how long in total — the
+    * co-presence / coordinated-activity signal an abuse pipeline reads
+    * (organic users rarely co-occur repeatedly; coordinated accounts do).
+    * [[sessionIntervals]] → binned [[overlapJoin]] (cross-user pairs only,
+    * `user_a < user_b`) → one combining aggregate on the pair key.
+    */
+  def concurrentSessions(events: DataFrame, gapSec: Long = 1800,
+                         binSec: Long = 3600): DataFrame = {
+    val sess = Helpers.releaseAfterFirstAction(
+      sessionIntervals(events, gapSec).persist())
+    overlapJoin(sess, sess, binSec,
+      joinCond = Some((a, b) => a.getField("user_id") < b.getField("user_id")))
+      .groupBy(col("a_user_id").as("user_a"), col("b_user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum("overlap_s").as("overlap_s"))
+      .orderBy("user_a", "user_b")
+  }
+
+  /** Generated DuckDB oracle for [[concurrentSessions]]: the
+    * sessions-via-lag CTE (the q_events_sessions_lag replay) extended
+    * with ends, then the quadratic overlap join the binning is
+    * equivalent to. */
+  def concurrentSessionsOracleSql(gapSec: Long = 1800): String =
+    s"""WITH o AS (SELECT user_id, ts,
+       |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+       |           FROM events),
+       |f AS (SELECT user_id, ts,
+       |        CASE WHEN prev_ts IS NULL
+       |               OR floor(epoch(ts)) - floor(epoch(prev_ts)) > $gapSec
+       |             THEN 1 ELSE 0 END AS ns FROM o),
+       |g AS (SELECT user_id, ts,
+       |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM f),
+       |sess AS (SELECT user_id,
+       |           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s,
+       |           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS e
+       |         FROM g GROUP BY user_id, sid)
+       |SELECT a.user_id AS user_a, b.user_id AS user_b,
+       |       COUNT(*) AS n_pairs,
+       |       CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+       |         AS overlap_s
+       |FROM sess a JOIN sess b
+       |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+       |GROUP BY a.user_id, b.user_id
+       |ORDER BY user_a, user_b""".stripMargin
+
+  /** Per-user cadence statistics + rapid-fire flag: event count, active
+    * span, exact median inter-event gap, and `is_rapid` = the user's
+    * median gap sits at or below the corpus's 10th percentile of median
+    * gaps — the velocity screen of bot/abuse triage (absolute thresholds
+    * rot as corpora change; a relative fence self-calibrates). Users with
+    * a single event have no gaps and no row.
+    *
+    * Plan: one user-keyed window (`lag`) → per-user percentile aggregate →
+    * ONE 1-row exact-percentile fence broadcast back (the rfmSegments
+    * shape — never a global ntile window). The flag compares the two
+    * engines' identical `percentile` ↔ `quantile_cont` doubles.
+    */
+  def cadenceStats(events: DataFrame, pct: Double = 0.1): DataFrame = {
+    require(pct > 0 && pct < 1, s"need 0 < pct < 1, got $pct")
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)))
+      .filter(col("gap_s").isNotNull)
+    val per = gaps.groupBy("user_id")
+      .agg((count(lit(1)) + 1).as("n_events"),
+        sum("gap_s").as("span_s"),
+        expr("percentile(gap_s, 0.5)").as("median_gap_s"))
+    val fence = per.agg(expr(s"percentile(median_gap_s, $pct)").as("_p"))
+    per.crossJoin(broadcast(fence))
+      .select(col("user_id"), col("n_events"), col("span_s"),
+        round(col("median_gap_s"), 4).as("median_gap_s"),
+        (col("median_gap_s") <= col("_p")).as("is_rapid"))
+      .orderBy("user_id")
+  }
+
+  /** Generated DuckDB oracle for [[cadenceStats]]. */
+  def cadenceOracleSql(pct: Double = 0.1): String =
+    s"""WITH o AS (SELECT user_id,
+       |             floor(epoch(ts)) - floor(epoch(LAG(ts) OVER (
+       |               PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+       |           FROM events),
+       |per AS (SELECT user_id,
+       |          COUNT(*) + 1 AS n_events,
+       |          CAST(SUM(gap_s) AS BIGINT) AS span_s,
+       |          quantile_cont(gap_s, 0.5) AS med
+       |        FROM o WHERE gap_s IS NOT NULL GROUP BY user_id),
+       |fen AS (SELECT quantile_cont(med, $pct) AS p FROM per)
+       |SELECT user_id, n_events, span_s,
+       |       round(med, 4) AS median_gap_s, med <= p AS is_rapid
+       |FROM per CROSS JOIN fen
+       |ORDER BY user_id""".stripMargin
+
   /** Nearest-direction as-of join: each left row matches the right row of
     * the same key whose timestamp is CLOSEST in either direction (pandas
     * `merge_asof(direction='nearest')`), ties broken toward the past —

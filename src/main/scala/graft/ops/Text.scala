@@ -1992,6 +1992,53 @@ object Text {
        |  END AS flesch
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Per-language source concentration: Herfindahl–Hirschman index
+    * (Σ share²) over the source mix, plus the top source's share — the
+    * no-domain-dominates audit beside [[capSources]] (HHI → 1: one feed
+    * owns the language; → 1/n_sources: balanced). The number a mixture
+    * design checks BEFORE training: a language whose tokens come from one
+    * domain generalizes like that domain.
+    *
+    * Two combining aggregates (lang×source counts, then per-lang fold);
+    * shares are identical double divisions on both engines, each share²
+    * term rounded to 9 and summed in exact DECIMAL(18,9) (the
+    * bm25/surprisal portability contract — a float Σ would be
+    * partition-order dependent), HHI rounded once to 6.
+    */
+  def sourceConcentration(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+    val share = col("n").cast("double") / col("n_docs").cast("double")
+    counts
+      .withColumn("n_docs", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("_term",
+        round(share * share, 9).cast(DecimalType(18, 9)))
+      .groupBy("lang")
+      .agg(max("n_docs").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        round(sum("_term").cast("double"), 6).as("hhi"),
+        round(max(share), 6).as("top_share"))
+      .orderBy("lang")
+  }
+
+  /** Generated DuckDB oracle for [[sourceConcentration]]. */
+  def concentrationOracleSql(table: String = "documents"): String =
+    s"""WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM $table GROUP BY lang, source),
+       |w AS (SELECT lang, n,
+       |        CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+       |      FROM c)
+       |SELECT lang, MAX(n_docs) AS n_docs, COUNT(*) AS n_sources,
+       |       round(CAST(SUM(CAST(round(
+       |         (CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |         * (CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE)), 9)
+       |         AS DECIMAL(18,9))) AS DOUBLE), 6) AS hhi,
+       |       round(MAX(CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+       |         AS top_share
+       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams whose globally-first occurrence (minimum doc_id) is this
     * document — the memorization-risk / freshness signal a pipeline reads

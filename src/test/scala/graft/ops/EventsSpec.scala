@@ -239,6 +239,62 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Events.eventPaths(d, len = 1))
   }
 
+  test("overlapJoin: exact overlap set, touching counts at 0, each pair reported once for ANY bin width") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 100L, 500L), (2L, 900L, 1000L))
+      .toDF("id", "start_s", "end_s")
+    val right = Seq((10L, 450L, 950L), (20L, 500L, 600L), (30L, 1001L, 1100L))
+      .toDF("id", "start_s", "end_s")
+    def run(binSec: Long) = Events.overlapJoin(left, right, binSec)
+      .select("a_id", "b_id", "overlap_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (1L, 10L, 50L),  // [100,500] x [450,950]
+      (1L, 20L, 0L),   // touching at 500 counts, overlap 0
+      (2L, 10L, 50L))  // [900,1000] x [450,950]
+      // (2, 30) do NOT overlap (1000 < 1001)
+    // a long interval spans MANY bins at small widths — the anchor-bin
+    // dedup must still report each pair exactly once
+    for (bin <- Seq(1L, 7L, 100L, 3600L)) assert(run(bin) == want, s"bin=$bin")
+  }
+
+  test("concurrentSessions: cross-user pairs only, aggregated overlap") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "c", 0.0),
+      (2L, "2024-01-01 00:10:00", 1L, "c", 0.0), // u1 session [00:00,00:10]
+      (3L, "2024-01-01 00:05:00", 2L, "c", 0.0),
+      (4L, "2024-01-01 00:20:00", 2L, "c", 0.0), // u2 session [00:05,00:20]
+      (5L, "2024-01-01 03:00:00", 1L, "c", 0.0), // u1 session 2: no overlap with u2
+      (6L, "2024-01-01 00:07:00", 3L, "c", 0.0)) // u3 point-session inside both
+    val out = Events.concurrentSessions(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out((1L, 2L)) == ((1L, 300L)), "u1 x u2 overlap 00:05-00:10")
+    assert(out((1L, 3L)) == ((1L, 0L)), "a point-session overlaps at 0 seconds")
+    assert(out((2L, 3L)) == ((1L, 0L)))
+    assert(out.size == 3, s"no same-user pairs, no second-session pairs: $out")
+  }
+
+  test("cadenceStats: exact median gaps, single-event users dropped, relative fence flags the fastest decile") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "c", 0.0),
+      (2L, "2024-01-01 00:00:01", 1L, "c", 0.0),
+      (3L, "2024-01-01 00:00:02", 1L, "c", 0.0), // u1: gaps 1,1 => median 1
+      (4L, "2024-01-01 00:00:00", 2L, "c", 0.0),
+      (5L, "2024-01-01 01:00:00", 2L, "c", 0.0), // u2: one gap 3600
+      (6L, "2024-01-01 00:00:00", 3L, "c", 0.0)) // u3: single event => no row
+    val out = Events.cadenceStats(d, pct = 0.5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).getAs[Long]("n_events") == 3L &&
+      out(1L).getAs[Long]("span_s") == 2L &&
+      out(1L).getAs[Double]("median_gap_s") == 1.0 &&
+      out(1L).getAs[Boolean]("is_rapid"))
+    assert(out(2L).getAs[Double]("median_gap_s") == 3600.0 &&
+      !out(2L).getAs[Boolean]("is_rapid"),
+      "the slow user sits above the median-of-medians fence")
+  }
+
   test("attribution: one user-keyed window exchange, no self-join") {
     val plan = Events.attribution(Tables.events(spark, sfDir))
       .queryExecution.executedPlan

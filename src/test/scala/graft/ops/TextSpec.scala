@@ -816,6 +816,27 @@ class TextSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_words") == 0L && out(3L).isNullAt(out(3L).fieldIndex("flesch")))
   }
 
+  test("sourceConcentration: monopoly scores 1, balanced mix scores 1/n, top share exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (Seq.fill(10)(("en", "srcA")) ++
+      Seq.fill(5)(("de", "srcA")) ++ Seq.fill(5)(("de", "srcB")) ++
+      Seq(("fr", "srcA"), ("fr", "srcB"), ("fr", "srcB"), ("fr", "srcB")))
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, "txt", l, s) }
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Text.sourceConcentration(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Double]("hhi") == 1.0 &&
+      out("en").getAs[Double]("top_share") == 1.0 &&
+      out("en").getAs[Long]("n_sources") == 1L, "monopoly = 1")
+    assert(out("de").getAs[Double]("hhi") == 0.5 &&
+      out("de").getAs[Double]("top_share") == 0.5, "two equal sources = 1/2")
+    // fr: shares 1/4 and 3/4 => hhi = 1/16 + 9/16 = 0.625
+    assert(out("fr").getAs[Double]("hhi") == 0.625 &&
+      out("fr").getAs[Double]("top_share") == 0.75)
+    assert(out.values.forall(r => r.getAs[Long]("n_docs") > 0))
+  }
+
   test("ngramNovelty: first doc owns its grams; repeats score by first occurrence; short docs have no row") {
     val spark2 = spark
     import spark2.implicits._
