@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{ChunkedFetcher, Tables}
 import graft.ops._
@@ -773,6 +774,10 @@ object SparkEntry {
       Similarity.knnGraphLsh(e, 5,
         bitsPerTable = Similarity.scaledBits(4, 512L, e.count()))),
     "q_ann_topk" -> t("embeddings")(Similarity.annTopK(_, 20, 5)), // full replay oracle (embedded planes)
+    // binary (1-bit sign) quantization: Hamming shortlist over 8-byte
+    // codes (bit_count(xor) in codegen), exact-cosine rerank of the
+    // top-50 — the 64x-cheaper first pass a 100 TB vector store scans
+    "q_hamming_topk" -> t("embeddings")(Similarity.hammingTopK(_, 20, 5)),
     "q_ivf_topk" -> t("embeddings")(Similarity.ivfTopK(_, 20, 5)), // full replay oracle (decimal-exact Lloyd)
     // prototypicality sampling: k-means cells -> per-cell most-central
     // keepers + cell populations (the SemDeDup-style diversity cap);
@@ -971,6 +976,51 @@ object SparkEntry {
     // monthly priority-mix drift vs the first month (PSI, smoothed grid)
     "q_psi_drift" -> t("orders")(o => Stats.psiDrift(o, "o_orderpriority",
       unix_timestamp(date_trunc("month", col("o_orderdate"))))),
+    // per-nation Gini over customer lifetime spend — entity-level
+    // inequality (the Lorenz sibling of the HHI's category shares); ranks
+    // sort within each nation only, never globally
+    "q_gini" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(20, 6))).as("spend"))
+      val ent = spend
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("c_custkey"), col("spend"))
+      Stats.giniByGroup(ent, "spend", "nation", "c_custkey")
+    }),
+    // Benford first-digit audit over order totals — row-local digit
+    // extraction + one 9-row aggregate; the synthetic-data smoke test
+    "q_benford" -> t("orders")(Stats.benfordAudit(_, "o_totalprice")),
+    // weekly-seasonality probe: ACF at row lags 1..7 over the daily
+    // revenue series (exact decimal deviation sums; window runs over the
+    // one-row-per-day post-aggregate, never the fact table)
+    "q_acf" -> t("orders")(o =>
+      Stats.acf(o, date_trunc("day", col("o_orderdate")), col("o_totalprice"))),
+    // CUSUM level-shift report over the daily event-count series
+    "q_changepoint" -> t("events")(e =>
+      Stats.cusumChangePoint(e, date_trunc("day", col("ts")))),
+    // 2-D skyline: cheapest-price-per-size efficient frontier over parts
+    // (window over the DISTINCT pair table; oracle is the definitional
+    // quadratic NOT EXISTS)
+    "q_pareto" -> t("part")(Stats.paretoFrontier(_, "p_retailprice", "p_size")),
+    // Holt linear-trend forecast of daily revenue: the bounded
+    // post-aggregate series recursed driver-side (calendar-capped), the
+    // oracle replays the recursion as a RECURSIVE CTE
+    "q_holt_forecast" -> t("orders")(o =>
+      Stats.holtForecast(o, date_trunc("day", col("o_orderdate")),
+        col("o_totalprice"))),
+    // bucketed quantile normalization of doc lengths across sources — the
+    // cross-source comparability transform
+    "q_quantile_norm" -> t("documents")(
+      Stats.quantileNormalize(_, "n_chars", "source", "doc_id")),
+    // per-source Gopher kept rate with Wilson 95% interval — the curation
+    // dashboard row with honest small-sample uncertainty
+    "q_kept_rate" -> t("documents")(Text.keptRateWilson(_)),
+    // nDCG@10 of the BM25 ranking per query set — retrieval-quality
+    // certification with graded matched-term relevance
+    "q_ndcg" -> t("documents")(Search.ndcgReport(_,
+      Seq(Seq("join", "vector"), Seq("dup", "spark"), Seq("the", "data")))),
     // KEYLESS as-of at scale: every event attributed to the latest order
     // at-or-before it, globally — no equi-key to co-partition on, so the
     // plan is the range-binned merge (one bin shuffle per side, carry-in
@@ -1227,6 +1277,7 @@ object SparkEntry {
     "q_approx_percentiles" -> Grouping.approxPercentileReportOracleSql,
     "q_ann_recall" -> Similarity.annRecallReportOracleSql(20, 5),
     "q_ann_topk" -> Similarity.annTopKOracleSql(20, 5),
+    "q_hamming_topk" -> Similarity.hammingTopKOracleSql(20, 5),
     "q_cosine_pairs_lsh" -> Similarity.cosinePairsLshOracleSql(0.9),
     "q_ivf_topk" -> Similarity.ivfTopKOracleSql(20, 5),
     "q_kmeans_prototypes" -> Similarity.kmeansPrototypesOracleSql(),
@@ -1334,6 +1385,25 @@ object SparkEntry {
     "q_source_concentration" -> Text.concentrationOracleSql(),
     "q_psi_drift" -> Stats.psiOracleSql("orders", "o_orderpriority",
       "CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)"),
+    "q_gini" -> Stats.giniOracleSql(
+      """SELECT n_name AS nation, c_custkey, spend
+        |FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS spend
+        |      FROM orders GROUP BY o_custkey) s
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+      "spend", "nation", "c_custkey"),
+    "q_benford" -> Stats.benfordOracleSql("orders", "o_totalprice"),
+    "q_acf" -> Stats.acfOracleSql("orders",
+      "date_trunc('day', o_orderdate)", "o_totalprice"),
+    "q_changepoint" -> Stats.cusumOracleSql("events", "date_trunc('day', ts)"),
+    "q_pareto" -> Stats.paretoOracleSql("part", "p_retailprice", "p_size"),
+    "q_holt_forecast" -> Stats.holtOracleSql("orders",
+      "date_trunc('day', o_orderdate)", "o_totalprice"),
+    "q_quantile_norm" -> Stats.quantileNormalizeOracleSql("documents",
+      "n_chars", "source", "doc_id"),
+    "q_kept_rate" -> Text.keptRateWilsonOracleSql(),
+    "q_ndcg" -> Search.ndcgOracleSql(
+      Seq(Seq("join", "vector"), Seq("dup", "spark"), Seq("the", "data"))),
     "q_attribution" -> Events.attributionOracleSql(),
     "q_rfm" -> Relational.rfmOracleSql(),
     "q_readability" -> Text.readabilityOracleSql(),

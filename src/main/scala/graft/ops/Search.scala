@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked text retrieval (SURVEY.md §2 group H extension): BM25 scoring of a
@@ -312,4 +313,111 @@ object Search {
          FROM lex FULL OUTER JOIN q ON lex.doc_id = q.doc_id)
        SELECT doc_id, rrf, rank_lex, rank_q FROM fused
        ORDER BY rrf DESC, doc_id LIMIT $k"""
+
+  /** nDCG@k evaluation of the [[bm25]] ranking — the retrieval-quality
+    * dashboard a search pipeline certifies before swapping rankers. One
+    * row per query set: DCG@k over the BM25 top-k with graded relevance
+    * = the matched-term count (grade g, gain 2^g − 1), IDCG@k over the
+    * corpus-wide ideal ordering (grade desc, doc_id — so ties are
+    * deterministic), nDCG = DCG/IDCG. Per-rank terms are rounded to 9
+    * and summed in DECIMAL(18,9) (order-free, the bm25 discipline —
+    * log2 via ln(r+1)/ln(2) is inside the round so a last-ulp libm
+    * disagreement cannot propagate).
+    *
+    * Plan shape per query set: the bm25Lazy two scans (stats + score)
+    * plus ONE more narrow pass for the ideal ranking (row-local grade +
+    * TakeOrderedAndProject k) and its 1-row relevance count — all
+    * bounded aggregates; nothing quadratic, nothing collected.
+    */
+  def ndcgReport(documents: DataFrame, querySets: Seq[Seq[String]],
+                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(querySets.nonEmpty, "at least one query set")
+    val frames = querySets.map { qs =>
+      val terms = qs.map(_.toLowerCase).distinct
+      val label = terms.mkString(" ")
+      def gainOf(grade: Column): Column =
+        pow(lit(2.0), grade.cast("double")) - lit(1.0)
+      def discounted(grade: Column, rank: Column): Column =
+        round(gainOf(grade) / (log(rank.cast("double") + lit(1.0)) / log(lit(2.0))), 9)
+          .cast("decimal(18,9)")
+      val wq = Window.orderBy(col("score").desc, col("doc_id"))
+      val dcg = bm25Lazy(documents, terms, k, k1, b)
+        .withColumn("rank", row_number().over(wq))
+        .agg(coalesce(sum(discounted(col("n_terms"), col("rank"))),
+          lit(0).cast("decimal(18,9)")).as("_dcg"))
+      val graded = termCounts(documents, terms).select(col("doc_id"),
+          terms.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+            .reduce(_ + _).as("grade"))
+        .filter(col("grade") > 0)
+      val wi = Window.orderBy(col("grade").desc, col("doc_id"))
+      val ideal = graded
+        .orderBy(col("grade").desc, col("doc_id")).limit(k)
+        .withColumn("rank", row_number().over(wi))
+        .agg(coalesce(sum(discounted(col("grade"), col("rank"))),
+          lit(0).cast("decimal(18,9)")).as("_idcg"))
+      val nRel = graded.agg(count(lit(1)).as("n_rel"))
+      dcg.crossJoin(ideal).crossJoin(nRel)
+        .select(lit(label).as("query"), col("n_rel"),
+          round(col("_dcg").cast("double"), 6).as("dcg"),
+          round(col("_idcg").cast("double"), 6).as("idcg"),
+          round(when(col("_idcg") > 0,
+            col("_dcg").cast("double") / col("_idcg").cast("double"))
+            .otherwise(lit(0.0)), 6).as("ndcg"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("query")
+  }
+
+  /** Generated DuckDB oracle for [[ndcgReport]]: the bm25 replay per
+    * query set (same CTE text as [[bm25OracleSql]]), the ideal ranking,
+    * and the same round-9 decimal DCG sums, UNION ALL'd. */
+  def ndcgOracleSql(querySets: Seq[Seq[String]], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val oneMinusB = 1.0 - b
+    val blocks = querySets.map { qs =>
+      val terms = qs.map(_.toLowerCase).distinct
+      val label = terms.mkString(" ")
+      val tfs = terms.indices.map(i =>
+        s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i").mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val scores = terms.indices.map { i =>
+        s"""CAST(CASE WHEN tf$i > 0 THEN round(ln(1 + (n - df$i + 0.5) / (df$i + 0.5))
+           * tf$i * ${k1 + 1.0} / (tf$i + $k1 * ($oneMinusB + $b * dl / avgdl)), 9)
+           ELSE 0 END AS DECIMAL(18,9))"""
+      }.mkString(" + ")
+      val hits = terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""SELECT '$label' AS query, n_rel, dcg, idcg,
+         |       round(CASE WHEN idcg_d > 0 THEN CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE)
+         |             ELSE 0.0 END, 6) AS ndcg
+         |FROM (
+         |  WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |              FROM documents),
+         |  base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfs FROM tk),
+         |  stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfs
+         |            FROM base),
+         |  sc AS (SELECT doc_id, $scores AS s, $hits AS hits FROM base, stats),
+         |  rk AS (SELECT doc_id, hits,
+         |                ROW_NUMBER() OVER (ORDER BY round(CAST(s AS DOUBLE), 6) DESC, doc_id) AS rank
+         |         FROM sc WHERE round(CAST(s AS DOUBLE), 6) > 0
+         |         ORDER BY round(CAST(s AS DOUBLE), 6) DESC, doc_id LIMIT $k),
+         |  dcg_t AS (SELECT COALESCE(SUM(CAST(round((pow(2.0, hits) - 1.0)
+         |                     / (ln(rank + 1.0) / ln(2.0)), 9) AS DECIMAL(18,9))),
+         |                   CAST(0 AS DECIMAL(18,9))) AS dcg_d
+         |            FROM rk),
+         |  graded AS (SELECT doc_id, $hits AS grade FROM base WHERE $hits > 0),
+         |  ideal AS (SELECT grade,
+         |                   ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id) AS rank
+         |            FROM graded ORDER BY grade DESC, doc_id LIMIT $k),
+         |  idcg_t AS (SELECT COALESCE(SUM(CAST(round((pow(2.0, grade) - 1.0)
+         |                      / (ln(rank + 1.0) / ln(2.0)), 9) AS DECIMAL(18,9))),
+         |                    CAST(0 AS DECIMAL(18,9))) AS idcg_d
+         |             FROM ideal),
+         |  nr AS (SELECT COUNT(*) AS n_rel FROM graded)
+         |  SELECT n_rel, round(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+         |         round(CAST(idcg_d AS DOUBLE), 6) AS idcg, dcg_d, idcg_d
+         |  FROM dcg_t, idcg_t, nr)""".stripMargin
+    }
+    blocks.mkString("\nUNION ALL\n") + "\nORDER BY query"
+  }
 }

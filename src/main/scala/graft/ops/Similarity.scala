@@ -1410,6 +1410,86 @@ object Similarity {
     }.mkString("\nUNION ALL\n") + "\nORDER BY family"
   }
 
+  /** Sign-bit binary quantization code: bit i set iff v[i] > 0 — one
+    * 64-bit word per vector (512 B float32 → 8 B, a 64× scan-cost cut).
+    * Built as a codegen'd OR-reduction over `element_at`; no UDF.
+    */
+  def binaryCode(v: Column, dim: Int = 64): Column = {
+    require(dim <= 64, s"binaryCode packs into one 64-bit word, got dim=$dim")
+    (0 until dim).map { i =>
+      when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Binary-quantized similarity search: Hamming-distance candidate
+    * generation over 1-bit sign codes, exact-cosine rerank — the
+    * two-stage architecture a 100 TB vector store runs (RaBitQ/BQ-style:
+    * scan the 8-byte codes, `bit_count(xor)` per pair in whole-stage
+    * codegen, touch the full float vectors only for the top-`nCand`
+    * shortlist). The Hamming pass here scans all codes per query (its
+    * win is the 64× smaller operand + 1-op distance, not sublinearity);
+    * for sublinear candidate generation compose with [[ivfTopK]]'s cells
+    * or [[annTopK]]'s buckets — the shortlist/rerank shape is identical.
+    *
+    * Candidate shortlist is deterministic: top-`nCand` by (hamming, cid)
+    * per query; final top-`k` by (cosine desc, cid). The DuckDB oracle
+    * replays the sign bits per dimension (strict `> 0`, identical on the
+    * float→double cast) and the same two-stage ordering.
+    */
+  def hammingTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+                  nCand: Int = 50, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("code", binaryCode(col("v"), dim))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("code").as("qcode"))
+    val ham = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("qn"),
+        col("v"), col("nrm"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long").as("hamming"))
+    val wc = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
+    val cand = ham.withColumn("_crn", row_number().over(wc))
+      .filter(col("_crn") <= nCand)
+    val wk = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    cand.select(col("qid"), col("cid"), col("hamming"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rn", row_number().over(wk).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("hamming"),
+        round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Generated DuckDB oracle for [[hammingTopK]]: per-dimension sign
+    * disagreement count (≡ `bit_count(xor)` of the packed codes), the
+    * same (hamming, cid) shortlist and (sim desc, cid) rerank. */
+  def hammingTopKOracleSql(nQueries: Int = 20, k: Int = 5, nCand: Int = 50,
+                           dim: Int = 64): String =
+    s"""WITH e AS ($rawVectorsSql),
+       |n AS (SELECT vec_id, v,
+       |             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |             list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits
+       |      FROM e),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |             list_sum(list_transform(generate_series(1, $dim),
+       |               i -> CASE WHEN q.bits[i] <> c.bits[i] THEN 1 ELSE 0 END)) AS ham,
+       |             q.v AS qv, q.nrm AS qn, c.v AS cv, c.nrm AS cn
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < $nQueries),
+       |cand AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, cid) AS crn
+       |         FROM p),
+       |r AS (SELECT qid, cid, ham,
+       |             list_sum(list_transform(generate_series(1, least(len(qv), len(cv))),
+       |               i -> qv[i] * cv[i])) / (qn * cn) AS sim
+       |      FROM cand WHERE crn <= $nCand),
+       |rk AS (SELECT qid, cid, ham, sim,
+       |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |       FROM r)
+       |SELECT qid, cid, CAST(ham AS BIGINT) AS hamming, round(sim, 6) AS sim,
+       |       CAST(rn AS BIGINT) AS rn
+       |FROM rk WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
   /** Pairwise formulation of [[labelCohesion]] — quadratic per label; kept
     * ONLY as the scalatest oracle for the closed form at fixture scale.
     */

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -345,4 +346,421 @@ object Stats {
        |FROM d JOIN md USING ($groupCol)
        |GROUP BY d.$groupCol, med, mad
        |ORDER BY d.$groupCol""".stripMargin
+
+  /** Per-group Gini coefficient — the inequality/concentration audit a
+    * corpus owner runs over per-source token mass or a marketplace over
+    * per-account spend (the Lorenz-curve sibling of the HHI in
+    * [[Text.sourceConcentration]], which concentrates over CATEGORY
+    * shares; Gini concentrates over the ENTITY distribution itself).
+    * `entities` must be one row per (group, id) with a non-negative
+    * value. G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with ranks ascending
+    * by (value, id) — the deterministic tie order both engines replay.
+    *
+    * Exactness: values quantize once to DECIMAL(20,6); the rank weight is
+    * DECIMAL(12,0) so the i·xᵢ product stays inside 38 digits on both
+    * engines (32,6), and both Σ are order-free decimal sums. The final
+    * division is double-over-identical-exact-operands.
+    *
+    * Scale shape: one window sort WITHIN each group (the groups shuffle
+    * independently — no global sort) and one combining aggregate. Ranks
+    * up to 1e12 entities per group fit the (12,0) weight.
+    */
+  def giniByGroup(entities: DataFrame, valueCol: String, groupCol: String,
+                  idCol: String): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(20, 6))
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    val ranked = entities
+      .select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("_v", v)
+      .withColumn("_i", row_number().over(w).cast(DecimalType(12, 0)))
+    val agg = ranked.groupBy(groupCol).agg(
+      count(lit(1)).as("n_entities"),
+      sum(col("_v")).as("_s0"),
+      sum(col("_i") * col("_v")).as("_s1"))
+    val n = col("n_entities").cast("double")
+    val s0 = col("_s0").cast("double")
+    val s1 = col("_s1").cast("double")
+    agg.select(col(groupCol), col("n_entities"),
+        round(s0, 2).as("total_value"),
+        round(when(col("_s0") > 0,
+            (lit(2.0) * s1 - (n + 1.0) * s0) / (n * s0))
+          .otherwise(lit(0.0)), 6).as("gini"))
+      .orderBy(groupCol)
+  }
+
+  /** Generated DuckDB oracle for [[giniByGroup]]: `entitySql` must yield
+    * the same (group, id, value) rows the Spark caller built. */
+  def giniOracleSql(entitySql: String, valueCol: String, groupCol: String,
+                    idCol: String): String =
+    s"""WITH ent AS ($entitySql),
+       |ranked AS (
+       |  SELECT $groupCol, CAST($valueCol AS DECIMAL(20,6)) AS v,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY $groupCol
+       |                                 ORDER BY $valueCol, $idCol)
+       |              AS DECIMAL(12,0)) AS i
+       |  FROM ent),
+       |agg AS (SELECT $groupCol, COUNT(*) AS n_entities,
+       |               SUM(v) AS s0, SUM(i * v) AS s1
+       |        FROM ranked GROUP BY $groupCol)
+       |SELECT $groupCol, n_entities,
+       |       round(CAST(s0 AS DOUBLE), 2) AS total_value,
+       |       round(CASE WHEN s0 > 0 THEN
+       |               (2.0 * CAST(s1 AS DOUBLE)
+       |                 - (CAST(n_entities AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
+       |               / (CAST(n_entities AS DOUBLE) * CAST(s0 AS DOUBLE))
+       |             ELSE 0.0 END, 6) AS gini
+       |FROM agg ORDER BY $groupCol""".stripMargin
+
+  /** Benford first-significant-digit audit — the fraud/synthetic-data
+    * smoke test over a positive measure column: observed leading-digit
+    * shares vs Benford's log₁₀(1+1/d) expectation, with the per-digit
+    * χ² contribution. The digit is extracted from the DECIMAL(30,6)
+    * string rendering (first char matching [1-9]) rather than via
+    * log10/floor — decimal-to-string is engine-portable where a
+    * floor(log10(x)) at a power-of-ten boundary is one libm ulp from
+    * flipping. Expected shares are rounded to 6 dp BEFORE the χ² terms
+    * so a last-ulp log10 disagreement between libms cannot propagate.
+    *
+    * Scale shape: row-local digit extraction, one 9-row hash aggregate —
+    * the cheapest possible full-scan audit, fully partial-aggregable.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val d = col(valueCol).cast(DecimalType(30, 6))
+    val digits = df.select(d.as("_d")).filter(col("_d") > 0)
+      .select(regexp_extract(col("_d").cast("string"), "[1-9]", 0).as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n_values"))
+    val grid = spark.range(1, 10).select(col("id").cast("string").as("digit"))
+    val tot = counts.agg(sum("n_values").as("_t"))
+    val expP = round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+    val obs = col("n_values").cast("double")
+    val t = col("_t").cast("double")
+    grid.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_values"), lit(0L)).as("n_values"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_p", expP)
+      .select(col("digit"), col("n_values"),
+        round(obs / t, 6).as("obs_share"),
+        col("_p").as("exp_share"),
+        round(pow(obs - t * col("_p"), 2.0) / (t * col("_p")), 4).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** Generated DuckDB oracle for [[benfordAudit]]. */
+  def benfordOracleSql(table: String, valueCol: String): String =
+    s"""WITH v AS (SELECT CAST($valueCol AS DECIMAL(30,6)) AS d FROM $table),
+       |dg AS (SELECT regexp_extract(CAST(d AS VARCHAR), '[1-9]', 0) AS digit
+       |       FROM v WHERE d > 0),
+       |counts AS (SELECT digit, COUNT(*) AS n_values FROM dg GROUP BY digit),
+       |tot AS (SELECT SUM(n_values) AS t FROM counts),
+       |grid AS (SELECT CAST(gd AS VARCHAR) AS digit,
+       |                round(log10(1.0 + 1.0 / CAST(gd AS DOUBLE)), 6) AS p
+       |         FROM generate_series(1, 9) AS g(gd))
+       |SELECT grid.digit, CAST(COALESCE(n_values, 0) AS BIGINT) AS n_values,
+       |       round(CAST(COALESCE(n_values, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6)
+       |         AS obs_share,
+       |       p AS exp_share,
+       |       round(pow(CAST(COALESCE(n_values, 0) AS DOUBLE)
+       |                   - CAST(t AS DOUBLE) * p, 2.0)
+       |             / (CAST(t AS DOUBLE) * p), 4) AS chi2_term
+       |FROM grid LEFT JOIN counts ON grid.digit = counts.digit CROSS JOIN tot
+       |ORDER BY grid.digit""".stripMargin
+
+  /** Autocorrelation function of a daily-aggregated measure at row lags
+    * 1..`maxLag` — the seasonality probe (lag-7 spikes = weekly cycle)
+    * run before fitting any forecast. Two-stage: the fact table collapses
+    * to one exact DECIMAL(20,6) sum per day (the only full-scan work),
+    * then deviations from the series mean are re-quantized to
+    * DECIMAL(18,6) so the lag-product sums are order-free exact decimals
+    * on both engines — a raw double Σdₜ·dₜ₋ₖ over thousands of days
+    * would be summation-order-dependent. rₖ = Σdₜdₜ₋ₖ / Σd², doubles
+    * over identical exact operands. Lags are ROW lags over the
+    * date-ordered series (calendar gaps collapse), stated, not hidden.
+    *
+    * Scale shape: the window runs over the POST-AGGREGATE series — one
+    * row per day (≤ tens of thousands for any horizon), so the
+    * single-partition sort is bounded by calendar length, never by data
+    * volume; the fact-table pass is one partial-aggregable hash
+    * aggregate.
+    */
+  def acf(df: DataFrame, dayCol: Column, valueCol: Column,
+          maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val daily = df.groupBy(dayCol.as("_day"))
+      .agg(sum(valueCol.cast(DecimalType(20, 6))).as("_x"))
+    val stats = daily.agg(count(lit(1)).as("_n"), sum("_x").as("_s"))
+    val xbar = col("_s").cast("double") / col("_n").cast("double")
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("_day"),
+        (col("_x").cast("double") - xbar).cast(DecimalType(18, 6)).as("_d"))
+    val w = Window.orderBy("_day")
+    val lagged = dev.select(
+      Seq(col("_d")) ++
+        (1 to maxLag).map(k => lag(col("_d"), k).over(w).as(s"_d$k")): _*)
+    val aggCols =
+      Seq(sum(col("_d") * col("_d")).as("_den")) ++
+        (1 to maxLag).flatMap { k =>
+          Seq(sum(col("_d") * col(s"_d$k")).as(s"_num$k"),
+            count(col(s"_d$k")).as(s"_np$k"))
+        }
+    val agg = lagged.agg(aggCols.head, aggCols.tail: _*)
+    val rows = (1 to maxLag).map { k =>
+      struct(lit(k.toLong).as("lag"), col(s"_np$k").as("n_pairs"),
+        when(col("_den") > 0,
+          round(col(s"_num$k").cast("double") / col("_den").cast("double"), 6))
+          .as("r"))
+    }
+    agg.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("lag")
+  }
+
+  /** Generated DuckDB oracle for [[acf]]: `dayExpr`/`valueExpr` must
+    * compute what the Spark call's columns compute. */
+  def acfOracleSql(table: String, dayExpr: String, valueExpr: String,
+                   maxLag: Int = 7): String =
+    s"""WITH daily AS (SELECT $dayExpr AS day,
+       |                      SUM(CAST($valueExpr AS DECIMAL(20,6))) AS x
+       |               FROM $table GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+       |dev AS (SELECT day,
+       |               CAST(CAST(x AS DOUBLE)
+       |                    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |                    AS DECIMAL(18,6)) AS d
+       |        FROM daily CROSS JOIN st),
+       |lagged AS (SELECT CAST(d AS DECIMAL(19,6)) AS d, ${(1 to maxLag).map(k =>
+            s"CAST(lag(d, $k) OVER (ORDER BY day) AS DECIMAL(19,6)) AS d$k").mkString(", ")}
+       |           FROM dev),
+       |agg AS (SELECT SUM(d * d) AS den,
+       |               ${(1 to maxLag).map(k =>
+            s"SUM(d * d$k) AS num$k, COUNT(d$k) AS np$k").mkString(", ")}
+       |        FROM lagged)
+       |${(1 to maxLag).map(k =>
+            s"""SELECT CAST($k AS BIGINT) AS lag, CAST(np$k AS BIGINT) AS n_pairs,
+               |       CASE WHEN den > 0 THEN
+               |         round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS r
+               |FROM agg""".stripMargin).mkString("\nUNION ALL\n")}
+       |ORDER BY lag""".stripMargin
+
+  /** CUSUM change-point report over a daily count series — where did the
+    * level shift? Sₜ = Σᵢ≤ₜ(xᵢ − x̄) from EXACT operands (the cumulative
+    * count and t·x̄ are a long and a double-of-exact-longs, so both
+    * engines produce bit-identical Sₜ), the change point is the
+    * max-|Sₜ| day (ties → earliest day), and the report carries the
+    * before/after level means. One row out.
+    *
+    * Scale shape: like [[acf]], the window runs over the one-row-per-day
+    * post-aggregate series; the fact pass is one hash aggregate.
+    */
+  def cusumChangePoint(df: DataFrame, dayCol: Column): DataFrame = {
+    val daily = df.groupBy(dayCol.as("day")).agg(count(lit(1)).as("_x"))
+    val stats = daily.agg(count(lit(1)).as("_n"), sum("_x").as("_tot"))
+    val w = Window.orderBy("day")
+    val cum = daily
+      .select(col("day"), col("_x"),
+        sum("_x").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("_cum"),
+        row_number().over(w).cast("long").as("_t"))
+      .crossJoin(broadcast(stats))
+    val xbar = col("_tot").cast("double") / col("_n").cast("double")
+    val s = col("_cum").cast("double") - col("_t").cast("double") * xbar
+    val scored = cum.select(col("day"), col("_n"), col("_tot"), col("_cum"),
+      col("_t"), abs(s).as("_abs"))
+    val pick = Window.orderBy(col("_abs").desc, col("day"))
+    scored.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("day").as("change_day"),
+        col("_n").as("n_days"),
+        round(col("_abs"), 4).as("max_abs_cusum"),
+        round(col("_cum").cast("double") / col("_t").cast("double"), 4)
+          .as("mean_before"),
+        round(when(col("_n") > col("_t"),
+            (col("_tot") - col("_cum")).cast("double")
+              / (col("_n") - col("_t")).cast("double")), 4)
+          .as("mean_after"))
+  }
+
+  /** Generated DuckDB oracle for [[cusumChangePoint]]. */
+  def cusumOracleSql(table: String, dayExpr: String): String =
+    s"""WITH daily AS (SELECT $dayExpr AS day, COUNT(*) AS x
+       |               FROM $table GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n, SUM(x) AS tot FROM daily),
+       |cum AS (SELECT day, x,
+       |               SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |                            AND CURRENT ROW) AS c,
+       |               ROW_NUMBER() OVER (ORDER BY day) AS t
+       |        FROM daily),
+       |scored AS (SELECT day, c, t, n, tot,
+       |                  abs(CAST(c AS DOUBLE)
+       |                      - CAST(t AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+       |                    AS a
+       |           FROM cum CROSS JOIN st),
+       |pick AS (SELECT *, ROW_NUMBER() OVER (ORDER BY a DESC, day) AS rn FROM scored)
+       |SELECT day AS change_day, CAST(n AS BIGINT) AS n_days,
+       |       round(a, 4) AS max_abs_cusum,
+       |       round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 4) AS mean_before,
+       |       round(CASE WHEN n > t THEN CAST(tot - c AS DOUBLE) / CAST(n - t AS DOUBLE)
+       |             END, 4) AS mean_after
+       |FROM pick WHERE rn = 1""".stripMargin
+
+  /** Pareto frontier (2-D skyline): the non-dominated (x minimized,
+    * y maximized) points — price/size efficient frontiers, quality/cost
+    * trade-off curves. A point is dominated iff another point is ≤ on x
+    * and ≥ on y with at least one strict. Plan: collapse to DISTINCT
+    * (x, y) pairs with multiplicities (one hash aggregate — the only
+    * full-scan work), then one window over the pair table ordered
+    * (x asc, y desc): a pair is on the frontier iff its y strictly
+    * exceeds the running max over all earlier pairs. Equal-x groups sort
+    * y-desc, so only the x-group's max y can survive — exactly the
+    * dominance rule.
+    *
+    * Scale shape: the global sort runs over the post-aggregate DISTINCT
+    * pair table, bounded by value-domain cardinality, not row count. The
+    * oracle is the DEFINITIONAL quadratic NOT EXISTS — the operator and
+    * its obviously-correct form meet at the driver gate.
+    */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("_prevMax", max(col("y")).over(w))
+      .filter(col("_prevMax").isNull || col("y") > col("_prevMax"))
+      .select(col("x"), col("y"), col("n_rows"))
+      .orderBy("x")
+  }
+
+  /** Generated DuckDB oracle for [[paretoFrontier]] — the definitional
+    * quadratic NOT EXISTS over distinct pairs (quadratic is fine for an
+    * oracle; the operator's window form is the scale path). */
+  def paretoOracleSql(table: String, xExpr: String, yExpr: String): String =
+    s"""WITH pts AS (SELECT $xExpr AS x, $yExpr AS y, COUNT(*) AS n_rows
+       |             FROM $table GROUP BY 1, 2)
+       |SELECT x, y, n_rows FROM pts p
+       |WHERE NOT EXISTS (SELECT 1 FROM pts q
+       |                  WHERE q.x <= p.x AND q.y >= p.y
+       |                    AND (q.x < p.x OR q.y > p.y))
+       |ORDER BY x""".stripMargin
+
+  /** Holt linear-trend forecast over a daily-aggregated series: level
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    * init l₁ = x₁, b₁ = x₂−x₁, h-step forecast lₙ + h·bₙ. The recursion
+    * is inherently sequential, so the POST-AGGREGATE series (one row per
+    * day — calendar-bounded, ≤ `maxSeriesLen`, the poolK/Misra-Gries
+    * bounded-materialization carve-out) is collected and recursed
+    * driver-side; the fact table itself never leaves the cluster — its
+    * only pass is the exact-decimal daily hash aggregate. Determinism:
+    * the recursion is ordered double arithmetic replayed operand-for-
+    * operand by the oracle's RECURSIVE CTE (α/β embedded as round-trip
+    * double literals).
+    */
+  def holtForecast(df: DataFrame, dayCol: Column, valueCol: Column,
+                   alpha: Double = 0.5, beta: Double = 0.3, horizon: Int = 7,
+                   maxSeriesLen: Int = 100000): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "need 0 < alpha, beta < 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(dayCol.as("_day"))
+      .agg(sum(valueCol.cast(DecimalType(20, 6))).cast("double").as("_x"))
+    val xs = daily.orderBy("_day").select("_x").as[Double].collect()
+    require(xs.length >= 2, s"Holt needs >= 2 points, got ${xs.length}")
+    require(xs.length <= maxSeriesLen,
+      s"series ${xs.length} exceeds the bounded-materialization cap $maxSeriesLen")
+    var l = xs(0)
+    var b = xs(1) - xs(0)
+    var i = 1
+    while (i < xs.length) {
+      val lPrev = l
+      l = alpha * xs(i) + (1 - alpha) * (l + b)
+      b = beta * (l - lPrev) + (1 - beta) * b
+      i += 1
+    }
+    val lF = l; val bF = b
+    (1 to horizon).map(h => (h.toLong, lF + h * bF, lF, bF))
+      .toDF("h", "_f", "_l", "_b")
+      .select(col("h"), round(col("_f"), 4).as("forecast"),
+        round(col("_l"), 4).as("level"), round(col("_b"), 4).as("trend"))
+      .orderBy("h")
+  }
+
+  /** Generated DuckDB oracle for [[holtForecast]]: the same recursion as
+    * a RECURSIVE CTE, the same exact-decimal daily collapse, α/β and
+    * their complements embedded as round-trip double literals. */
+  def holtOracleSql(table: String, dayExpr: String, valueExpr: String,
+                    alpha: Double = 0.5, beta: Double = 0.3,
+                    horizon: Int = 7): String = {
+    val a = alpha.toString; val ca = (1 - alpha).toString
+    val bt = beta.toString; val cb = (1 - beta).toString
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(SUM(CAST($valueExpr AS DECIMAL(20,6))) AS DOUBLE) AS x,
+       |         ROW_NUMBER() OVER (ORDER BY day) AS t
+       |  FROM (SELECT $dayExpr AS day, $valueExpr FROM $table) GROUP BY day),
+       |nn AS (SELECT COUNT(*) AS n FROM daily),
+       |rec(t, l, b) AS (
+       |  SELECT CAST(1 AS BIGINT), d1.x, d2.x - d1.x
+       |  FROM daily d1, daily d2 WHERE d1.t = 1 AND d2.t = 2
+       |  UNION ALL
+       |  SELECT r.t + 1,
+       |         $a * d.x + $ca * (r.l + r.b),
+       |         $bt * (($a * d.x + $ca * (r.l + r.b)) - r.l) + $cb * r.b
+       |  FROM rec r JOIN daily d ON d.t = r.t + 1),
+       |fin AS (SELECT l, b FROM rec CROSS JOIN nn WHERE t = nn.n)
+       |SELECT CAST(h AS BIGINT) AS h, round(l + h * b, 4) AS forecast,
+       |       round(l, 4) AS level, round(b, 4) AS trend
+       |FROM fin, generate_series(1, $horizon) AS g(h) ORDER BY h""".stripMargin
+  }
+
+  /** Bucketed quantile normalization — make every group's value
+    * distribution comparable by mapping each (group, quantile-bucket) to
+    * the cross-group mean of that bucket's mean (the rank-based
+    * normalization genomics/BatchNorm-style pipelines apply before
+    * cross-source comparisons; bucketed because the exact rank-matched
+    * form requires equal group sizes). ntile assigns buckets within each
+    * group ordered by (value, id) — deterministic ties, SQL-standard
+    * uneven split (both engines give earlier buckets the extra row).
+    * Per-bucket means are double-over-exact-decimal; the cross-group
+    * mean re-quantizes the per-group means to DECIMAL(18,6) so ITS sum
+    * is order-free too.
+    *
+    * Scale shape: one window sort within each group, two small
+    * aggregates; output is (groups × buckets) rows.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+                        idCol: String, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    val bucketed = df.select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    val perGB = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast(DecimalType(20, 6))).as("_s"))
+      .withColumn("_mean",
+        (col("_s").cast("double") / col("n_rows").cast("double")))
+    val norm = perGB.groupBy("bucket")
+      .agg((sum(round(col("_mean"), 6).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("_norm"))
+    perGB.join(norm, "bucket")
+      .select(col(groupCol), col("bucket"), col("n_rows"),
+        round(col("_mean"), 4).as("mean_raw"),
+        round(col("_norm"), 4).as("norm_value"))
+      .orderBy(groupCol, "bucket")
+  }
+
+  /** Generated DuckDB oracle for [[quantileNormalize]]. */
+  def quantileNormalizeOracleSql(table: String, valueCol: String,
+                                 groupCol: String, idCol: String,
+                                 nBuckets: Int = 20): String =
+    s"""WITH b AS (SELECT $groupCol, $valueCol,
+       |                  CAST(ntile($nBuckets) OVER (PARTITION BY $groupCol
+       |                       ORDER BY $valueCol, $idCol) AS BIGINT) AS bucket
+       |           FROM $table),
+       |gb AS (SELECT $groupCol, bucket, COUNT(*) AS n_rows,
+       |              CAST(SUM(CAST($valueCol AS DECIMAL(20,6))) AS DOUBLE)
+       |                / CAST(COUNT(*) AS DOUBLE) AS m
+       |       FROM b GROUP BY $groupCol, bucket),
+       |nv AS (SELECT bucket,
+       |              CAST(SUM(CAST(round(m, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |                / CAST(COUNT(*) AS DOUBLE) AS nrm
+       |       FROM gb GROUP BY bucket)
+       |SELECT gb.$groupCol, gb.bucket, gb.n_rows,
+       |       round(gb.m, 4) AS mean_raw, round(nv.nrm, 4) AS norm_value
+       |FROM gb JOIN nv ON gb.bucket = nv.bucket
+       |ORDER BY gb.$groupCol, gb.bucket""".stripMargin
 }

@@ -2144,4 +2144,73 @@ object Text {
        |FROM g JOIN f USING (ngram)
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   }
+
+  /** Per-source Gopher-gate kept rate with a Wilson score interval — the
+    * curation dashboard row that says not just "src7 keeps 62%" but how
+    * much that estimate can be trusted given the source's size (a 3-doc
+    * source's 66% is not a 30k-doc source's 66%). Wilson (not normal
+    * approximation: stays inside [0,1] and behaves at p̂ near 0/1):
+    * center = (p̂ + z²/2n)/(1+z²/n), half-width = z·√(p̂(1−p̂)/n +
+    * z²/4n²)/(1+z²/n). All inputs are exact longs from one row-local
+    * scan + one per-source aggregate, so the doubles are identical on
+    * both engines; z is a round-trip literal.
+    */
+  def keptRateWilson(documents: DataFrame, z: Double = 1.96): DataFrame = {
+    val gated = documents.select(col("source"),
+      when(gopherKeep(), 1L).otherwise(0L).as("_k"))
+    val agg = gated.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_k").as("n_kept"))
+    val n = col("n_docs").cast("double")
+    val p = col("n_kept").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / n
+    val center = (p + lit(z2) / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z2) / (lit(4.0) * n * n)) / denom
+    agg.select(col("source"), col("n_docs"), col("n_kept"),
+        round(p, 6).as("kept_rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy("source")
+  }
+
+  /** Generated DuckDB oracle for [[keptRateWilson]]: the q_gopher_rules
+    * keep expression replayed per row, then the same Wilson arithmetic
+    * over the exact counts. */
+  def keptRateWilsonOracleSql(z: Double = 1.96): String = {
+    val z2 = (z * z).toString
+    val zs = z.toString
+    s"""WITH s AS (SELECT source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+       |    round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+       |          / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6) AS mean_word_len,
+       |    round(CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS DOUBLE)
+       |          / greatest(len(string_split(text, chr(10))), 1), 6) AS bullet_line_ratio,
+       |    round(CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS DOUBLE)
+       |          / greatest(len(string_split(text, chr(10))), 1), 6) AS ellipsis_line_ratio,
+       |    CAST(len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |        ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
+       |  FROM documents),
+       |g AS (SELECT source,
+       |             CASE WHEN n_words >= 40 AND n_words <= 100000
+       |                   AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+       |                   AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+       |                   AND n_stop_hits >= 1 THEN 1 ELSE 0 END AS k
+       |      FROM s),
+       |agg AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(k) AS BIGINT) AS n_kept
+       |        FROM g GROUP BY source),
+       |w AS (SELECT source, n_docs, n_kept,
+       |             CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+       |             CAST(n_docs AS DOUBLE) AS n
+       |      FROM agg)
+       |SELECT source, n_docs, n_kept,
+       |       round(p, 6) AS kept_rate,
+       |       round(((p + $z2 / (2.0 * n)) / (1.0 + $z2 / n))
+       |             - ($zs * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n))
+       |                / (1.0 + $z2 / n)), 6) AS wilson_lo,
+       |       round(((p + $z2 / (2.0 * n)) / (1.0 + $z2 / n))
+       |             + ($zs * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n))
+       |                / (1.0 + $z2 / n)), 6) AS wilson_hi
+       |FROM w ORDER BY source""".stripMargin
+  }
 }

@@ -183,4 +183,51 @@ class SearchSpec extends SparkSpec {
       assert(df.columns.toSeq == Seq("doc_id", "rrf", "rank_lex", "rank_q"))
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("ndcgReport: perfect ranking scores 1.0; no-match query scores 0 with n_rel 0") {
+    import spark.implicits._
+    // equal doc lengths, so the 2-term doc outranks the 1-term docs and
+    // BM25's ranking equals the ideal grade ordering exactly
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha zz"), (3L, "beta yy"), (4L, "ww vv")
+    ).toDF("doc_id", "text")
+    val out = Search.ndcgReport(df, Seq(Seq("alpha", "beta"), Seq("missing")), k = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hit = out("alpha beta")
+    assert(hit.getAs[Long]("n_rel") == 3L)
+    assert(hit.getAs[Double]("ndcg") == 1.0,
+      s"BM25 order matches the ideal order here: $hit")
+    assert(hit.getAs[Double]("dcg") == hit.getAs[Double]("idcg"))
+    val miss = out("missing")
+    assert(miss.getAs[Long]("n_rel") == 0L)
+    assert(miss.getAs[Double]("dcg") == 0.0 && miss.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("ndcgReport: a deliberately inverted ranking scores below 1 and DCG matches a driver replay") {
+    import spark.implicits._
+    // doc 10 matches both terms but is LONG (length-normalized score drops
+    // below the short single-term docs), so BM25's order diverges from the
+    // grade-ideal order and nDCG < 1
+    val filler = Seq.fill(60)("filler").mkString(" ")
+    val df = Seq(
+      (10L, s"alpha beta $filler"), (2L, "alpha zz"), (3L, "beta yy")
+    ).toDF("doc_id", "text")
+    val row = Search.ndcgReport(df, Seq(Seq("alpha", "beta")), k = 3).collect().head
+    assert(row.getAs[Double]("ndcg") < 1.0)
+    assert(row.getAs[Double]("ndcg") > 0.0)
+    // driver replay: ideal puts grade-2 doc 10 first; observed ranking is
+    // whatever BM25 produced — recompute DCG from the operator's own
+    // ranking to pin the discount arithmetic
+    val ranked = Search.bm25Lazy(df, Seq("alpha", "beta"), 3).collect()
+    def dcgOf(grades: Seq[Long]): Double = {
+      val terms = grades.zipWithIndex.map { case (g, i) =>
+        BigDecimal((math.pow(2.0, g.toDouble) - 1.0) /
+          (math.log(i + 2.0) / math.log(2.0)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      BigDecimal(terms.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = dcgOf(ranked.map(_.getAs[Long]("n_terms")).toSeq)
+    assert(row.getAs[Double]("dcg") == want)
+  }
 }

@@ -439,4 +439,40 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftSemi"),
       s"expected broadcast semi join in:\n$plan")
   }
+
+  test("hammingTopK: sign-code distances, strict >0 bit rule, cosine rerank order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 1.0f, -1.0f, 1.0f)),   // the query (vec_id < nQueries)
+      (10L, Seq(2.0f, 2.0f, -2.0f, 2.0f)),  // same signs -> hamming 0, sim 1
+      (11L, Seq(1.0f, 1.0f, -1.0f, -1.0f)), // one sign flip -> hamming 1
+      (12L, Seq(-1.0f, -1.0f, 1.0f, -1.0f)),// all flipped -> hamming 4, sim -1
+      (13L, Seq(0.0f, 1.0f, -1.0f, 1.0f))   // 0.0 is NOT a set bit -> hamming 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(df, nQueries = 1, k = 4, nCand = 10, dim = 4)
+      .collect()
+    assert(out.forall(_.getLong(0) == 0L))
+    val byCid = out.map(r => r.getLong(1) -> r).toMap
+    assert(byCid(10L).getAs[Long]("hamming") == 0L)
+    assert(byCid(10L).getAs[Double]("sim") == 1.0)
+    assert(byCid(10L).getAs[Long]("rn") == 1L)
+    assert(byCid(11L).getAs[Long]("hamming") == 1L)
+    assert(byCid(11L).getAs[Double]("sim") == 0.5)
+    assert(byCid(13L).getAs[Long]("hamming") == 1L)
+    assert(byCid(12L).getAs[Long]("hamming") == 4L)
+    assert(byCid(12L).getAs[Double]("sim") == -1.0)
+    assert(byCid(12L).getAs[Long]("rn") == 4L, "rerank is by cosine desc")
+  }
+
+  test("hammingTopK: with nCand >= corpus the rerank recovers brute-force cosine top-k exactly") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val n = e.count().toInt
+    val viaHamming = Similarity.hammingTopK(e, nQueries = 5, k = 5, nCand = n)
+      .select("qid", "cid", "sim", "rn")
+    val brute = Similarity.cosineTopK(e, nQueries = 5, k = 5)
+      .select("qid", "cid", "sim", "rn")
+    assert(viaHamming.exceptAll(brute).isEmpty && brute.exceptAll(viaHamming).isEmpty,
+      "full-shortlist Hamming rerank must equal brute-force cosine top-k")
+  }
 }

@@ -192,4 +192,129 @@ class StatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(p3.getAs[Double]("psi") == want)
   }
+
+  test("giniByGroup: 0 for equal shares, (n-1)/n for total concentration, deterministic ties") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("eq", 1L, 5.0), ("eq", 2L, 5.0), ("eq", 3L, 5.0), ("eq", 4L, 5.0),
+      ("conc", 1L, 0.0), ("conc", 2L, 0.0), ("conc", 3L, 0.0), ("conc", 4L, 10.0),
+      ("zero", 1L, 0.0), ("zero", 2L, 0.0)
+    ).toDF("grp", "id", "v")
+    val out = Stats.giniByGroup(df, "v", "grp", "id").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("eq").getAs[Double]("gini") == 0.0)
+    assert(out("eq").getAs[Long]("n_entities") == 4L)
+    assert(out("eq").getAs[Double]("total_value") == 20.0)
+    // one entity holds everything: G = (n-1)/n = 0.75
+    assert(out("conc").getAs[Double]("gini") == 0.75)
+    // all-zero group: defined as 0, not a division error
+    assert(out("zero").getAs[Double]("gini") == 0.0)
+  }
+
+  test("benfordAudit: digit extraction (incl. sub-1 values), exclusions, grid completion") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(123.45, 0.00123, -5.0, 0.0, 999.0, 1.5, 20.0).toDF("v")
+    val out = Stats.benfordAudit(df, "v").collect()
+    assert(out.length == 9, "always a complete 1..9 grid")
+    val byDigit = out.map(r => r.getString(0) -> r).toMap
+    // kept values: 123.45, 0.00123, 999.0, 1.5, 20.0 (zero/negative excluded)
+    assert(byDigit("1").getAs[Long]("n_values") == 3L) // 123.45, 0.00123, 1.5
+    assert(byDigit("2").getAs[Long]("n_values") == 1L)
+    assert(byDigit("9").getAs[Long]("n_values") == 1L)
+    assert(byDigit("3").getAs[Long]("n_values") == 0L)
+    assert(byDigit("1").getAs[Double]("obs_share") == 0.6)
+    // expected shares are the rounded Benford masses and sum to ~1
+    assert(byDigit("1").getAs[Double]("exp_share") == 0.30103)
+    val expSum = out.map(_.getAs[Double]("exp_share")).sum
+    assert(math.abs(expSum - 1.0) < 1e-4)
+    // zero-count digit's chi2 term is exactly t*p (from identical operands)
+    val t = 5.0
+    val p3 = byDigit("3").getAs[Double]("exp_share")
+    assert(byDigit("3").getAs[Double]("chi2_term") ==
+      BigDecimal(t * p3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("acf: alternating series -> known r_k, constant series -> null, n_pairs = n-k") {
+    val spark2 = spark
+    import spark2.implicits._
+    val alt = (1 to 8).map(d => (d, if (d % 2 == 0) 10.0 else 0.0)).toDF("day", "v")
+    val out = Stats.acf(alt, col("day"), col("v"), maxLag = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // mean 5, deviations ±5: r1 = -175/200, r2 = 150/200, r3 = -125/200
+    assert(out(1L).getAs[Double]("r") == -0.875)
+    assert(out(2L).getAs[Double]("r") == 0.75)
+    assert(out(3L).getAs[Double]("r") == -0.625)
+    assert((1 to 3).forall(k => out(k.toLong).getAs[Long]("n_pairs") == 8L - k))
+    val const = (1 to 6).map(d => (d, 7.0)).toDF("day", "v")
+    val cOut = Stats.acf(const, col("day"), col("v"), maxLag = 2).collect()
+    assert(cOut.forall(_.isNullAt(2)), "zero-variance series has no defined ACF")
+  }
+
+  test("paretoFrontier: definitional dominance, duplicate multiplicity, equal-x collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    // minimize x, maximize y
+    val df = Seq((1.0, 1), (2.0, 3), (3.0, 2), (2.0, 3), (1.0, 0))
+      .toDF("x", "y")
+    val out = Stats.paretoFrontier(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+    // (3,2) dominated by (2,3); (1,0) dominated by (1,1); (2,3) kept with n=2
+    assert(out.toSeq == Seq((1.0, 1, 1L), (2.0, 3, 2L)))
+  }
+
+  test("holtForecast: a perfectly linear series forecasts the line exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 6).map(t => (t, 2.0 * t)).toDF("day", "v")
+    val out = Stats.holtForecast(df, col("day"), col("v"), horizon = 3).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val h = r.getLong(0)
+      assert(r.getAs[Double]("forecast") == 12.0 + 2.0 * h, s"h=$h")
+      assert(r.getAs[Double]("level") == 12.0)
+      assert(r.getAs[Double]("trend") == 2.0)
+    }
+  }
+
+  test("quantileNormalize: identical group distributions are a fixed point; buckets balance") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vals = (1 to 40).map(_.toDouble)
+    val df = (vals.map(v => ("a", v.toLong, v)) ++ vals.map(v => ("b", v.toLong + 100, v)))
+      .toDF("grp", "id", "v")
+    val out = Stats.quantileNormalize(df, "v", "grp", "id", nBuckets = 4).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 10L)
+      assert(r.getAs[Double]("mean_raw") == r.getAs[Double]("norm_value"),
+        "identical distributions must map to themselves")
+    }
+    // shifted group: the normalized value is the cross-group bucket mean
+    val df2 = (vals.map(v => ("a", v.toLong, v)) ++ vals.map(v => ("b", v.toLong + 100, v + 100.0)))
+      .toDF("grp", "id", "v")
+    val out2 = Stats.quantileNormalize(df2, "v", "grp", "id", nBuckets = 4).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("bucket")) -> r).toMap
+    // bucket 1: a-mean 5.5, b-mean 105.5 -> norm 55.5 for both
+    assert(out2(("a", 1L)).getAs[Double]("norm_value") == 55.5)
+    assert(out2(("b", 1L)).getAs[Double]("norm_value") == 55.5)
+  }
+
+  test("cusumChangePoint: finds the level-shift day with before/after means") {
+    val spark2 = spark
+    import spark2.implicits._
+    // days 1-5: one row/day; days 6-10: three rows/day
+    val rows = (1 to 5).map(d => Tuple1(d)) ++
+      (6 to 10).flatMap(d => Seq.fill(3)(Tuple1(d)))
+    val df = rows.toDF("day")
+    val out = Stats.cusumChangePoint(df, col("day")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Int]("change_day") == 5)
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Double]("max_abs_cusum") == 5.0)
+    assert(r.getAs[Double]("mean_before") == 1.0)
+    assert(r.getAs[Double]("mean_after") == 3.0)
+  }
 }

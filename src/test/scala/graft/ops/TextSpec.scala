@@ -854,4 +854,32 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, 0.0)))
     assert(awaitSqlCacheEmpty(), "the gram table's scoped persist must release")
   }
+
+  test("keptRateWilson: exact counts, hand-computed Wilson bounds, [0,1] sanity") {
+    import spark.implicits._
+    val prose = ("the quick brown fox jumps over a lazy dog and runs far away " * 5).trim
+    val rows = Seq(
+      (1L, prose, "s1"), (2L, prose, "s1"),
+      (3L, "short with the", "s1"), (4L, "also short the", "s1"),
+      (5L, prose, "s2"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = Text.keptRateWilson(df).collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 4L && s1.getAs[Long]("n_kept") == 2L)
+    assert(s1.getAs[Double]("kept_rate") == 0.5)
+    // hand-computed Wilson at n=4, p=0.5, z=1.96
+    val z = 1.96; val z2 = z * z; val n = 4.0; val p = 0.5
+    val den = 1.0 + z2 / n
+    val c = (p + z2 / (2 * n)) / den
+    val h = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / den
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s1.getAs[Double]("wilson_lo") == r6(c - h))
+    assert(s1.getAs[Double]("wilson_hi") == r6(c + h))
+    // single kept doc: interval is wide but stays inside [0,1]
+    val s2 = out("s2")
+    assert(s2.getAs[Double]("kept_rate") == 1.0)
+    assert(s2.getAs[Double]("wilson_lo") > 0.0 && s2.getAs[Double]("wilson_hi") <= 1.0)
+    assert(s2.getAs[Double]("wilson_lo") <= 1.0 - 1e-6,
+      "n=1 at p=1 must not claim certainty")
+  }
 }
