@@ -752,4 +752,127 @@ object Events {
        |FROM tagged WHERE event_type = '$conversionType'
        |GROUP BY first_touch, last_touch
        |ORDER BY first_touch, last_touch""".stripMargin
+
+  /** Burst detection over the daily event-count series: maximal runs of
+    * consecutive series rows whose count exceeds mean + k·std (the
+    * incident/virality report — when did volume run hot, for how long,
+    * how high). Gaps-and-islands over the POST-AGGREGATE day series
+    * (one row per day, calendar-bounded — the [[Stats.acf]] scale
+    * shape); "consecutive" means consecutive series rows, stated.
+    * Mean/std come from exact longs (population σ), so the threshold
+    * double and every flag are engine-identical.
+    */
+  def burstRuns(events: DataFrame, k: Double = 1.0): DataFrame = {
+    val daily = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val stats = daily.agg(count(lit(1)).as("_nd"), sum("n").as("_tot"),
+      // decimal operands: a 100 TB day's count squared overflows a long
+      sum(col("n").cast(dec) * col("n").cast(dec)).as("_tot2"))
+    val nd = col("_nd").cast("double")
+    val mean = col("_tot").cast("double") / nd
+    val std = sqrt(greatest(col("_tot2").cast("double") / nd - mean * mean, lit(0.0)))
+    val w = Window.orderBy("day")
+    val flagged = daily.crossJoin(broadcast(stats))
+      .withColumn("_thr", mean + lit(k) * std)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("n").cast("double") > col("_thr"))
+    val wf = Window.orderBy("day")
+    flagged.withColumn("_grp", col("_rn") - row_number().over(wf))
+      .groupBy("_grp")
+      .agg(min("day").as("run_start"), max("day").as("run_end"),
+        count(lit(1)).as("n_days"), max("n").as("peak"),
+        sum("n").as("total_events"))
+      .drop("_grp")
+      .orderBy("run_start")
+  }
+
+  /** Generated DuckDB oracle for [[burstRuns]]. */
+  def burstRunsOracleSql(k: Double = 1.0): String =
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+       |               FROM events GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS nd, SUM(n) AS tot,
+       |              SUM(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))) AS tot2
+       |       FROM daily),
+       |rn AS (SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+       |fl AS (SELECT day, n, rn
+       |       FROM rn CROSS JOIN st
+       |       WHERE CAST(n AS DOUBLE) >
+       |             CAST(tot AS DOUBLE) / nd
+       |             + $k * sqrt(greatest(CAST(tot2 AS DOUBLE) / nd
+       |                 - (CAST(tot AS DOUBLE) / nd) * (CAST(tot AS DOUBLE) / nd), 0.0))),
+       |gr AS (SELECT day, n, rn - ROW_NUMBER() OVER (ORDER BY day) AS grp FROM fl)
+       |SELECT MIN(day) AS run_start, MAX(day) AS run_end,
+       |       COUNT(*) AS n_days, CAST(MAX(n) AS BIGINT) AS peak,
+       |       CAST(SUM(n) AS BIGINT) AS total_events
+       |FROM gr GROUP BY grp ORDER BY run_start""".stripMargin
+
+  /** Time-constrained conversion funnel — the [[funnel]] sibling with an
+    * SLA clock: of the users whose FIRST `fromType` event exists, how
+    * many reached a `toType` event within each window in `windowsSec`
+    * (e.g. 1 h / 1 d / 7 d)? Per user the plan needs only the first
+    * `fromType` ts and the MINIMUM `toType` ts at-or-after it: one
+    * user-keyed aggregate per side, one co-partitioned join, then a
+    * per-window conditional count — no explode, no per-window rescans.
+    * Latency µs are exact longs, so the rates are engine-identical
+    * doubles. Output: one row per window.
+    */
+  def funnelWindowed(events: DataFrame, fromType: String = "signup",
+                     toType: String = "purchase",
+                     windowsSec: Seq[Long] = Seq(3600L, 86400L, 604800L)): DataFrame = {
+    require(windowsSec.nonEmpty && windowsSec.forall(_ > 0), "positive windows")
+    val first = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("ts").as("_t0"))
+    val reach = events.filter(col("event_type") === toType)
+      .select(col("user_id"), col("ts").as("_t1"))
+      .join(first, Seq("user_id"))
+      .filter(col("_t1") >= col("_t0"))
+      .groupBy("user_id").agg(min(unix_micros(col("_t1"))).as("_r"))
+    val joined = first
+      .select(col("user_id"), unix_micros(col("_t0")).as("_t0u"))
+      .join(reach, Seq("user_id"), "left")
+    val aggs =
+      Seq(count(lit(1)).as("n_entered")) ++
+        windowsSec.map { wSec =>
+          sum(when(col("_r").isNotNull &&
+            col("_r") - col("_t0u") <= wSec * 1000000L, 1L).otherwise(0L))
+            .as(s"_c$wSec")
+        }
+    val agg = joined.agg(aggs.head, aggs.tail: _*)
+    val rows = windowsSec.map { wSec =>
+      struct(lit(wSec).as("window_sec"), col(s"_c$wSec").as("n_converted"),
+        round(col(s"_c$wSec").cast("double") / col("n_entered").cast("double"), 6)
+          .as("conversion_rate"))
+    }
+    agg.select(col("n_entered"), explode(array(rows: _*)).as("p"))
+      .select(col("p.window_sec"), col("n_entered"), col("p.n_converted"),
+        col("p.conversion_rate"))
+      .orderBy("window_sec")
+  }
+
+  /** Generated DuckDB oracle for [[funnelWindowed]]. */
+  def funnelWindowedOracleSql(fromType: String = "signup",
+                              toType: String = "purchase",
+                              windowsSec: Seq[Long] = Seq(3600L, 86400L, 604800L)): String = {
+    val blocks = windowsSec.map { wSec =>
+      val wUs = wSec * 1000000L
+      s"""SELECT CAST($wSec AS BIGINT) AS window_sec,
+         |       (SELECT COUNT(*) FROM f) AS n_entered,
+         |       CAST(SUM(CASE WHEN r IS NOT NULL AND r - t0u <= $wUs THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_converted,
+         |       round(CAST(SUM(CASE WHEN r IS NOT NULL AND r - t0u <= $wUs THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / (SELECT COUNT(*) FROM f), 6) AS conversion_rate
+         |FROM j""".stripMargin
+    }
+    s"""WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events
+       |           WHERE event_type = '$fromType' GROUP BY user_id),
+       |r AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS r
+       |      FROM events e JOIN f ON e.user_id = f.user_id
+       |      WHERE e.event_type = '$toType' AND e.ts >= f.t0
+       |      GROUP BY e.user_id),
+       |j AS (SELECT f.user_id, epoch_us(f.t0) AS t0u, r.r
+       |      FROM f LEFT JOIN r ON f.user_id = r.user_id)
+       |${blocks.mkString("\nUNION ALL\n")}
+       |ORDER BY window_sec""".stripMargin
+  }
 }

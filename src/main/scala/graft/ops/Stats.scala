@@ -707,6 +707,120 @@ object Stats {
        |FROM fin, generate_series(1, $horizon) AS g(h) ORDER BY h""".stripMargin
   }
 
+  /** ABC (Pareto 80/15/5) classification — the inventory/contribution
+    * analysis: entities ranked by value descending, class A = the head
+    * up to 80% cumulative share, B to 95%, C the tail. `entities` is one
+    * row per (id, value); values sum in DECIMAL(20,6) (order-free
+    * exact), the cumulative share rounds to 9 BEFORE the threshold
+    * compare so both engines classify from the identical double, and
+    * ranking ties break by id. Output is the 3-row class summary.
+    *
+    * Scale shape: the window sorts the AGGREGATED entity table (one row
+    * per entity), not the fact table; the final rollup is 3 rows.
+    */
+  def abcClasses(entities: DataFrame, valueCol: String, idCol: String,
+                 aShare: Double = 0.8, bShare: Double = 0.95): DataFrame = {
+    require(aShare > 0 && aShare < bShare && bShare < 1,
+      s"need 0 < aShare < bShare < 1, got $aShare/$bShare")
+    val v = col(valueCol).cast(DecimalType(20, 6))
+    val tot = entities.agg(sum(v).as("_tot"))
+    val ranked = entities.select(col(idCol), col(valueCol))
+      .withColumn("_v", v)
+      .withColumn("_cum", sum(col("_v")).over(
+        Window.orderBy(col(valueCol).desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("_share",
+        round(col("_cum").cast("double") / col("_tot").cast("double"), 9))
+      .withColumn("abc_class",
+        when(col("_share") <= aShare, "A")
+          .when(col("_share") <= bShare, "B").otherwise("C"))
+    ranked.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum(col("_v")).cast("double"), 2).as("class_value"),
+        round(sum(col("_v")).cast("double")
+          / max(col("_tot")).cast("double"), 6).as("class_share"))
+      .orderBy("abc_class")
+  }
+
+  /** Generated DuckDB oracle for [[abcClasses]]: `entitySql` must yield
+    * the same (id, value) rows the Spark caller built. */
+  def abcOracleSql(entitySql: String, valueCol: String, idCol: String,
+                   aShare: Double = 0.8, bShare: Double = 0.95): String =
+    s"""WITH ent AS ($entitySql),
+       |t AS (SELECT SUM(CAST($valueCol AS DECIMAL(20,6))) AS tot FROM ent),
+       |r AS (SELECT CAST($valueCol AS DECIMAL(20,6)) AS v,
+       |             SUM(CAST($valueCol AS DECIMAL(20,6)))
+       |               OVER (ORDER BY $valueCol DESC, $idCol
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM ent),
+       |c AS (SELECT v,
+       |             CASE WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9) <= $aShare THEN 'A'
+       |                  WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9) <= $bShare THEN 'B'
+       |                  ELSE 'C' END AS abc_class,
+       |             tot
+       |      FROM r CROSS JOIN t)
+       |SELECT abc_class, COUNT(*) AS n_entities,
+       |       round(CAST(SUM(v) AS DOUBLE), 2) AS class_value,
+       |       round(CAST(SUM(v) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6) AS class_share
+       |FROM c GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
+  /** Two-proportion z-test — the A/B-readout primitive: does cohort A's
+    * event rate differ from cohort B's beyond sampling noise? Pooled
+    * z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)); every input is an exact long
+    * from ONE conditional aggregate over the scan (no shuffle beyond the
+    * 1-row gather), so the doubles are engine-identical. `groupFlag` and
+    * `outcomeFlag` are boolean columns. One row out.
+    */
+  def twoProportionZ(df: DataFrame, groupFlag: Column, outcomeFlag: Column,
+                     zCrit: Double = 1.96): DataFrame = {
+    val g = groupFlag; val o = outcomeFlag
+    val agg = df.agg(
+      sum(when(g, 1L).otherwise(0L)).as("n_a"),
+      sum(when(g && o, 1L).otherwise(0L)).as("x_a"),
+      sum(when(!g, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!g && o, 1L).otherwise(0L)).as("x_b"))
+    val na = col("n_a").cast("double"); val xa = col("x_a").cast("double")
+    val nb = col("n_b").cast("double"); val xb = col("x_b").cast("double")
+    val p1 = xa / na; val p2 = xb / nb
+    val pp = (xa + xb) / (na + nb)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = (p1 - p2) / se
+    agg.select(col("n_a"), col("x_a"), round(p1, 6).as("rate_a"),
+      col("n_b"), col("x_b"), round(p2, 6).as("rate_b"),
+      round(z, 4).as("z"),
+      (abs(z) > zCrit).as("significant"))
+  }
+
+  /** Generated DuckDB oracle for [[twoProportionZ]]: `groupExpr` /
+    * `outcomeExpr` must compute the Spark flags. */
+  def twoProportionZOracleSql(fromSql: String, groupExpr: String,
+                              outcomeExpr: String,
+                              zCrit: Double = 1.96): String =
+    s"""WITH s AS (SELECT $groupExpr AS g, $outcomeExpr AS o FROM $fromSql),
+       |agg AS (SELECT
+       |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(SUM(CASE WHEN g AND o THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+       |  CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(SUM(CASE WHEN NOT g AND o THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+       |  FROM s)
+       |SELECT n_a, x_a,
+       |       round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       |       n_b, x_b,
+       |       round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       |       round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |              - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |             / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4) AS z,
+       |       abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |            - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |           / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > $zCrit
+       |         AS significant
+       |FROM agg""".stripMargin
+
   /** Bucketed quantile normalization — make every group's value
     * distribution comparable by mapping each (group, quantile-bucket) to
     * the cross-group mean of that bucket's mean (the rank-based
@@ -763,4 +877,100 @@ object Stats {
        |       round(gb.m, 4) AS mean_raw, round(nv.nrm, 4) AS norm_value
        |FROM gb JOIN nv ON gb.bucket = nv.bucket
        |ORDER BY gb.$groupCol, gb.bucket""".stripMargin
+
+  /** Shuffle-key skew audit — the before-you-join diagnostic this engine
+    * itself preaches: per-key row counts reduced to the numbers that
+    * predict shuffle behavior (top key and its share of all rows, exact
+    * p50/p90/p99 of the per-key count distribution, and the p99/p50
+    * ratio — >10 says "salt this key or let AQE split it"). Everything
+    * after the per-key count is post-aggregate (one row per key); the
+    * top key resolves ties by smallest key string for determinism. One
+    * row out.
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("_key"))
+      .agg(count(lit(1)).as("_c"))
+    val pick = Window.orderBy(col("_c").desc, col("_key"))
+    val top = counts.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("_key").as("top_key"), col("_c").as("top_count"))
+    val agg = counts.agg(
+      count(lit(1)).as("n_keys"), sum("_c").as("n_rows"),
+      expr("percentile(_c, 0.5)").as("_p50"),
+      expr("percentile(_c, 0.9)").as("_p90"),
+      expr("percentile(_c, 0.99)").as("_p99"))
+    agg.crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("top_key"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top_share"),
+        round(col("_p50"), 4).as("p50_count"),
+        round(col("_p90"), 4).as("p90_count"),
+        round(col("_p99"), 4).as("p99_count"),
+        round(col("_p99") / col("_p50"), 4).as("skew_p99_p50"))
+  }
+
+  /** Generated DuckDB oracle for [[keySkewAudit]]. */
+  def keySkewAuditOracleSql(table: String, keyExpr: String): String =
+    s"""WITH counts AS (SELECT CAST($keyExpr AS VARCHAR) AS key, COUNT(*) AS c
+       |                FROM $table GROUP BY 1),
+       |top AS (SELECT key AS top_key, c AS top_count FROM counts
+       |        ORDER BY c DESC, key LIMIT 1),
+       |agg AS (SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows,
+       |               quantile_cont(c, 0.5) AS p50,
+       |               quantile_cont(c, 0.9) AS p90,
+       |               quantile_cont(c, 0.99) AS p99
+       |        FROM counts)
+       |SELECT n_keys, CAST(n_rows AS BIGINT) AS n_rows, top_key,
+       |       CAST(top_count AS BIGINT) AS top_count,
+       |       round(CAST(top_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+       |         AS top_share,
+       |       round(p50, 4) AS p50_count, round(p90, 4) AS p90_count,
+       |       round(p99, 4) AS p99_count,
+       |       round(p99 / p50, 4) AS skew_p99_p50
+       |FROM agg CROSS JOIN top""".stripMargin
+
+  /** Period-over-period growth report — monthly revenue with MoM change
+    * and a trailing 3-month moving average: the core BI time-series
+    * composite. The fact table collapses once to exact DECIMAL(20,6)
+    * monthly sums; the lag/frame windows run over the one-row-per-month
+    * post-aggregate ([[acf]] scale shape). The moving average divides
+    * the exact 3-month decimal sum by the window row count, MoM divides
+    * two exact decimals — all doubles over identical operands.
+    */
+  def monthlyGrowth(df: DataFrame, monthCol: Column, valueCol: Column): DataFrame = {
+    val monthly = df.groupBy(monthCol.as("month"))
+      .agg(sum(valueCol.cast(DecimalType(20, 6))).as("_v"))
+    val w = Window.orderBy("month")
+    val wf = w.rowsBetween(-2, Window.currentRow)
+    monthly
+      .withColumn("_prev", lag(col("_v"), 1).over(w))
+      .withColumn("_ma_s", sum(col("_v")).over(wf))
+      .withColumn("_ma_n", count(col("_v")).over(wf))
+      .select(col("month"),
+        round(col("_v").cast("double"), 2).as("revenue"),
+        round(when(col("_prev").isNotNull && col("_prev") > 0,
+          (col("_v") - col("_prev")).cast("double") / col("_prev").cast("double"))
+          , 6).as("mom_pct"),
+        round(col("_ma_s").cast("double") / col("_ma_n").cast("double"), 2)
+          .as("ma3"))
+      .orderBy("month")
+  }
+
+  /** Generated DuckDB oracle for [[monthlyGrowth]]. */
+  def monthlyGrowthOracleSql(table: String, monthExpr: String,
+                             valueExpr: String): String =
+    s"""WITH m AS (SELECT $monthExpr AS month,
+       |                  SUM(CAST($valueExpr AS DECIMAL(20,6))) AS v
+       |           FROM $table GROUP BY 1),
+       |w AS (SELECT month, v,
+       |             lag(v, 1) OVER (ORDER BY month) AS prev,
+       |             SUM(v) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mas,
+       |             COUNT(v) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS man
+       |      FROM m)
+       |SELECT month, round(CAST(v AS DOUBLE), 2) AS revenue,
+       |       round(CASE WHEN prev IS NOT NULL AND prev > 0
+       |             THEN CAST(v - prev AS DOUBLE) / CAST(prev AS DOUBLE) END, 6)
+       |         AS mom_pct,
+       |       round(CAST(mas AS DOUBLE) / man, 2) AS ma3
+       |FROM w ORDER BY month""".stripMargin
 }

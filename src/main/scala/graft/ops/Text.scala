@@ -2145,6 +2145,81 @@ object Text {
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-source token
+    * distributions over the corpus top-`vocabK` vocabulary — the
+    * which-feeds-actually-differ matrix a mixture designer reads before
+    * setting sampling weights (JSD is symmetric, bounded by ln 2, and
+    * defined even where KL is not). Smoothed shares over the COMPLETE
+    * source × vocab grid (the [[Stats.psiDrift]] add-one pattern, so a
+    * token absent from one source stays finite); per-token terms
+    * ½p·ln(p/m) + ½q·ln(q/m) round to 9 and sum in DECIMAL(18,9) —
+    * order-free, and every operand is a double of exact integers, so the
+    * oracle replays bit-for-bit.
+    *
+    * Scale shape: ONE token explode feeds both the top-K vocab
+    * (TakeOrderedAndProject, broadcast back) and the (source, tok)
+    * counts; everything after is post-aggregate — the pair join runs
+    * over sources² × vocabK rows, never the corpus.
+    */
+  def jsDivergence(documents: DataFrame, vocabK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(vocabK >= 2, s"need vocabK >= 2, got $vocabK")
+    val toks = documents.select(col("source"),
+      explode(regexp_extract_all(lower(col("text")), lit(wordRe), lit(0))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("tok")).limit(vocabK).select("tok")
+    val counts = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
+      .groupBy("source", "tok").agg(count(lit(1)).as("_n"))
+    val totals = counts.groupBy("source").agg(sum("_n").as("_tot"))
+    val kDf = vocab.agg(count(lit(1)).as("_k"))
+    val grid = totals.crossJoin(broadcast(vocab))
+      .join(counts, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), coalesce(col("_n"), lit(0L)).as("_n"),
+        col("_tot"))
+      .crossJoin(broadcast(kDf))
+      .withColumn("_p",
+        (col("_n") + lit(1)).cast("double") / (col("_tot") + col("_k")).cast("double"))
+    val a = grid.select(col("source").as("source_a"), col("tok"), col("_p").as("_pa"))
+    val b = grid.select(col("source").as("source_b"), col("tok"), col("_p").as("_pb"))
+    val m = (col("_pa") + col("_pb")) / lit(2.0)
+    a.join(b, Seq("tok")).filter(col("source_a") < col("source_b"))
+      .withColumn("_t",
+        round(lit(0.5) * col("_pa") * log(col("_pa") / m)
+          + lit(0.5) * col("_pb") * log(col("_pb") / m), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("_t").cast("double"), 6).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Generated DuckDB oracle for [[jsDivergence]]: same vocab tie order,
+    * same smoothed grid, same round-9 decimal term sums. */
+  def jsDivergenceOracleSql(vocabK: Int = 50): String =
+    s"""WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |              FROM documents),
+       |vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+       |                           ORDER BY c DESC, tok LIMIT $vocabK)),
+       |kk AS (SELECT COUNT(*) AS k FROM vocab),
+       |counts AS (SELECT source, tok, COUNT(*) AS n FROM toks
+       |           WHERE tok IN (SELECT tok FROM vocab) GROUP BY source, tok),
+       |totals AS (SELECT source, SUM(n) AS tot FROM counts GROUP BY source),
+       |grid AS (SELECT t.source, v.tok, COALESCE(c.n, 0) AS n, t.tot
+       |         FROM totals t CROSS JOIN vocab v
+       |         LEFT JOIN counts c ON c.source = t.source AND c.tok = v.tok),
+       |p AS (SELECT source, tok,
+       |             CAST(n + 1 AS DOUBLE) / CAST(tot + k AS DOUBLE) AS p
+       |      FROM grid CROSS JOIN kk)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       COUNT(*) AS n_tokens,
+       |       round(CAST(SUM(CAST(round(
+       |           0.5 * a.p * ln(a.p / ((a.p + b.p) / 2.0))
+       |         + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2.0)), 9) AS DECIMAL(18,9)))
+       |         AS DOUBLE), 6) AS jsd
+       |FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Per-source Gopher-gate kept rate with a Wilson score interval — the
     * curation dashboard row that says not just "src7 keeps 62%" but how
     * much that estimate can be trusted given the source's size (a 3-doc

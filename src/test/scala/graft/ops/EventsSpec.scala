@@ -309,4 +309,41 @@ class EventsSpec extends SparkSpec {
       all { case j: BroadcastHashJoinExec => j }.isEmpty,
       s"attribution must be window-only, not a self-join:\n$plan")
   }
+
+  test("burstRuns: maximal above-threshold runs with exact stats") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(day: Int, i: Int) =
+      new Timestamp(1700000000000L + day * 86400000L + i * 1000L)
+    // daily counts 1,1,5,5,1,1,5,1,1,1: mean 2.2, std sqrt(3.36) -> thr 4.033
+    val counts = Seq(1, 1, 5, 5, 1, 1, 5, 1, 1, 1)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => (d.toLong, "view", ts(d, i)))
+    }
+    val out = Events.burstRuns(rows.toDF("user_id", "event_type", "ts")).collect()
+    assert(out.length == 2, s"two bursts: ${out.mkString(";")}")
+    assert(out(0).getAs[Long]("n_days") == 2L && out(0).getAs[Long]("peak") == 5L
+      && out(0).getAs[Long]("total_events") == 10L)
+    assert(out(1).getAs[Long]("n_days") == 1L && out(1).getAs[Long]("peak") == 5L)
+  }
+
+  test("funnelWindowed: per-window conversion against hand-placed latencies") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      (1L, "signup", ts(0)), (1L, "purchase", ts(30)),         // 30 min -> all windows
+      (2L, "signup", ts(0)), (2L, "purchase", ts(2 * 24 * 60)),// 2 d -> 7 d only
+      (3L, "signup", ts(0)),                                   // never converts
+      (4L, "purchase", ts(0)), (4L, "signup", ts(10))          // purchase BEFORE signup: no
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnelWindowed(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.values.forall(_.getAs[Long]("n_entered") == 4L))
+    assert(out(3600L).getAs[Long]("n_converted") == 1L)
+    assert(out(86400L).getAs[Long]("n_converted") == 1L)
+    assert(out(604800L).getAs[Long]("n_converted") == 2L)
+    assert(out(3600L).getAs[Double]("conversion_rate") == 0.25)
+    assert(out(604800L).getAs[Double]("conversion_rate") == 0.5)
+  }
 }

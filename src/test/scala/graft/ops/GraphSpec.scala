@@ -540,4 +540,34 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes == Map(2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("reciprocity: hand-computed edge and weight ratios; self-loops excluded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq((1L, 2L, 3L), (2L, 1L, 1L), (1L, 3L, 2L), (4L, 4L, 9L))
+      .toDF("src", "dst", "w")
+    val r = Graph.reciprocity(e).collect().head
+    assert(r.getAs[Long]("n_edges") == 3L, "self-loop excluded")
+    assert(r.getAs[Long]("n_reciprocated") == 2L)
+    assert(r.getAs[Double]("edge_reciprocity") ==
+      BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // sum min(w, wr): (1->2): min(3,1)=1, (2->1): min(1,3)=1, (1->3): 0
+    assert(r.getAs[Double]("weight_reciprocity") ==
+      BigDecimal(2.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("degreeTailFit: an exact log-log-linear degree distribution fits alpha 2, r2 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // degrees {1: 16 nodes, 2: 4, 4: 1}: ln n_d = -2 ln d + ln 16
+    val star = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L)) // hub deg 4, 4 leaves
+    val cycle = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)) // 4 nodes deg 2
+    val singles = (0 until 6).map(i => (200L + 2 * i, 201L + 2 * i)) // 12 leaves
+    val e = (star ++ cycle ++ singles).toDF("src", "dst")
+    val r = Graph.degreeTailFit(e, dmin = 1).collect().head
+    assert(r.getAs[Long]("n_degrees") == 3L)
+    assert(math.abs(r.getAs[Double]("alpha") - 2.0) <= 2e-3,
+      s"alpha ${r.getAs[Double]("alpha")}")
+    assert(r.getAs[Double]("r2") >= 0.9999)
+  }
 }

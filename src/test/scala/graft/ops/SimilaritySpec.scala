@@ -465,6 +465,32 @@ class SimilaritySpec extends SparkSpec {
     assert(byCid(12L).getAs[Long]("rn") == 4L, "rerank is by cosine desc")
   }
 
+  test("embedOutlierProfile: hand-computed centroid distances, z-scores, degenerate-label safety") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (Seq.tabulate(4)(i => (i.toLong, Seq(0.0f, 0.0f), 0)) :+
+      ((4L, Seq(10.0f, 0.0f), 0))) ++ Seq((5L, Seq(3.0f, 3.0f), 1), (6L, Seq(3.0f, 3.0f), 1))
+    val out = Similarity.embedOutlierProfile(df.toDF("vec_id", "embedding", "label"), dim = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val l0 = out(0)
+    // centroid (2,0): dists 2,2,2,2,8 -> mean 3.2, std 2.4, far z = 2.0
+    assert(l0.getAs[Long]("n_vectors") == 5L)
+    assert(l0.getAs[Double]("mean_dist") == 3.2)
+    assert(l0.getAs[Double]("std_dist") == 2.4)
+    assert(l0.getAs[Long]("far_vec_id") == 4L)
+    assert(l0.getAs[Double]("far_dist") == 8.0)
+    assert(l0.getAs[Double]("far_z") == 2.0)
+    assert(!l0.getAs[Boolean]("is_outlier"), "threshold is strict >")
+    val strict = Similarity.embedOutlierProfile(
+      df.toDF("vec_id", "embedding", "label"), zThresh = 1.5, dim = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(strict(0).getAs[Boolean]("is_outlier"))
+    // all-identical label: std 0 -> z defined 0, never flagged
+    val l1 = out(1)
+    assert(l1.getAs[Double]("std_dist") == 0.0)
+    assert(l1.getAs[Double]("far_z") == 0.0 && !l1.getAs[Boolean]("is_outlier"))
+  }
+
   test("hammingTopK: with nCand >= corpus the rerank recovers brute-force cosine top-k exactly") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val n = e.count().toInt

@@ -301,6 +301,66 @@ class StatsSpec extends SparkSpec {
     assert(out2(("b", 1L)).getAs[Double]("norm_value") == 55.5)
   }
 
+  test("abcClasses: boundary shares classify exactly; classes partition the entities") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("id", "v")
+    val out = Stats.abcClasses(df, "v", "id").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_entities") == 1L)
+    assert(out("A").getAs[Double]("class_value") == 80.0)
+    assert(out("A").getAs[Double]("class_share") == 0.8)
+    assert(out("B").getAs[Long]("n_entities") == 1L)
+    assert(out("C").getAs[Long]("n_entities") == 1L)
+    assert(out.values.map(_.getAs[Long]("n_entities")).sum == 3L)
+  }
+
+  test("twoProportionZ: hand-computed pooled z and significance") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group A: 50/100, group B: 25/100
+    val rows = Seq.fill(50)((true, true)) ++ Seq.fill(50)((true, false)) ++
+      Seq.fill(25)((false, true)) ++ Seq.fill(75)((false, false))
+    val df = rows.toDF("g", "o")
+    val r = Stats.twoProportionZ(df, col("g"), col("o")).collect().head
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("x_a") == 50L)
+    assert(r.getAs[Double]("rate_a") == 0.5 && r.getAs[Double]("rate_b") == 0.25)
+    val z = (0.5 - 0.25) / math.sqrt(0.375 * 0.625 * (1.0 / 100 + 1.0 / 100))
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("keySkewAudit: exact top share and interpolated count percentiles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++ Seq.fill(2)("d")
+    val r = Stats.keySkewAudit(rows.toDF("k"), "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 4L && r.getAs[Long]("n_rows") == 16L)
+    assert(r.getAs[String]("top_key") == "a" && r.getAs[Long]("top_count") == 10L)
+    assert(r.getAs[Double]("top_share") == 0.625)
+    // counts sorted [2,2,2,10]: p50 = 2, p90 = 2 + 0.7*(10-2), p99 = 2 + 0.97*8
+    assert(r.getAs[Double]("p50_count") == 2.0)
+    assert(r.getAs[Double]("p90_count") == 7.6)
+    assert(r.getAs[Double]("p99_count") == 9.76)
+    assert(r.getAs[Double]("skew_p99_p50") == 4.88)
+  }
+
+  test("monthlyGrowth: MoM and trailing moving average on a hand series") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1, 100.0), (2, 110.0), (3, 121.0)).toDF("m", "v")
+    val out = Stats.monthlyGrowth(df, col("m"), col("v")).collect()
+    assert(out.map(_.getAs[Double]("revenue")).toSeq == Seq(100.0, 110.0, 121.0))
+    assert(out(0).isNullAt(2), "first month has no MoM")
+    assert(out(1).getAs[Double]("mom_pct") == 0.1)
+    assert(out(2).getAs[Double]("mom_pct") == 0.1)
+    assert(out(0).getAs[Double]("ma3") == 100.0)
+    assert(out(1).getAs[Double]("ma3") == 105.0)
+    assert(out(2).getAs[Double]("ma3") ==
+      BigDecimal(331.0 / 3).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("cusumChangePoint: finds the level-shift day with before/after means") {
     val spark2 = spark
     import spark2.implicits._

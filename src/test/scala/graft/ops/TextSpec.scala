@@ -855,6 +855,27 @@ class TextSpec extends SparkSpec {
     assert(awaitSqlCacheEmpty(), "the gram table's scoped persist must release")
   }
 
+  test("jsDivergence: identical sources diverge 0; disjoint vocabularies diverge strongly; symmetric by construction") {
+    import spark.implicits._
+    val same = Seq(
+      (1L, "aa bb cc aa", "s1"), (2L, "aa bb cc aa", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out0 = Text.jsDivergence(same, vocabK = 10).collect()
+    assert(out0.length == 1)
+    assert(out0.head.getAs[Double]("jsd") == 0.0, "identical distributions")
+    val diff = Seq(
+      (1L, "aa aa aa aa", "s1"), (2L, "bb bb bb bb", "s2"),
+      (3L, "aa aa aa aa", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out1 = Text.jsDivergence(diff, vocabK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jsd")).toMap
+    assert(out1(("s1", "s3")) == 0.0)
+    assert(out1(("s1", "s2")) > 0.2, "disjoint token mass must diverge")
+    assert(out1(("s1", "s2")) == out1(("s2", "s3")),
+      "JSD depends only on the distributions")
+    assert(out1(("s1", "s2")) < math.log(2.0), "bounded by ln 2")
+  }
+
   test("keptRateWilson: exact counts, hand-computed Wilson bounds, [0,1] sanity") {
     import spark.implicits._
     val prose = ("the quick brown fox jumps over a lazy dog and runs far away " * 5).trim
