@@ -108,6 +108,13 @@ object SparkEntry {
   // are certified once per corpus snapshot and read thereafter.
   private val ndcgQuerySets =
     Seq(Seq("join", "vector"), Seq("dup", "spark"), Seq("the", "data"))
+  // Sampled-Brandes betweenness is a per-snapshot centrality artifact —
+  // the pagerank/hits precedent.
+  private def betweennessMemo(s: SparkSession, dir: String): DataFrame = {
+    val edges = basketEdgesMemo(s, dir)
+    ProbeCache("betweenness:8:3:20", Seq(edges))(
+      Graph.betweennessSampled(edges))
+  }
   private def ndcgReportMemo(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     ProbeCache("ndcgReport:3x10", Seq(docs))(
@@ -1077,6 +1084,8 @@ object SparkEntry {
     // power-law tail fit of the basket-graph degree distribution
     "q_powerlaw" -> ((s, dir) =>
       Graph.degreeTailFit(basketEdgesMemo(s, dir))),
+    // seed-sampled bounded-hop Brandes betweenness over the basket graph
+    "q_betweenness" -> ((s, dir) => betweennessMemo(s, dir).orderBy("rn")),
     // shuffle-key skew audit on the order key — the engine's own
     // before-you-join diagnostic as a first-class operator
     "q_skew_audit" -> t("lineitem")(Stats.keySkewAudit(_, "l_orderkey")),
@@ -1487,6 +1496,15 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY src, dst""".stripMargin),
     "q_powerlaw" -> Graph.degreeTailFitOracleSql(
+      """SELECT DISTINCT x.p AS a, y.p AS b
+        |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01') x
+        |JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01') y
+        |  ON x.ok = y.ok AND x.p < y.p""".stripMargin),
+    "q_betweenness" -> Graph.betweennessOracleSql(
       """SELECT DISTINCT x.p AS a, y.p AS b
         |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
         |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'

@@ -1838,4 +1838,131 @@ object Graph {
        |               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
        |             ELSE 1.0 END, 4) AS r2
        |FROM agg""".stripMargin
+
+  /** Seed-sampled bounded-hop betweenness centrality (Brandes 2001,
+    * restricted to shortest paths of length ≤ `maxHops` from `nSeeds`
+    * deterministic source nodes — smallest node ids, so the SQL oracle
+    * can replay seed choice). The production contract at 100 TB is
+    * exactly this restriction: exact all-pairs Brandes is O(V·E) and no
+    * one runs it on a web-scale graph — you sample sources (Brandes &
+    * Pich 2007) and bound the radius, and the estimate is the sum of the
+    * per-source dependency deltas.
+    *
+    * Forward: level-synchronized BFS keyed by (seed, node) with exact
+    * DECIMAL(38,0) path counts σ (level d+1 = frontier⋈edges, anti-join
+    * visited, combining Σσ). Backward: δ accumulates down the levels,
+    * δ(v) = Σ_{w ∈ succ(v)} σv/σw·(1+δw), every term rounded to 12 and
+    * summed in DECIMAL(28,12) — order-free, and σ/δ inputs are exact so
+    * both engines produce identical terms. Per-level frames are
+    * localCheckpointed (the pagerank lineage discipline). Output: top-k
+    * nodes by summed dependency (desc, node ties), seeds excluded —
+    * Brandes' δ never credits the source itself.
+    */
+  def betweennessSampled(edgeList: DataFrame, nSeeds: Int = 8,
+                         maxHops: Int = 3, topK: Int = 20): DataFrame = {
+    require(nSeeds >= 1 && maxHops >= 1 && topK >= 1)
+    val sigmaT = DecimalType(38, 0)
+    val deltaT = DecimalType(28, 12)
+    val e = canonicalEdges(edgeList)
+    val nbr = Helpers.releaseAfterFirstAction(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        .persist())
+    val seeds = nbr.select(col("u").as("node")).distinct()
+      .orderBy("node").limit(nSeeds)
+    // forward: levels(d) = (seed, node, sigma) first reached at hop d
+    val l0 = seeds.select(col("node").as("seed"), col("node"),
+      lit(1).cast(sigmaT).as("sigma")).localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+    var visited = l0.select("seed", "node")
+    for (_ <- 1 to maxHops) {
+      val nxt = levels.last.join(nbr, col("node") === col("u"))
+        .select(col("seed"), col("v").as("node"), col("sigma"))
+        .join(visited.select(col("seed").as("_s"), col("node").as("_n")),
+          col("seed") === col("_s") && col("node") === col("_n"), "left_anti")
+        .groupBy("seed", "node").agg(sum("sigma").cast(sigmaT).as("sigma"))
+        .localCheckpoint()
+      levels += nxt
+      visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint()
+    }
+    // backward: deepest level has delta 0; each level pulls from the one
+    // below it through the edge table
+    var below = levels(maxHops)
+      .select(col("seed"), col("node"), col("sigma"),
+        lit(0).cast(deltaT).as("delta"))
+      .localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (maxHops >= 1) deltas += below // level maxHops (delta 0 rows count too)
+    for (d <- (maxHops - 1) to 0 by -1) {
+      val contrib = levels(d).join(nbr, col("node") === col("u"))
+        .join(below.select(col("seed").as("_ws"), col("node").as("_w"),
+            col("sigma").as("_sw"), col("delta").as("_dw")),
+          col("seed") === col("_ws") && col("v") === col("_w"))
+        .select(col("seed"), col("node"),
+          round(col("sigma").cast("double") / col("_sw").cast("double")
+            * (lit(1.0) + col("_dw").cast("double")), 12).cast(deltaT).as("_t"))
+        .groupBy("seed", "node").agg(sum("_t").cast(deltaT).as("delta"))
+      val lvl = levels(d).select(col("seed"), col("node"), col("sigma"))
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0).cast(deltaT)).as("delta"))
+        .localCheckpoint()
+      if (d >= 1) deltas += lvl
+      below = lvl
+    }
+    val bw = deltas.map(_.select(col("node"), col("delta")))
+      .reduce(_.unionByName(_))
+      .groupBy("node").agg(sum(col("delta")).as("_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_b").desc, col("node"))
+    bw.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("node"), round(col("_b").cast("double"), 6).as("betweenness"),
+        col("rn"))
+      .orderBy("rn")
+  }
+
+  /** Generated DuckDB oracle for [[betweennessSampled]]: the BFS levels
+    * and dependency accumulation fully unrolled as CTEs (the
+    * lloydReplayCtes precedent), identical σ/δ arithmetic. `edgeSql`
+    * must yield the same canonical (a, b) edges. */
+  def betweennessOracleSql(edgeSql: String, nSeeds: Int = 8,
+                           maxHops: Int = 3, topK: Int = 20): String = {
+    val fwd = (1 to maxHops).map { d =>
+      val prevVisited = (0 until d).map(i => s"SELECT seed, node FROM f$i").mkString(" UNION ALL ")
+      s"""f$d AS (
+         |  SELECT p.seed, n.v AS node, CAST(SUM(p.sigma) AS DECIMAL(38,0)) AS sigma
+         |  FROM f${d - 1} p JOIN nbr n ON n.u = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prevVisited) vis
+         |                    WHERE vis.seed = p.seed AND vis.node = n.v)
+         |  GROUP BY p.seed, n.v)""".stripMargin
+    }
+    val bwd = ((maxHops - 1) to 0 by -1).map { d =>
+      s"""c$d AS (
+         |  SELECT p.seed, p.node,
+         |         SUM(CAST(round(CAST(p.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+         |               * (1.0 + CAST(w.delta AS DOUBLE)), 12) AS DECIMAL(28,12))) AS delta
+         |  FROM f$d p JOIN nbr n ON n.u = p.node
+         |  JOIN d${d + 1} w ON w.seed = p.seed AND w.node = n.v
+         |  GROUP BY p.seed, p.node),
+         |d$d AS (
+         |  SELECT f.seed, f.node, f.sigma,
+         |         COALESCE(c.delta, CAST(0 AS DECIMAL(28,12))) AS delta
+         |  FROM f$d f LEFT JOIN c$d c ON c.seed = f.seed AND c.node = f.node)""".stripMargin
+    }
+    val deltaUnion = (1 to maxHops).map(d => s"SELECT node, delta FROM d$d").mkString("\n  UNION ALL ")
+    s"""WITH e AS ($edgeSql),
+       |nbr AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |seeds AS (SELECT DISTINCT u AS node FROM nbr ORDER BY node LIMIT $nSeeds),
+       |f0 AS (SELECT node AS seed, node, CAST(1 AS DECIMAL(38,0)) AS sigma FROM seeds),
+       |${fwd.mkString(",\n")},
+       |d$maxHops AS (SELECT seed, node, sigma, CAST(0 AS DECIMAL(28,12)) AS delta
+       |              FROM f$maxHops),
+       |${bwd.mkString(",\n")},
+       |bw AS (SELECT node, SUM(delta) AS b FROM (
+       |  $deltaUnion) GROUP BY node),
+       |rk AS (SELECT node, b, ROW_NUMBER() OVER (ORDER BY b DESC, node) AS rn FROM bw)
+       |SELECT node, round(CAST(b AS DOUBLE), 6) AS betweenness, CAST(rn AS BIGINT) AS rn
+       |FROM rk WHERE rn <= $topK ORDER BY rn""".stripMargin
+  }
 }

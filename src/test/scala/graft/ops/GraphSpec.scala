@@ -541,6 +541,25 @@ class GraphSpec extends SparkSpec {
     assert(sizes == Map(2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("betweennessSampled: exact Brandes values on a path graph; seed restriction honored") {
+    // path 1-2-3-4-5, all nodes as seeds, radius 4 = exact betweenness:
+    // middle node 3 lies on 8 ordered (s,t) pairs, nodes 2/4 on 6, ends 0
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val all = Graph.betweennessSampled(e, nSeeds = 5, maxHops = 4, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all(3L) == 8.0)
+    assert(all(2L) == 6.0 && all(4L) == 6.0)
+    assert(all(1L) == 0.0 && all(5L) == 0.0)
+    // single source (smallest node = 1): delta_1 = (3, 2, 1, 0) down the path
+    val one = Graph.betweennessSampled(e, nSeeds = 1, maxHops = 4, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one(2L) == 3.0 && one(3L) == 2.0 && one(4L) == 1.0 && one(5L) == 0.0)
+    // radius bound: maxHops 1 sees only direct neighbors -> no interior mass
+    val r1 = Graph.betweennessSampled(e, nSeeds = 5, maxHops = 1, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1.values.forall(_ == 0.0))
+  }
+
   test("reciprocity: hand-computed edge and weight ratios; self-loops excluded") {
     val spark2 = spark
     import spark2.implicits._
