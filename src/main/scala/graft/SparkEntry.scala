@@ -115,6 +115,19 @@ object SparkEntry {
     ProbeCache("betweenness:8:3:20", Seq(edges))(
       Graph.betweennessSampled(edges))
   }
+  private def closenessMemo(s: SparkSession, dir: String): DataFrame = {
+    val edges = basketEdgesMemo(s, dir)
+    ProbeCache("closeness:8:3", Seq(edges))(Graph.harmonicCloseness(edges))
+  }
+  private def langIdEvalMemo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    ProbeCache("langIdEval", Seq(docs))(Text.langIdEval(docs))
+  }
+  private def calibrationMemo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    ProbeCache("qualityCalibration:4:10", Seq(docs))(
+      Text.qualityCalibration(docs))
+  }
   private def ndcgReportMemo(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     ProbeCache("ndcgReport:3x10", Seq(docs))(
@@ -1086,6 +1099,16 @@ object SparkEntry {
       Graph.degreeTailFit(basketEdgesMemo(s, dir))),
     // seed-sampled bounded-hop Brandes betweenness over the basket graph
     "q_betweenness" -> ((s, dir) => betweennessMemo(s, dir).orderBy("rn")),
+    // harmonic closeness of the same sampled seeds (centrality artifact)
+    "q_closeness" -> ((s, dir) => closenessMemo(s, dir).orderBy("seed")),
+    // language-ID confusion matrix vs the gold lang column (eval artifact)
+    "q_langid_eval" -> ((s, dir) =>
+      langIdEvalMemo(s, dir).orderBy("gold_lang", "pred_lang")),
+    // classifier reliability bins: score decile vs empirical keep rate
+    "q_calibration" -> ((s, dir) => calibrationMemo(s, dir).orderBy("bin")),
+    // day-of-week revenue seasonality profile (honest per-rep aggregate)
+    "q_dow_profile" -> t("orders")(o => Stats.dowProfile(o,
+      date_trunc("day", col("o_orderdate")), col("o_totalprice"))),
     // shuffle-key skew audit on the order key — the engine's own
     // before-you-join diagnostic as a first-class operator
     "q_skew_audit" -> t("lineitem")(Stats.keySkewAudit(_, "l_orderkey")),
@@ -1513,6 +1536,39 @@ object SparkEntry {
         |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |        AND l_shipdate < TIMESTAMP '1997-01-01') y
         |  ON x.ok = y.ok AND x.p < y.p""".stripMargin),
+    "q_closeness" -> Graph.harmonicClosenessOracleSql(
+      """SELECT DISTINCT x.p AS a, y.p AS b
+        |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01') x
+        |JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01') y
+        |  ON x.ok = y.ok AND x.p < y.p""".stripMargin),
+    "q_langid_eval" ->
+      """WITH s AS (SELECT doc_id, lang AS gold_lang,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist|nicht|ein|zu)\b')) AS h_de,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|in|that|it)\b')) AS h_en,
+                len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y|en|los|se)\b')) AS h_es,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des|en|un|que)\b')) AS h_fr
+         FROM documents),
+         p AS (SELECT gold_lang,
+                CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                     WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                     WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                     WHEN h_en >= h_de THEN 'en'
+                     ELSE 'de' END AS pred_lang
+         FROM s),
+         c AS (SELECT gold_lang, pred_lang, COUNT(*) AS n_docs
+               FROM p GROUP BY gold_lang, pred_lang)
+         SELECT gold_lang, pred_lang, n_docs,
+                round(CAST(n_docs AS DOUBLE)
+                      / CAST(SUM(n_docs) OVER (PARTITION BY gold_lang) AS DOUBLE), 6)
+                  AS gold_share
+         FROM c ORDER BY gold_lang, pred_lang""",
+    "q_calibration" -> ops.Text.qualityCalibrationOracleSql(),
+    "q_dow_profile" -> Stats.dowProfileOracleSql("orders",
+      "date_trunc('day', o_orderdate)", "o_totalprice"),
     "q_skew_audit" -> Stats.keySkewAuditOracleSql("lineitem", "l_orderkey"),
     "q_growth" -> Stats.monthlyGrowthOracleSql("orders",
       "date_trunc('month', o_orderdate)", "o_totalprice"),

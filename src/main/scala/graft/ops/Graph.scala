@@ -1965,4 +1965,84 @@ object Graph {
        |SELECT node, round(CAST(b AS DOUBLE), 6) AS betweenness, CAST(rn AS BIGINT) AS rn
        |FROM rk WHERE rn <= $topK ORDER BY rn""".stripMargin
   }
+
+  /** Harmonic closeness of the sampled seed nodes within `maxHops` —
+    * the how-central-are-these-hubs companion to [[betweennessSampled]],
+    * over the same deterministic smallest-id seed set and bounded
+    * radius (harmonic form: Σ 1/d over reached nodes — defined on
+    * disconnected graphs where classic closeness is not). The BFS is
+    * the betweenness forward pass without path counts; the score sums
+    * exact per-level counts as round-9 decimal count/d terms (≤ maxHops
+    * terms per seed, order-free).
+    */
+  def harmonicCloseness(edgeList: DataFrame, nSeeds: Int = 8,
+                        maxHops: Int = 3): DataFrame = {
+    require(nSeeds >= 1 && maxHops >= 1)
+    val e = canonicalEdges(edgeList)
+    val nbr = Helpers.releaseAfterFirstAction(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        .persist())
+    val seeds = nbr.select(col("u").as("node")).distinct()
+      .orderBy("node").limit(nSeeds)
+    var frontier = seeds.select(col("node").as("seed"), col("node"))
+      .localCheckpoint()
+    var visited = frontier
+    val perLevel = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (d <- 1 to maxHops) {
+      val nxt = frontier.join(nbr, col("node") === col("u"))
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(visited.select(col("seed").as("_s"), col("node").as("_n")),
+          col("seed") === col("_s") && col("node") === col("_n"), "left_anti")
+        .localCheckpoint()
+      perLevel += nxt.groupBy("seed")
+        .agg(count(lit(1)).as("_c")).withColumn("_d", lit(d))
+      frontier = nxt
+      visited = visited.unionByName(nxt).localCheckpoint()
+    }
+    val levels = perLevel.reduce(_.unionByName(_))
+    seeds.select(col("node").as("seed"))
+      .join(
+        levels.groupBy("seed").agg(
+          sum("_c").as("n_reached"),
+          sum(round(col("_c").cast("double") / col("_d").cast("double"), 9)
+            .cast(DecimalType(28, 9))).as("_h")),
+        Seq("seed"), "left")
+      .select(col("seed"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        round(coalesce(col("_h").cast("double"), lit(0.0)), 6)
+          .as("harmonic_closeness"))
+      .orderBy("seed")
+  }
+
+  /** Generated DuckDB oracle for [[harmonicCloseness]] — unrolled BFS
+    * levels, same round-9 decimal count/d terms. */
+  def harmonicClosenessOracleSql(edgeSql: String, nSeeds: Int = 8,
+                                 maxHops: Int = 3): String = {
+    val lvls = (1 to maxHops).map { d =>
+      val prev = (0 until d).map(i => s"SELECT seed, node FROM l$i").mkString(" UNION ALL ")
+      s"""l$d AS (
+         |  SELECT DISTINCT p.seed, n.v AS node
+         |  FROM l${d - 1} p JOIN nbr n ON n.u = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prev) vis
+         |                    WHERE vis.seed = p.seed AND vis.node = n.v))""".stripMargin
+    }
+    val counts = (1 to maxHops).map(d =>
+      s"SELECT seed, COUNT(*) AS c, $d AS d FROM l$d GROUP BY seed").mkString("\n  UNION ALL ")
+    s"""WITH e AS ($edgeSql),
+       |nbr AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |seeds AS (SELECT DISTINCT u AS node FROM nbr ORDER BY node LIMIT $nSeeds),
+       |l0 AS (SELECT node AS seed, node FROM seeds),
+       |${lvls.mkString(",\n")},
+       |lv AS (
+       |  $counts),
+       |agg AS (SELECT seed, SUM(c) AS n_reached,
+       |               SUM(CAST(round(CAST(c AS DOUBLE) / d, 9) AS DECIMAL(28,9))) AS h
+       |        FROM lv GROUP BY seed)
+       |SELECT s.node AS seed,
+       |       CAST(COALESCE(n_reached, 0) AS BIGINT) AS n_reached,
+       |       round(COALESCE(CAST(h AS DOUBLE), 0.0), 6) AS harmonic_closeness
+       |FROM seeds s LEFT JOIN agg ON agg.seed = s.node
+       |ORDER BY seed""".stripMargin
+  }
 }

@@ -973,4 +973,46 @@ object Stats {
        |         AS mom_pct,
        |       round(CAST(mas AS DOUBLE) / man, 2) AS ma3
        |FROM w ORDER BY month""".stripMargin
+
+  /** Day-of-week seasonality profile — mean DAILY revenue per weekday
+    * with an index against the overall daily mean (the is-Friday-bigger
+    * probe behind the ACF's lag-7 reading). Two post-aggregate stages:
+    * the fact table collapses once to exact DECIMAL(20,6) daily sums,
+    * then per-dow means and the overall mean divide exact decimals.
+    * `dow` is 0=Sunday..6 on both engines (Spark `dayofweek`−1 ↔ DuckDB
+    * `dayofweek`).
+    */
+  def dowProfile(df: DataFrame, dayCol: Column, valueCol: Column): DataFrame = {
+    val daily = df.groupBy(dayCol.as("_day"))
+      .agg(sum(valueCol.cast(DecimalType(20, 6))).as("_v"))
+    val overall = daily.agg(count(lit(1)).as("_nd"), sum("_v").as("_tv"))
+    daily
+      .withColumn("dow", (dayofweek(col("_day")) - 1).cast("long"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("_v").as("_dv"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"),
+        round(col("_dv").cast("double") / col("n_days").cast("double"), 2)
+          .as("mean_daily"),
+        round((col("_dv").cast("double") / col("n_days").cast("double"))
+          / (col("_tv").cast("double") / col("_nd").cast("double")), 6)
+          .as("dow_index"))
+      .orderBy("dow")
+  }
+
+  /** Generated DuckDB oracle for [[dowProfile]]. */
+  def dowProfileOracleSql(table: String, dayExpr: String,
+                          valueExpr: String): String =
+    s"""WITH daily AS (SELECT $dayExpr AS day,
+       |                      SUM(CAST($valueExpr AS DECIMAL(20,6))) AS v
+       |               FROM $table GROUP BY 1),
+       |ov AS (SELECT COUNT(*) AS nd, SUM(v) AS tv FROM daily),
+       |d AS (SELECT CAST(dayofweek(day) AS BIGINT) AS dow,
+       |             COUNT(*) AS n_days, SUM(v) AS dv
+       |      FROM daily GROUP BY 1)
+       |SELECT dow, n_days,
+       |       round(CAST(dv AS DOUBLE) / n_days, 2) AS mean_daily,
+       |       round((CAST(dv AS DOUBLE) / n_days)
+       |             / (CAST(tv AS DOUBLE) / nd), 6) AS dow_index
+       |FROM d CROSS JOIN ov ORDER BY dow""".stripMargin
 }

@@ -2220,6 +2220,67 @@ object Text {
        |GROUP BY a.source, b.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Language-ID confusion matrix — the audit a curation pipeline runs
+    * before trusting [[langId]]'s routing: predicted vs gold language,
+    * with each cell's share of its gold row (recall). The heuristic only
+    * knows de/en/es/fr (+ 'und'), so gold languages outside that set land
+    * visibly in the matrix instead of silently vanishing — that gap IS
+    * the audit's finding. One row-local scoring pass + one tiny
+    * aggregate + one window over the ≤ |langs|² cells.
+    */
+  def langIdEval(documents: DataFrame): DataFrame = {
+    val preds = langId(documents).select(col("doc_id"), col("pred_lang"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gold_lang")
+    documents.select(col("doc_id"), col("lang").as("gold_lang"))
+      .join(preds, "doc_id")
+      .groupBy("gold_lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("gold_share",
+        round(col("n_docs").cast("double")
+          / sum(col("n_docs")).over(w).cast("double"), 6))
+      .orderBy("gold_lang", "pred_lang")
+  }
+
+  /** Calibration (reliability) bins for [[qualityClassifier]] — is a
+    * score of 0.8 actually kept 80% of the time? Per score decile:
+    * count, exact-decimal mean score, empirical keep rate, and the
+    * calibration gap. Scores are the classifier's own round-6 outputs,
+    * so binning and both means are engine-identical; the training replay
+    * rides the existing iteration-unrolled oracle.
+    */
+  def qualityCalibration(documents: DataFrame, iters: Int = 4,
+                         lr: Double = 0.5, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val scored = qualityClassifier(documents, iters, lr)
+    scored
+      .withColumn("bin",
+        least(floor(col("score") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_score"),
+        round(sum("label").cast("double")
+          / count(lit(1)).cast("double"), 6).as("keep_rate"))
+      .withColumn("gap", round(col("keep_rate") - col("mean_score"), 6))
+      .orderBy("bin")
+  }
+
+  /** Generated DuckDB oracle for [[qualityCalibration]]: the full
+    * classifier training replay as a subquery, then the same binning. */
+  def qualityCalibrationOracleSql(iters: Int = 4, lr: Double = 0.5,
+                                  nBins: Int = 10): String =
+    s"""SELECT bin, COUNT(*) AS n_docs,
+       |       round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+       |             / COUNT(*), 6) AS mean_score,
+       |       round(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+       |       round(round(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6)
+       |             - round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+       |                     / COUNT(*), 6), 6) AS gap
+       |FROM (SELECT label, score,
+       |             least(CAST(floor(score * $nBins) AS BIGINT), ${nBins - 1}) AS bin
+       |      FROM (${qualityClassifierOracleSql(iters, lr)}))
+       |GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Per-source Gopher-gate kept rate with a Wilson score interval — the
     * curation dashboard row that says not just "src7 keeps 62%" but how
     * much that estimate can be trusted given the source's size (a 3-doc

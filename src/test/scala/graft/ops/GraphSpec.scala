@@ -560,6 +560,20 @@ class GraphSpec extends SparkSpec {
     assert(r1.values.forall(_ == 0.0))
   }
 
+  test("harmonicCloseness: exact path-graph values; radius bound honored") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = Graph.harmonicCloseness(e, nSeeds = 5, maxHops = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // end node: 1 + 1/2 + 1/3 + 1/4; middle node: 2/1 + 2/2
+    assert(out(1L) == ((4L, BigDecimal(1.0 + 0.5 + (1.0 / 3) + 0.25)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(3L) == ((4L, 3.0)))
+    assert(out(2L)._1 == 4L && out(4L)._1 == 4L)
+    val r2 = Graph.harmonicCloseness(e, nSeeds = 5, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(r2(1L) == 1.5, "radius 2 sees only two hops")
+  }
+
   test("reciprocity: hand-computed edge and weight ratios; self-loops excluded") {
     val spark2 = spark
     import spark2.implicits._

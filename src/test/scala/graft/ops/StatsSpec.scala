@@ -361,6 +361,24 @@ class StatsSpec extends SparkSpec {
       BigDecimal(331.0 / 3).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("dowProfile: one day per weekday gives index = value / overall mean") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2024-01-01 is a Monday (Spark dayofweek=2 -> dow 1)
+    val days = (0 until 7).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-0${i + 1}%d 00:00:00"), (i + 1) * 10.0)
+    }
+    val out = Stats.dowProfile(days.toDF("d", "v"), col("d"), col("v")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 7)
+    // Monday (dow 1) carries the first value 10; overall mean daily = 40
+    assert(out(1L).getAs[Double]("mean_daily") == 10.0)
+    assert(out(1L).getAs[Double]("dow_index") == 0.25)
+    assert(out(0L).getAs[Double]("mean_daily") == 70.0, "Sunday is Jan 7")
+    assert(out(0L).getAs[Double]("dow_index") == 1.75)
+    assert(out.values.forall(_.getAs[Long]("n_days") == 1L))
+  }
+
   test("cusumChangePoint: finds the level-shift day with before/after means") {
     val spark2 = spark
     import spark2.implicits._

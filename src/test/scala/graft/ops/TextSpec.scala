@@ -876,6 +876,41 @@ class TextSpec extends SparkSpec {
     assert(out1(("s1", "s2")) < math.log(2.0), "bounded by ln 2")
   }
 
+  test("langIdEval: confusion cells, out-of-repertoire golds land visibly, gold shares sum to 1") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the and of to is in", "en"),   // correct en
+      (2L, "der die und das ist", "en"),   // en gold misrouted to de
+      (3L, "el la de que y en", "es"),     // correct es
+      (4L, "汉字 漢字 without stopwords", "zh")) // outside the repertoire -> und
+    val out = Text.langIdEval(rows.toDF("doc_id", "text", "lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("en", "en")) == ((1L, 0.5)))
+    assert(out(("en", "de")) == ((1L, 0.5)))
+    assert(out(("es", "es")) == ((1L, 1.0)))
+    assert(out(("zh", "und")) == ((1L, 1.0)))
+    // shares within each gold row sum to 1
+    val byGold = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    assert(byGold.forall { case (_, s) => math.abs(s - 1.0) < 1e-9 })
+  }
+
+  test("qualityCalibration: bins partition the corpus; fields internally consistent") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val out = Text.qualityCalibration(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val ms = r.getAs[Double]("mean_score")
+      assert(ms >= bin / 10.0 - 1e-9 && (bin == 9 || ms < (bin + 1) / 10.0 + 1e-9))
+      val kr = r.getAs[Double]("keep_rate")
+      assert(kr >= 0.0 && kr <= 1.0)
+      assert(r.getAs[Double]("gap") ==
+        BigDecimal(kr - ms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("keptRateWilson: exact counts, hand-computed Wilson bounds, [0,1] sanity") {
     import spark.implicits._
     val prose = ("the quick brown fox jumps over a lazy dog and runs far away " * 5).trim
