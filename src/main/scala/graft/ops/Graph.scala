@@ -1864,16 +1864,19 @@ object Graph {
     val sigmaT = DecimalType(38, 0)
     val deltaT = DecimalType(28, 12)
     val e = canonicalEdges(edgeList)
-    val nbr = Helpers.releaseAfterFirstAction(
-      e.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-        .persist())
+    // localCheckpoint (not a released persist): the BFS runs 2·maxHops
+    // actions against this frame — a release-after-first-action cache
+    // would recompute the union for every level
+    val nbr = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
     val seeds = nbr.select(col("u").as("node")).distinct()
       .orderBy("node").limit(nSeeds)
     // forward: levels(d) = (seed, node, sigma) first reached at hop d
     val l0 = seeds.select(col("node").as("seed"), col("node"),
       lit(1).cast(sigmaT).as("sigma")).localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+    val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var visited = l0.select("seed", "node")
     for (_ <- 1 to maxHops) {
       val nxt = levels.last.join(nbr, col("node") === col("u"))
@@ -1884,6 +1887,7 @@ object Graph {
         .localCheckpoint()
       levels += nxt
       visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint()
+      ckpts += visited
     }
     // backward: deepest level has delta 0; each level pulls from the one
     // below it through the edge table
@@ -1915,11 +1919,18 @@ object Graph {
       .groupBy("node").agg(sum(col("delta")).as("_b"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_b").desc, col("node"))
-    bw.withColumn("rn", row_number().over(w).cast("long"))
+    val out = bw.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("node"), round(col("_b").cast("double"), 6).as("betweenness"),
         col("rn"))
       .orderBy("rn")
+      .localCheckpoint()
+    // the output is materialized: release every intermediate checkpoint
+    // (levels, visited snapshots, per-level deltas) and the edge table
+    (levels ++ deltas ++ ckpts).foreach(
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(nbr)
+    out
   }
 
   /** Generated DuckDB oracle for [[betweennessSampled]]: the BFS levels
@@ -1979,16 +1990,16 @@ object Graph {
                         maxHops: Int = 3): DataFrame = {
     require(nSeeds >= 1 && maxHops >= 1)
     val e = canonicalEdges(edgeList)
-    val nbr = Helpers.releaseAfterFirstAction(
-      e.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-        .persist())
+    val nbr = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
     val seeds = nbr.select(col("u").as("node")).distinct()
       .orderBy("node").limit(nSeeds)
     var frontier = seeds.select(col("node").as("seed"), col("node"))
       .localCheckpoint()
     var visited = frontier
     val perLevel = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     for (d <- 1 to maxHops) {
       val nxt = frontier.join(nbr, col("node") === col("u"))
         .select(col("seed"), col("v").as("node")).distinct()
@@ -1999,9 +2010,11 @@ object Graph {
         .agg(count(lit(1)).as("_c")).withColumn("_d", lit(d))
       frontier = nxt
       visited = visited.unionByName(nxt).localCheckpoint()
+      ckpts += nxt
+      ckpts += visited
     }
     val levels = perLevel.reduce(_.unionByName(_))
-    seeds.select(col("node").as("seed"))
+    val out = seeds.select(col("node").as("seed"))
       .join(
         levels.groupBy("seed").agg(
           sum("_c").as("n_reached"),
@@ -2013,6 +2026,10 @@ object Graph {
         round(coalesce(col("_h").cast("double"), lit(0.0)), 6)
           .as("harmonic_closeness"))
       .orderBy("seed")
+      .localCheckpoint()
+    ckpts.foreach(org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
+    org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(nbr)
+    out
   }
 
   /** Generated DuckDB oracle for [[harmonicCloseness]] — unrolled BFS

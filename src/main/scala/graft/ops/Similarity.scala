@@ -1563,6 +1563,10 @@ object Similarity {
   /** Sign-bit binary quantization code: bit i set iff v[i] > 0 — one
     * 64-bit word per vector (512 B float32 → 8 B, a 64× scan-cost cut).
     * Built as a codegen'd OR-reduction over `element_at`; no UDF.
+    * `dim` must equal the vector length: positions past the actual
+    * length read null → bit 0 (ANSI-off element_at), silently densifying
+    * Hamming distances rather than erroring — callers pass the corpus
+    * dim explicitly (the [[quantizeInt8]] contract).
     */
   def binaryCode(v: Column, dim: Int = 64): Column = {
     require(dim <= 64, s"binaryCode packs into one 64-bit word, got dim=$dim")
