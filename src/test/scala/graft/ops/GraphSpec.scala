@@ -574,6 +574,27 @@ class GraphSpec extends SparkSpec {
     assert(r2(1L) == 1.5, "radius 2 sees only two hops")
   }
 
+  test("betweennessSampled and harmonicCloseness are bit-identical under edge repartitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two triangles joined by a bridge — asymmetric enough that a
+    // partition-order-dependent sum would show
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val e = pairs.toDF("src", "dst")
+    val shuffled = pairs.toDF("src", "dst").repartition(5)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(Graph.betweennessSampled(e, 6, 3, 10),
+      Graph.betweennessSampled(shuffled, 6, 3, 10)))
+    assert(same(Graph.harmonicCloseness(e, 6, 3),
+      Graph.harmonicCloseness(shuffled, 6, 3)))
+    // and the bridge node carries the betweenness mass
+    val top = Graph.betweennessSampled(e, 6, 3, 2).collect()
+    assert(Set(3L, 4L).contains(top.head.getLong(0)),
+      s"a bridge endpoint must rank first: ${top.mkString(";")}")
+  }
+
   test("reciprocity: hand-computed edge and weight ratios; self-loops excluded") {
     val spark2 = spark
     import spark2.implicits._

@@ -379,6 +379,23 @@ class StatsSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Long]("n_days") == 1L))
   }
 
+  test("round-14 stats operators are bit-identical under input repartitioning") {
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    val shuffled = orders.repartition(7)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(Stats.benfordAudit(orders, "o_totalprice"),
+      Stats.benfordAudit(shuffled, "o_totalprice")))
+    assert(same(
+      Stats.acf(orders, date_trunc("day", col("o_orderdate")), col("o_totalprice")),
+      Stats.acf(shuffled, date_trunc("day", col("o_orderdate")), col("o_totalprice"))))
+    assert(same(
+      Stats.monthlyGrowth(orders, date_trunc("month", col("o_orderdate")), col("o_totalprice")),
+      Stats.monthlyGrowth(shuffled, date_trunc("month", col("o_orderdate")), col("o_totalprice"))))
+    assert(same(Stats.keySkewAudit(orders, "o_custkey"),
+      Stats.keySkewAudit(shuffled, "o_custkey")))
+  }
+
   test("cusumChangePoint: finds the level-shift day with before/after means") {
     val spark2 = spark
     import spark2.implicits._
