@@ -434,14 +434,29 @@ object Events {
     */
   def overlapJoin(left: DataFrame, right: DataFrame, binSec: Long = 3600,
                   joinCond: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)
-                    => org.apache.spark.sql.Column] = None): DataFrame = {
+                    => org.apache.spark.sql.Column] = None,
+                  maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(binSec >= 1, s"need binSec >= 1, got $binSec")
-    def explodeBins(df: DataFrame, tag: String): DataFrame =
+    require(maxBinsPerInterval >= 1,
+      s"need maxBinsPerInterval >= 1, got $maxBinsPerInterval")
+    def explodeBins(df: DataFrame, tag: String): DataFrame = {
+      val startBin = (col(s"_${tag}s") / binSec).cast("long")
+      val endBin = (col(s"_${tag}e") / binSec).cast("long")
+      // bin-explosion guard: one pathological interval (a year-long
+      // session at binSec=3600 is ~8.8k bins) would silently multiply the
+      // exploded row count; fail loudly INSIDE the consumed expression
+      // (raise_error in the sequence's upper bound — a side column would
+      // be pruned by the optimizer) and name the fix
+      val cappedEnd = when(endBin - startBin < maxBinsPerInterval, endBin)
+        .otherwise(raise_error(format_string(
+          s"overlapJoin: interval [%s, %s] spans >= $maxBinsPerInterval bins at " +
+            s"binSec=$binSec — raise binSec (or maxBinsPerInterval) or pre-split " +
+            "the interval",
+          col(s"_${tag}s"), col(s"_${tag}e"))))
       df.select(struct(df.columns.map(col): _*).as(s"_$tag"),
           col("start_s").as(s"_${tag}s"), col("end_s").as(s"_${tag}e"))
-        .withColumn("_bin", explode(sequence(
-          (col(s"_${tag}s") / binSec).cast("long"),
-          (col(s"_${tag}e") / binSec).cast("long"))))
+        .withColumn("_bin", explode(sequence(startBin, cappedEnd)))
+    }
     val la = explodeBins(left, "a")
     val lb = explodeBins(right, "b")
     val overlap = col("_as") <= col("_be") && col("_bs") <= col("_ae")

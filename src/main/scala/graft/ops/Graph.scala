@@ -1897,7 +1897,10 @@ object Graph {
       .localCheckpoint()
     val deltas = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (maxHops >= 1) deltas += below // level maxHops (delta 0 rows count too)
-    for (d <- (maxHops - 1) to 0 by -1) {
+    // stop at d = 1: level 0 is the seeds themselves, whose self-deltas are
+    // excluded from bw by design (Brandes' δ never credits the source), so
+    // a d = 0 pass would checkpoint a full delta frame nothing ever reads
+    for (d <- (maxHops - 1) to 1 by -1) {
       val contrib = levels(d).join(nbr, col("node") === col("u"))
         .join(below.select(col("seed").as("_ws"), col("node").as("_w"),
             col("sigma").as("_sw"), col("delta").as("_dw")),
@@ -1911,16 +1914,21 @@ object Graph {
         .select(col("seed"), col("node"), col("sigma"),
           coalesce(col("delta"), lit(0).cast(deltaT)).as("delta"))
         .localCheckpoint()
-      if (d >= 1) deltas += lvl
+      deltas += lvl
       below = lvl
     }
     val bw = deltas.map(_.select(col("node"), col("delta")))
       .reduce(_.unionByName(_))
       .groupBy("node").agg(sum(col("delta")).as("_b"))
+    // global top-k as orderBy+limit (plans TakeOrderedAndProject — a
+    // per-partition bounded heap + driver merge) instead of ranking the
+    // whole seed-ball union through one single-task window; the rank is
+    // then a window over the ≤ topK surviving rows only. (_b desc, node)
+    // is a total order, so the limit set and the ranks are identical.
+    val top = bw.orderBy(col("_b").desc, col("node")).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_b").desc, col("node"))
-    val out = bw.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= topK)
+    val out = top.withColumn("rn", row_number().over(w).cast("long"))
       .select(col("node"), round(col("_b").cast("double"), 6).as("betweenness"),
         col("rn"))
       .orderBy("rn")

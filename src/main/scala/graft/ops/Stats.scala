@@ -369,8 +369,13 @@ object Stats {
                   idCol: String): DataFrame = {
     val v = col(valueCol).cast(DecimalType(20, 6))
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    // null values are dropped, not ranked: Spark's orderBy sorts NULLs
+    // first where DuckDB's sorts them last, so a null row would silently
+    // shift every rank and break operator/oracle parity — and a null has
+    // no place in a Lorenz curve anyway (the oracle mirrors the filter)
     val ranked = entities
       .select(col(groupCol), col(idCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("_v", v)
       .withColumn("_i", row_number().over(w).cast(DecimalType(12, 0)))
     val agg = ranked.groupBy(groupCol).agg(
@@ -398,7 +403,7 @@ object Stats {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY $groupCol
        |                                 ORDER BY $valueCol, $idCol)
        |              AS DECIMAL(12,0)) AS i
-       |  FROM ent),
+       |  FROM ent WHERE $valueCol IS NOT NULL),
        |agg AS (SELECT $groupCol, COUNT(*) AS n_entities,
        |               SUM(v) AS s0, SUM(i * v) AS s1
        |        FROM ranked GROUP BY $groupCol)
@@ -689,9 +694,9 @@ object Stats {
     val a = alpha.toString; val ca = (1 - alpha).toString
     val bt = beta.toString; val cb = (1 - beta).toString
     s"""WITH RECURSIVE daily AS (
-       |  SELECT CAST(SUM(CAST($valueExpr AS DECIMAL(20,6))) AS DOUBLE) AS x,
+       |  SELECT CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS x,
        |         ROW_NUMBER() OVER (ORDER BY day) AS t
-       |  FROM (SELECT $dayExpr AS day, $valueExpr FROM $table) GROUP BY day),
+       |  FROM (SELECT $dayExpr AS day, $valueExpr AS v FROM $table) GROUP BY day),
        |nn AS (SELECT COUNT(*) AS n FROM daily),
        |rec(t, l, b) AS (
        |  SELECT CAST(1 AS BIGINT), d1.x, d2.x - d1.x
@@ -786,10 +791,21 @@ object Stats {
     val pp = (xa + xb) / (na + nb)
     val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
     val z = (p1 - p2) / se
-    agg.select(col("n_a"), col("x_a"), round(p1, 6).as("rate_a"),
-      col("n_b"), col("x_b"), round(p2, 6).as("rate_b"),
-      round(z, 4).as("z"),
-      (abs(z) > zCrit).as("significant"))
+    // degenerate-input guard as exact INTEGER conditions (engine-portable,
+    // no double compare): an empty cohort (n=0) or an all-same outcome
+    // (pooled p̂ of 0 or 1 ⇒ se = 0) makes z a 0/0 NaN, and Spark orders
+    // NaN above every double so `abs(z) > zCrit` would read significant
+    // on a degenerate readout. Well-defined ⇔ both cohorts non-empty and
+    // 0 < x_a+x_b < n_a+n_b; otherwise z is null and significant false.
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      (col("x_a") + col("x_b")) > 0 &&
+      (col("x_a") + col("x_b")) < (col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("x_a"),
+      round(when(col("n_a") > 0, p1), 6).as("rate_a"),
+      col("n_b"), col("x_b"),
+      round(when(col("n_b") > 0, p2), 6).as("rate_b"),
+      round(when(ok, z), 4).as("z"),
+      coalesce(when(ok, abs(z) > zCrit), lit(false)).as("significant"))
   }
 
   /** Generated DuckDB oracle for [[twoProportionZ]]: `groupExpr` /
@@ -803,23 +819,30 @@ object Stats {
        |  CAST(SUM(CASE WHEN g AND o THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
        |  CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
        |  CAST(SUM(CASE WHEN NOT g AND o THEN 1 ELSE 0 END) AS BIGINT) AS x_b
-       |  FROM s)
+       |  FROM s),
+       |ok AS (SELECT *,
+       |  (n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b) AS wd
+       |  FROM agg)
        |SELECT n_a, x_a,
-       |       round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       |       round(CASE WHEN n_a > 0
+       |             THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END, 6) AS rate_a,
        |       n_b, x_b,
-       |       round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-       |       round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |       round(CASE WHEN n_b > 0
+       |             THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END, 6) AS rate_b,
+       |       round(CASE WHEN wd THEN
+       |             (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
        |              - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
        |             / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
        |                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-       |                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4) AS z,
-       |       abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-       |            - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-       |           / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-       |                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-       |                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > $zCrit
-       |         AS significant
-       |FROM agg""".stripMargin
+       |                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END, 4) AS z,
+       |       COALESCE(CASE WHEN wd THEN
+       |           abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |                - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |               / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |                      * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > $zCrit
+       |         END, FALSE) AS significant
+       |FROM ok""".stripMargin
 
   /** Bucketed quantile normalization — make every group's value
     * distribution comparable by mapping each (group, quantile-bucket) to
@@ -840,7 +863,11 @@ object Stats {
                         idCol: String, nBuckets: Int = 20): DataFrame = {
     require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    // same null discipline as [[giniByGroup]]: Spark ranks NULLs first,
+    // DuckDB last — a null value would shift every bucket assignment, so
+    // nulls are excluded on both sides
     val bucketed = df.select(col(groupCol), col(idCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
     val perGB = bucketed.groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
@@ -864,7 +891,7 @@ object Stats {
     s"""WITH b AS (SELECT $groupCol, $valueCol,
        |                  CAST(ntile($nBuckets) OVER (PARTITION BY $groupCol
        |                       ORDER BY $valueCol, $idCol) AS BIGINT) AS bucket
-       |           FROM $table),
+       |           FROM $table WHERE $valueCol IS NOT NULL),
        |gb AS (SELECT $groupCol, bucket, COUNT(*) AS n_rows,
        |              CAST(SUM(CAST($valueCol AS DECIMAL(20,6))) AS DOUBLE)
        |                / CAST(COUNT(*) AS DOUBLE) AS m
@@ -890,9 +917,12 @@ object Stats {
   def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("string").as("_key"))
       .agg(count(lit(1)).as("_c"))
-    val pick = Window.orderBy(col("_c").desc, col("_key"))
-    val top = counts.withColumn("_rn", row_number().over(pick))
-      .filter(col("_rn") === 1)
+    // top key via orderBy+limit — plans TakeOrderedAndProject (bounded
+    // per-partition heap + driver merge), never the single-task global
+    // window that would make the skew DIAGNOSTIC itself the skew on a
+    // billion-key column; (_c desc, _key) stays a total order so the
+    // smallest-key tie rule is unchanged
+    val top = counts.orderBy(col("_c").desc, col("_key")).limit(1)
       .select(col("_key").as("top_key"), col("_c").as("top_count"))
     val agg = counts.agg(
       count(lit(1)).as("n_keys"), sum("_c").as("n_rows"),

@@ -93,6 +93,17 @@ class AnalyticsPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_skew_audit: top-key pick is a bounded TakeOrdered, never a single-task window") {
+    // the skew DIAGNOSTIC must not itself be the skew: on a billion-key
+    // column a global row_number window funnels every per-key count into
+    // one task, where orderBy+limit(1) plans a per-partition heap
+    val plan = planOf("q_skew_audit")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"q_skew_audit must not rank through a window:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-key pick must plan TakeOrderedAndProject:\n$plan")
+  }
+
   test("q_collocations / q_cms_rollup / q_split_safe: no cartesian product anywhere") {
     for (name <- Seq("q_collocations", "q_cms_rollup", "q_split_safe", "q_hop_distance", "q_kcore", "q_hits")) {
       val plan = planOf(name)

@@ -259,6 +259,25 @@ class EventsSpec extends SparkSpec {
     for (bin <- Seq(1L, 7L, 100L, 3600L)) assert(run(bin) == want, s"bin=$bin")
   }
 
+  test("overlapJoin: an interval spanning more than the bin cap fails loudly, not explodes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a year-long interval at binSec=3600 is ~8.8k bins — past the default
+    // 4096 cap the operator must raise with actionable advice rather than
+    // silently multiplying the exploded row volume
+    val pathological = Seq((1L, 0L, 365L * 24 * 3600)).toDF("id", "start_s", "end_s")
+    val ok = Seq((2L, 0L, 100L)).toDF("id", "start_s", "end_s")
+    val e = intercept[Exception] {
+      Events.overlapJoin(pathological, ok, binSec = 3600).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("overlapJoin") && m.contains("binSec")),
+      s"error must name the operator and the fix: $e")
+    // the same interval passes at a bin width sized to it
+    assert(Events.overlapJoin(pathological, ok, binSec = 24 * 3600).count() == 1L)
+  }
+
   test("concurrentSessions: cross-user pairs only, aggregated overlap") {
     val d = ev(
       (1L, "2024-01-01 00:00:00", 1L, "c", 0.0),

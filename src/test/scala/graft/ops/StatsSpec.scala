@@ -331,6 +331,42 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("significant"))
   }
 
+  test("twoProportionZ: degenerate inputs give null z and significant=false, never NaN") {
+    val spark2 = spark
+    import spark2.implicits._
+    // empty cohort B: every row is group A
+    val oneCohort = Seq.fill(10)((true, true)).toDF("g", "o")
+    val r1 = Stats.twoProportionZ(oneCohort, col("g"), col("o")).collect().head
+    assert(r1.getAs[Long]("n_b") == 0L)
+    assert(r1.isNullAt(r1.fieldIndex("z")), "empty cohort must null z, not NaN")
+    assert(!r1.getAs[Boolean]("significant"),
+      "NaN > zCrit must never read significant")
+    assert(r1.isNullAt(r1.fieldIndex("rate_b")))
+    // all-same outcome: pooled p = 1 so se = 0
+    val allConvert = (Seq.fill(5)((true, true)) ++ Seq.fill(5)((false, true))).toDF("g", "o")
+    val r2 = Stats.twoProportionZ(allConvert, col("g"), col("o")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("z")), "se = 0 must null z, not divide")
+    assert(!r2.getAs[Boolean]("significant"))
+    assert(r2.getAs[Double]("rate_a") == 1.0 && r2.getAs[Double]("rate_b") == 1.0)
+  }
+
+  test("giniByGroup / quantileNormalize: null values are excluded, not ranked") {
+    val spark2 = spark
+    import spark2.implicits._
+    val clean = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0)).toDF("grp", "id", "v")
+    val dirty = clean.unionByName(
+      Seq(("g", 4L, Option.empty[Double]), ("g", 5L, Option.empty[Double]))
+        .toDF("grp", "id", "v"))
+    // a null row must neither shift ranks (Spark sorts NULLs first, the
+    // DuckDB oracle last) nor enter n_entities
+    assert(Stats.giniByGroup(dirty, "v", "grp", "id").collect().toSeq ==
+      Stats.giniByGroup(clean, "v", "grp", "id").collect().toSeq)
+    assert(Stats.quantileNormalize(dirty, "v", "grp", "id", nBuckets = 2)
+      .collect().toSeq ==
+      Stats.quantileNormalize(clean, "v", "grp", "id", nBuckets = 2)
+        .collect().toSeq)
+  }
+
   test("keySkewAudit: exact top share and interpolated count percentiles") {
     val spark2 = spark
     import spark2.implicits._
