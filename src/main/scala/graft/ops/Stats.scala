@@ -608,21 +608,77 @@ object Stats {
   /** Pareto frontier (2-D skyline): the non-dominated (x minimized,
     * y maximized) points — price/size efficient frontiers, quality/cost
     * trade-off curves. A point is dominated iff another point is ≤ on x
-    * and ≥ on y with at least one strict. Plan: collapse to DISTINCT
-    * (x, y) pairs with multiplicities (one hash aggregate — the only
-    * full-scan work), then one window over the pair table ordered
-    * (x asc, y desc): a pair is on the frontier iff its y strictly
-    * exceeds the running max over all earlier pairs. Equal-x groups sort
-    * y-desc, so only the x-group's max y can survive — exactly the
-    * dominance rule.
+    * and ≥ on y with at least one strict.
     *
-    * Scale shape: the global sort runs over the post-aggregate DISTINCT
-    * pair table, bounded by value-domain cardinality, not row count. The
-    * oracle is the DEFINITIONAL quadratic NOT EXISTS — the operator and
-    * its obviously-correct form meet at the driver gate.
+    * Plan (scale-safe, round 15 — the old form ran one GLOBAL window over
+    * the distinct pair table, a single-task sort when x is
+    * continuous-valued): collapse to DISTINCT (x, y) pairs with
+    * multiplicities, reduce to the per-x max-y point (only it can
+    * survive — any lower y at the same x is dominated), then the classic
+    * skyline pre-reduction: per-X-RANGE-BUCKET local running maxima
+    * (windows PARTITIONED by bucket — parallel, each over ~1/10⁴ of the
+    * distinct xs) composed with per-bucket offset maxima from one window
+    * over the ≤ `buckets`-row bucket aggregate. A point survives iff its
+    * y strictly exceeds both the running max inside its bucket and the
+    * max of every earlier bucket — exactly the running-max rule of the
+    * naive (x asc, y desc) window, because the bucket key
+    * floor((x−xmin)/w) is monotone in x, so earlier buckets hold only
+    * smaller-or-equal xs. Null x/y are excluded (dominance is undefined
+    * on null, and the two engines disagree on NULL sort order).
+    *
+    * Residual: an x-domain so degenerate that every distinct x casts to
+    * one double collapses to a single bucket — the naive window's
+    * behavior, over a tiny pair table by construction.
+    * Naive-equivalence (and the definitional NOT EXISTS) spec-asserted
+    * on multi-partition fixtures; the oracle replays the definitional
+    * quadratic form.
     */
-  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val pts = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
+                     buckets: Int = 10000): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_rows"))
+    // per-x reduction: max struct(y, n_rows) = the x-group's max-y pair
+    // (y is unique within the group after the distinct-pair collapse)
+    val perX = pts.groupBy("x")
+      .agg(max(struct(col("y"), col("n_rows"))).as("_m"))
+      .select(col("x"), col("_m.y").as("y"), col("_m.n_rows").as("n_rows"))
+    // bucket assignment: double cast is monotone (non-strictly) in x, and
+    // the rule only needs monotonicity — ties at bucket edges stay exact
+    // because the within-bucket window orders by true x
+    val mm = perX.agg(min(col("x").cast("double")).as("_lo"),
+      max(col("x").cast("double")).as("_hi"))
+    val width = greatest((col("_hi") - col("_lo")) / buckets, lit(1e-300))
+    val bucketed = perX.crossJoin(broadcast(mm))
+      .withColumn("_b", least(
+        floor((col("x").cast("double") - col("_lo")) / width),
+        lit(buckets.toLong)).cast("long"))
+      .drop("_lo", "_hi")
+    // per-bucket max y, then the running max over STRICTLY EARLIER
+    // buckets — one window over ≤ buckets+1 tiny rows
+    val perBucket = bucketed.groupBy("_b").agg(max("y").as("_by"))
+    val wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("_offMax", max(col("_by")).over(wb))
+      .select(col("_b"), col("_offMax"))
+    // within-bucket running max, partitioned — the parallel part
+    val wi = Window.partitionBy("_b").orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "_b")
+      .withColumn("_inMax", max(col("y")).over(wi))
+      .filter((col("_offMax").isNull || col("y") > col("_offMax")) &&
+        (col("_inMax").isNull || col("y") > col("_inMax")))
+      .select(col("x"), col("y"), col("n_rows"))
+      .orderBy("x")
+  }
+
+  /** The naive single-window skyline — the obviously-correct form
+    * [[paretoFrontier]]'s bucketed plan is spec-checked against. */
+  private[graft] def paretoFrontierNaive(df: DataFrame, xCol: String,
+                                         yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("n_rows"))
     val w = Window.orderBy(col("x").asc, col("y").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -637,7 +693,9 @@ object Stats {
     * oracle; the operator's window form is the scale path). */
   def paretoOracleSql(table: String, xExpr: String, yExpr: String): String =
     s"""WITH pts AS (SELECT $xExpr AS x, $yExpr AS y, COUNT(*) AS n_rows
-       |             FROM $table GROUP BY 1, 2)
+       |             FROM $table
+       |             WHERE $xExpr IS NOT NULL AND $yExpr IS NOT NULL
+       |             GROUP BY 1, 2)
        |SELECT x, y, n_rows FROM pts p
        |WHERE NOT EXISTS (SELECT 1 FROM pts q
        |                  WHERE q.x <= p.x AND q.y >= p.y
@@ -719,14 +777,123 @@ object Stats {
     * exact), the cumulative share rounds to 9 BEFORE the threshold
     * compare so both engines classify from the identical double, and
     * ranking ties break by id. Output is the 3-row class summary.
+    * Values must be NON-NEGATIVE (the contribution contract — negative
+    * contributions have no ABC semantics; enforced with an in-plan
+    * raise_error); null-valued entities contribute nothing and land in
+    * class C, exactly where the ranked form put them.
     *
-    * Scale shape: the window sorts the AGGREGATED entity table (one row
-    * per entity), not the fact table; the final rollup is 3 rows.
+    * Scale shape (round 15 — the old form ran one UNPARTITIONED
+    * cumulative window, a single-task sort of the whole entity table):
+    * the 3-row summary never needs per-entity ranks. Entities with equal
+    * value contribute identically, so only (value, count) matters —
+    * one hash aggregate to the distinct-value table, a bucketed
+    * two-level prefix sum for each value group's exact cumulative-before
+    * (per-VALUE-RANGE-BUCKET windows partitioned by bucket + one window
+    * over the ≤ `buckets`-row bucket aggregate, all order-free exact
+    * decimal — the [[graft.ops.Text.budgetSelect]] bucket-threshold
+    * shape, fully in-engine), and a CLOSED-FORM split of each value
+    * group across the two thresholds: the k-th entity of a group has
+    * share round((B + k·v)/tot, 9), monotone in k, so the class-A count
+    * is the largest qualifying k — located by a double estimate and
+    * confirmed by probing the exact engine expression over a ±4 window
+    * (the estimate's error is ≤ ~n·1e-15 ≪ 4). No entity-level window
+    * anywhere; naive-equivalence spec-asserted, oracle replays the
+    * ranked form.
     */
   def abcClasses(entities: DataFrame, valueCol: String, idCol: String,
-                 aShare: Double = 0.8, bShare: Double = 0.95): DataFrame = {
+                 aShare: Double = 0.8, bShare: Double = 0.95,
+                 buckets: Int = 10000): DataFrame = {
     require(aShare > 0 && aShare < bShare && bShare < 1,
       s"need 0 < aShare < bShare < 1, got $aShare/$bShare")
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val dec38 = DecimalType(38, 6)
+    val v0 = col(valueCol).cast(DecimalType(20, 6))
+    val guarded = when(v0.isNull || v0 >= 0, v0)
+      .otherwise(raise_error(format_string(
+        "abcClasses: negative value %s — ABC contribution analysis needs " +
+          "non-negative values; filter or clamp upstream", v0)))
+    // ONE pass over the entity table; everything downstream reads the
+    // distinct-value aggregate (persisted: five small consumers)
+    val perV = Helpers.releaseAfterFirstAction(
+      entities.select(guarded.as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as("_cnt"))
+        .persist())
+    val nn = perV.filter(col("_v").isNull)
+      .agg(coalesce(sum("_cnt"), lit(0L)).as("_nn"))
+    val nonNull = perV.filter(col("_v").isNotNull)
+    val grpTotal = (col("_v") * col("_cnt")).cast(dec38)
+    val tot = nonNull.agg(sum(grpTotal).cast(dec38).as("_tot"))
+    // bucket by value RANGE, descending (bucket 0 = largest values): the
+    // double cast is monotone, and exactness never depends on it — the
+    // prefix sums below are exact decimals composed order-free
+    val mm = nonNull.agg(min(col("_v").cast("double")).as("_lo"),
+      max(col("_v").cast("double")).as("_hi"))
+    val width = greatest((col("_hi") - col("_lo")) / buckets, lit(1e-300))
+    val bucketed = nonNull.crossJoin(broadcast(mm))
+      .withColumn("_b", least(
+        floor((col("_hi") - col("_v").cast("double")) / width),
+        lit(buckets.toLong)).cast("long"))
+      .drop("_lo", "_hi")
+    val perBucket = bucketed.groupBy("_b").agg(sum(grpTotal).as("_bt"))
+    val wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket.withColumn("_off", sum(col("_bt")).over(wb))
+      .select(col("_b"), col("_off"))
+    val wi = Window.partitionBy("_b").orderBy(col("_v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = bucketed.join(broadcast(offsets), "_b")
+      .withColumn("_B", (coalesce(col("_off"), lit(0).cast(dec38)) +
+        coalesce(sum(grpTotal).over(wi), lit(0).cast(dec38))).cast(dec38))
+      .crossJoin(broadcast(tot))
+    // closed-form class split of one value group: share of the group's
+    // k-th entity replayed EXACTLY as the ranked form computed it
+    val totD = col("_tot").cast("double")
+    def sOf(k: Column): Column =
+      round((col("_B") + k.cast(DecimalType(20, 0)) * col("_v"))
+        .cast("double") / totD, 9)
+    def kMax(share: Double): Column = {
+      val est = floor((lit(share + 5e-10) * totD - col("_B").cast("double"))
+        / col("_v").cast("double"))
+      val lo = greatest(lit(0L), least(est - 4, col("_cnt")))
+      val hi = least(col("_cnt"), greatest(est + 4, lit(0L)))
+      when(col("_tot") <= 0, lit(0L))
+        .when(col("_v") === 0,
+          when(sOf(lit(0L)) <= share, col("_cnt")).otherwise(lit(0L)))
+        .otherwise(aggregate(sequence(lo, hi), lit(0L),
+          (acc, k) => when(k === 0 || sOf(k) <= share, greatest(acc, k))
+            .otherwise(acc)))
+    }
+    val scored = withCum.select(col("_v"), col("_cnt"), col("_tot"),
+      kMax(aShare).as("_ka"), kMax(bShare).as("_kb"))
+    val kDec = (c: Column) => c.cast(DecimalType(20, 0))
+    val agg1 = scored.agg(
+      sum("_ka").as("na"), sum(kDec(col("_ka")) * col("_v")).cast(dec38).as("va"),
+      sum(col("_kb") - col("_ka")).as("nb"),
+      sum(kDec(col("_kb") - col("_ka")) * col("_v")).cast(dec38).as("vb"),
+      sum(col("_cnt") - col("_kb")).as("nc"),
+      sum(kDec(col("_cnt") - col("_kb")) * col("_v")).cast(dec38).as("vc"),
+      max("_tot").as("_tot"))
+    agg1.crossJoin(broadcast(nn))
+      .select(col("_tot"), explode(array(
+        struct(lit("A").as("c"), col("na").as("n"), col("va").as("v")),
+        struct(lit("B").as("c"), col("nb").as("n"), col("vb").as("v")),
+        struct(lit("C").as("c"), (col("nc") + col("_nn")).as("n"),
+          col("vc").as("v")))).as("r"))
+      .select(col("r.c").as("abc_class"),
+        coalesce(col("r.n"), lit(0L)).as("n_entities"),
+        round(coalesce(col("r.v"), lit(0).cast(dec38)).cast("double"), 2)
+          .as("class_value"),
+        round(coalesce(col("r.v"), lit(0).cast(dec38)).cast("double")
+          / col("_tot").cast("double"), 6).as("class_share"))
+      .filter(col("n_entities") > 0)
+      .orderBy("abc_class")
+  }
+
+  /** The ranked single-window form — the obviously-correct shape
+    * [[abcClasses]]' bucket-threshold plan is spec-checked against (and
+    * the shape the oracle replays). */
+  private[graft] def abcClassesNaive(entities: DataFrame, valueCol: String,
+                                     idCol: String, aShare: Double = 0.8,
+                                     bShare: Double = 0.95): DataFrame = {
     val v = col(valueCol).cast(DecimalType(20, 6))
     val tot = entities.agg(sum(v).as("_tot"))
     val ranked = entities.select(col(idCol), col(valueCol))

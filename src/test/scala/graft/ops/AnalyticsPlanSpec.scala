@@ -104,6 +104,29 @@ class AnalyticsPlanSpec extends SparkSpec {
       s"top-key pick must plan TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_abc / q_pareto: the only unpartitioned window runs over the ≤buckets-row bucket aggregate") {
+    // the round-15 bucket-threshold rewrites: per-entity/per-pair windows
+    // must be PARTITIONED (parallel); exactly one unpartitioned window is
+    // allowed and it must sit on the tiny per-bucket aggregate (grouped
+    // by the _b bucket key), never the full table
+    for (name <- Seq("q_abc", "q_pareto")) {
+      val plan = planOf(name)
+      val unpart = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.size == 1,
+        s"$name: exactly one bucket-offset window expected:\n$plan")
+      val feedsFromBucketAgg = unpart.head.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("_b")) => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("_b")) => a
+      }.nonEmpty
+      assert(feedsFromBucketAgg,
+        s"$name: the unpartitioned window must read the per-bucket aggregate:\n${unpart.head}")
+    }
+  }
+
   test("q_collocations / q_cms_rollup / q_split_safe: no cartesian product anywhere") {
     for (name <- Seq("q_collocations", "q_cms_rollup", "q_split_safe", "q_hop_distance", "q_kcore", "q_hits")) {
       val plan = planOf(name)

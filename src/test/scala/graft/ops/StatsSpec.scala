@@ -264,6 +264,71 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1.0, 1, 1L), (2.0, 3, 2L)))
   }
 
+  test("paretoFrontier: bucketed plan ≡ naive window ≡ NOT EXISTS on multi-partition fixtures") {
+    val spark2 = spark
+    import spark2.implicits._
+    def sameAs(df: org.apache.spark.sql.DataFrame, xc: String, yc: String,
+               buckets: Int): Unit = {
+      val fast = Stats.paretoFrontier(df, xc, yc, buckets).collect().toSeq
+      val naive = Stats.paretoFrontierNaive(df, xc, yc).collect().toSeq
+      assert(fast == naive, s"buckets=$buckets fast=$fast naive=$naive")
+      // definitional check: nothing in the output is dominated, nothing
+      // outside it is non-dominated
+      val pts = df.filter(col(xc).isNotNull && col(yc).isNotNull)
+        .groupBy(col(xc).as("x"), col(yc).as("y")).count()
+        .collect().map(r => (r.getDouble(0), r.getInt(1))).toSet
+      val frontier = pts.filter { case (x, y) => !pts.exists { case (x2, y2) =>
+        x2 <= x && y2 >= y && (x2 < x || y2 > y) } }
+      assert(fast.map(r => (r.getDouble(0), r.getInt(1))).toSet == frontier)
+    }
+    val rnd = new scala.util.Random(11)
+    val random = Seq.fill(500)((rnd.nextInt(40).toDouble, rnd.nextInt(40)))
+      .toDF("x", "y").repartition(7)
+    for (b <- Seq(1, 3, 10000)) sameAs(random, "x", "y", b)
+    // staircase: EVERYTHING is on the frontier
+    val stairs = (1 to 100).map(i => (i.toDouble, 1000 - i)).toDF("x", "y").repartition(5)
+    sameAs(stairs, "x", "y", 7)
+    // degenerate domains: all x equal (one bucket), all y equal, one point
+    sameAs(Seq((1.0, 1), (1.0, 2), (1.0, 3)).toDF("x", "y"), "x", "y", 100)
+    sameAs(Seq((1.0, 5), (2.0, 5), (3.0, 5)).toDF("x", "y"), "x", "y", 100)
+    sameAs(Seq((4.0, 4)).toDF("x", "y"), "x", "y", 100)
+    // null rows are excluded on both paths
+    sameAs(Seq((1.0, Some(1)), (0.5, None), (2.0, Some(3))).toDF("x", "y"), "x", "y", 16)
+  }
+
+  test("abcClasses: bucket-threshold closed form ≡ naive ranked window, degenerate shapes included") {
+    val spark2 = spark
+    import spark2.implicits._
+    def sameAs(df: org.apache.spark.sql.DataFrame, buckets: Int): Unit = {
+      val fast = Stats.abcClasses(df, "v", "id", buckets = buckets).collect().toSeq
+      val naive = Stats.abcClassesNaive(df, "v", "id").collect().toSeq
+      assert(fast == naive, s"buckets=$buckets\nfast=$fast\nnaive=$naive")
+    }
+    val rnd = new scala.util.Random(13)
+    // heavy ties ACROSS the class boundaries: few distinct values, many
+    // entities per value — the closed-form split must cut inside a group
+    val ties = (1 to 300).map(i => (i.toLong, (rnd.nextInt(4) + 1).toDouble))
+      .toDF("id", "v").repartition(9)
+    for (b <- Seq(1, 2, 50, 10000)) sameAs(ties, b)
+    // spread values, exact boundary landing (80/15/5 by construction)
+    sameAs(Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("id", "v"), 10)
+    // single value for the whole corpus (one bucket, one group)
+    sameAs((1 to 50).map(i => (i.toLong, 2.5)).toDF("id", "v"), 100)
+    // zero-valued tail and a null entity (both land in C, value 0)
+    sameAs((Seq((1L, Some(10.0)), (2L, Some(0.0)), (3L, Some(0.0)),
+      (4L, Option.empty[Double]))).toDF("id", "v"), 8)
+    // zipf-ish spread across many buckets
+    val zipf = (1 to 500).map(i => (i.toLong, 1000.0 / i)).toDF("id", "v").repartition(7)
+    for (b <- Seq(3, 10000)) sameAs(zipf, b)
+    // negative values fail loudly, naming the operator
+    val e = intercept[Exception] {
+      Stats.abcClasses(Seq((1L, -1.0)).toDF("id", "v"), "v", "id").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("abcClasses")), s"$e")
+  }
+
   test("holtForecast: a perfectly linear series forecasts the line exactly") {
     val spark2 = spark
     import spark2.implicits._
