@@ -57,8 +57,30 @@ object SparkEntry {
   // subset is a filter of the same table — see Dedup.docShingles).
   private def docShinglesMemo(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    ProbeCache("docShingles:3", Seq(docs))(Dedup.docShingles(docs, 3))
+    ProbeCache("docShingles:3", Seq(docs), input = true)(Dedup.docShingles(docs, 3))
   }
+  // The round-15 extension of the same policy to the lexical PAIR family
+  // (the r14 verdict's ask): ONE xxhash64 shingle+tf array table and ONE
+  // md5-48-bit shingle array table per corpus snapshot, shared by the
+  // Jaccard/fuzzy/TF-IDF and MinHash pair queries and by the curation
+  // composites' dedup stages. These are INPUT-side shared tables, not
+  // result memos — every consumer still runs its full candidate join and
+  // verification per execution; only the row-local tokenize+shingle scan
+  // is materialized once. A gated subset is the same table semi-joined on
+  // the surviving doc_ids (shingling is row-local, so equality is exact —
+  // spec-asserted in PipelinesSpec/DedupSpec).
+  private def pairShinglesMemo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    ProbeCache("shingleTf:3", Seq(docs), input = true)(Dedup.shingleTfArrays(docs, 3))
+  }
+  private def pairShingles48Memo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    ProbeCache("shingleArrays48:3", Seq(docs), input = true)(Dedup.shingleArrays48(docs, 3))
+  }
+  // the shared table restricted to a (gated) subcorpus — row-local
+  // shingling makes this exactly the subcorpus's own shingle table
+  private def subsetShingles(shTable: DataFrame, subset: DataFrame): DataFrame =
+    shTable.join(subset.select("doc_id"), Seq("doc_id"), "left_semi")
   // The triangle LIST of that basket graph, enumerated once and shared by
   // the two triangle-derived profile queries (r13) — the certify-once
   // shape one level up: a deployment materializes the triangle table once
@@ -152,6 +174,14 @@ object SparkEntry {
   // `first_runs`. The query engine proper — scans, filters, joins,
   // aggregations, windows — stays unmemoized: warm rows there measure the
   // computation, not a cache.
+  //
+  // Two memo categories since r15, distinguished in the bench artifact:
+  // RESULT memos (this block — the row's timing is a cached-artifact
+  // read) vs shared INPUT tables (`input = true` above — the row still
+  // runs its full candidate join/verification per execution and only the
+  // tokenize+shingle scan is shared; such rows report
+  // `memoized_input_only: true`). SPARK_GRAFT_NO_MEMO=1 switches BOTH off
+  // for the honest-warm capture recorded beside the default in PERF.md.
   private def pagerankMemo(s: SparkSession, dir: String): DataFrame = {
     val edges = copurchaseEdgesMemo(s, dir)
     ProbeCache("pagerank:copurchase:5", Seq(edges))(
@@ -335,7 +365,8 @@ object SparkEntry {
     // first-occurrence n-gram novelty: what does a new snapshot actually add
     "q_ngram_novelty" -> t("documents")(Text.ngramNovelty(_)),
     // weighted lexical near-dup: tf-idf cosine over df-capped shingle postings
-    "q_tfidf_pairs" -> t("documents")(Dedup.tfidfCosinePairs(_)),
+    "q_tfidf_pairs" -> ((s, dir) => Dedup.tfidfCosinePairsPreShingled(
+      Tables.documents(s, dir), pairShinglesMemo(s, dir))),
     "q_dup_rate" -> t("documents")(Dedup.dupRateBySource),
     "q_order_count_dist" -> ((s, dir) => Subqueries.orderCountDistribution(
       Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -708,19 +739,27 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 2000))
       Dedup.incrementalDedup(incoming, existing)
     }),
-    "q_curation" -> t("documents")(Pipelines.curate(_,
+    // the curation composites' dedup stages read the shared shingle
+    // tables (semi-joined to the gated survivors) — the gate, candidate
+    // join, verification, mixture, split and packing all still run per
+    // execution; only the tokenize+shingle scan is shared
+    "q_curation" -> ((s, dir) => Pipelines.curateWith(Tables.documents(s, dir),
+      gated => Dedup.jaccardPairsPreShingled(
+        subsetShingles(pairShinglesMemo(s, dir), gated), 0.5, sorted = false),
       mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
     // the same five-stage pipeline with the dedup stage swapped to the
     // sub-quadratic MinHash-LSH pair generator — the 100 TB composition.
     // No oracle: LSH recall (survivors ⊇ exact survivors, spec-asserted).
-    "q_curation_lsh" -> t("documents")(Pipelines.curateWith(_,
-      Dedup.minhashPairs(_, 0.5, sorted = false),
+    "q_curation_lsh" -> ((s, dir) => Pipelines.curateWith(Tables.documents(s, dir),
+      gated => Dedup.minhashPairsPreShingled(
+        subsetShingles(pairShingles48Memo(s, dir), gated), 0.5, sorted = false),
       mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
     // the same pipeline with the BOOLEAN Gopher rule gate in place of the
     // graded ratio thresholds — gate AND generator are both pluggable
-    "q_curation_gopher" -> t("documents")(Pipelines.curateWithGate(_,
+    "q_curation_gopher" -> ((s, dir) => Pipelines.curateWithGate(Tables.documents(s, dir),
       Text.gopherKeep(),
-      Dedup.jaccardPairs(_, 0.5, sorted = false),
+      gated => Dedup.jaccardPairsPreShingled(
+        subsetShingles(pairShinglesMemo(s, dir), gated), 0.5, sorted = false),
       mixRates = (10 to 19).map(i => s"src$i" -> 8).toMap)),
     "q_fingerprints" -> t("documents")(Text.fingerprints),
     "q_winnowing" -> t("documents")(Text.winnowing(_)),
@@ -728,10 +767,12 @@ object SparkEntry {
     // ---- H: dedup ----
     "q_dedup_exact" -> t("documents")(Dedup.exactDedup),
     "q_dedup_hash" -> t("documents")(Dedup.hashDedup),
-    "q_jaccard_pairs" -> t("documents")(Dedup.jaccardPairs(_, 0.5)),
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsPreShingled(pairShinglesMemo(s, dir), 0.5)),
     "q_dup_clusters" -> ((s, dir) =>
       dupClustersMemo(s, dir).orderBy("doc_id")),
-    "q_fuzzy_pairs" -> t("documents")(Dedup.fuzzyPairs(_)),
+    "q_fuzzy_pairs" -> ((s, dir) => Dedup.fuzzyPairsOn(Tables.documents(s, dir),
+      Dedup.jaccardPairsPreShingled(pairShinglesMemo(s, dir), 0.5, sorted = false))),
     // every 50th doc stands in for a benchmark/eval set; training docs
     // sharing any 3-gram with it (including themselves) are removed
     "q_decontaminate" -> ((s, dir) =>
@@ -764,7 +805,8 @@ object SparkEntry {
     // md5-derived 48-bit base hash + prime-field affine permutations —
     // every stage ANSI-SQL-reproducible, so this sketch carries a REAL
     // value oracle (generated beside the operator)
-    "q_minhash_pairs" -> t("documents")(Dedup.minhashPairs(_, 0.5)),
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairsPreShingled(pairShingles48Memo(s, dir), 0.5)),
     "q_simhash" -> t("documents")(Dedup.simhash), // md5-derived 48-bit — oracle-checked
     "q_simhash_pairs" -> t("documents")(Dedup.simhashPairs(_, 3)),
     "q_bm25" -> t("documents")(Search.bm25(_, bm25Terms, 15)),

@@ -34,21 +34,36 @@ import scala.collection.mutable
   * teardown).
   */
 private[graft] object ProbeCache {
-  private final case class Entry(tag: String, keys: Seq[DataFrame], result: DataFrame)
+  private final case class Entry(tag: String, keys: Seq[DataFrame],
+                                 result: DataFrame, input: Boolean)
   private val entries = mutable.ArrayBuffer.empty[Entry]
   private var hitCount = 0L
+  private var inputHitCount = 0L
 
   /** The memoized, localCheckpointed result of `build` for this (tag, key
     * plans) combination. `build` runs (and materializes) only on a miss.
+    *
+    * `input = true` marks a shared INPUT-side table (a corpus-snapshot
+    * shingle/token table many operators read) as opposed to a
+    * certify-once RESULT artifact (a rank vector, an index, a dashboard):
+    * hits on input entries additionally count in [[inputHits]], so the
+    * bench can distinguish a row whose TIMING is a cached result read
+    * from a row that merely starts from a shared input table and still
+    * runs its full computation.
     */
-  def apply(tag: String, keys: Seq[DataFrame])(build: => DataFrame): DataFrame = synchronized {
+  def apply(tag: String, keys: Seq[DataFrame], input: Boolean = false)
+           (build: => DataFrame): DataFrame = synchronized {
     require(keys.nonEmpty, "ProbeCache needs at least one key frame")
     val spark = keys.head.sparkSession
     entries.find { e =>
       e.tag == tag && (e.result.sparkSession eq spark) &&
         e.keys.length == keys.length &&
         e.keys.zip(keys).forall { case (a, b) => a.sameSemantics(b) }
-    }.map { e => hitCount += 1; e.result }.getOrElse {
+    }.map { e =>
+      hitCount += 1
+      if (e.input) inputHitCount += 1
+      e.result
+    }.getOrElse {
       // An operator that already returns a materialized checkpoint shell
       // (connectedComponents/communities with sorted=false) is memoized
       // as-is: a second localCheckpoint() would copy the blocks and strand
@@ -58,7 +73,7 @@ private[graft] object ProbeCache {
       val res =
         if (GraftSqlBridge.isMaterializedCheckpointShell(built)) built
         else built.localCheckpoint()
-      entries += Entry(tag, keys, res)
+      entries += Entry(tag, keys, res, input)
       res
     }
   }
@@ -73,6 +88,12 @@ private[graft] object ProbeCache {
     * dashboard, with the first-run build cost visible in `first_runs`.
     */
   def hits: Long = synchronized(hitCount)
+
+  /** The subset of [[hits]] that served shared INPUT tables (entries
+    * memoized with `input = true`). A timed run whose entire hit delta is
+    * input hits did all its real work — only its tokenize/shingle scan
+    * came from the shared table. */
+  def inputHits: Long = synchronized(inputHitCount)
 
   /** Release every cached checkpoint's storage and forget the entries.
     * Safe only when no in-flight plan still references a cached frame
