@@ -451,6 +451,13 @@ object SparkEntry {
     // — the modularity ASCENT step LPA proposes and q_modularity grades;
     // rides the shared edge + labeling memos
     "q_louvain" -> ((s, dir) => louvainLabelsMemo(s, dir).orderBy("node")),
+    // round 15: one MORE Louvain level — coarsen the memoized level-1
+    // labeling to supernodes and rerun the exact-integer local moves on
+    // the weighted coarse graph. The coarse stage runs honestly per
+    // execution (the super-graph is communities-sized); only the level-1
+    // labels it refines are the existing certify-once artifact.
+    "q_louvain_multilevel" -> ((s, dir) => Graph.louvainCoarsen(
+      basketEdgesMemo(s, dir), louvainLabelsMemo(s, dir), rounds = 2)),
     // HyperANF neighborhood function of the basket graph: per hop, the
     // exact ≤h-hop pair count over 64 probe seeds + the declared HLL
     // bound + whether the sketch-propagation estimate lands inside it —
@@ -1369,6 +1376,8 @@ object SparkEntry {
     "q_communities" -> Graph.communitiesBasketOracleSql(rounds = 4),
     "q_modularity" -> Graph.modularityBasketOracleSql(rounds = 4),
     "q_louvain" -> Graph.louvainBasketOracleSql(lpaRounds = 4, moveRounds = 2),
+    "q_louvain_multilevel" -> Graph.louvainMultilevelBasketOracleSql(
+      lpaRounds = 4, moveRounds = 2, coarseRounds = 2),
     "q_anf" -> Graph.anfBasketOracleSql(),
     "q_tri_profile" -> Graph.triangleProfileBasketOracleSql(),
     "q_embeddedness" -> Graph.edgeEmbeddednessBasketOracleSql(),

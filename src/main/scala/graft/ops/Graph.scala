@@ -1191,6 +1191,167 @@ object Graph {
        |SELECT node, community FROM l$moveRounds ORDER BY node""".stripMargin
   }
 
+  /** One MORE Louvain level on top of a refined labeling — the coarsening
+    * step [[refineCommunities]] deliberately omitted (and the r14 review
+    * named as the next gap): communities become SUPERNODES, parallel
+    * edges collapse to weights, intra-community edges to self-loops, and
+    * the same exact-integer local-move ascent runs on the weighted coarse
+    * graph (modularity over the coarse graph with m unchanged equals
+    * modularity over the original — the classic Louvain invariant, Blondel
+    * et al. 2008). This unlocks exactly the moves single-node rounds
+    * cannot make: merging WHOLE communities whose pairwise gain is
+    * positive while every individual member is better off staying
+    * (spec-asserted on a closed-form bridged-cliques fixture where level
+    * 1 stalls and this level strictly improves Q).
+    *
+    * Weighted gain arithmetic stays exact: k_{V,C} = Σ edge weights from
+    * supernode V to community C, deg_V the weighted degree (self-loops
+    * count twice), all integers in DECIMAL(38,0); the swap guard and
+    * (stay, smallest-id) tie order are [[refineCommunities]]'s verbatim.
+    *
+    * Scale shape: the coarse graph is |communities|-sized — the
+    * coarsening aggregate over the edge table is the only full-scale
+    * work; every move round then shuffles the tiny super-graph. Output:
+    * original node → final coarse community.
+    */
+  def louvainCoarsen(edgeList: DataFrame, labels: DataFrame,
+                     rounds: Int = 2, sorted: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = canonicalEdges(edgeList)
+    val (edges, _) = materializeEdges(e0, "a")
+    val m = edges.count()
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("community")).localCheckpoint()
+    // coarsen: (community(a), community(b)) with multiplicity; canonical
+    // least/greatest keeps one row per unordered super-pair, self-loops
+    // carry the intra-community edge mass
+    val ce = edges
+      .join(lab.select(col("node").as("a"), col("community").as("_ca")), "a")
+      .join(lab.select(col("node").as("b"), col("community").as("_cb")), "b")
+      .select(least(col("_ca"), col("_cb")).as("a"),
+        greatest(col("_ca"), col("_cb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val cross = ce.filter(col("a") =!= col("b"))
+    val nbr = cross.select(col("a").as("node"), col("b").as("nb"), col("w"))
+      .unionByName(cross.select(col("b").as("node"), col("a").as("nb"), col("w")))
+      .localCheckpoint()
+    // weighted degree: cross edges once per direction, self-loops twice
+    val deg = nbr.select(col("node"), col("w"))
+      .unionByName(ce.filter(col("a") === col("b"))
+        .select(col("a").as("node"), (col("w") * 2).as("w")))
+      .groupBy("node").agg(sum("w").as("deg"))
+      .localCheckpoint()
+    val dec = DecimalType(38, 0)
+    val twoM = lit(m).cast(dec) * lit(2)
+    // every supernode starts as its own community (standard Louvain)
+    var clab = deg.select(col("node"), col("node").as("community")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val dc = clab.join(deg, "node")
+        .groupBy("community").agg(sum(col("deg")).as("d"))
+      val k = nbr
+        .join(clab.select(col("node").as("nb"), col("community").as("c")), "nb")
+        .groupBy("node", "c").agg(sum(col("w")).as("k"))
+      val cand = k
+        .unionByName(clab.select(col("node"), col("community").as("c"),
+          lit(0L).as("k")))
+        .groupBy("node", "c").agg(max(col("k")).as("k"))
+      val scored = cand
+        .join(clab, "node")
+        .filter(col("c") <= col("community")) // swap guard: stay or move down
+        .join(deg, "node")
+        .join(dc.select(col("community").as("c"), col("d")), "c")
+        .select(col("node"), col("c"),
+          (twoM * col("k").cast(dec) -
+            col("deg").cast(dec) * (col("d").cast(dec) -
+              when(col("c") === col("community"), col("deg"))
+                .otherwise(lit(0L)).cast(dec))).as("score"),
+          when(col("c") === col("community"), 0).otherwise(1).as("not_cur"))
+      val next = scored.groupBy("node")
+        .agg(min(struct((-col("score")).as("ns"), col("not_cur").as("nc"),
+          col("c").as("lab"))).as("m"))
+        .select(col("node"), col("m.lab").as("community"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(clab)
+      clab = next
+    }
+    // map original nodes through their level-1 community to its final one
+    val out = lab.select(col("node"), col("community").as("_cn"))
+      .join(clab.select(col("node").as("_cn"), col("community")), "_cn")
+      .select("node", "community")
+      .localCheckpoint()
+    Seq(lab, clab, ce, nbr, deg, edges).foreach(
+      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
+    if (sorted) out.orderBy("node") else out
+  }
+
+  /** Generated DuckDB oracle for the registered two-level Louvain over
+    * the basket graph: [[louvainBasketOracleSql]]'s unrolled LPA + local
+    * moves, then the coarsening aggregate and `coarseRounds` unrolled
+    * WEIGHTED move rounds — identical integer scores, swap guard and tie
+    * order, mapped back through the level-1 labeling.
+    */
+  def louvainMultilevelBasketOracleSql(lpaRounds: Int = 4, moveRounds: Int = 2,
+                                       coarseRounds: Int = 2,
+                                       from: String = "1996-01-01",
+                                       until: String = "1997-01-01"): String = {
+    val base = louvainBasketOracleSql(lpaRounds, moveRounds, from, until)
+    val prefix = base.substring(0, base.lastIndexOf("SELECT node, community"))
+    val lvl1 = s"l$moveRounds"
+    val wCtes = (1 to coarseRounds).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""wdc$i AS (SELECT l.community, SUM(CAST(d.deg AS HUGEINT)) AS d
+         |          FROM wdeg d JOIN $prev l ON d.node = l.node
+         |          GROUP BY l.community),
+         |wk$i AS (SELECT n.node, l.community AS c, CAST(SUM(n.w) AS HUGEINT) AS k
+         |         FROM wnbr n JOIN $prev l ON n.nb = l.node
+         |         GROUP BY n.node, l.community),
+         |wcand$i AS (SELECT node, c, MAX(k) AS k FROM (
+         |              SELECT node, c, k FROM wk$i
+         |              UNION ALL
+         |              SELECT node, community AS c, CAST(0 AS HUGEINT) AS k
+         |              FROM $prev)
+         |            GROUP BY node, c),
+         |wsc$i AS (SELECT cand.node, cand.c,
+         |                 2 * mm.m * cand.k - CAST(wdeg.deg AS HUGEINT) *
+         |                   (wdc.d - CASE WHEN cand.c = l.community
+         |                                 THEN wdeg.deg ELSE 0 END) AS score,
+         |                 CASE WHEN cand.c = l.community THEN 0 ELSE 1 END AS not_cur
+         |          FROM wcand$i cand
+         |          JOIN $prev l ON cand.node = l.node
+         |          JOIN wdeg ON cand.node = wdeg.node
+         |          JOIN wdc$i wdc ON cand.c = wdc.community
+         |          CROSS JOIN mm
+         |          WHERE cand.c <= l.community),
+         |w$i AS MATERIALIZED (
+         |  SELECT node, c AS community FROM (
+         |    SELECT node, c, ROW_NUMBER() OVER (PARTITION BY node
+         |             ORDER BY score DESC, not_cur ASC, c ASC) AS rn
+         |    FROM wsc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${prefix.trim},
+       |sup AS MATERIALIZED (
+       |  SELECT least(la.community, lb.community) AS a,
+       |         greatest(la.community, lb.community) AS b,
+       |         CAST(COUNT(*) AS HUGEINT) AS w
+       |  FROM e JOIN $lvl1 la ON e.a = la.node
+       |  JOIN $lvl1 lb ON e.b = lb.node
+       |  GROUP BY 1, 2),
+       |wnbr AS MATERIALIZED (
+       |  SELECT a AS node, b AS nb, w FROM sup WHERE a <> b
+       |  UNION ALL SELECT b, a, w FROM sup WHERE a <> b),
+       |wdeg AS MATERIALIZED (
+       |  SELECT node, SUM(w) AS deg FROM (
+       |    SELECT node, w FROM wnbr
+       |    UNION ALL SELECT a AS node, 2 * w AS w FROM sup WHERE a = b)
+       |  GROUP BY node),
+       |w0 AS MATERIALIZED (SELECT node, node AS community FROM wdeg),
+       |$wCtes
+       |SELECT l.node, w.community
+       |FROM $lvl1 l JOIN w$coarseRounds w ON l.community = w.node
+       |ORDER BY l.node""".stripMargin
+  }
+
   /** Connected components of the undirected canonical graph, run to
     * CONVERGENCE (not a fixed round count): every node is labeled with
     * the minimum node id reachable from it. [[communities]] answers

@@ -351,6 +351,42 @@ class GraphSpec extends SparkSpec {
     assert(labelsOf(Graph.refineCommunities(e, lpa4, rounds = 2)) == labelsOf(lpa4))
   }
 
+  test("louvainCoarsen: merges whole communities where single-node moves stall, lifting Q") {
+    // 10 components, each two K3 cliques bridged by one edge; labels =
+    // one community per clique. CLOSED FORM with m = 70: a bridge node
+    // staying scores 2m·k_cur − deg·(d_cur − deg) = 140·2 − 3·4 = 268 vs
+    // moving 140·1 − 3·7 = 119, so LEVEL 1 STALLS for every node; the
+    // coarse level scores supernode-merge 140·1 − 7·7 = 91 > stay 0, so
+    // each pair's larger clique moves down into the smaller — exactly the
+    // whole-community move single-node rounds cannot express.
+    val spark2 = spark
+    import spark2.implicits._
+    val comps = (0 until 10).map(_ * 6L)
+    val es = comps.flatMap { o =>
+      Seq((o + 1, o + 2), (o + 1, o + 3), (o + 2, o + 3),
+        (o + 4, o + 5), (o + 4, o + 6), (o + 5, o + 6), (o + 3, o + 4))
+    }
+    val e = es.toDF("src", "dst")
+    val cliqueLabels = comps.flatMap(o =>
+      Seq((o + 1, o + 1), (o + 2, o + 1), (o + 3, o + 1),
+        (o + 4, o + 4), (o + 5, o + 4), (o + 6, o + 4)))
+      .toDF("node", "community")
+    // level 1 stalls: local moves leave the per-clique labeling untouched
+    assert(labelsOf(Graph.refineCommunities(e, cliqueLabels, rounds = 2)) ==
+      cliqueLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // the coarse level merges each bridged pair into the smaller id
+    val merged = Graph.louvainCoarsen(e, cliqueLabels, rounds = 2)
+    val want = comps.flatMap(o => (1L to 6L).map(i => (o + i) -> (o + 1))).toMap
+    assert(labelsOf(merged) == want)
+    val q1 = Graph.modularity(e, cliqueLabels).collect().head.getDouble(2)
+    val q2 = Graph.modularity(e, merged).collect().head.getDouble(2)
+    assert(q2 > q1, s"coarse level must lift Q: $q1 -> $q2")
+    // closed form: Q1 = 20·(3/70 − (7/140)²), Q2 = 10·(7/70 − (14/140)²)
+    assert(math.abs(q1 - 0.807143) < 1e-6 && math.abs(q2 - 0.9) < 1e-6)
+    // determinism under repartitioning
+    assert(labelsOf(Graph.louvainCoarsen(e.repartition(7), cliqueLabels, rounds = 2)) == want)
+  }
+
   test("refineCommunities: swap guard blocks the 2-swap oscillation; bit-identical under repartitioning") {
     // one edge 1-2 with swapped labels {1->2, 2->1}: unguarded synchronous
     // moves would trade communities forever; the guard lets only node 1
