@@ -640,10 +640,15 @@ object Stats {
       .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("n_rows"))
     // per-x reduction: max struct(y, n_rows) = the x-group's max-y pair
-    // (y is unique within the group after the distinct-pair collapse)
+    // (y is unique within the group after the distinct-pair collapse).
+    // localCheckpointed before the consumers: the mm and bucket-offset
+    // broadcast inputs build on parallel threads at execution start, and
+    // each would otherwise recompute the full-scan pair aggregate (the
+    // abcClasses finding — see that operator's perV note)
     val perX = pts.groupBy("x")
       .agg(max(struct(col("y"), col("n_rows"))).as("_m"))
       .select(col("x"), col("_m.y").as("y"), col("_m.n_rows").as("n_rows"))
+      .localCheckpoint()
     // bucket assignment: double cast is monotone (non-strictly) in x, and
     // the rule only needs monotonicity — ties at bucket edges stay exact
     // because the within-bucket window orders by true x
@@ -812,12 +817,19 @@ object Stats {
       .otherwise(raise_error(format_string(
         "abcClasses: negative value %s — ABC contribution analysis needs " +
           "non-negative values; filter or clamp upstream", v0)))
-    // ONE pass over the entity table; everything downstream reads the
-    // distinct-value aggregate (persisted: five small consumers)
-    val perV = Helpers.releaseAfterFirstAction(
-      entities.select(guarded.as("_v"))
-        .groupBy("_v").agg(count(lit(1)).as("_cnt"))
-        .persist())
+    // ONE pass over the entity table; everything downstream (the mm/tot/
+    // nn broadcast builds and the main path) reads the distinct-value
+    // aggregate. localCheckpoint, NOT persist+release-hook: Spark builds
+    // the broadcast inputs on parallel threads at execution start, and a
+    // cold (or hook-spent — the async-bus probe-action gotcha in
+    // Helpers.releaseAfterFirstAction's scaladoc) cache makes each thread
+    // recompute the entity aggregate (measured 2.7× the naive form at
+    // sf0.1). The checkpoint's blocks are reaped by the ContextCleaner
+    // once the returned plan is unreachable — RDD blocks, unlike
+    // SQL-cache entries, do not outlive their frame.
+    val perV = entities.select(guarded.as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint()
     val nn = perV.filter(col("_v").isNull)
       .agg(coalesce(sum("_cnt"), lit(0L)).as("_nn"))
     val nonNull = perV.filter(col("_v").isNotNull)

@@ -36,6 +36,109 @@ object PerfProbe {
       ts
     }
 
+    // abc A/B mode: `Test/runMain graft.PerfProbe abc` — bucketed
+    // closed-form abcClasses vs the naive ranked window on the q_abc
+    // entity frame (round-15 rewrite attribution)
+    if (args.headOption.contains("abc")) {
+      import graft.core.Tables
+      import graft.ops.Stats
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      def entities = Tables.lineitem(spark, sfDir).groupBy("l_partkey").agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(20, 6))).as("revenue"))
+      def t(tag: String)(f: => Long): Unit = (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime(); val n = f
+        println(f"PROBE abc $tag%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+      t("entities")(entities.count())
+      t("naive")(Stats.abcClassesNaive(entities, "revenue", "l_partkey").count())
+      t("bucketed")(Stats.abcClasses(entities, "revenue", "l_partkey").count())
+      val entCk = entities.localCheckpoint()
+      t("bucketed-ck")(Stats.abcClasses(entCk, "revenue", "l_partkey").count())
+      t("naive-ck")(Stats.abcClassesNaive(entCk, "revenue", "l_partkey").count())
+      // stage attribution: how much is the perV aggregate vs the rest
+      val perV = entities.select(col("revenue").cast(DecimalType(20, 6)).as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as("_cnt"))
+      t("perV")(perV.count())
+      val ck = perV.localCheckpoint()
+      t("perVck-reread")(ck.count())
+      // downstream chain over the materialized table
+      val dec38 = DecimalType(38, 6)
+      val grpTotal = (col("_v") * col("_cnt")).cast(dec38)
+      val tot = ck.agg(sum(grpTotal).cast(dec38).as("_tot"))
+      t("tot")(tot.count())
+      val mm = ck.agg(min(col("_v").cast("double")).as("_lo"),
+        max(col("_v").cast("double")).as("_hi"))
+      val width = greatest((col("_hi") - col("_lo")) / 10000, lit(1e-300))
+      val bucketed = ck.crossJoin(broadcast(mm))
+        .withColumn("_b", least(floor((col("_hi") - col("_v").cast("double")) / width),
+          lit(10000L)).cast("long"))
+        .drop("_lo", "_hi")
+      t("bucketed")(bucketed.count())
+      val perBucket = bucketed.groupBy("_b").agg(sum(grpTotal).as("_bt"))
+      t("perBucket")(perBucket.count())
+      import org.apache.spark.sql.expressions.Window
+      val wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perBucket.withColumn("_off", sum(col("_bt")).over(wb))
+        .select(col("_b"), col("_off"))
+      val wi = Window.partitionBy("_b").orderBy(col("_v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withCum = bucketed.join(broadcast(offsets), "_b")
+        .withColumn("_B", (coalesce(col("_off"), lit(0).cast(dec38)) +
+          coalesce(sum(grpTotal).over(wi), lit(0).cast(dec38))).cast(dec38))
+        .crossJoin(broadcast(tot))
+      t("withCum")(withCum.count())
+      import org.apache.spark.sql.Column
+      val totD = col("_tot").cast("double")
+      def sOf(k: Column): Column =
+        round((col("_B") + k.cast(DecimalType(20, 0)) * col("_v"))
+          .cast("double") / totD, 9)
+      def kMax(share: Double): Column = {
+        val est = floor((lit(share + 5e-10) * totD - col("_B").cast("double"))
+          / col("_v").cast("double"))
+        val lo = greatest(lit(0L), least(est - 4, col("_cnt")))
+        val hi = least(col("_cnt"), greatest(est + 4, lit(0L)))
+        when(col("_tot") <= 0, lit(0L))
+          .when(col("_v") === 0,
+            when(sOf(lit(0L)) <= share, col("_cnt")).otherwise(lit(0L)))
+          .otherwise(aggregate(sequence(lo, hi), lit(0L),
+            (acc, k) => when(k === 0 || sOf(k) <= share, greatest(acc, k))
+              .otherwise(acc)))
+      }
+      val scored = withCum.select(col("_v"), col("_cnt"), col("_tot"),
+        kMax(0.8).as("_ka"), kMax(0.95).as("_kb"))
+      t("scored")(scored.count())
+      val kDec = (c: Column) => c.cast(DecimalType(20, 0))
+      val agg1 = scored.agg(
+        sum("_ka").as("na"), sum(kDec(col("_ka")) * col("_v")).cast(dec38).as("va"),
+        sum(col("_kb") - col("_ka")).as("nb"),
+        sum(kDec(col("_kb") - col("_ka")) * col("_v")).cast(dec38).as("vb"),
+        sum(col("_cnt") - col("_kb")).as("nc"),
+        sum(kDec(col("_cnt") - col("_kb")) * col("_v")).cast(dec38).as("vc"),
+        max("_tot").as("_tot"))
+      t("agg1")(agg1.count())
+      // full tail: nn + explode + filter + orderBy, from the checkpointed perV
+      val nn = ck.filter(col("_v").isNull)
+        .agg(coalesce(sum("_cnt"), lit(0L)).as("_nn"))
+      val out = agg1.crossJoin(broadcast(nn))
+        .select(col("_tot"), explode(array(
+          struct(lit("A").as("c"), col("na").as("n"), col("va").as("v")),
+          struct(lit("B").as("c"), col("nb").as("n"), col("vb").as("v")),
+          struct(lit("C").as("c"), (col("nc") + col("_nn")).as("n"),
+            col("vc").as("v")))).as("r"))
+        .select(col("r.c").as("abc_class"),
+          coalesce(col("r.n"), lit(0L)).as("n_entities"),
+          round(coalesce(col("r.v"), lit(0).cast(dec38)).cast("double"), 2)
+            .as("class_value"),
+          round(coalesce(col("r.v"), lit(0).cast(dec38)).cast("double")
+            / col("_tot").cast("double"), 6).as("class_share"))
+        .filter(col("n_entities") > 0)
+        .orderBy("abc_class")
+      t("fulltail")(out.count())
+      spark.stop(); return
+    }
+
     // recall-sweep mode: `Test/runMain graft.PerfProbe recall` — the
     // ANN tuning curve (recall@k vs exact brute-force top-k) for the
     // PERF.md table: annTopK over nTables×bitsPerTable, ivfTopK over
