@@ -1217,25 +1217,27 @@ object Graph {
   def louvainCoarsen(edgeList: DataFrame, labels: DataFrame,
                      rounds: Int = 2, sorted: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e0 = canonicalEdges(edgeList)
-    val (edges, _) = materializeEdges(e0, "a")
-    val m = edges.count()
     val lab = labels.select(col("node").cast("long").as("node"),
       col("community").cast("long").as("community")).localCheckpoint()
     // coarsen: (community(a), community(b)) with multiplicity; canonical
     // least/greatest keeps one row per unordered super-pair, self-loops
-    // carry the intra-community edge mass
-    val ce = edges
+    // carry the intra-community edge mass. The ONLY full-scale pass —
+    // canonical edges are consumed exactly once, so they are not
+    // re-materialized (m comes from the coarse table: Σw ≡ |E|).
+    val ce = canonicalEdges(edgeList)
       .join(lab.select(col("node").as("a"), col("community").as("_ca")), "a")
       .join(lab.select(col("node").as("b"), col("community").as("_cb")), "b")
       .select(least(col("_ca"), col("_cb")).as("a"),
         greatest(col("_ca"), col("_cb")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .localCheckpoint()
+    val m = ce.agg(coalesce(sum("w"), lit(0L)).as("m")).head().getLong(0)
+    // nbr/clab0 are narrow projections of checkpointed frames — their
+    // re-evaluation per consumer is a block read, not a recompute, so
+    // only ce and deg (each behind an aggregate) hold checkpoints
     val cross = ce.filter(col("a") =!= col("b"))
     val nbr = cross.select(col("a").as("node"), col("b").as("nb"), col("w"))
       .unionByName(cross.select(col("b").as("node"), col("a").as("nb"), col("w")))
-      .localCheckpoint()
     // weighted degree: cross edges once per direction, self-loops twice
     val deg = nbr.select(col("node"), col("w"))
       .unionByName(ce.filter(col("a") === col("b"))
@@ -1245,7 +1247,8 @@ object Graph {
     val dec = DecimalType(38, 0)
     val twoM = lit(m).cast(dec) * lit(2)
     // every supernode starts as its own community (standard Louvain)
-    var clab = deg.select(col("node"), col("node").as("community")).localCheckpoint()
+    var clab = deg.select(col("node"), col("node").as("community"))
+    var clabCkpted = false
     for (_ <- 1 to rounds) {
       val dc = clab.join(deg, "node")
         .groupBy("community").agg(sum(col("deg")).as("d"))
@@ -1272,15 +1275,17 @@ object Graph {
           col("c").as("lab"))).as("m"))
         .select(col("node"), col("m.lab").as("community"))
         .localCheckpoint()
-      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(clab)
+      if (clabCkpted)
+        org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(clab)
       clab = next
+      clabCkpted = true
     }
     // map original nodes through their level-1 community to its final one
     val out = lab.select(col("node"), col("community").as("_cn"))
       .join(clab.select(col("node").as("_cn"), col("community")), "_cn")
       .select("node", "community")
       .localCheckpoint()
-    Seq(lab, clab, ce, nbr, deg, edges).foreach(
+    Seq(lab, clab, ce, deg).foreach(
       org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)
     if (sorted) out.orderBy("node") else out
   }

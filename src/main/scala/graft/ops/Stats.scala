@@ -830,18 +830,20 @@ object Stats {
     val perV = entities.select(guarded.as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("_cnt"))
       .localCheckpoint()
-    val nn = perV.filter(col("_v").isNull)
-      .agg(coalesce(sum("_cnt"), lit(0L)).as("_nn"))
     val nonNull = perV.filter(col("_v").isNotNull)
     val grpTotal = (col("_v") * col("_cnt")).cast(dec38)
-    val tot = nonNull.agg(sum(grpTotal).cast(dec38).as("_tot"))
-    // bucket by value RANGE, descending (bucket 0 = largest values): the
-    // double cast is monotone, and exactness never depends on it — the
-    // prefix sums below are exact decimals composed order-free
-    val mm = nonNull.agg(min(col("_v").cast("double")).as("_lo"),
-      max(col("_v").cast("double")).as("_hi"))
+    // ONE 1-row broadcast carries the total, the value range (bucket
+    // bounds — the double cast is monotone, and exactness never depends
+    // on it: the prefix sums below are exact decimals composed
+    // order-free) and the null-entity count, instead of three separate
+    // broadcast builds each costing a job over perV
+    val stats = perV.agg(
+      sum(when(col("_v").isNotNull, grpTotal)).cast(dec38).as("_tot"),
+      min(col("_v").cast("double")).as("_lo"),
+      max(col("_v").cast("double")).as("_hi"),
+      coalesce(sum(when(col("_v").isNull, col("_cnt"))), lit(0L)).as("_nn"))
     val width = greatest((col("_hi") - col("_lo")) / buckets, lit(1e-300))
-    val bucketed = nonNull.crossJoin(broadcast(mm))
+    val bucketed = nonNull.crossJoin(broadcast(stats))
       .withColumn("_b", least(
         floor((col("_hi") - col("_v").cast("double")) / width),
         lit(buckets.toLong)).cast("long"))
@@ -855,7 +857,6 @@ object Stats {
     val withCum = bucketed.join(broadcast(offsets), "_b")
       .withColumn("_B", (coalesce(col("_off"), lit(0).cast(dec38)) +
         coalesce(sum(grpTotal).over(wi), lit(0).cast(dec38))).cast(dec38))
-      .crossJoin(broadcast(tot))
     // closed-form class split of one value group: share of the group's
     // k-th entity replayed EXACTLY as the ranked form computed it
     val totD = col("_tot").cast("double")
@@ -882,13 +883,16 @@ object Stats {
       sum(col("_kb") - col("_ka")).as("nb"),
       sum(kDec(col("_kb") - col("_ka")) * col("_v")).cast(dec38).as("vb"),
       sum(col("_cnt") - col("_kb")).as("nc"),
-      sum(kDec(col("_cnt") - col("_kb")) * col("_v")).cast(dec38).as("vc"),
-      max("_tot").as("_tot"))
-    agg1.crossJoin(broadcast(nn))
+      sum(kDec(col("_cnt") - col("_kb")) * col("_v")).cast(dec38).as("vc"))
+    // the 1-row stats broadcast is reused (same exchange as the bucket
+    // bounds), so the total and null count survive even an all-null or
+    // empty value table, where agg1's sums are null
+    agg1.crossJoin(broadcast(stats.select(col("_tot"), col("_nn"))))
       .select(col("_tot"), explode(array(
         struct(lit("A").as("c"), col("na").as("n"), col("va").as("v")),
         struct(lit("B").as("c"), col("nb").as("n"), col("vb").as("v")),
-        struct(lit("C").as("c"), (col("nc") + col("_nn")).as("n"),
+        struct(lit("C").as("c"),
+          (coalesce(col("nc"), lit(0L)) + col("_nn")).as("n"),
           col("vc").as("v")))).as("r"))
       .select(col("r.c").as("abc_class"),
         coalesce(col("r.n"), lit(0L)).as("n_entities"),

@@ -139,6 +139,52 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // shared-shingle A/B: `Test/runMain graft.PerfProbe preshingle`
+    if (args.headOption.contains("preshingle")) {
+      import graft.core.Tables
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val shTf = Dedup.shingleTfArrays(docs).localCheckpoint()
+      val sh48 = Dedup.shingleArrays48(docs).localCheckpoint()
+      def t(tag: String)(f: => Long): Unit = (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime(); val n = f
+        println(f"PROBE pre $tag%-14s ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+      t("tfidf-self")(Dedup.tfidfCosinePairs(docs).count())
+      t("tfidf-pre")(Dedup.tfidfCosinePairsPreShingled(docs, shTf).count())
+      t("jaccard-self")(Dedup.jaccardPairs(docs, 0.5).count())
+      t("jaccard-pre")(Dedup.jaccardPairsPreShingled(shTf, 0.5).count())
+      t("minhash-self")(Dedup.minhashPairs(docs, 0.5).count())
+      t("minhash-pre")(Dedup.minhashPairsPreShingled(sh48, 0.5).count())
+      spark.stop(); return
+    }
+
+    // louvain-coarsen attribution: `Test/runMain graft.PerfProbe louvain`
+    if (args.headOption.contains("louvain")) {
+      import graft.core.Tables
+      import graft.ops.Graph
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sfDir)
+      val edges = Graph.basketEdges(li).localCheckpoint()
+      val lab1 = Graph.refineCommunities(edges,
+        Graph.communities(edges, rounds = 4, sorted = false),
+        rounds = 2, sorted = false).localCheckpoint()
+      def t(tag: String)(f: => Long): Unit = (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime(); val n = f
+        println(f"PROBE louvain $tag%-10s ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+      t("edges")(edges.count())
+      val ce = Graph.canonicalEdges(edges)
+        .join(lab1.select(col("node").as("a"), col("community").as("_ca")), "a")
+        .join(lab1.select(col("node").as("b"), col("community").as("_cb")), "b")
+        .select(least(col("_ca"), col("_cb")).as("a"),
+          greatest(col("_ca"), col("_cb")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      t("coarsen")(ce.count())
+      t("full")(Graph.louvainCoarsen(edges, lab1, rounds = 2).count())
+      spark.stop(); return
+    }
+
     // recall-sweep mode: `Test/runMain graft.PerfProbe recall` — the
     // ANN tuning curve (recall@k vs exact brute-force top-k) for the
     // PERF.md table: annTopK over nTables×bitsPerTable, ivfTopK over
