@@ -634,7 +634,8 @@ object Stats {
     * quadratic form.
     */
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
-                     buckets: Int = 10000): DataFrame = {
+                     buckets: Int = 10000,
+                     smallCutoff: Long = 65536L): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("x"), col(yCol).as("y"))
@@ -649,6 +650,21 @@ object Stats {
       .agg(max(struct(col("y"), col("n_rows"))).as("_m"))
       .select(col("x"), col("_m.y").as("y"), col("_m.n_rows").as("n_rows"))
       .localCheckpoint()
+    // MEASURED-bounded fast path (the budgetSelect boundary-bucket
+    // philosophy): the checkpoint count is free, and when the per-x table
+    // is provably ≤ smallCutoff rows the one-task running-max window over
+    // it is bounded by measurement, not hope — skipping the bucket-offset
+    // machinery's extra jobs. The hazard the bucketed path exists for is
+    // an UNBOUNDED distinct-x domain; past the cutoff it engages
+    // unchanged (equality across both paths spec-asserted).
+    if (perX.count() <= smallCutoff) {
+      val w = Window.orderBy(col("x").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return perX.withColumn("_prevMax", max(col("y")).over(w))
+        .filter(col("_prevMax").isNull || col("y") > col("_prevMax"))
+        .select(col("x"), col("y"), col("n_rows"))
+        .orderBy("x")
+    }
     // bucket assignment: double cast is monotone (non-strictly) in x, and
     // the rule only needs monotonicity — ties at bucket edges stay exact
     // because the within-bucket window orders by true x

@@ -104,13 +104,14 @@ class AnalyticsPlanSpec extends SparkSpec {
       s"top-key pick must plan TakeOrderedAndProject:\n$plan")
   }
 
-  test("q_abc / q_pareto: the only unpartitioned window runs over the ≤buckets-row bucket aggregate") {
+  test("q_abc / q_pareto: the only unpartitioned window runs over a bounded input") {
     // the round-15 bucket-threshold rewrites: per-entity/per-pair windows
     // must be PARTITIONED (parallel); exactly one unpartitioned window is
-    // allowed and it must sit on the tiny per-bucket aggregate (grouped
-    // by the _b bucket key), never the full table
-    for (name <- Seq("q_abc", "q_pareto")) {
-      val plan = planOf(name)
+    // allowed and it must sit on a BOUNDED input — the ≤buckets-row
+    // bucket aggregate (q_abc), or the counted-≤cutoff per-x checkpoint
+    // (q_pareto's measured-small path)
+    def bucketAggPin(name: String,
+                     plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
       val unpart = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
@@ -125,6 +126,21 @@ class AnalyticsPlanSpec extends SparkSpec {
       assert(feedsFromBucketAgg,
         s"$name: the unpartitioned window must read the per-bucket aggregate:\n${unpart.head}")
     }
+    bucketAggPin("q_abc", planOf("q_abc"))
+    // q_pareto at fixture scale takes the measured-small path: its one
+    // window reads the per-x CHECKPOINT (bounded by the count that chose
+    // the path), with no full-table sort below it
+    val pPlan = planOf("q_pareto")
+    val pWindows = pPlan.collect { case w: WindowExec => w }
+    assert(pWindows.size == 1, s"q_pareto: one bounded window:\n$pPlan")
+    assert(pWindows.head.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, s"q_pareto's window must read the checkpointed per-x table, not a scan:\n$pPlan")
+    // the forced-bucketed build (the 100 TB path) keeps the bucket pin
+    val forced = Stats.paretoFrontier(
+      graft.core.Tables.part(spark, sfDir), "p_retailprice", "p_size",
+      smallCutoff = 0L).queryExecution.sparkPlan
+    bucketAggPin("q_pareto(bucketed)", forced)
   }
 
   test("q_collocations / q_cms_rollup / q_split_safe: no cartesian product anywhere") {

@@ -269,9 +269,14 @@ class StatsSpec extends SparkSpec {
     import spark2.implicits._
     def sameAs(df: org.apache.spark.sql.DataFrame, xc: String, yc: String,
                buckets: Int): Unit = {
-      val fast = Stats.paretoFrontier(df, xc, yc, buckets).collect().toSeq
+      // cutoff 0 forces the bucketed path; the default takes the
+      // measured-small single-window path — both must equal the naive form
+      val fast = Stats.paretoFrontier(df, xc, yc, buckets, smallCutoff = 0L)
+        .collect().toSeq
+      val small = Stats.paretoFrontier(df, xc, yc, buckets).collect().toSeq
       val naive = Stats.paretoFrontierNaive(df, xc, yc).collect().toSeq
       assert(fast == naive, s"buckets=$buckets fast=$fast naive=$naive")
+      assert(small == naive, s"small-path mismatch: $small vs $naive")
       // definitional check: nothing in the output is dominated, nothing
       // outside it is non-dominated
       val pts = df.filter(col(xc).isNotNull && col(yc).isNotNull)
