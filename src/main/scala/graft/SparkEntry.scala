@@ -1101,6 +1101,24 @@ object SparkEntry {
     // (window over the DISTINCT pair table; oracle is the definitional
     // quadratic NOT EXISTS)
     "q_pareto" -> t("part")(Stats.paretoFrontier(_, "p_retailprice", "p_size")),
+    // ---- r15 statistical-test batch (the bucketed prefix-sum engine:
+    // per-distinct-value counts, no entity-level sort anywhere) ----
+    // rank-sum A/B on order value: do urgent orders cost more?
+    "q_mannwhitney" -> t("orders")(o => Stats.mannWhitneyU(o,
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "o_totalprice")),
+    // distribution-level sibling: KS distance between the two cohorts
+    "q_ks_test" -> t("orders")(o => Stats.ksTest(o,
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "o_totalprice")),
+    // is return status independent of line status? χ² + Cramér's V
+    "q_chi2" -> t("lineitem")(
+      Stats.chiSquareIndependence(_, "l_returnflag", "l_linestatus")),
+    // per-source token-mass inequality (entropy family — the decomposable
+    // sibling of q_gini)
+    "q_theil" -> t("documents")(d => Stats.theilIndex(
+      d.select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast("long").as("n_tokens")),
+      "n_tokens", "source")),
     // Holt linear-trend forecast of daily revenue: the bounded
     // post-aggregate series recursed driver-side (calendar-capped), the
     // oracle replays the recursion as a RECURSIVE CTE
@@ -1560,6 +1578,16 @@ object SparkEntry {
     "q_ab_lift" -> Stats.twoProportionZOracleSql(
       "(SELECT p_type, l_returnflag FROM lineitem JOIN part ON l_partkey = p_partkey)",
       "p_type = 'PROMO'", "l_returnflag = 'R'"),
+    "q_mannwhitney" -> Stats.mannWhitneyUOracleSql("orders",
+      "o_orderpriority IN ('1-URGENT','2-HIGH')", "o_totalprice"),
+    "q_ks_test" -> Stats.ksTestOracleSql("orders",
+      "o_orderpriority IN ('1-URGENT','2-HIGH')", "o_totalprice"),
+    "q_chi2" -> Stats.chiSquareOracleSql("lineitem", "l_returnflag", "l_linestatus"),
+    "q_theil" -> Stats.theilOracleSql(
+      """(SELECT source,
+        |        len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+        |FROM documents)""".stripMargin,
+      "n_tokens", "source"),
     "q_funnel_windowed" -> Events.funnelWindowedOracleSql(),
     "q_bursts" -> Events.burstRunsOracleSql(),
     "q_reciprocity" -> Graph.reciprocityOracleSql(

@@ -1244,4 +1244,371 @@ object Stats {
        |       round((CAST(dv AS DOUBLE) / n_days)
        |             / (CAST(tv AS DOUBLE) / nd), 6) AS dow_index
        |FROM d CROSS JOIN ov ORDER BY dow""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Round-15 statistical-test batch: rank/ECDF tests built on the same
+  // bucketed prefix-sum engine as [[abcClasses]] — per-distinct-value
+  // aggregation first (ranks and ECDFs only need value counts), exact
+  // integer prefix sums composed from range-bucketed PARTITIONED windows
+  // plus one window over the tiny bucket aggregate, doubles only in the
+  // final test statistic. No entity-level sort anywhere.
+  // ------------------------------------------------------------------
+
+  /** Exclusive prefix sums of `sumCols` over a distinct-value table in
+    * ASCENDING `_v` order, without a full-table window. `perV` must be
+    * materialized (localCheckpoint) — the bucket-bound and bucket-offset
+    * broadcast inputs build on parallel threads (the [[abcClasses]]
+    * finding). When the table is MEASURED ≤ `smallCutoff` rows, one
+    * bounded window replaces the bucket machinery (the
+    * [[paretoFrontier]] fast path). Sum columns must be longs; output
+    * adds `_pre<c>` per input column.
+    */
+  private def prefixSumsAsc(perV: DataFrame, sumCols: Seq[String],
+                            buckets: Int = 10000,
+                            smallCutoff: Long = 65536L): DataFrame = {
+    if (perV.count() <= smallCutoff) {
+      val w = Window.orderBy(col("_v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return sumCols.foldLeft(perV) { (d, c) =>
+        d.withColumn(s"_pre$c", coalesce(sum(col(c)).over(w), lit(0L)))
+      }
+    }
+    val mm = perV.agg(min(col("_v").cast("double")).as("_lo"),
+      max(col("_v").cast("double")).as("_hi"))
+    val width = greatest((col("_hi") - col("_lo")) / buckets, lit(1e-300))
+    val bucketed = perV.crossJoin(broadcast(mm))
+      .withColumn("_b", least(
+        floor((col("_v").cast("double") - col("_lo")) / width),
+        lit(buckets.toLong)).cast("long"))
+      .drop("_lo", "_hi")
+    val perBucket = bucketed.groupBy("_b")
+      .agg(sum(col(sumCols.head)).as(s"_bt${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"_bt$c")): _*)
+    val wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket.select(col("_b") +: sumCols.map(c =>
+      coalesce(sum(col(s"_bt$c")).over(wb), lit(0L)).as(s"_off$c")): _*)
+    val wi = Window.partitionBy("_b").orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sumCols.foldLeft(bucketed.join(broadcast(offsets), "_b")) { (d, c) =>
+      d.withColumn(s"_pre$c",
+        col(s"_off$c") + coalesce(sum(col(c)).over(wi), lit(0L)))
+    }.drop(sumCols.map(c => s"_off$c"): _*).drop("_b")
+  }
+
+  /** The (group, value) → per-distinct-value cohort counts table the two
+    * rank/ECDF tests share. Null values are excluded (neither a rank nor
+    * an ECDF is defined on null, and the engines disagree on NULL order).
+    */
+  private def cohortCounts(df: DataFrame, groupFlag: Column,
+                           valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v"))
+      .agg(sum(when(groupFlag, 1L).otherwise(0L)).as("_ca"),
+        sum(when(!groupFlag, 1L).otherwise(0L)).as("_cb"))
+      .localCheckpoint()
+
+  /** Mann-Whitney U (Wilcoxon rank-sum), normal approximation with the
+    * standard tie correction — the nonparametric A/B readout on a numeric
+    * metric (does cohort A's distribution stochastically dominate B's?):
+    * U_A = R_A − n_A(n_A+1)/2 with R_A the tie-averaged rank sum,
+    * z = (U_A − n_An_B/2)/σ, σ² = (n_An_B/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Exactness: ranks never materialize per entity — a value group with
+    * prefix count B and size t has tie-averaged rank (2B + t + 1)/2, so
+    * 2R_A = Σ c_A·(2B + t + 1), an exact DECIMAL(38,0) integer; the tie
+    * term Σ(t³−t) likewise. z is one double expression over exact
+    * integers, identical on both engines, rounded to 4. Degenerate
+    * inputs (empty cohort, all values tied ⇒ σ = 0) give null z and
+    * significant = false (the [[twoProportionZ]] discipline).
+    *
+    * Scale shape: one hash aggregate to the distinct-value table, the
+    * bucketed prefix engine, one 1-row combine.
+    */
+  def mannWhitneyU(df: DataFrame, groupFlag: Column, valueCol: String,
+                   zCrit: Double = 1.96, buckets: Int = 10000,
+                   smallCutoff: Long = 65536L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pre = prefixSumsAsc(cohortCounts(df, groupFlag, valueCol),
+      Seq("_ca", "_cb"), buckets, smallCutoff)
+    val t = (col("_ca") + col("_cb")).cast(dec)
+    val b = (col("_pre_ca") + col("_pre_cb")).cast(dec)
+    val agg = pre.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"),
+      sum(col("_ca").cast(dec) * (lit(2).cast(dec) * b + t + lit(1).cast(dec)))
+        .cast(dec).as("_r2a"),
+      sum(t * t * t - t).cast(dec).as("_ties"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = na + nb
+    // 2·U_A = 2R_A − n_A(n_A+1), exact decimal
+    val u2a = (col("_r2a") - col("n_a").cast(dec) *
+      (col("n_a").cast(dec) + lit(1).cast(dec))).cast(dec)
+    val sigma2 = na * nb / 12.0 *
+      ((n + 1.0) - col("_ties").cast("double") / (n * (n - 1.0)))
+    // z = (U − μ)/σ = (2U − n_An_B)/(2σ); well-defined ⇔ both cohorts
+    // non-empty, n ≥ 2 and not all values tied (σ² > 0 ⇔ ties < n³−n)
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      (col("n_a") + col("n_b")) >= 2 &&
+      col("_ties").cast("double") < (n * n * n - n)
+    val z = (u2a.cast("double") - na * nb) / (lit(2.0) * sqrt(sigma2))
+    agg.select(col("n_a"), col("n_b"),
+      round(u2a.cast("double") / 2.0, 1).as("u_a"),
+      round(na * nb - u2a.cast("double") / 2.0, 1).as("u_b"),
+      round(when(ok, z), 4).as("z"),
+      coalesce(when(ok, abs(z) > zCrit), lit(false)).as("significant"))
+  }
+
+  /** Generated DuckDB oracle for [[mannWhitneyU]]: the same per-value
+    * cohort counts, exclusive prefix window, exact HUGEINT rank/tie sums
+    * and guarded double z. */
+  def mannWhitneyUOracleSql(fromSql: String, groupExpr: String,
+                            valueExpr: String,
+                            zCrit: Double = 1.96): String =
+    s"""WITH s AS (SELECT $valueExpr AS v, $groupExpr AS g FROM $fromSql
+       |           WHERE $valueExpr IS NOT NULL),
+       |pv AS (SELECT v,
+       |         CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+       |         CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+       |       FROM s GROUP BY v),
+       |pre AS (SELECT *, COALESCE(SUM(ca + cb) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          CAST(0 AS HUGEINT)) AS b
+       |        FROM pv),
+       |agg AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+       |               CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
+       |               SUM(ca * (2 * b + ca + cb + 1)) AS r2a,
+       |               SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS ties
+       |        FROM pre),
+       |f AS (SELECT *,
+       |        CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) AS u2a,
+       |        CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+       |        CAST(n_a + n_b AS DOUBLE) AS nd,
+       |        (n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND
+       |         CAST(ties AS DOUBLE) < (CAST(n_a + n_b AS DOUBLE)
+       |           * (n_a + n_b) * (n_a + n_b) - (n_a + n_b))) AS ok
+       |      FROM agg)
+       |SELECT n_a, n_b,
+       |       round(u2a / 2.0, 1) AS u_a,
+       |       round(nad * nbd - u2a / 2.0, 1) AS u_b,
+       |       round(CASE WHEN ok THEN
+       |           (u2a - nad * nbd)
+       |           / (2.0 * sqrt(nad * nbd / 12.0
+       |               * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0)))))
+       |         END, 4) AS z,
+       |       COALESCE(CASE WHEN ok THEN
+       |           abs((u2a - nad * nbd)
+       |           / (2.0 * sqrt(nad * nbd / 12.0
+       |               * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0))))))
+       |             > $zCrit
+       |         END, FALSE) AS significant
+       |FROM f""".stripMargin
+
+  /** Two-sample Kolmogorov-Smirnov test — are the two cohorts' value
+    * DISTRIBUTIONS the same? D = max_v |F_A(v) − F_B(v)| over the
+    * observed support, compared against the large-sample critical value
+    * c·√((n_A+n_B)/(n_A·n_B)) (c = 1.358 ⇒ α = 0.05).
+    *
+    * Exactness: the max runs over the INTEGERS |cumA·n_B − cumB·n_A|
+    * (cross-multiplied ECDF numerators — no double enters the argmax),
+    * and D divides once at the end; D and the threshold round to 6
+    * before the significance compare so both engines decide from
+    * identical doubles. Scale shape: the [[mannWhitneyU]] engine — one
+    * value aggregate, bucketed prefix sums, a 1-row max.
+    */
+  def ksTest(df: DataFrame, groupFlag: Column, valueCol: String,
+             cAlpha: Double = 1.358, buckets: Int = 10000,
+             smallCutoff: Long = 65536L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pre = prefixSumsAsc(cohortCounts(df, groupFlag, valueCol),
+      Seq("_ca", "_cb"), buckets, smallCutoff)
+    val agg = pre.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"))
+    val withT = pre.crossJoin(broadcast(agg))
+      .select(col("n_a"), col("n_b"),
+        abs((col("_pre_ca") + col("_ca")).cast(dec) * col("n_b").cast(dec) -
+          (col("_pre_cb") + col("_cb")).cast(dec) * col("n_a").cast(dec))
+          .as("_dnum"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    val d = round(col("_dmax").cast("double") / (na * nb), 6)
+    val thr = round(lit(cAlpha) * sqrt((na + nb) / (na * nb)), 6)
+    // both sides are 1-row global aggregates, so the output is one row
+    // even on an empty (all-null-value) input
+    agg.crossJoin(broadcast(withT.agg(max(col("_dnum")).as("_dmax"))))
+      .select(col("n_a"), col("n_b"),
+        when(ok, d).as("d"),
+        when(ok, thr).as("threshold"),
+        coalesce(when(ok, d > thr), lit(false)).as("significant"))
+  }
+
+  /** Generated DuckDB oracle for [[ksTest]]. */
+  def ksTestOracleSql(fromSql: String, groupExpr: String, valueExpr: String,
+                      cAlpha: Double = 1.358): String =
+    s"""WITH s AS (SELECT $valueExpr AS v, $groupExpr AS g FROM $fromSql
+       |           WHERE $valueExpr IS NOT NULL),
+       |pv AS (SELECT v,
+       |         CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+       |         CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+       |       FROM s GROUP BY v),
+       |cum AS (SELECT v,
+       |          SUM(ca) OVER (ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |          SUM(cb) OVER (ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+       |        FROM pv),
+       |tot AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+       |               CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b FROM pv),
+       |mx AS (SELECT MAX(abs(cuma * n_b - cumb * n_a)) AS dmax
+       |       FROM cum CROSS JOIN tot)
+       |SELECT n_a, n_b,
+       |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |         round(CAST(dmax AS DOUBLE)
+       |               / (CAST(n_a AS DOUBLE) * n_b), 6) END AS d,
+       |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |         round($cAlpha * sqrt(CAST(n_a + n_b AS DOUBLE)
+       |               / (CAST(n_a AS DOUBLE) * n_b)), 6) END AS threshold,
+       |       COALESCE(CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |           round(CAST(dmax AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+       |             > round($cAlpha * sqrt(CAST(n_a + n_b AS DOUBLE)
+       |                 / (CAST(n_a AS DOUBLE) * n_b)), 6)
+       |         END, FALSE) AS significant
+       |FROM mx CROSS JOIN tot""".stripMargin
+
+  /** χ² test of independence over two categorical columns, with Cramér's
+    * V effect size — the data-audit staple (is return status independent
+    * of ship mode? label of source?): χ² = Σ_{cells} (o − e)²/e with
+    * e = rowTotal·colTotal/n, V = √(χ²/(n·min(R−1, C−1))).
+    *
+    * Exactness: every count is an exact long; e and each cell term are
+    * doubles over identical exact operands, each term rounded to 9 and
+    * summed in DECIMAL(38,9) (order-free), χ² rounded once at the end.
+    * Scale shape: one contingency aggregate over the scan (cells bounded
+    * by the category product — `maxCells` fails loudly past the
+    * contract), marginals as two broadcast-sized aggregates of the cell
+    * table, a 1-row combine. Null categories are excluded.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String,
+                            maxCells: Long = 100000L): DataFrame = {
+    require(maxCells >= 1, s"need maxCells >= 1, got $maxCells")
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint()
+    val rowT = cells.groupBy("_a").agg(sum("_o").as("_ra")).localCheckpoint()
+    val colT = cells.groupBy("_b").agg(sum("_o").as("_cb")).localCheckpoint()
+    // the FULL marginal grid, not just observed cells: an expected-but-
+    // never-observed combination contributes (0 - e)^2/e = e, and perfect
+    // association is invisible without it (chi-squared = 0 cells matter)
+    val nGrid = rowT.count() * colT.count()
+    require(nGrid <= maxCells,
+      s"chiSquareIndependence: $nGrid contingency grid cells exceed maxCells=" +
+        s"$maxCells — these columns are not low-cardinality categories")
+    val tot = cells.agg(sum("_o").as("_n"),
+      count_distinct(col("_a")).as("_r"), count_distinct(col("_b")).as("_c"))
+    val e = col("_ra").cast("double") * col("_cb").cast("double") /
+      col("_n").cast("double")
+    val o = coalesce(col("_o"), lit(0L))
+    val term = round((o.cast("double") - e) * (o.cast("double") - e) / e, 9)
+    val agg = broadcast(rowT).crossJoin(broadcast(colT))
+      .join(cells, Seq("_a", "_b"), "left")
+      .crossJoin(broadcast(tot))
+      .agg(sum(term.cast(DecimalType(38, 9))).as("_chi2"),
+        max(col("_n")).as("n_rows"), max(col("_r")).as("n_levels_a"),
+        max(col("_c")).as("n_levels_b"))
+    val dof = (col("n_levels_a") - 1) * (col("n_levels_b") - 1)
+    val minDim = least(col("n_levels_a"), col("n_levels_b")) - 1
+    val v = sqrt(col("_chi2").cast("double") /
+      (col("n_rows").cast("double") * minDim.cast("double")))
+    agg.select(col("n_rows"), col("n_levels_a"), col("n_levels_b"),
+      dof.as("dof"),
+      round(col("_chi2").cast("double"), 4).as("chi2"),
+      round(when(minDim > 0, v), 6).as("cramers_v"))
+  }
+
+  /** Generated DuckDB oracle for [[chiSquareIndependence]]. */
+  def chiSquareOracleSql(table: String, aExpr: String, bExpr: String): String =
+    s"""WITH cells AS (SELECT CAST($aExpr AS VARCHAR) AS a,
+       |                      CAST($bExpr AS VARCHAR) AS b, COUNT(*) AS o
+       |               FROM $table
+       |               WHERE $aExpr IS NOT NULL AND $bExpr IS NOT NULL
+       |               GROUP BY 1, 2),
+       |rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+       |ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+       |tt AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+       |              COUNT(DISTINCT b) AS c FROM cells),
+       |grid AS (SELECT rt.a, ct.b, ra, cb, COALESCE(cells.o, 0) AS o
+       |         FROM rt CROSS JOIN ct
+       |         LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+       |terms AS (SELECT CAST(round(
+       |            (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+       |            * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+       |            / (CAST(ra AS DOUBLE) * cb / n), 9) AS DECIMAL(38,9)) AS term,
+       |            n, r, c
+       |          FROM grid CROSS JOIN tt)
+       |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       |       CAST(MAX(r) AS BIGINT) AS n_levels_a,
+       |       CAST(MAX(c) AS BIGINT) AS n_levels_b,
+       |       CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof,
+       |       round(CAST(SUM(term) AS DOUBLE), 4) AS chi2,
+       |       round(CASE WHEN least(MAX(r), MAX(c)) - 1 > 0 THEN
+       |           sqrt(CAST(SUM(term) AS DOUBLE)
+       |                / (CAST(MAX(n) AS DOUBLE) * (least(MAX(r), MAX(c)) - 1)))
+       |         END, 6) AS cramers_v
+       |FROM terms""".stripMargin
+
+  /** Per-group Theil index T = (1/n)·Σ (x/μ)·ln(x/μ) — the
+    * entropy-family inequality measure (0 = perfect equality, ln n =
+    * one entity owns everything); the decomposable sibling of
+    * [[giniByGroup]] a corpus owner uses when between/within-source
+    * splits matter. Zero and null values are excluded (ln is undefined);
+    * negative values fail loudly (inequality over signed contributions
+    * has no Theil semantics).
+    *
+    * Exactness: μ = exact-decimal Σx / n once per group (broadcast
+    * back); each term rounds to 9 then sums in DECIMAL(38,9), T divides
+    * once. Scale shape: one value aggregate per group + one row-local
+    * term pass — no windows at all.
+    */
+  def theilIndex(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val v0 = col(valueCol).cast(DecimalType(20, 6))
+    val v = when(v0.isNull || v0 >= 0, v0)
+      .otherwise(raise_error(format_string(
+        "theilIndex: negative value %s — inequality needs non-negative values", v0)))
+    val rows = df.select(col(groupCol).as("_g"), v.as("_v"))
+      .filter(col("_v").isNotNull && col("_v") > 0)
+    val mu = rows.groupBy("_g")
+      .agg(count(lit(1)).as("n_entities"), sum("_v").as("_s"))
+      .withColumn("_mu", col("_s").cast("double") / col("n_entities").cast("double"))
+    val term = round(col("_v").cast("double") / col("_mu") *
+      log(col("_v").cast("double") / col("_mu")), 9)
+    rows.join(broadcast(mu), "_g")
+      .groupBy(col("_g"), col("n_entities"), col("_s"), col("_mu"))
+      .agg(sum(term.cast(DecimalType(38, 9))).as("_t"))
+      .select(col("_g").as(groupCol), col("n_entities"),
+        round(col("_mu"), 4).as("mean_value"),
+        round(col("_t").cast("double") / col("n_entities").cast("double"), 6)
+          .as("theil"))
+      .orderBy(groupCol)
+  }
+
+  /** Generated DuckDB oracle for [[theilIndex]]. */
+  def theilOracleSql(table: String, valueExpr: String, groupCol: String): String =
+    s"""WITH rows0 AS (SELECT $groupCol AS g,
+       |                      CAST($valueExpr AS DECIMAL(20,6)) AS v
+       |               FROM $table
+       |               WHERE $valueExpr IS NOT NULL
+       |                 AND CAST($valueExpr AS DECIMAL(20,6)) > 0),
+       |mu AS (SELECT g, COUNT(*) AS n_entities, SUM(v) AS s,
+       |              CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+       |       FROM rows0 GROUP BY g),
+       |t AS (SELECT r.g, mu.n_entities, mu.m,
+       |             SUM(CAST(round(CAST(r.v AS DOUBLE) / mu.m
+       |                   * ln(CAST(r.v AS DOUBLE) / mu.m), 9)
+       |                 AS DECIMAL(38,9))) AS tt
+       |      FROM rows0 r JOIN mu ON r.g = mu.g
+       |      GROUP BY r.g, mu.n_entities, mu.m)
+       |SELECT g AS $groupCol, n_entities, round(m, 4) AS mean_value,
+       |       round(CAST(tt AS DOUBLE) / n_entities, 6) AS theil
+       |FROM t ORDER BY g""".stripMargin
 }

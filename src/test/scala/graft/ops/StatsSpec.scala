@@ -334,6 +334,100 @@ class StatsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("abcClasses")), s"$e")
   }
 
+  test("mannWhitneyU: hand-computed U, tie-corrected z, path equality, degenerate guards") {
+    val spark2 = spark
+    import spark2.implicits._
+    // disjoint cohorts: A = {1,2,3} < B = {4,5,6} -> U_A = 0, U_B = 9,
+    // z = -4.5/sqrt(3·3·7/12) = -1.964 (just past 1.96)
+    val d1 = (Seq(1, 2, 3).map((true, _)) ++ Seq(4, 5, 6).map((false, _))).toDF("g", "v")
+    val r1 = Stats.mannWhitneyU(d1, col("g"), "v").collect().head
+    assert(r1.getAs[Double]("u_a") == 0.0 && r1.getAs[Double]("u_b") == 9.0)
+    assert(r1.getAs[Double]("z") == -1.964 && r1.getAs[Boolean]("significant"))
+    // ties: A = {1,1}, B = {1,2} -> tie-averaged rank 2 for the 1s,
+    // U_A = 1, sigma^2 = (4/12)·(5 - 24/12) = 1, z = -1
+    val d2 = Seq((true, 1), (true, 1), (false, 1), (false, 2)).toDF("g", "v")
+    val r2 = Stats.mannWhitneyU(d2, col("g"), "v").collect().head
+    assert(r2.getAs[Double]("u_a") == 1.0 && r2.getAs[Double]("z") == -1.0)
+    assert(!r2.getAs[Boolean]("significant"))
+    // bucketed path (cutoff 0) equals the measured-small path
+    val rnd = new scala.util.Random(17)
+    val big = Seq.fill(2000)((rnd.nextBoolean(), rnd.nextInt(300))).toDF("g", "v")
+      .repartition(7)
+    assert(Stats.mannWhitneyU(big, col("g"), "v", smallCutoff = 0L).collect().toSeq ==
+      Stats.mannWhitneyU(big, col("g"), "v").collect().toSeq)
+    // degenerate: empty cohort and all-tied values -> null z, false flag
+    val oneSide = Seq((true, 1), (true, 2)).toDF("g", "v")
+    val r3 = Stats.mannWhitneyU(oneSide, col("g"), "v").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("z")) && !r3.getAs[Boolean]("significant"))
+    val allTied = Seq((true, 7), (false, 7), (false, 7)).toDF("g", "v")
+    val r4 = Stats.mannWhitneyU(allTied, col("g"), "v").collect().head
+    assert(r4.isNullAt(r4.fieldIndex("z")) && !r4.getAs[Boolean]("significant"))
+  }
+
+  test("ksTest: exact D from cross-multiplied ECDFs, path equality, null-value exclusion") {
+    val spark2 = spark
+    import spark2.implicits._
+    // fully separated cohorts: D = 1; threshold 1.358·sqrt(20/100) = 0.6073
+    val d1 = ((1 to 10).map(i => (true, i)) ++ (11 to 20).map(i => (false, i)))
+      .toDF("g", "v")
+    val r1 = Stats.ksTest(d1, col("g"), "v").collect().head
+    assert(r1.getAs[Double]("d") == 1.0)
+    assert(r1.getAs[Double]("threshold") == 0.607316)
+    assert(r1.getAs[Boolean]("significant"))
+    // identical cohorts: D = 0, not significant
+    val d2 = ((1 to 5).map(i => (true, i)) ++ (1 to 5).map(i => (false, i))).toDF("g", "v")
+    val r2 = Stats.ksTest(d2, col("g"), "v").collect().head
+    assert(r2.getAs[Double]("d") == 0.0 && !r2.getAs[Boolean]("significant"))
+    // null values drop on both engines' semantics; path equality
+    val rnd = new scala.util.Random(19)
+    val big = (Seq.fill(2000)((rnd.nextBoolean(), Some(rnd.nextInt(300)))) ++
+      Seq((true, Option.empty[Int]))).toDF("g", "v").repartition(5)
+    assert(Stats.ksTest(big, col("g"), "v", smallCutoff = 0L).collect().toSeq ==
+      Stats.ksTest(big, col("g"), "v").collect().toSeq)
+  }
+
+  test("chiSquareIndependence: zero under independence, n·min-dim under perfect association") {
+    val spark2 = spark
+    import spark2.implicits._
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 10 }
+      yield (a, b)).toDF("a", "b")
+    val r1 = Stats.chiSquareIndependence(indep, "a", "b").collect().head
+    assert(r1.getAs[Double]("chi2") == 0.0 && r1.getAs[Double]("cramers_v") == 0.0)
+    assert(r1.getAs[Long]("dof") == 1L && r1.getAs[Long]("n_rows") == 40L)
+    val assoc = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val r2 = Stats.chiSquareIndependence(assoc, "a", "b").collect().head
+    assert(r2.getAs[Double]("chi2") == 20.0, "chi2 = n under perfect 2x2 association")
+    assert(r2.getAs[Double]("cramers_v") == 1.0)
+    // cardinality contract fails loudly
+    val wide = (1 to 100).map(i => (s"a$i", s"b$i")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Stats.chiSquareIndependence(wide, "a", "b", maxCells = 50)
+    }
+    assert(e.getMessage.contains("chiSquareIndependence"))
+  }
+
+  test("theilIndex: zero at equality, hand value for {1,3}, negative fails loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val equal = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("grp", "v")
+    val r1 = Stats.theilIndex(equal, "v", "grp").collect().head
+    assert(r1.getAs[Double]("theil") == 0.0 && r1.getAs[Long]("n_entities") == 3L)
+    // {1,3}: T = (0.5·ln0.5 + 1.5·ln1.5)/2 = 0.130812
+    val two = Seq(("g", 1.0), ("g", 3.0)).toDF("grp", "v")
+    assert(Stats.theilIndex(two, "v", "grp").collect().head
+      .getAs[Double]("theil") == 0.130812)
+    // zero/null excluded from n; negative raises naming the operator
+    val withZero = Seq(("g", 1.0), ("g", 3.0), ("g", 0.0)).toDF("grp", "v")
+    assert(Stats.theilIndex(withZero, "v", "grp").collect().head
+      .getAs[Long]("n_entities") == 2L)
+    val e = intercept[Exception] {
+      Stats.theilIndex(Seq(("g", -1.0)).toDF("grp", "v"), "v", "grp").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("theilIndex")), s"$e")
+  }
+
   test("holtForecast: a perfectly linear series forecasts the line exactly") {
     val spark2 = spark
     import spark2.implicits._
