@@ -1265,7 +1265,7 @@ object Stats {
     */
   private def prefixSumsAsc(perV: DataFrame, sumCols: Seq[String],
                             buckets: Int = 10000,
-                            smallCutoff: Long = 65536L): DataFrame = {
+                            smallCutoff: Long = 262144L): DataFrame = {
     if (perV.count() <= smallCutoff) {
       val w = Window.orderBy(col("_v").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1326,7 +1326,7 @@ object Stats {
     */
   def mannWhitneyU(df: DataFrame, groupFlag: Column, valueCol: String,
                    zCrit: Double = 1.96, buckets: Int = 10000,
-                   smallCutoff: Long = 65536L): DataFrame = {
+                   smallCutoff: Long = 262144L): DataFrame = {
     val dec = DecimalType(38, 0)
     val pre = prefixSumsAsc(cohortCounts(df, groupFlag, valueCol),
       Seq("_ca", "_cb"), buckets, smallCutoff)
@@ -1417,7 +1417,7 @@ object Stats {
     */
   def ksTest(df: DataFrame, groupFlag: Column, valueCol: String,
              cAlpha: Double = 1.358, buckets: Int = 10000,
-             smallCutoff: Long = 65536L): DataFrame = {
+             smallCutoff: Long = 262144L): DataFrame = {
     val dec = DecimalType(38, 0)
     val pre = prefixSumsAsc(cohortCounts(df, groupFlag, valueCol),
       Seq("_ca", "_cb"), buckets, smallCutoff)
@@ -1565,10 +1565,13 @@ object Stats {
     * negative values fail loudly (inequality over signed contributions
     * has no Theil semantics).
     *
-    * Exactness: μ = exact-decimal Σx / n once per group (broadcast
-    * back); each term rounds to 9 then sums in DECIMAL(38,9), T divides
-    * once. Scale shape: one value aggregate per group + one row-local
-    * term pass — no windows at all.
+    * Exactness AND one-pass shape: T rewrites to
+    * (Σ x·ln x)/(n·μ) − ln μ (expand ln(x/μ); Σx = nμ), so ONE hash
+    * aggregate per group computes n, the exact-decimal Σx, and
+    * Σ round(x·ln x, 9) (order-free DECIMAL(38,9)) — no second pass over
+    * the input, no broadcast-back join, no window. Every double in the
+    * final expression derives from those exact aggregates identically on
+    * both engines.
     */
   def theilIndex(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val v0 = col(valueCol).cast(DecimalType(20, 6))
@@ -1577,18 +1580,15 @@ object Stats {
         "theilIndex: negative value %s — inequality needs non-negative values", v0)))
     val rows = df.select(col(groupCol).as("_g"), v.as("_v"))
       .filter(col("_v").isNotNull && col("_v") > 0)
-    val mu = rows.groupBy("_g")
-      .agg(count(lit(1)).as("n_entities"), sum("_v").as("_s"))
-      .withColumn("_mu", col("_s").cast("double") / col("n_entities").cast("double"))
-    val term = round(col("_v").cast("double") / col("_mu") *
-      log(col("_v").cast("double") / col("_mu")), 9)
-    rows.join(broadcast(mu), "_g")
-      .groupBy(col("_g"), col("n_entities"), col("_s"), col("_mu"))
-      .agg(sum(term.cast(DecimalType(38, 9))).as("_t"))
-      .select(col("_g").as(groupCol), col("n_entities"),
-        round(col("_mu"), 4).as("mean_value"),
-        round(col("_t").cast("double") / col("n_entities").cast("double"), 6)
-          .as("theil"))
+    val xlnx = round(col("_v").cast("double") * log(col("_v").cast("double")), 9)
+    val agg = rows.groupBy("_g").agg(
+      count(lit(1)).as("n_entities"), sum("_v").as("_s"),
+      sum(xlnx.cast(DecimalType(38, 9))).as("_xl"))
+    val n = col("n_entities").cast("double")
+    val mu = col("_s").cast("double") / n
+    agg.select(col("_g").as(groupCol), col("n_entities"),
+        round(mu, 4).as("mean_value"),
+        round(col("_xl").cast("double") / (n * mu) - log(mu), 6).as("theil"))
       .orderBy(groupCol)
   }
 
@@ -1599,16 +1599,14 @@ object Stats {
        |               FROM $table
        |               WHERE $valueExpr IS NOT NULL
        |                 AND CAST($valueExpr AS DECIMAL(20,6)) > 0),
-       |mu AS (SELECT g, COUNT(*) AS n_entities, SUM(v) AS s,
-       |              CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
-       |       FROM rows0 GROUP BY g),
-       |t AS (SELECT r.g, mu.n_entities, mu.m,
-       |             SUM(CAST(round(CAST(r.v AS DOUBLE) / mu.m
-       |                   * ln(CAST(r.v AS DOUBLE) / mu.m), 9)
-       |                 AS DECIMAL(38,9))) AS tt
-       |      FROM rows0 r JOIN mu ON r.g = mu.g
-       |      GROUP BY r.g, mu.n_entities, mu.m)
-       |SELECT g AS $groupCol, n_entities, round(m, 4) AS mean_value,
-       |       round(CAST(tt AS DOUBLE) / n_entities, 6) AS theil
-       |FROM t ORDER BY g""".stripMargin
+       |agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_entities, SUM(v) AS s,
+       |               SUM(CAST(round(CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)), 9)
+       |                   AS DECIMAL(38,9))) AS xl
+       |        FROM rows0 GROUP BY g)
+       |SELECT g AS $groupCol, n_entities,
+       |       round(CAST(s AS DOUBLE) / n_entities, 4) AS mean_value,
+       |       round(CAST(xl AS DOUBLE)
+       |               / (n_entities * (CAST(s AS DOUBLE) / n_entities))
+       |             - ln(CAST(s AS DOUBLE) / n_entities), 6) AS theil
+       |FROM agg ORDER BY g""".stripMargin
 }
