@@ -823,7 +823,8 @@ object Stats {
     */
   def abcClasses(entities: DataFrame, valueCol: String, idCol: String,
                  aShare: Double = 0.8, bShare: Double = 0.95,
-                 buckets: Int = 10000): DataFrame = {
+                 buckets: Int = 10000,
+                 smallCutoff: Long = 262144L): DataFrame = {
     require(aShare > 0 && aShare < bShare && bShare < 1,
       s"need 0 < aShare < bShare < 1, got $aShare/$bShare")
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
@@ -858,21 +859,34 @@ object Stats {
       min(col("_v").cast("double")).as("_lo"),
       max(col("_v").cast("double")).as("_hi"),
       coalesce(sum(when(col("_v").isNull, col("_cnt"))), lit(0L)).as("_nn"))
-    val width = greatest((col("_hi") - col("_lo")) / buckets, lit(1e-300))
-    val bucketed = nonNull.crossJoin(broadcast(stats))
-      .withColumn("_b", least(
-        floor((col("_hi") - col("_v").cast("double")) / width),
-        lit(buckets.toLong)).cast("long"))
-      .drop("_lo", "_hi")
-    val perBucket = bucketed.groupBy("_b").agg(sum(grpTotal).as("_bt"))
-    val wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perBucket.withColumn("_off", sum(col("_bt")).over(wb))
-      .select(col("_b"), col("_off"))
-    val wi = Window.partitionBy("_b").orderBy(col("_v").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withCum = bucketed.join(broadcast(offsets), "_b")
-      .withColumn("_B", (coalesce(col("_off"), lit(0).cast(dec38)) +
-        coalesce(sum(grpTotal).over(wi), lit(0).cast(dec38))).cast(dec38))
+    // MEASURED-small fast path (the paretoFrontier/prefixSumsAsc rule):
+    // the checkpoint count is free, and a <= smallCutoff-row one-task
+    // window over the DISTINCT-VALUE table is bounded by measurement —
+    // the bucket machinery exists for unbounded value domains
+    val withCum = if (perV.count() <= smallCutoff) {
+      val w = Window.orderBy(col("_v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      nonNull.crossJoin(broadcast(stats))
+        .drop("_lo", "_hi")
+        .withColumn("_B",
+          coalesce(sum(grpTotal).over(w), lit(0).cast(dec38)).cast(dec38))
+    } else {
+      val width = greatest((col("_hi") - col("_lo")) / buckets, lit(1e-300))
+      val bucketed = nonNull.crossJoin(broadcast(stats))
+        .withColumn("_b", least(
+          floor((col("_hi") - col("_v").cast("double")) / width),
+          lit(buckets.toLong)).cast("long"))
+        .drop("_lo", "_hi")
+      val perBucket = bucketed.groupBy("_b").agg(sum(grpTotal).as("_bt"))
+      val wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perBucket.withColumn("_off", sum(col("_bt")).over(wb))
+        .select(col("_b"), col("_off"))
+      val wi = Window.partitionBy("_b").orderBy(col("_v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offsets), "_b")
+        .withColumn("_B", (coalesce(col("_off"), lit(0).cast(dec38)) +
+          coalesce(sum(grpTotal).over(wi), lit(0).cast(dec38))).cast(dec38))
+    }
     // closed-form class split of one value group: share of the group's
     // k-th entity replayed EXACTLY as the ranked form computed it
     val totD = col("_tot").cast("double")

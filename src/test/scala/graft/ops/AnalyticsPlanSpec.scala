@@ -126,21 +126,27 @@ class AnalyticsPlanSpec extends SparkSpec {
       assert(feedsFromBucketAgg,
         s"$name: the unpartitioned window must read the per-bucket aggregate:\n${unpart.head}")
     }
-    bucketAggPin("q_abc", planOf("q_abc"))
-    // q_pareto at fixture scale takes the measured-small path: its one
-    // window reads the per-x CHECKPOINT (bounded by the count that chose
-    // the path), with no full-table sort below it
-    val pPlan = planOf("q_pareto")
-    val pWindows = pPlan.collect { case w: WindowExec => w }
-    assert(pWindows.size == 1, s"q_pareto: one bounded window:\n$pPlan")
-    assert(pWindows.head.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }.isEmpty, s"q_pareto's window must read the checkpointed per-x table, not a scan:\n$pPlan")
-    // the forced-bucketed build (the 100 TB path) keeps the bucket pin
-    val forced = Stats.paretoFrontier(
+    // at fixture scale both registered queries take the measured-small
+    // path: one window, reading the checkpointed distinct-value table
+    // (bounded by the count that chose the path), never a raw scan
+    for (name <- Seq("q_abc", "q_pareto")) {
+      val plan = planOf(name)
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.size == 1, s"$name: one bounded window:\n$plan")
+      assert(windows.head.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.isEmpty, s"$name's window must read the checkpointed value table, not a scan:\n$plan")
+    }
+    // the forced-bucketed builds (the 100 TB path) keep the bucket pin
+    bucketAggPin("q_pareto(bucketed)", Stats.paretoFrontier(
       graft.core.Tables.part(spark, sfDir), "p_retailprice", "p_size",
-      smallCutoff = 0L).queryExecution.sparkPlan
-    bucketAggPin("q_pareto(bucketed)", forced)
+      smallCutoff = 0L).queryExecution.sparkPlan)
+    import org.apache.spark.sql.functions.{col => c2, lit => l2, sum => sum2}
+    bucketAggPin("q_abc(bucketed)", Stats.abcClasses(
+      graft.core.Tables.lineitem(spark, sfDir).groupBy("l_partkey").agg(
+        sum2((c2("l_extendedprice") * (l2(1.0) - c2("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("revenue")),
+      "revenue", "l_partkey", smallCutoff = 0L).queryExecution.sparkPlan)
   }
 
   test("q_collocations / q_cms_rollup / q_split_safe: no cartesian product anywhere") {

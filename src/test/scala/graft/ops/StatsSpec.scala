@@ -305,9 +305,14 @@ class StatsSpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     def sameAs(df: org.apache.spark.sql.DataFrame, buckets: Int): Unit = {
-      val fast = Stats.abcClasses(df, "v", "id", buckets = buckets).collect().toSeq
+      // cutoff 0 forces the bucketed path; the default takes the
+      // measured-small single-window path — both must equal the naive form
+      val fast = Stats.abcClasses(df, "v", "id", buckets = buckets,
+        smallCutoff = 0L).collect().toSeq
+      val small = Stats.abcClasses(df, "v", "id", buckets = buckets).collect().toSeq
       val naive = Stats.abcClassesNaive(df, "v", "id").collect().toSeq
       assert(fast == naive, s"buckets=$buckets\nfast=$fast\nnaive=$naive")
+      assert(small == naive, s"small-path mismatch: $small vs $naive")
     }
     val rnd = new scala.util.Random(13)
     // heavy ties ACROSS the class boundaries: few distinct values, many
