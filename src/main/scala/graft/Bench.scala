@@ -95,6 +95,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy nanos-era fixture support; Tables.load adapts per era
       .config("spark.ui.enabled", "false")
+      // AQE coalescing tuned for the bench's size regime (round 16,
+      // measured A/B at sf0.1): parallelismFirst=false lets AQE coalesce
+      // a tiny shuffle to ONE task instead of fanning it to parallelism
+      // (the per-task launch floor is ~2.6 ms × 32 tasks per exchange),
+      // and the 8 MB advisory size keeps mid-size exchanges (the pair
+      // families' candidate joins) parallel enough. Full-registry A/B:
+      // 111.8 s → 89.0 s warm pass, per-query median ratio 0.80, worst
+      // regression +0.29 s (q_tfidf_pairs), zero errors. AQE itself
+      // measured ON > OFF (off: +22 s — graph/iterative rows regress
+      // up to +4 s each), so this tunes coalescing, never disables it.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

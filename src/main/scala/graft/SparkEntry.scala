@@ -888,6 +888,12 @@ object SparkEntry {
     // its sibling for the LSH-bucketed families: structural guarantees
     // (subset / never-beats / superset) + recall floors, oracle-pinned
     "q_lsh_fidelity" -> t("embeddings")(Similarity.lshFidelityReport(_)),
+    // r16: the fourth ANN family — HNSW-style layered navigable graph
+    // (certify-once graph memo; the greedy descent + base-layer beam run
+    // per refresh). Exact-bound report: recall vs the SHARED exact
+    // ground-truth memo + full-k coverage, floor declared under the
+    // measured fixture recalls (1.00 at sf0.01/sf0.1)
+    "q_hnsw_topk" -> t("embeddings")(Similarity.hnswRecallReport(_, 20, 5)),
     // ---- H: multimodal plumbing ----
     "q_payload_digest" -> t("documents")(Multimodal.payloadDigest),
     // REAL codec path (round 4): each doc's text bytes become the pixel
@@ -1109,14 +1115,29 @@ object SparkEntry {
     // distribution-level sibling: KS distance between the two cohorts
     "q_ks_test" -> t("orders")(o => Stats.ksTest(o,
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "o_totalprice")),
+    // r16 grouped variants: one test PER ORDER STATUS — the slice-level
+    // dashboard rows a curation/mixture controller actually reads; the
+    // prefix engine gains the dimension as a partition key
+    "q_mannwhitney_by" -> t("orders")(o => Stats.mannWhitneyUBy(o,
+      "o_orderstatus", col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      "o_totalprice")),
+    "q_ks_by" -> t("orders")(o => Stats.ksTestBy(o,
+      "o_orderstatus", col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      "o_totalprice")),
     // is return status independent of line status? χ² + Cramér's V
     "q_chi2" -> t("lineitem")(
       Stats.chiSquareIndependence(_, "l_returnflag", "l_linestatus")),
     // per-source token-mass inequality (entropy family — the decomposable
     // sibling of q_gini)
+    // n_tokens is null-guarded explicitly: under legacy sizeOfNull
+    // semantics size(null) is -1, which would trip theilIndex's
+    // negative-value raise_error on a null-text corpus while the oracle's
+    // len(NULL) is NULL and silently filters the row — guard both engines
+    // into the same null-in-null-out behavior regardless of session flags
     "q_theil" -> t("documents")(d => Stats.theilIndex(
       d.select(col("source"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+        when(col("text").isNotNull,
+          size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))))
           .cast("long").as("n_tokens")),
       "n_tokens", "source")),
     // Holt linear-trend forecast of daily revenue: the bounded
@@ -1441,6 +1462,7 @@ object SparkEntry {
     "q_approx_distinct" -> Grouping.approxDistinctReportOracleSql(),
     "q_approx_percentiles" -> Grouping.approxPercentileReportOracleSql,
     "q_ann_recall" -> Similarity.annRecallReportOracleSql(20, 5),
+    "q_hnsw_topk" -> Similarity.hnswRecallReportOracleSql(20, 5),
     "q_ann_topk" -> Similarity.annTopKOracleSql(20, 5),
     "q_hamming_topk" -> Similarity.hammingTopKOracleSql(20, 5),
     "q_cosine_pairs_lsh" -> Similarity.cosinePairsLshOracleSql(0.9),
@@ -1582,6 +1604,12 @@ object SparkEntry {
       "o_orderpriority IN ('1-URGENT','2-HIGH')", "o_totalprice"),
     "q_ks_test" -> Stats.ksTestOracleSql("orders",
       "o_orderpriority IN ('1-URGENT','2-HIGH')", "o_totalprice"),
+    "q_mannwhitney_by" -> Stats.mannWhitneyUByOracleSql("orders",
+      "o_orderstatus", "o_orderpriority IN ('1-URGENT','2-HIGH')",
+      "o_totalprice"),
+    "q_ks_by" -> Stats.ksTestByOracleSql("orders",
+      "o_orderstatus", "o_orderpriority IN ('1-URGENT','2-HIGH')",
+      "o_totalprice"),
     "q_chi2" -> Stats.chiSquareOracleSql("lineitem", "l_returnflag", "l_linestatus"),
     "q_theil" -> Stats.theilOracleSql(
       """(SELECT source,

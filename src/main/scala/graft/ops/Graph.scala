@@ -1280,10 +1280,16 @@ object Graph {
       clab = next
       clabCkpted = true
     }
-    // map original nodes through their level-1 community to its final one
+    // map original nodes through their level-1 community to its final one.
+    // LEFT join (r16, from the r15 ADVICE): the coarse graph only contains
+    // communities with at least one incident edge in edgeList, so a label
+    // whose community is edgeless (isolated nodes carried in `labels`)
+    // has no clab row — an inner join silently dropped such nodes from
+    // the output. An edgeless community can never gain from a move, so
+    // its final community IS its level-1 id: coalesce to _cn.
     val out = lab.select(col("node"), col("community").as("_cn"))
-      .join(clab.select(col("node").as("_cn"), col("community")), "_cn")
-      .select("node", "community")
+      .join(clab.select(col("node").as("_cn"), col("community")), Seq("_cn"), "left")
+      .select(col("node"), coalesce(col("community"), col("_cn")).as("community"))
       .localCheckpoint()
     Seq(lab, clab, ce, deg).foreach(
       org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint)

@@ -815,9 +815,13 @@ object Stats {
     * shape, fully in-engine), and a CLOSED-FORM split of each value
     * group across the two thresholds: the k-th entity of a group has
     * share round((B + k·v)/tot, 9), monotone in k, so the class-A count
-    * is the largest qualifying k — located by a double estimate and
-    * confirmed by probing the exact engine expression over a ±4 window
-    * (the estimate's error is ≤ ~n·1e-15 ≪ 4). No entity-level window
+    * is the largest qualifying k — located by BINARY SEARCH on the exact
+    * engine expression itself (round 16, from the r15 ADVICE: the prior
+    * double estimate's error scales as ~(tot/v)·2⁻⁵³, which escapes any
+    * fixed probe window once a group's value is tiny relative to the
+    * corpus total; the search needs no error bound at all and its
+    * iteration count is ceil(log₂ cnt) — cnt is a per-value
+    * multiplicity, 1 for most distinct values). No entity-level window
     * anywhere; naive-equivalence spec-asserted, oracle replays the
     * ranked form.
     */
@@ -894,16 +898,35 @@ object Stats {
       round((col("_B") + k.cast(DecimalType(20, 0)) * col("_v"))
         .cast("double") / totD, 9)
     def kMax(share: Double): Column = {
-      val est = floor((lit(share + 5e-10) * totD - col("_B").cast("double"))
-        / col("_v").cast("double"))
-      val lo = greatest(lit(0L), least(est - 4, col("_cnt")))
-      val hi = least(col("_cnt"), greatest(est + 4, lit(0L)))
+      // Largest k in [0, cnt] with sOf(k) <= share, by binary search on
+      // the monotone sOf itself — exact by construction, no error-bound
+      // reasoning (k = 0 always qualifies: zero entities taken is always
+      // a valid, share-0 prefix of the group). Invariant entering the
+      // loop: P(lo) ∧ ¬P(hi) (the ok(cnt) branch below has already
+      // returned cnt when the whole group qualifies), so the converged
+      // lo is the answer. Halving width w -> ceil(w/2) reaches 1 in
+      // ceil(log2 cnt) steps; +1 iteration absorbs any log2 double
+      // wobble, and surplus iterations no-op on the width-1 guard.
+      def ok(k: Column): Column = sOf(k) <= share
+      val iters = greatest(lit(1L),
+        (ceil(log(2.0, col("_cnt"))) + 1).cast("long"))
+      val searched = aggregate(
+        sequence(lit(1L), iters),
+        struct(lit(0L).as("lo"), col("_cnt").as("hi")),
+        (acc, _) => {
+          val lo = acc.getField("lo")
+          val hi = acc.getField("hi")
+          val mid = shiftright(lo + hi, 1)
+          when(hi - lo <= 1, acc).otherwise(
+            when(ok(mid), struct(mid.as("lo"), hi.as("hi")))
+              .otherwise(struct(lo.as("lo"), mid.as("hi"))))
+        },
+        acc => acc.getField("lo"))
       when(col("_tot") <= 0, lit(0L))
         .when(col("_v") === 0,
           when(sOf(lit(0L)) <= share, col("_cnt")).otherwise(lit(0L)))
-        .otherwise(aggregate(sequence(lo, hi), lit(0L),
-          (acc, k) => when(k === 0 || sOf(k) <= share, greatest(acc, k))
-            .otherwise(acc)))
+        .when(ok(col("_cnt")), col("_cnt"))
+        .otherwise(searched)
     }
     val scored = withCum.select(col("_v"), col("_cnt"), col("_tot"),
       kMax(aShare).as("_ka"), kMax(bShare).as("_kb"))
@@ -1279,31 +1302,47 @@ object Stats {
     */
   private def prefixSumsAsc(perV: DataFrame, sumCols: Seq[String],
                             buckets: Int = 10000,
-                            smallCutoff: Long = 262144L): DataFrame = {
+                            smallCutoff: Long = 262144L,
+                            partCols: Seq[String] = Nil): DataFrame = {
+    // `partCols` (round 16, the grouped-test extension): prefix sums
+    // restart per partition-key combination — every window below gains
+    // the partition columns, the bucket bounds/offsets become per-group
+    // rows (still broadcast-sized: groups are a dashboard dimension, and
+    // the offsets table is ≤ groups × buckets rows), and the empty-seq
+    // default reproduces the ungrouped engine expression-for-expression.
+    val pc = partCols.map(col)
     if (perV.count() <= smallCutoff) {
-      val w = Window.orderBy(col("_v").asc)
+      val w = Window.partitionBy(pc: _*).orderBy(col("_v").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
       return sumCols.foldLeft(perV) { (d, c) =>
         d.withColumn(s"_pre$c", coalesce(sum(col(c)).over(w), lit(0L)))
       }
     }
-    val mm = perV.agg(min(col("_v").cast("double")).as("_lo"),
-      max(col("_v").cast("double")).as("_hi"))
+    val mmAggs = min(col("_v").cast("double")).as("_lo") ::
+      max(col("_v").cast("double")).as("_hi") :: Nil
+    val mm =
+      if (partCols.isEmpty) perV.agg(mmAggs.head, mmAggs.tail: _*)
+      else perV.groupBy(pc: _*).agg(mmAggs.head, mmAggs.tail: _*)
+    val joined =
+      if (partCols.isEmpty) perV.crossJoin(broadcast(mm))
+      else perV.join(broadcast(mm), partCols)
     val width = greatest((col("_hi") - col("_lo")) / buckets, lit(1e-300))
-    val bucketed = perV.crossJoin(broadcast(mm))
+    val bucketed = joined
       .withColumn("_b", least(
         floor((col("_v").cast("double") - col("_lo")) / width),
         lit(buckets.toLong)).cast("long"))
       .drop("_lo", "_hi")
-    val perBucket = bucketed.groupBy("_b")
+    val perBucket = bucketed.groupBy((pc :+ col("_b")): _*)
       .agg(sum(col(sumCols.head)).as(s"_bt${sumCols.head}"),
         sumCols.tail.map(c => sum(col(c)).as(s"_bt$c")): _*)
-    val wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perBucket.select(col("_b") +: sumCols.map(c =>
-      coalesce(sum(col(s"_bt$c")).over(wb), lit(0L)).as(s"_off$c")): _*)
-    val wi = Window.partitionBy("_b").orderBy(col("_v").asc)
+    val wb = Window.partitionBy(pc: _*).orderBy("_b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    sumCols.foldLeft(bucketed.join(broadcast(offsets), "_b")) { (d, c) =>
+    val offsets = perBucket.select((pc :+ col("_b")) ++ sumCols.map(c =>
+      coalesce(sum(col(s"_bt$c")).over(wb), lit(0L)).as(s"_off$c")): _*)
+    val wi = Window.partitionBy((pc :+ col("_b")): _*).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sumCols.foldLeft(bucketed.join(broadcast(offsets),
+      (partCols :+ "_b"))) { (d, c) =>
       d.withColumn(s"_pre$c",
         col(s"_off$c") + coalesce(sum(col(c)).over(wi), lit(0L)))
     }.drop(sumCols.map(c => s"_off$c"): _*).drop("_b")
@@ -1488,6 +1527,177 @@ object Stats {
        |                 / (CAST(n_a AS DOUBLE) * n_b)), 6)
        |         END, FALSE) AS significant
        |FROM mx CROSS JOIN tot""".stripMargin
+
+  /** Per-dimension [[mannWhitneyU]] — the curation-dashboard form (round
+    * 16): one rank-sum test PER VALUE of `byCol` (per source, per
+    * segment, per status), so a mixture controller reads one row per
+    * slice instead of re-running the whole-table test N times. Identical
+    * arithmetic to the ungrouped operator — the prefix-sum engine simply
+    * gains the dimension as a partition key ([[prefixSumsAsc]]'s
+    * `partCols`), so every rank/tie sum restarts per slice and each
+    * row's z replays [[mannWhitneyU]] over exactly that slice
+    * (spec-asserted path equality). Null dimensions are excluded (the
+    * engines disagree on NULL group order); degenerate slices (one
+    * cohort empty, all values tied) give null z and significant = false,
+    * per the [[twoProportionZ]] discipline.
+    */
+  def mannWhitneyUBy(df: DataFrame, byCol: String, groupFlag: Column,
+                     valueCol: String, zCrit: Double = 1.96,
+                     buckets: Int = 10000,
+                     smallCutoff: Long = 262144L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perV = df.filter(col(valueCol).isNotNull && col(byCol).isNotNull)
+      .groupBy(col(byCol).as("_g"), col(valueCol).as("_v"))
+      .agg(sum(when(groupFlag, 1L).otherwise(0L)).as("_ca"),
+        sum(when(!groupFlag, 1L).otherwise(0L)).as("_cb"))
+      .localCheckpoint()
+    val pre = prefixSumsAsc(perV, Seq("_ca", "_cb"), buckets, smallCutoff,
+      partCols = Seq("_g"))
+    val t = (col("_ca") + col("_cb")).cast(dec)
+    val b = (col("_pre_ca") + col("_pre_cb")).cast(dec)
+    val agg = pre.groupBy("_g").agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"),
+      sum(col("_ca").cast(dec) * (lit(2).cast(dec) * b + t + lit(1).cast(dec)))
+        .cast(dec).as("_r2a"),
+      sum(t * t * t - t).cast(dec).as("_ties"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = na + nb
+    val u2a = (col("_r2a") - col("n_a").cast(dec) *
+      (col("n_a").cast(dec) + lit(1).cast(dec))).cast(dec)
+    val sigma2 = na * nb / 12.0 *
+      ((n + 1.0) - col("_ties").cast("double") / (n * (n - 1.0)))
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      (col("n_a") + col("n_b")) >= 2 &&
+      col("_ties").cast("double") < (n * n * n - n)
+    val z = (u2a.cast("double") - na * nb) / (lit(2.0) * sqrt(sigma2))
+    agg.select(col("_g").as(byCol), col("n_a"), col("n_b"),
+        round(u2a.cast("double") / 2.0, 1).as("u_a"),
+        round(na * nb - u2a.cast("double") / 2.0, 1).as("u_b"),
+        round(when(ok, z), 4).as("z"),
+        coalesce(when(ok, abs(z) > zCrit), lit(false)).as("significant"))
+      .orderBy(byCol)
+  }
+
+  /** Generated DuckDB oracle for [[mannWhitneyUBy]]: [[mannWhitneyUOracleSql]]
+    * with the dimension threaded through every CTE and the prefix window
+    * partitioned by it. */
+  def mannWhitneyUByOracleSql(fromSql: String, byExpr: String,
+                              groupExpr: String, valueExpr: String,
+                              zCrit: Double = 1.96): String =
+    s"""WITH s AS (SELECT $byExpr AS gd, $valueExpr AS v, $groupExpr AS g
+       |           FROM $fromSql
+       |           WHERE $valueExpr IS NOT NULL AND $byExpr IS NOT NULL),
+       |pv AS (SELECT gd, v,
+       |         CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+       |         CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+       |       FROM s GROUP BY gd, v),
+       |pre AS (SELECT *, COALESCE(SUM(ca + cb) OVER (PARTITION BY gd ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          CAST(0 AS HUGEINT)) AS b
+       |        FROM pv),
+       |agg AS (SELECT gd, CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+       |               CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
+       |               SUM(ca * (2 * b + ca + cb + 1)) AS r2a,
+       |               SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS ties
+       |        FROM pre GROUP BY gd),
+       |f AS (SELECT *,
+       |        CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) AS u2a,
+       |        CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+       |        CAST(n_a + n_b AS DOUBLE) AS nd,
+       |        (n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND
+       |         CAST(ties AS DOUBLE) < (CAST(n_a + n_b AS DOUBLE)
+       |           * (n_a + n_b) * (n_a + n_b) - (n_a + n_b))) AS ok
+       |      FROM agg)
+       |SELECT gd AS $byExpr, n_a, n_b,
+       |       round(u2a / 2.0, 1) AS u_a,
+       |       round(nad * nbd - u2a / 2.0, 1) AS u_b,
+       |       round(CASE WHEN ok THEN
+       |           (u2a - nad * nbd)
+       |           / (2.0 * sqrt(nad * nbd / 12.0
+       |               * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0)))))
+       |         END, 4) AS z,
+       |       COALESCE(CASE WHEN ok THEN
+       |           abs((u2a - nad * nbd)
+       |           / (2.0 * sqrt(nad * nbd / 12.0
+       |               * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0))))))
+       |             > $zCrit
+       |         END, FALSE) AS significant
+       |FROM f ORDER BY gd""".stripMargin
+
+  /** Per-dimension [[ksTest]] — one two-sample KS distance per `byCol`
+    * value, the distribution-level sibling of [[mannWhitneyUBy]]. Same
+    * partitioned prefix engine, same integer cross-product argmax per
+    * slice, same degenerate-slice discipline (empty cohort → null d /
+    * threshold, significant = false).
+    */
+  def ksTestBy(df: DataFrame, byCol: String, groupFlag: Column,
+               valueCol: String, cAlpha: Double = 1.358,
+               buckets: Int = 10000,
+               smallCutoff: Long = 262144L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perV = df.filter(col(valueCol).isNotNull && col(byCol).isNotNull)
+      .groupBy(col(byCol).as("_g"), col(valueCol).as("_v"))
+      .agg(sum(when(groupFlag, 1L).otherwise(0L)).as("_ca"),
+        sum(when(!groupFlag, 1L).otherwise(0L)).as("_cb"))
+      .localCheckpoint()
+    val pre = prefixSumsAsc(perV, Seq("_ca", "_cb"), buckets, smallCutoff,
+      partCols = Seq("_g"))
+    val agg = pre.groupBy("_g").agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"))
+    val dmax = pre.join(broadcast(agg), "_g")
+      .select(col("_g"),
+        abs((col("_pre_ca") + col("_ca")).cast(dec) * col("n_b").cast(dec) -
+          (col("_pre_cb") + col("_cb")).cast(dec) * col("n_a").cast(dec))
+          .as("_dnum"))
+      .groupBy("_g").agg(max(col("_dnum")).as("_dmax"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    val d = round(col("_dmax").cast("double") / (na * nb), 6)
+    val thr = round(lit(cAlpha) * sqrt((na + nb) / (na * nb)), 6)
+    agg.join(dmax, "_g")
+      .select(col("_g").as(byCol), col("n_a"), col("n_b"),
+        when(ok, d).as("d"),
+        when(ok, thr).as("threshold"),
+        coalesce(when(ok, d > thr), lit(false)).as("significant"))
+      .orderBy(byCol)
+  }
+
+  /** Generated DuckDB oracle for [[ksTestBy]]. */
+  def ksTestByOracleSql(fromSql: String, byExpr: String, groupExpr: String,
+                        valueExpr: String, cAlpha: Double = 1.358): String =
+    s"""WITH s AS (SELECT $byExpr AS gd, $valueExpr AS v, $groupExpr AS g
+       |           FROM $fromSql
+       |           WHERE $valueExpr IS NOT NULL AND $byExpr IS NOT NULL),
+       |pv AS (SELECT gd, v,
+       |         CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+       |         CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+       |       FROM s GROUP BY gd, v),
+       |cum AS (SELECT gd, v,
+       |          SUM(ca) OVER (PARTITION BY gd ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |          SUM(cb) OVER (PARTITION BY gd ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+       |        FROM pv),
+       |tot AS (SELECT gd, CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+       |               CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b
+       |        FROM pv GROUP BY gd),
+       |mx AS (SELECT c.gd, MAX(abs(c.cuma * t.n_b - c.cumb * t.n_a)) AS dmax
+       |       FROM cum c JOIN tot t ON c.gd = t.gd GROUP BY c.gd)
+       |SELECT t.gd AS $byExpr, t.n_a, t.n_b,
+       |       CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+       |         round(CAST(m.dmax AS DOUBLE)
+       |               / (CAST(t.n_a AS DOUBLE) * t.n_b), 6) END AS d,
+       |       CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+       |         round($cAlpha * sqrt(CAST(t.n_a + t.n_b AS DOUBLE)
+       |               / (CAST(t.n_a AS DOUBLE) * t.n_b)), 6) END AS threshold,
+       |       COALESCE(CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+       |           round(CAST(m.dmax AS DOUBLE) / (CAST(t.n_a AS DOUBLE) * t.n_b), 6)
+       |             > round($cAlpha * sqrt(CAST(t.n_a + t.n_b AS DOUBLE)
+       |                 / (CAST(t.n_a AS DOUBLE) * t.n_b)), 6)
+       |         END, FALSE) AS significant
+       |FROM tot t JOIN mx m ON t.gd = m.gd ORDER BY t.gd""".stripMargin
 
   /** χ² test of independence over two categorical columns, with Cramér's
     * V effect size — the data-audit staple (is return status independent

@@ -54,10 +54,14 @@ object DocumentStreams {
 
   /** [[curateStream]] with a benchmark-decontamination stage — the live
     * form of the batch gate→dedup→decontaminate chain. The benchmark is a
-    * STATIC frame: its shingle hashes fold into a broadcast Bloom filter
-    * once at query build ([[graft.ops.Dedup.contaminationCheck]] — the
-    * map-side form of `decontaminateBloom`'s test), and each micro-batch
-    * applies it as a row-local predicate — no stream-static join, no
+    * STATIC frame: its shingle hashes fold into a Bloom filter once at
+    * query build ([[graft.ops.Dedup.contaminationFilterBytes]] — the
+    * map-side form of `decontaminateBloom`'s test), which rides the plan
+    * as a constant binary probed by Spark's `might_contain` expression
+    * over the document's in-plan gram hashes
+    * ([[graft.ops.Dedup.contaminatedProbe]]) — no stream-static join, no
+    * ScalaUDF node on the stream scan (round 16: the previous closure UDF
+    * was the last UDF in main code; plan-pinned in the spec), no
     * per-trigger state beyond [[curateStream]]'s digest dedup. Guarantees
     * carry over from the Bloom construction: a document sharing a real
     * benchmark n-gram can NEVER pass (no false negatives); clean documents
@@ -72,10 +76,14 @@ object DocumentStreams {
                                  minMeanTokLen: Double = 4.0,
                                  maxMeanTokLen: Double = 9.0,
                                  minTypeToken: Double = 0.3): DataFrame = {
-    val contaminated = Dedup.contaminationCheck(benchmark, n, expectedShingles, fpp)
-    val clean = udf((text: String) => !contaminated(text))
+    val bfBytes = Dedup.contaminationFilterBytes(benchmark, n, expectedShingles, fpp)
     curateStream(docs, watermark, minMeanTokLen, maxMeanTokLen, minTypeToken)
-      .filter(clean(col("text")))
+      // tokens materialize as a real column BEFORE the gram lambda
+      // (interpreted HOFs re-evaluate inline expressions per element)
+      .withColumn("_toks", regexp_extract_all(
+        lower(coalesce(col("text"), lit(""))), lit("[a-z0-9]+"), lit(0)))
+      .filter(!Dedup.contaminatedProbe(col("_toks"), bfBytes, n))
+      .drop("_toks")
   }
 
   /** Score an incoming document stream with a TRAINED quality classifier

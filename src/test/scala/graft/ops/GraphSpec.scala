@@ -385,6 +385,15 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(q1 - 0.807143) < 1e-6 && math.abs(q2 - 0.9) < 1e-6)
     // determinism under repartitioning
     assert(labelsOf(Graph.louvainCoarsen(e.repartition(7), cliqueLabels, rounds = 2)) == want)
+    // isolated labeled nodes survive (r16, from the r15 ADVICE): a label
+    // whose community has NO incident edge in edgeList has no coarse-graph
+    // row — the old inner-join mapping silently dropped it; it must come
+    // back with its level-1 community (an edgeless community never moves)
+    val withIsolated = cliqueLabels
+      .union(Seq((100L, 100L), (101L, 100L)).toDF("node", "community"))
+    val mergedIso = labelsOf(Graph.louvainCoarsen(e, withIsolated, rounds = 2))
+    assert(mergedIso == want ++ Map(100L -> 100L, 101L -> 100L),
+      s"isolated labels must map through unchanged: $mergedIso")
   }
 
   test("refineCommunities: swap guard blocks the 2-swap oscillation; bit-identical under repartitioning") {

@@ -501,4 +501,60 @@ class SimilaritySpec extends SparkSpec {
     assert(viaHamming.exceptAll(brute).isEmpty && brute.exceptAll(viaHamming).isEmpty,
       "full-shortlist Hamming rerank must equal brute-force cosine top-k")
   }
+
+  test("hnswGraph: nested layers, degree caps, deterministic under repartitioning") {
+    val e = Tables.embeddings(spark, sfDir)
+    val m = 8
+    val g = Similarity.hnswGraph(e, m)
+    val rows = g.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byLevel = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lMax = byLevel.keys.max
+    // layers nest: every node appearing at level l also appears at l-1
+    for (l <- 1 to lMax)
+      assert(byLevel(l).subsetOf(byLevel(l - 1)),
+        s"level $l members must be a subset of level ${l - 1}")
+    // geometric shrink: each upper layer is a strict minority of the base
+    for (l <- 1 to lMax)
+      assert(byLevel(l).size < byLevel(0).size, s"level $l did not shrink")
+    // degree caps: <= 2m at the base layer, <= m above
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((l, v), es) =>
+      val cap = if (l == 0) 2 * m else m
+      assert(es.length <= cap, s"node $v at level $l has ${es.length} > $cap edges")
+    }
+    // pure function of the corpus: identical under repartitioning
+    val g2 = Similarity.hnswGraph(e.repartition(7), m)
+    assert(g.exceptAll(g2).isEmpty && g2.exceptAll(g).isEmpty,
+      "hnswGraph must be partitioning-invariant")
+  }
+
+  test("hnswRecallReport: recall + coverage floors hold; search sims never beat exact") {
+    val e = Tables.embeddings(spark, sfDir)
+    val report = Similarity.hnswRecallReport(e, 20, 5).collect()
+    assert(report.length == 1)
+    val r = report.head
+    assert(r.getString(0) == "hnsw" && r.getLong(1) == 20 && r.getLong(2) == 5)
+    assert(r.getAs[Boolean]("recall_ok"), "hnsw recall below the declared floor")
+    assert(r.getAs[Boolean]("full_k_ok"), "some query returned fewer than k results")
+    // the graph search returns candidates with EXACT sims, so no result
+    // can ever beat the brute-force answer at the same rank
+    val exact1 = Similarity.cosineTopK(e, 20, 5).filter(col("rn") === 1)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(2)).toMap
+    val graph = Similarity.hnswGraph(e)
+    val got1 = Similarity.hnswTopK(e, graph, 20, 5).filter(col("rn") === 1)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(2)).toMap
+    got1.foreach { case (qid, s) =>
+      assert(s <= exact1(qid) + 1e-9, s"query $qid: hnsw top-1 $s beats exact ${exact1(qid)}")
+    }
+  }
+
+  test("hnswGraph: forced-LSH build path (exactCap=0) still yields a searchable graph") {
+    val e = Tables.embeddings(spark, sfDir)
+    val g = Similarity.hnswGraph(e, m = 8, exactCap = 0L)
+    // the banded path may drop bucket-less nodes, but the graph must stay
+    // searchable: every query surfaces results with exact sims
+    val out = Similarity.hnswTopK(e, g, nQueries = 10, k = 3).collect()
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.nonEmpty && perQ.values.forall(_.length <= 3))
+    assert(out.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
+  }
 }

@@ -330,6 +330,19 @@ class StatsSpec extends SparkSpec {
     // zipf-ish spread across many buckets
     val zipf = (1 to 500).map(i => (i.toLong, 1000.0 / i)).toDF("id", "v").repartition(7)
     for (b <- Seq(3, 10000)) sameAs(zipf, b)
+    // extreme value-to-total ratio (r16, from the r15 ADVICE): a group
+    // whose value is ~1e-18 of the corpus total (DECIMAL(20,6) micro
+    // values under a 14-digit head) — the regime where the old
+    // double-derived boundary estimate's error (~(tot/v)·2^-53) escaped
+    // any fixed probe window; the binary search on the exact sOf must
+    // still agree with the ranked form bit-for-bit
+    val micro = ((1L, 1e12) +: (2 to 12).map(i => (i.toLong, 1e-6)))
+      .toDF("id", "v").repartition(3)
+    for (b <- Seq(1, 7, 10000)) sameAs(micro, b)
+    // same regime with the boundary inside the micro group's share band
+    val microMid = ((1L, 5e10) +: (2 to 40).map(i => (i.toLong, 1e-6)))
+      .toDF("id", "v")
+    sameAs(microMid, 100)
     // negative values fail loudly, naming the operator
     val e = intercept[Exception] {
       Stats.abcClasses(Seq((1L, -1.0)).toDF("id", "v"), "v", "id").collect()
@@ -367,6 +380,43 @@ class StatsSpec extends SparkSpec {
     val allTied = Seq((true, 7), (false, 7), (false, 7)).toDF("g", "v")
     val r4 = Stats.mannWhitneyU(allTied, col("g"), "v").collect().head
     assert(r4.isNullAt(r4.fieldIndex("z")) && !r4.getAs[Boolean]("significant"))
+  }
+
+  test("mannWhitneyUBy/ksTestBy: each slice replays the ungrouped test; degenerate slices null out") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    // three slices with different shapes + one degenerate (single-cohort)
+    // slice + a null dimension row (must be excluded)
+    val rows = Seq.fill(900) {
+      val s = Seq("s1", "s2", "s3")(rnd.nextInt(3))
+      (Some(s), rnd.nextBoolean(), rnd.nextInt(40))
+    } ++ Seq.fill(5)((Some("s4"), true, rnd.nextInt(10))) ++
+      Seq((Option.empty[String], true, 1))
+    val df = rows.toDF("dim", "g", "v").repartition(7)
+    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+    val mwBy = Stats.mannWhitneyUBy(df, "dim", col("g"), "v").collect()
+    val ksBy = Stats.ksTestBy(df, "dim", col("g"), "v").collect()
+    assert(mwBy.map(key).toSeq == Seq("s1", "s2", "s3", "s4"))
+    assert(ksBy.map(key).toSeq == Seq("s1", "s2", "s3", "s4"))
+    // slice-by-slice parity with the ungrouped operators
+    for (s <- Seq("s1", "s2", "s3", "s4")) {
+      val slice = df.filter(col("dim") === s)
+      val mw = Stats.mannWhitneyU(slice, col("g"), "v").collect().head
+      val mwG = mwBy.find(key(_) == s).get
+      assert(mwG.toSeq.drop(1) == mw.toSeq, s"MW slice $s: $mwG vs $mw")
+      val ks = Stats.ksTest(slice, col("g"), "v").collect().head
+      val ksG = ksBy.find(key(_) == s).get
+      assert(ksG.toSeq.drop(1) == ks.toSeq, s"KS slice $s: $ksG vs $ks")
+    }
+    // the single-cohort slice is the degenerate row: null z / d, false flag
+    val s4 = mwBy.find(key(_) == "s4").get
+    assert(s4.isNullAt(s4.fieldIndex("z")) && !s4.getAs[Boolean]("significant"))
+    // forced-bucketed partitioned engine equals the measured-small path
+    assert(Stats.mannWhitneyUBy(df, "dim", col("g"), "v", smallCutoff = 0L)
+      .collect().toSeq == mwBy.toSeq)
+    assert(Stats.ksTestBy(df, "dim", col("g"), "v", smallCutoff = 0L)
+      .collect().toSeq == ksBy.toSeq)
   }
 
   test("ksTest: exact D from cross-multiplied ECDFs, path equality, null-value exclusion") {

@@ -63,7 +63,19 @@ class DocumentStreamsSpec extends SparkSpec {
     val q = DocumentStreams.curateStreamDecontaminated(mem.toDF(), bench, "10 minutes")
       .writeStream.format("memory").queryName("t_decon")
       .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
+    // plan pin (r16): the decontamination probe is in-plan (might_contain
+    // over a constant Bloom binary) — the micro-batch physical plan must
+    // carry no ScalaUDF / BatchEvalPython node anywhere
+    val planStr = q
+      .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .explainInternal(false)
+    q.stop()
+    assert(!planStr.contains("ScalaUDF") && !planStr.contains("UDF(") &&
+      !planStr.contains("BatchEvalPython"),
+      s"decontamination stream must stay UDF-free:\n$planStr")
+    assert(planStr.contains("might_contain"),
+      s"expected the in-plan Bloom probe in the stream plan:\n$planStr")
     val kept = spark.table("t_decon").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(13L, 14L), s"kept=$kept")
     // parity: the stream's verdict per doc equals the batch Bloom operator's
