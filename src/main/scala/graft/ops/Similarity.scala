@@ -1260,7 +1260,19 @@ object Similarity {
         .filter(col("rn") <= mmax)
         .select(lit(l).as("level"), col("vec_id"), col("neighbor_id"), col("sim"))
     }
-    val out = layers.reduce(_ unionByName _).localCheckpoint()
+    // the index carries each neighbor's vector + norm (the standard
+    // vector-store trade — HNSW stores vectors with the graph): a search
+    // hop then scores candidates straight off the adjacency rows, with no
+    // corpus join per step. One corpus join here, at certify-once build
+    // time, pays for all of them.
+    val ev = embeddings.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("nv"))
+      .withColumn("nnrm", norm(col("nv")))
+    val out = layers.reduce(_ unionByName _)
+      .join(ev, "neighbor_id")
+      .select(col("level"), col("vec_id"), col("neighbor_id"), col("sim"),
+        col("nv"), col("nnrm"))
+      .localCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(lvl)
     out
   }
@@ -1283,7 +1295,7 @@ object Similarity {
     */
   def hnswTopK(embeddings: DataFrame, graph: DataFrame,
                nQueries: Int = 20, k: Int = 5, ef: Int = 32,
-               hopsPerLevel: Int = 4, beamRounds: Int = 4): DataFrame = {
+               hopsPerLevel: Int = 2, beamRounds: Int = 4): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1, got ef=$ef k=$k")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -1299,13 +1311,24 @@ object Similarity {
       case _ =>
         (e.agg(coalesce(min("vec_id"), lit(0L))).head().getLong(0), 0)
     }
-    def simTo(cands: DataFrame): DataFrame = cands
-      .join(e.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+    // the frontier frames are bounded (≤ queries × ef rows), the graph is
+    // not: broadcast the bounded side so the adjacency STREAMS map-side —
+    // no graph-sized shuffle anywhere in the search. A hop scores its
+    // candidates straight off the adjacency rows' carried vectors (no
+    // corpus join per step — the build paid it once).
+    def simTo(cands: DataFrame): DataFrame = e
+      .select(col("vec_id").as("cid"), col("v"), col("nrm"))
+      .join(broadcast(cands), "cid")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    def adj(l: Int): DataFrame = graph.filter(col("level") === l)
-      .select(col("vec_id").as("cid"), col("neighbor_id"))
+    def hop(frontier: DataFrame, l: Int): DataFrame =
+      graph.filter(col("level") === l)
+        .select(col("vec_id").as("cid"), col("neighbor_id"), col("nv"), col("nnrm"))
+        .join(broadcast(frontier.select(col("qid"), col("cid"))), "cid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("neighbor_id").as("cid"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nnrm"))).as("sim"))
     // cursor: (qid, cid, sim), one row per query
     var cur = simTo(q.select(col("qid")).withColumn("cid", lit(entry)))
       .localCheckpoint()
@@ -1313,22 +1336,28 @@ object Similarity {
       .groupBy("qid")
       .agg(min(struct((-col("sim")).as("ns"), col("cid").as("c"))).as("b"))
       .select(col("qid"), col("b.c").as("cid"), (-col("b.ns")).as("sim"))
+    // checkpoint per hop: each hop's plan embeds the cursor TWICE (the
+    // stay-option union + the broadcast frontier), so un-checkpointed
+    // hops nest the previous hop's three broadcast builds exponentially
+    // — measured SLOWER than paying one eager checkpoint job per hop on
+    // the nQueries-row cursor (the HITS nesting-factor lesson: cadence
+    // follows the plan's self-embedding count, not job-count intuition)
     for (l <- lMax to 1 by -1; _ <- 1 to hopsPerLevel) {
-      val stepped = best(cur.unionByName(
-        simTo(cur.join(adj(l), "cid").select(col("qid"), col("neighbor_id").as("cid")))))
+      val stepped = best(cur.unionByName(hop(cur, l)))
         .localCheckpoint()
       org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(cur)
       cur = stepped
     }
-    // base-layer beam: candidate set capped at ef per query per round
-    val a0 = adj(0)
+    // base-layer beam: candidate set capped at ef per query per round.
+    // Dedup via ONE (qid, cid) aggregate — re-scoring an already-seen
+    // candidate recomputes the same sim, so max() folds the visited set
+    // in without the two extra shuffles an anti-join/except would plan.
     var beam = cur
     for (_ <- 1 to beamRounds) {
-      val expanded = simTo(
-        beam.join(a0, "cid").select(col("qid"), col("neighbor_id").as("cid"))
-          .except(beam.select("qid", "cid")))
+      val expanded = hop(beam, 0)
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
       val next = beam.unionByName(expanded)
+        .groupBy("qid", "cid").agg(max("sim").as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= ef).drop("rn")
         .localCheckpoint()

@@ -20,6 +20,10 @@ object PerfProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match the bench session's AQE coalescing tune (round 16) so probe
+      // numbers compare against BENCH_r* per-query rows
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JIT/scan warmup
@@ -746,6 +750,34 @@ object PerfProbe {
       val tHof = rep(7)(force(hofLeg()))
       println(f"PROBE c4ab typed_map min=${tMap.min}%.3f med=${tMap.sorted.apply(3)}%.3f")
       println(f"PROBE c4ab hof_codegen min=${tHof.min}%.3f med=${tHof.sorted.apply(3)}%.3f")
+      spark.stop(); return
+    }
+
+    // hnsw mode: `Test/runMain graft.PerfProbe hnsw` — graph build cost,
+    // warm search cost, and measured recall@k vs exact at the current SF
+    // (the floor behind q_hnsw_topk's declared 0.93)
+    if (args.headOption.contains("hnsw")) {
+      import graft.core.Tables
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      def t[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROBE hnsw $tag%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val g = t("graph build")(Similarity.hnswGraph(emb, 8))
+      val exact = Similarity.cosineTopK(emb, 20, 5).select("qid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((h, b, ef) <- Seq((2, 3, 32), (2, 4, 32), (1, 4, 32), (2, 3, 64),
+                             (2, 4, 64), (3, 4, 32))) {
+        (1 to 2).foreach { _ =>
+          val got = t(s"search h=$h b=$b ef=$ef")(
+            Similarity.hnswTopK(emb, g, 20, 5, ef = ef, hopsPerLevel = h,
+              beamRounds = b).select("qid", "cid")
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+          println(f"PROBE hnsw h=$h b=$b ef=$ef recall=${got.intersect(exact).size.toDouble / exact.size}%.4f")
+        }
+      }
       spark.stop(); return
     }
 
