@@ -890,7 +890,14 @@ object Graph {
       .union(edges.select(col("b").as("node"))).distinct()
       .withColumn("community", col("node"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // checkpoint every 2 rounds (r16): an LPA round embeds the previous
+    // labeling TWICE (viaA + viaB), so a 2-round window executes 2² = 4
+    // copies of the last checkpoint — the pageRank cadence trade (its
+    // nesting factor is also ≤2), NOT the HITS one (×4 nesting forces
+    // per-round checkpoints there). The final round always checkpoints
+    // so the released edges never sit in the returned lineage.
+    var lastCkpt = labels
+    for (i <- 1 to rounds) {
       val viaA = edges
         .join(labels.select(col("node").as("a"), col("community")), "a")
         .select(col("b").as("node"), col("community"))
@@ -902,9 +909,12 @@ object Graph {
         .groupBy("node")
         .agg(min(struct((-col("c")).as("nc"), col("community").as("lab"))).as("m"))
         .select(col("node"), col("m.lab").as("community"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(labels)
-      labels = next
+      if (i % 2 == 0 || i == rounds) {
+        val ck = next.localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(lastCkpt)
+        lastCkpt = ck
+        labels = ck
+      } else labels = next
     }
     org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(edges)
     if (sorted) labels.orderBy("node") else labels
