@@ -1124,6 +1124,14 @@ object SparkEntry {
     "q_ks_by" -> t("orders")(o => Stats.ksTestBy(o,
       "o_orderstatus", col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
       "o_totalprice")),
+    // k-cohort extension: does ANY order status differ in value
+    // distribution? H over tie-averaged rank sums, Wilson-Hilferty gate
+    "q_kruskal" -> t("orders")(
+      Stats.kruskalWallis(_, "o_orderstatus", "o_totalprice")),
+    // monotone association between quantity and line price — Spearman ρ
+    // over tie-averaged ranks (never a per-row sort), Fisher-z flag
+    "q_spearman" -> t("lineitem")(
+      Stats.spearmanCorr(_, "l_quantity", "l_extendedprice")),
     // is return status independent of line status? χ² + Cramér's V
     "q_chi2" -> t("lineitem")(
       Stats.chiSquareIndependence(_, "l_returnflag", "l_linestatus")),
@@ -1610,6 +1618,10 @@ object SparkEntry {
     "q_ks_by" -> Stats.ksTestByOracleSql("orders",
       "o_orderstatus", "o_orderpriority IN ('1-URGENT','2-HIGH')",
       "o_totalprice"),
+    "q_kruskal" -> Stats.kruskalWallisOracleSql("orders",
+      "o_orderstatus", "o_totalprice"),
+    "q_spearman" -> Stats.spearmanOracleSql("lineitem",
+      "l_quantity", "l_extendedprice"),
     "q_chi2" -> Stats.chiSquareOracleSql("lineitem", "l_returnflag", "l_linestatus"),
     "q_theil" -> Stats.theilOracleSql(
       """(SELECT source,

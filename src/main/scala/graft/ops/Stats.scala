@@ -1699,6 +1699,216 @@ object Stats {
        |         END, FALSE) AS significant
        |FROM tot t JOIN mx m ON t.gd = m.gd ORDER BY t.gd""".stripMargin
 
+  /** Kruskal-Wallis H test — the k-cohort extension of [[mannWhitneyU]]
+    * (does ANY of k groups' value distributions differ?): with
+    * tie-averaged rank sums R_g over the pooled ranking,
+    * H = 12/(n(n+1)) · Σ R_g²/n_g − 3(n+1), tie-corrected by
+    * 1 − Σ(t³−t)/(n³−n), compared against the χ²(k−1) 95th percentile
+    * via the Wilson-Hilferty cube approximation (a closed-form double
+    * both engines replay: df·(1 − 2/(9df) + z₀.₉₅·√(2/(9df)))³).
+    *
+    * Exactness: ranks never materialize — 2R_g = Σ_v c_{g,v}·(2B_v+t_v+1)
+    * is an exact DECIMAL(38,0) over the per-(group, value) count table
+    * ([[mannWhitneyU]]'s identity per group), the tie term likewise; the
+    * per-group R_g²/n_g terms are doubles over exact operands, rounded
+    * to 6 then DECIMAL(38,6)-summed order-free. Degenerate inputs
+    * (k < 2, n < 2, all values tied) give null h and significant =
+    * false. Scale shape: one (group, value) aggregate, the bucketed
+    * prefix engine over the distinct-value table, one k-row combine.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    z95: Double = 1.6448536269514722,
+                    buckets: Int = 10000,
+                    smallCutoff: Long = 262144L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perGV = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val perV = perGV.groupBy("_v").agg(sum("_c").as("_t")).localCheckpoint()
+    val pre = prefixSumsAsc(perV, Seq("_t"), buckets, smallCutoff)
+    val r2term = col("_c").cast(dec) *
+      (lit(2).cast(dec) * col("_pre_t").cast(dec) +
+        col("_t").cast(dec) + lit(1).cast(dec))
+    val perG = perGV.join(pre.select(col("_v"), col("_t"), col("_pre_t")), "_v")
+      .groupBy("_g").agg(sum(col("_c")).as("n_g"),
+        sum(r2term).cast(dec).as("_r2"))
+    // (2R_g)²/(4·n_g) — a double over exact operands, identical on both
+    // engines; rounded then decimal-summed so group order cannot matter
+    val r2d = col("_r2").cast("double")
+    val term = round(r2d * r2d / (lit(4.0) * col("n_g").cast("double")), 6)
+    val t = col("_t").cast(dec)
+    val tot = perV.agg(coalesce(sum(col("_t")), lit(0L)).as("n"),
+      coalesce(sum(t * t * t - t).cast(dec), lit(0).cast(dec)).as("_ties"))
+    val agg = perG.agg(count(lit(1)).as("n_groups"),
+        sum(term.cast(DecimalType(38, 6))).as("_s"))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    val h0 = lit(12.0) / (nD * (nD + 1.0)) * col("_s").cast("double") -
+      lit(3.0) * (nD + 1.0)
+    val tieDen = lit(1.0) - col("_ties").cast("double") / (nD * nD * nD - nD)
+    val h = h0 / tieDen
+    val dfree = (col("n_groups") - 1).cast("double")
+    // explicit cube, not pow(·, 3): libm pow is not bit-identical across
+    // engines, x·x·x is
+    val whBase = lit(1.0) - lit(2.0) / (lit(9.0) * dfree) +
+      lit(z95) * sqrt(lit(2.0) / (lit(9.0) * dfree))
+    val hCrit = dfree * whBase * whBase * whBase
+    val ok = col("n_groups") >= 2 && col("n") >= 2 &&
+      col("_ties").cast("double") < (nD * nD * nD - nD)
+    agg.select(col("n"), col("n_groups"),
+      (col("n_groups") - 1).as("df"),
+      round(when(ok, h), 4).as("h"),
+      round(when(ok, hCrit), 4).as("h_crit"),
+      coalesce(when(ok, round(h, 4) > round(hCrit, 4)), lit(false))
+        .as("significant"))
+  }
+
+  /** Generated DuckDB oracle for [[kruskalWallis]]. */
+  def kruskalWallisOracleSql(fromSql: String, groupExpr: String,
+                             valueExpr: String,
+                             z95: Double = 1.6448536269514722): String =
+    s"""WITH s AS (SELECT $groupExpr AS g, $valueExpr AS v FROM $fromSql
+       |           WHERE $valueExpr IS NOT NULL AND $groupExpr IS NOT NULL),
+       |gv AS (SELECT g, v, CAST(COUNT(*) AS HUGEINT) AS c FROM s GROUP BY g, v),
+       |pv AS (SELECT v, CAST(SUM(c) AS HUGEINT) AS t FROM gv GROUP BY v),
+       |pre AS (SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          CAST(0 AS HUGEINT)) AS b
+       |        FROM pv),
+       |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+       |              SUM(c * (2 * p.b + p.t + 1)) AS r2
+       |       FROM gv JOIN pre p USING (v) GROUP BY g),
+       |terms AS (SELECT g, n_g,
+       |            CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+       |              / (4.0 * n_g), 6) AS DECIMAL(38,6)) AS term
+       |          FROM pg),
+       |tot AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n,
+       |               COALESCE(SUM(t * t * t - t), CAST(0 AS HUGEINT)) AS ties
+       |        FROM pv),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, SUM(term) AS sm
+       |        FROM terms),
+       |f AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+       |        CAST(n_groups - 1 AS DOUBLE) AS dfree,
+       |        (n_groups >= 2 AND n >= 2 AND
+       |         CAST(ties AS DOUBLE) < (CAST(n AS DOUBLE) * n * n - n)) AS ok
+       |      FROM agg CROSS JOIN tot),
+       |hh AS (SELECT *,
+       |         (12.0 / (nd * (nd + 1.0)) * CAST(sm AS DOUBLE)
+       |           - 3.0 * (nd + 1.0))
+       |           / (1.0 - CAST(ties AS DOUBLE) / (nd * nd * nd - nd)) AS h,
+       |         dfree * (1.0 - 2.0 / (9.0 * dfree)
+       |             + $z95 * sqrt(2.0 / (9.0 * dfree)))
+       |           * (1.0 - 2.0 / (9.0 * dfree)
+       |             + $z95 * sqrt(2.0 / (9.0 * dfree)))
+       |           * (1.0 - 2.0 / (9.0 * dfree)
+       |             + $z95 * sqrt(2.0 / (9.0 * dfree))) AS h_crit
+       |       FROM f)
+       |SELECT n, n_groups, n_groups - 1 AS df,
+       |       round(CASE WHEN ok THEN h END, 4) AS h,
+       |       round(CASE WHEN ok THEN h_crit END, 4) AS h_crit,
+       |       COALESCE(CASE WHEN ok THEN round(h, 4) > round(h_crit, 4) END,
+       |                FALSE) AS significant
+       |FROM hh""".stripMargin
+
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association readout (is doc length associated with quality
+    * score? quantity with price?): Pearson correlation over tie-averaged
+    * ranks, with the Fisher-transform z for significance
+    * (z = ½ln((1+ρ)/(1−ρ))·√((n−3)/1.06), the standard Spearman SE).
+    *
+    * Exactness: per-column tie-averaged ranks come from the bucketed
+    * prefix engine as the INTEGER 2·rank = 2B+t+1 (never a per-row sort
+    * — two distinct-value tables, two joins back to the rows); all five
+    * moment sums over the 2-rank integers are exact DECIMAL(38,0) (the
+    * ×2 scale cancels in the correlation), ρ is one double expression
+    * over them, rounded to 6. Degenerate inputs (n < 2, a constant
+    * column ⇒ zero variance) give null ρ; the z flag additionally needs
+    * n > 3 and |ρ| < 1 (the transform diverges at ±1), else null z /
+    * false. Scale shape: two value aggregates + prefix engines, two
+    * hash joins keyed by the value columns, one 1-row combine.
+    */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String,
+                   zCrit: Double = 1.96, buckets: Int = 10000,
+                   smallCutoff: Long = 262144L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("_x"), col(yCol).as("_y"))
+      .localCheckpoint()
+    def rank2Of(c: String): DataFrame = {
+      val perV = rows.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_t"))
+        .localCheckpoint()
+      prefixSumsAsc(perV, Seq("_t"), buckets, smallCutoff)
+        .select(col("_v").as(c),
+          (lit(2).cast(dec) * col("_pre_t").cast(dec) +
+            col("_t").cast(dec) + lit(1).cast(dec)).as(s"_r2$c"))
+    }
+    val withR = rows.join(rank2Of("_x"), "_x").join(rank2Of("_y"), "_y")
+    val agg = withR.agg(count(lit(1)).as("n"),
+      sum(col("_r2_x")).cast(dec).as("_sx"),
+      sum(col("_r2_y")).cast(dec).as("_sy"),
+      sum(col("_r2_x") * col("_r2_y")).cast(dec).as("_sxy"),
+      sum(col("_r2_x") * col("_r2_x")).cast(dec).as("_sxx"),
+      sum(col("_r2_y") * col("_r2_y")).cast(dec).as("_syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("_sxy") - d("_sx") * d("_sy")
+    val varX = nD * d("_sxx") - d("_sx") * d("_sx")
+    val varY = nD * d("_syy") - d("_sy") * d("_sy")
+    val ok = col("n") >= 2 && varX > 0 && varY > 0
+    val rho = round(num / sqrt(varX * varY), 6)
+    val okZ = ok && col("n") > 3 && abs(rho) < 1
+    val z = lit(0.5) * log((lit(1.0) + rho) / (lit(1.0) - rho)) *
+      sqrt((nD - 3.0) / 1.06)
+    agg.select(col("n"),
+      when(ok, rho).as("rho"),
+      round(when(okZ, z), 4).as("z"),
+      coalesce(when(okZ, abs(z) > zCrit), lit(false)).as("significant"))
+  }
+
+  /** Generated DuckDB oracle for [[spearmanCorr]]. */
+  def spearmanOracleSql(fromSql: String, xExpr: String, yExpr: String,
+                        zCrit: Double = 1.96): String = {
+    def rankCte(tag: String, e: String) =
+      s"""pv$tag AS (SELECT $e AS v, CAST(COUNT(*) AS HUGEINT) AS t
+         |           FROM s GROUP BY $e),
+         |r$tag AS (SELECT v, 2 * COALESCE(SUM(t) OVER (ORDER BY v
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            CAST(0 AS HUGEINT)) + t + 1 AS r2
+         |          FROM pv$tag)""".stripMargin
+    s"""WITH s AS (SELECT $xExpr AS x, $yExpr AS y FROM $fromSql
+       |           WHERE $xExpr IS NOT NULL AND $yExpr IS NOT NULL),
+       |${rankCte("x", "x")},
+       |${rankCte("y", "y")},
+       |j AS (SELECT rx.r2 AS a, ry.r2 AS b
+       |      FROM s JOIN rx ON s.x = rx.v JOIN ry ON s.y = ry.v),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |               SUM(a) AS sx, SUM(b) AS sy, SUM(a * b) AS sxy,
+       |               SUM(a * a) AS sxx, SUM(b * b) AS syy
+       |        FROM j),
+       |f AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+       |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+       |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+       |      FROM agg),
+       |r AS (SELECT *, (n >= 2 AND vx > 0 AND vy > 0) AS ok,
+       |        round((nd * CAST(sxy AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |          / sqrt(vx * vy), 6) AS rho
+       |      FROM f),
+       |zz AS (SELECT *, (ok AND n > 3 AND abs(rho) < 1) AS okz,
+       |         0.5 * ln((1.0 + rho) / (1.0 - rho))
+       |           * sqrt((nd - 3.0) / 1.06) AS z
+       |       FROM r)
+       |SELECT n,
+       |       CASE WHEN ok THEN rho END AS rho,
+       |       round(CASE WHEN okz THEN z END, 4) AS z,
+       |       COALESCE(CASE WHEN okz THEN abs(z) > $zCrit END, FALSE)
+       |         AS significant
+       |FROM zz""".stripMargin
+  }
+
   /** χ² test of independence over two categorical columns, with Cramér's
     * V effect size — the data-audit staple (is return status independent
     * of ship mode? label of source?): χ² = Σ_{cells} (o − e)²/e with

@@ -419,6 +419,70 @@ class StatsSpec extends SparkSpec {
       .collect().toSeq == ksBy.toSeq)
   }
 
+  test("kruskalWallis: hand-computed H, tie correction, degenerate guards, path equality") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three disjoint groups {1,2,3},{4,5,6},{7,8,9}: all ranks distinct,
+    // R = (6, 15, 24), H = 12/90·(12+75+192) − 30 = 7.2; df=2,
+    // Wilson-Hilferty crit = 2·(1 − 1/9 + 1.645·√(1/4.5))³ ≈ 5.94 → significant
+    val d1 = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)) ++
+      Seq(7, 8, 9).map(("c", _))).toDF("g", "v")
+    val r1 = Stats.kruskalWallis(d1, "g", "v").collect().head
+    assert(r1.getAs[Long]("n") == 9 && r1.getAs[Long]("n_groups") == 3)
+    assert(r1.getAs[Double]("h") == 7.2, s"got ${r1.getAs[Double]("h")}")
+    assert(r1.getAs[Double]("h_crit") > 5.9 && r1.getAs[Double]("h_crit") < 6.0)
+    assert(r1.getAs[Boolean]("significant"))
+    // identical groups: H = 0 after tie correction, never significant
+    val d2 = (Seq(1, 2).map(("a", _)) ++ Seq(1, 2).map(("b", _))).toDF("g", "v")
+    val r2 = Stats.kruskalWallis(d2, "g", "v").collect().head
+    assert(r2.getAs[Double]("h") == 0.0 && !r2.getAs[Boolean]("significant"))
+    // degenerate: single group / all values tied -> null h, false flag
+    val one = Seq(("a", 1), ("a", 2)).toDF("g", "v")
+    val r3 = Stats.kruskalWallis(one, "g", "v").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("h")) && !r3.getAs[Boolean]("significant"))
+    val tied = Seq(("a", 5), ("b", 5), ("c", 5)).toDF("g", "v")
+    val r4 = Stats.kruskalWallis(tied, "g", "v").collect().head
+    assert(r4.isNullAt(r4.fieldIndex("h")) && !r4.getAs[Boolean]("significant"))
+    // two-group KW ≡ the Mann-Whitney decision on the same data (H = z²
+    // asymptotically; here just path-check the bucketed engine)
+    val rnd = new scala.util.Random(29)
+    val big = Seq.fill(2500)((Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(200)))
+      .toDF("g", "v").repartition(7)
+    assert(Stats.kruskalWallis(big, "g", "v", smallCutoff = 0L).collect().toSeq ==
+      Stats.kruskalWallis(big, "g", "v").collect().toSeq)
+  }
+
+  test("spearmanCorr: ±1 on monotone data, hand tie case, degenerate guards, path equality") {
+    val spark2 = spark
+    import spark2.implicits._
+    // strictly increasing monotone (nonlinear): ρ = 1 exactly
+    val mono = (1 to 20).map(i => (i.toDouble, (i * i).toDouble)).toDF("x", "y")
+    val r1 = Stats.spearmanCorr(mono, "x", "y").collect().head
+    assert(r1.getAs[Double]("rho") == 1.0)
+    // the Fisher z is undefined at |ρ| = 1 -> null z, false flag
+    assert(r1.isNullAt(r1.fieldIndex("z")) && !r1.getAs[Boolean]("significant"))
+    // strictly decreasing: ρ = -1
+    val anti = (1 to 20).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(Stats.spearmanCorr(anti, "x", "y").collect().head.getAs[Double]("rho") == -1.0)
+    // hand tie case: x = (1,2,2,3), y = (1,2,3,4): 2rx = (2,5,5,8),
+    // 2ry = (2,4,6,8) -> num = 4·118 − 20·20 = 72, varX = 72, varY = 80,
+    // rho = 72/√(72·80) = √0.9 ≈ 0.948683
+    val ties = Seq((1, 1), (2, 2), (2, 3), (3, 4)).toDF("x", "y")
+    val rt = Stats.spearmanCorr(ties, "x", "y").collect().head
+    assert(math.abs(rt.getAs[Double]("rho") - 0.948683) < 1e-6, s"$rt")
+    // constant column -> zero variance -> null rho
+    val const = (1 to 5).map(i => (i, 7)).toDF("x", "y")
+    val rc = Stats.spearmanCorr(const, "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("rho")) && !rc.getAs[Boolean]("significant"))
+    // independent noise: |rho| small, path equality bucketed ≡ small
+    val rnd = new scala.util.Random(31)
+    val big = Seq.fill(3000)((rnd.nextInt(500), rnd.nextInt(500))).toDF("x", "y")
+      .repartition(5)
+    val a = Stats.spearmanCorr(big, "x", "y").collect().toSeq
+    assert(Stats.spearmanCorr(big, "x", "y", smallCutoff = 0L).collect().toSeq == a)
+    assert(math.abs(a.head.getAs[Double]("rho")) < 0.1)
+  }
+
   test("ksTest: exact D from cross-multiplied ECDFs, path equality, null-value exclusion") {
     val spark2 = spark
     import spark2.implicits._
