@@ -846,6 +846,21 @@ object SparkEntry {
     }),
     // SemDeDup-style: cosine pair graph -> connected components -> min-id keepers
     "q_semantic_keeplist" -> t("embeddings")(Similarity.semanticDedupKeepList(_, 0.4)),
+    // r16: DBSCAN over the verified LSH pair graph at the near-dup regime
+    // (minPts=2 on the synthetic-near-dup corpus: paired vectors are
+    // core, unpaired are noise; border semantics spec-asserted on hand
+    // graphs) — the density-clustering member of the family, full replay
+    // oracle (LSH candidates -> core degree -> recursive-CTE components
+    // -> border min-attachment)
+    "q_dbscan" -> t("embeddings")(e => {
+      val aug = Similarity.withSyntheticNearDups(e)
+      val b = Similarity.scaledBits(8, 1024L, 2L * e.count())
+      Similarity.dbscanClusters(aug,
+        Similarity.cosinePairsLsh(aug, 0.9,
+          nTables = Similarity.scaledTables(8, 0.9, 8, b), bitsPerTable = b,
+          sorted = false),
+        minPts = 2)
+    }),
     // embedding-space decontamination: the semantic sibling of the n-gram
     // guards — benchmark broadcast, short-circuit semi nested loop, keeps
     // vectors below cosine 0.4 of every benchmark vector (full oracle)
@@ -1474,6 +1489,7 @@ object SparkEntry {
     "q_ann_topk" -> Similarity.annTopKOracleSql(20, 5),
     "q_hamming_topk" -> Similarity.hammingTopKOracleSql(20, 5),
     "q_cosine_pairs_lsh" -> Similarity.cosinePairsLshOracleSql(0.9),
+    "q_dbscan" -> Similarity.dbscanLshOracleSql(0.9, minPts = 2),
     "q_ivf_topk" -> Similarity.ivfTopKOracleSql(20, 5),
     "q_kmeans_prototypes" -> Similarity.kmeansPrototypesOracleSql(),
     "q_pq_topk" -> Similarity.pqTopKOracleSql(20, 5),

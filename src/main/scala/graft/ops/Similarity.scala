@@ -1011,6 +1011,119 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** DBSCAN over a verified cosine pair graph (Ester et al., KDD'96) —
+    * the density-clustering member of the family next to k-means/IVF
+    * cells, LSH dup-clusters and graph communities. ε-neighborhood =
+    * the pair graph's edges (sim ≥ threshold ⇔ cosine distance ≤ ε); a
+    * vector is CORE with ≥ minPts−1 neighbors (the paper's minPts counts
+    * the point itself); clusters are the connected components of the
+    * CORE-CORE subgraph, labeled by minimum vec_id (an isolated core —
+    * dense ball, no core neighbor — is its own cluster); BORDER points
+    * (non-core with ≥1 core neighbor) attach to the smallest cluster id
+    * among their core neighbors (the deterministic stand-in for the
+    * paper's scan-order assignment); everything else is NOISE
+    * (cluster_id null).
+    *
+    * Scale shape: pass [[cosinePairsLsh]] output (banded sub-quadratic
+    * candidates, exact verified sims) — one degree aggregate, one
+    * component run on the core-core subgraph
+    * ([[graft.ops.Graph.connectedComponents]], checkpoint-rotated
+    * pointer jumping), one border min-join; nothing quadratic, nothing
+    * collected. Deterministic end to end (seeded LSH candidates, min-id
+    * labels), so the full labeling replays in SQL.
+    */
+  def dbscanClusters(embeddings: DataFrame, pairs: DataFrame,
+                     minPts: Int = 3): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val directed = edges.select(col("id_a").as("vec_id"), col("id_b").as("nb"))
+      .unionByName(edges.select(col("id_b").as("vec_id"), col("id_a").as("nb")))
+    val deg = directed.groupBy("vec_id").agg(count(lit(1)).as("_deg"))
+    val pts = embeddings.select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .withColumn("_core",
+        coalesce(col("_deg"), lit(0L)) >= lit((minPts - 1).toLong))
+      .localCheckpoint()
+    val core = pts.filter(col("_core")).select("vec_id")
+    val ccEdges = edges
+      .join(core.select(col("vec_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("vec_id").as("id_b")), Seq("id_b"), "left_semi")
+    val comp =
+      if (ccEdges.isEmpty)
+        ccEdges.select(col("id_a").as("node"), col("id_a").as("comp")).limit(0)
+      else graft.ops.Graph.connectedComponents(
+        ccEdges.select(col("id_a").as("src"), col("id_b").as("dst")),
+        sorted = false)
+    val coreLab = core
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+    val nbClusters = directed
+      .join(coreLab.select(col("vec_id").as("nb"), col("cluster_id")), "nb")
+      .groupBy("vec_id").agg(min("cluster_id").as("_bcl"))
+    pts
+      .join(coreLab.select(col("vec_id"), col("cluster_id").as("_ccl")),
+        Seq("vec_id"), "left")
+      .join(nbClusters, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("_core"), lit("core"))
+          .when(col("_bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("_core"), col("_ccl")).otherwise(col("_bcl")).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Generated full value oracle for [[dbscanClusters]] over the LSH
+    * pair graph at the registered regime: the [[cosinePairsLshOracleSql]]
+    * candidate/verify replay, then degree → core → recursive-CTE
+    * components of the core-core subgraph (min reachable id — a
+    * deliberately different algorithm from the Spark pointer jumping, so
+    * agreement certifies true reachability) → border min-attachment.
+    */
+  def dbscanLshOracleSql(threshold: Double, minPts: Int = 3,
+                         nTables: Int = 8, bitsPerTable: Int = 8,
+                         dim: Int = 64): String =
+    s"""WITH RECURSIVE ${lshReplayCtes(augmentedVectorsSql(), nTables, bitsPerTable, dim)},
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM s x JOIN s y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+       |pr AS (SELECT id_a, id_b
+       |       FROM (SELECT id_a, id_b,
+       |               list_sum(list_transform(generate_series(1, least(len(a.v), len(b.v))), i -> a.v[i] * b.v[i]))
+       |                 / (a.nrm * b.nrm) AS sim
+       |             FROM cand JOIN n a ON a.vec_id = cand.id_a
+       |                       JOIN n b ON b.vec_id = cand.id_b)
+       |       WHERE sim >= $threshold),
+       |dirn AS (SELECT id_a AS vec_id, id_b AS nb FROM pr
+       |         UNION ALL SELECT id_b, id_a FROM pr),
+       |pts AS (SELECT src.vec_id,
+       |               COALESCE(d.deg, 0) >= ${minPts - 1} AS is_core
+       |        FROM src LEFT JOIN (SELECT vec_id, COUNT(*) AS deg
+       |                            FROM dirn GROUP BY vec_id) d USING (vec_id)),
+       |cce AS (SELECT p.id_a, p.id_b FROM pr p
+       |        JOIN pts x ON x.vec_id = p.id_a AND x.is_core
+       |        JOIN pts y ON y.vec_id = p.id_b AND y.is_core),
+       |ccn AS (SELECT id_a AS node, id_b AS nb FROM cce
+       |        UNION ALL SELECT id_b, id_a FROM cce),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM (SELECT DISTINCT node FROM ccn)
+       |  UNION
+       |  SELECT n2.nb, r.lab FROM reach r JOIN ccn n2 ON n2.node = r.node),
+       |comp AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node),
+       |corelab AS (SELECT p.vec_id, COALESCE(c.comp, p.vec_id) AS cluster_id
+       |            FROM pts p LEFT JOIN comp c ON c.node = p.vec_id
+       |            WHERE p.is_core),
+       |bcl AS (SELECT d.vec_id, MIN(cl.cluster_id) AS bcl
+       |        FROM dirn d JOIN corelab cl ON cl.vec_id = d.nb
+       |        GROUP BY d.vec_id)
+       |SELECT p.vec_id,
+       |       CASE WHEN p.is_core THEN 'core'
+       |            WHEN b.bcl IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       CASE WHEN p.is_core THEN cl.cluster_id ELSE b.bcl END AS cluster_id
+       |FROM pts p
+       |LEFT JOIN corelab cl ON cl.vec_id = p.vec_id
+       |LEFT JOIN bcl b ON b.vec_id = p.vec_id
+       |ORDER BY p.vec_id""".stripMargin
+
   /** Benchmark decontamination in EMBEDDING space — the semantic sibling
     * of the n-gram guards ([[graft.ops.Dedup.decontaminate]] exact,
     * `decontaminateFuzzy` containment): drop every training vector whose

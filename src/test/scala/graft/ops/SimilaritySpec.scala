@@ -547,6 +547,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dbscanClusters: core/border/noise semantics on hand graphs; chain merge; minPts=1 edge") {
+    import spark.implicits._
+    val emb = (1L to 6L).map(i => (i, Seq(1.0f))).toDF("vec_id", "embedding")
+    def run(pairs: Seq[(Long, Long)], minPts: Int) =
+      Similarity.dbscanClusters(emb, pairs.toDF("id_a", "id_b"), minPts)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // path 1-2-3 at minPts=3: only 2 is core (deg 2); 1/3 border onto 2's
+    // singleton-core cluster; the 4-5 pair and isolated 6 are noise
+    val m3 = run(Seq((1L, 2L), (2L, 3L), (4L, 5L)), minPts = 3)
+    assert(m3(2L) == ("core", 2L))
+    assert(m3(1L) == ("border", 2L) && m3(3L) == ("border", 2L))
+    assert(m3(4L) == ("noise", -1L) && m3(5L) == ("noise", -1L) &&
+      m3(6L) == ("noise", -1L))
+    // longer chain 1-2-3-4 at minPts=3: cores 2,3 share a component
+    // labeled min(2,3)=2; 1/4 border to it
+    val chain = run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), minPts = 3)
+    assert(chain(2L) == ("core", 2L) && chain(3L) == ("core", 2L))
+    assert(chain(1L) == ("border", 2L) && chain(4L) == ("border", 2L))
+    // minPts=2: every paired point is core, components label by min id
+    val m2 = run(Seq((1L, 2L), (2L, 3L), (4L, 5L)), minPts = 2)
+    assert(Seq(1L, 2L, 3L).forall(m2(_) == ("core", 1L)))
+    assert(m2(4L) == ("core", 4L) && m2(5L) == ("core", 4L))
+    assert(m2(6L) == ("noise", -1L))
+    // minPts=1: every point is core — isolated points become their own
+    // singleton clusters, nothing is noise
+    val m1 = run(Seq((1L, 2L)), minPts = 1)
+    assert(m1(1L) == ("core", 1L) && m1(2L) == ("core", 1L))
+    assert(m1(6L) == ("core", 6L))
+    // empty pair graph at minPts >= 2: everything is noise
+    val m0 = run(Seq.empty, minPts = 2)
+    assert((1L to 6L).forall(m0(_) == ("noise", -1L)))
+  }
+
+  test("dbscanClusters over LSH pairs on the fixture: pair endpoints co-cluster, labels are component minima") {
+    val e = Tables.embeddings(spark, sfDir)
+    val aug = Similarity.withSyntheticNearDups(e)
+    val pairs = Similarity.cosinePairsLsh(aug, 0.9, sorted = false)
+    val out = Similarity.dbscanClusters(aug, pairs, minPts = 2).collect()
+    val lab = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val roles = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every emitted pair's endpoints share a cluster and are core
+    pairs.select("id_a", "id_b").collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(lab(a) == lab(b) && roles(a) == "core" && roles(b) == "core")
+      assert(lab(a) <= math.min(a, b), "cluster label must be a component minimum")
+    }
+    // unpaired points are noise with null cluster
+    val paired = pairs.select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    out.filterNot(r => paired(r.getLong(0))).foreach { r =>
+      assert(r.getString(1) == "noise" && r.isNullAt(2))
+    }
+  }
+
   test("hnswGraph: forced-LSH build path (exactCap=0) still yields a searchable graph") {
     val e = Tables.embeddings(spark, sfDir)
     val g = Similarity.hnswGraph(e, m = 8, exactCap = 0L)
