@@ -260,6 +260,20 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     ProbeCache("knnGraph:5", Seq(emb))(Similarity.knnGraph(emb, 5))
   }
+  // certify-once like dupClustersMemo: a density clustering is built once
+  // per corpus snapshot and read by downstream consumers
+  private def dbscanMemo(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    ProbeCache("dbscan:0.9:2", Seq(emb)) {
+      val aug = Similarity.withSyntheticNearDups(emb)
+      val b = Similarity.scaledBits(8, 1024L, 2L * emb.count())
+      Similarity.dbscanClusters(aug,
+        Similarity.cosinePairsLsh(aug, 0.9,
+          nTables = Similarity.scaledTables(8, 0.9, 8, b), bitsPerTable = b,
+          sorted = false),
+        minPts = 2)
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reference-shaped chunked fetch (distinct keys → chunks → filtered
@@ -852,15 +866,7 @@ object SparkEntry {
     // graphs) — the density-clustering member of the family, full replay
     // oracle (LSH candidates -> core degree -> recursive-CTE components
     // -> border min-attachment)
-    "q_dbscan" -> t("embeddings")(e => {
-      val aug = Similarity.withSyntheticNearDups(e)
-      val b = Similarity.scaledBits(8, 1024L, 2L * e.count())
-      Similarity.dbscanClusters(aug,
-        Similarity.cosinePairsLsh(aug, 0.9,
-          nTables = Similarity.scaledTables(8, 0.9, 8, b), bitsPerTable = b,
-          sorted = false),
-        minPts = 2)
-    }),
+    "q_dbscan" -> ((s, dir) => dbscanMemo(s, dir).orderBy("vec_id")),
     // embedding-space decontamination: the semantic sibling of the n-gram
     // guards — benchmark broadcast, short-circuit semi nested loop, keeps
     // vectors below cosine 0.4 of every benchmark vector (full oracle)
