@@ -1832,16 +1832,24 @@ object Stats {
                    zCrit: Double = 1.96, buckets: Int = 10000,
                    smallCutoff: Long = 262144L): DataFrame = {
     val dec = DecimalType(38, 0)
+    // NOT checkpointed: the three consumers (two value aggregates + the
+    // final rank join) each re-run a cheap narrow scan — materializing
+    // the whole fact projection eagerly costs more than the re-reads
+    // (the per-value tables BELOW are checkpointed, as the prefix engine
+    // requires)
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).as("_x"), col(yCol).as("_y"))
-      .localCheckpoint()
     def rank2Of(c: String): DataFrame = {
       val perV = rows.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_t"))
         .localCheckpoint()
-      prefixSumsAsc(perV, Seq("_t"), buckets, smallCutoff)
+      val r = prefixSumsAsc(perV, Seq("_t"), buckets, smallCutoff)
         .select(col("_v").as(c),
           (lit(2).cast(dec) * col("_pre_t").cast(dec) +
             col("_t").cast(dec) + lit(1).cast(dec)).as(s"_r2$c"))
+      // a MEASURED-small rank table broadcasts (the checkpoint count is
+      // free), so the fact side never shuffles for its rank lookup; a
+      // high-cardinality value domain keeps the hash join
+      if (perV.count() <= smallCutoff) broadcast(r) else r
     }
     val withR = rows.join(rank2Of("_x"), "_x").join(rank2Of("_y"), "_y")
     val agg = withR.agg(count(lit(1)).as("n"),
