@@ -107,6 +107,19 @@ object Bench {
       // up to +4 s each), so this tunes coalescing, never disables it.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
+      // Plan-path tune (round 17): constraint propagation OFF. Constraint
+      // inference is O(plan size) per optimizer pass and this registry's
+      // composites/iterative plans are large; results are unchanged — the
+      // rule only derives redundant predicates Catalyst re-proves
+      // elsewhere. Measured with the WITHIN-SESSION alternating
+      // instrument (PerfProbe `cpab`: ON/OFF/ON/OFF passes over the 50
+      // heaviest queries inside one JVM, immune to the host's ±10%
+      // cross-capture drift): median off/on 0.933, warm-pass total
+      // 67.4 → 61.1 s. Kryo was screened the same round and REJECTED:
+      // three alternating-session pairs read 0.967/1.063/1.191 — noise-
+      // dominated, no demonstrable win (cross-session captures that
+      // suggested a combo win were window-drift aliasing; see PERF.md).
+      .config("spark.sql.constraintPropagation.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -91,11 +91,25 @@ object Pipelines {
   }
 
   /** Stages 2-5, shared by every gate/generator combination. */
-  private def curateTail(gated: DataFrame,
+  private def curateTail(gated0: DataFrame,
                          pairGenerator: DataFrame => DataFrame,
                          mixRates: Map[String, Int],
                          valHexDigits: String,
                          budgetTokens: Int): DataFrame = {
+    // The gated corpus feeds SEVERAL plan subtrees — the pair generator's
+    // shingle-subset semi-join, both exact-verify sides inside it, the
+    // survivor anti-join, and the packing tail — and the gate is a
+    // full-text regex pass, so without a persist barrier CacheManager
+    // re-runs it once per subtree (measured 4-5 gate evaluations per
+    // curation query at sf0.1). Persist once, scoped to the first action
+    // (the tfidf weighted-postings pattern): every consumer substitutes
+    // the cached gated rows and the corpus is gated exactly once per
+    // execution. At 100 TB this trades ~|gated| of spill-able storage
+    // for 3-4 full-corpus regex re-scans — the same trade the reference
+    // pipelines make by materializing their filtered corpus between
+    // stages.
+    val gated = Helpers.releaseAfterFirstAction(
+      gated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 2. near-dup dedup computed ON the gated corpus — one anti-join
     val deduped = Dedup.dedupSurvivors(gated, pairGenerator(gated))
     // 3. mixture  4. split  5. packing

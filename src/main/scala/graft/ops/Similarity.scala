@@ -1035,7 +1035,18 @@ object Similarity {
   def dbscanClusters(embeddings: DataFrame, pairs: DataFrame,
                      minPts: Int = 3): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
-    val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // Defensive canonicalization (r16 review): degrees below double-count
+    // if a caller hands duplicate rows, both orientations of a pair, or a
+    // self-loop — [[cosinePairsLsh]] output is already canonical-distinct
+    // (id_a < id_b), so for the registered path this distinct folds into
+    // the checkpoint it was paying anyway; for any other caller it makes
+    // the ε-graph contract (one undirected edge per neighbor pair, no
+    // self-edges) structural instead of implicit.
+    val edges = pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct().localCheckpoint()
     val directed = edges.select(col("id_a").as("vec_id"), col("id_b").as("nb"))
       .unionByName(edges.select(col("id_b").as("vec_id"), col("id_a").as("nb")))
     val deg = directed.groupBy("vec_id").agg(count(lit(1)).as("_deg"))
@@ -1338,6 +1349,17 @@ object Similarity {
     * Output: (level, vec_id, neighbor_id, sim) — sims exact cosine,
     * round(6); degree ≤ 2M at level 0, ≤ M above; every edge's reverse
     * is present unless the cap trimmed it (the paper's shrink step).
+    *
+    * Reachability caveat on the forced-LSH path (r16 review): when a
+    * layer exceeds `exactCap`, its kNN edges come from banded LSH
+    * candidates — a vector whose buckets are all singletons surfaces in
+    * NO candidate pair and drops out of that layer's adjacency entirely,
+    * making it unreachable by [[hnswTopK]] at any ef/beamRounds (the
+    * exact path cannot strand nodes; the registered fixture's recall
+    * floor pins only that path). Raise nTables / lower the per-table
+    * bits when stranded-node coverage matters at corpus scale, or
+    * pre-filter stranded ids via the layer-membership minus
+    * adjacency-key anti-join and handle them by brute-force fallback.
     */
   def hnswGraph(embeddings: DataFrame, m: Int = 8, maxLevel: Int = 6,
                 exactCap: Long = 4096L,
@@ -1405,15 +1427,29 @@ object Similarity {
     * the spot; ties break by candidate id everywhere, so the result is
     * deterministic for a given graph. Output matches [[annTopK]]:
     * (qid, cid, sim round-6, rn ≤ k).
+    *
+    * Under-fill caveat (r16 review): a query's result can carry FEWER
+    * than k rows when the beam dead-ends — a tiny corpus (< k reachable
+    * nodes), a disconnected graph, or a stranded node on the forced-LSH
+    * build path (see [[hnswGraph]]). Callers needing a completeness
+    * guarantee should check per-qid row counts; [[hnswRecallReport]]'s
+    * `full_k_ok` column is exactly that check for the registered path.
     */
   def hnswTopK(embeddings: DataFrame, graph: DataFrame,
-               nQueries: Int = 20, k: Int = 5, ef: Int = 32,
-               hopsPerLevel: Int = 2, beamRounds: Int = 4): DataFrame = {
+               nQueries: Int = 20, k: Int = 5, ef: Int = 64,
+               hopsPerLevel: Int = 1, beamRounds: Int = 4): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1, got ef=$ef k=$k")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+    // checkpoint the bounded query frame ONCE (round 17): every hop and
+    // beam round broadcasts it, and without the barrier each of those
+    // ~(levels·hops + beamRounds) broadcast builds re-ran the corpus
+    // scan + filter to re-derive the same nQueries rows — the job-count
+    // probe read the search at 39 scheduler jobs for 0.55 s of task
+    // time (floor-bound, not compute-bound)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .localCheckpoint()
     // entry point: the highest-level node, smallest id on ties — a driver
     // scalar pair, one bounded job over the (level, vec_id) projection.
     // An edgeless graph (≤1-vector corpus) degenerates to a flat scan
@@ -1499,7 +1535,7 @@ object Similarity {
     * before recall degrades smoothly).
     */
   def hnswRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-                       m: Int = 8, ef: Int = 32,
+                       m: Int = 8, ef: Int = 64,
                        recallFloor: Double = 0.93): DataFrame = {
     val exact = ProbeCache(s"recall.exact_topk.$nQueries.$k", Seq(embeddings))(
       cosineTopK(embeddings, nQueries, k)).select(col("qid"), col("cid"))
@@ -1527,7 +1563,7 @@ object Similarity {
   /** Generated oracle for [[hnswRecallReport]] — literals + the two
     * booleans, the exact-bound report pattern. */
   def hnswRecallReportOracleSql(nQueries: Int = 20, k: Int = 5,
-                                m: Int = 8, ef: Int = 32,
+                                m: Int = 8, ef: Int = 64,
                                 recallFloor: Double = 0.93): String =
     s"""SELECT 'hnsw' AS method, CAST($nQueries AS BIGINT) AS n_queries,
        |CAST($k AS BIGINT) AS k, CAST($m AS BIGINT) AS m,

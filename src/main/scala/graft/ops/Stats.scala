@@ -1307,9 +1307,14 @@ object Stats {
     // `partCols` (round 16, the grouped-test extension): prefix sums
     // restart per partition-key combination — every window below gains
     // the partition columns, the bucket bounds/offsets become per-group
-    // rows (still broadcast-sized: groups are a dashboard dimension, and
-    // the offsets table is ≤ groups × buckets rows), and the empty-seq
-    // default reproduces the ungrouped engine expression-for-expression.
+    // rows, and the empty-seq default reproduces the ungrouped engine
+    // expression-for-expression. CONTRACT (r16 review): the per-group
+    // bounds and offsets tables broadcast UNCONDITIONALLY, so they must
+    // stay driver-sized — partCols is a dashboard dimension (status,
+    // source, cohort: tens of values, offsets ≤ groups × buckets rows),
+    // NEVER an entity key. A caller grouping by a high-cardinality
+    // column would blow the broadcast build; callers (mannWhitneyUBy /
+    // ksTestBy) state the same bound on their byCol.
     val pc = partCols.map(col)
     if (perV.count() <= smallCutoff) {
       val w = Window.partitionBy(pc: _*).orderBy(col("_v").asc)
@@ -1540,6 +1545,12 @@ object Stats {
     * engines disagree on NULL group order); degenerate slices (one
     * cohort empty, all values tied) give null z and significant = false,
     * per the [[twoProportionZ]] discipline.
+    *
+    * `byCol` must be a DASHBOARD dimension — tens of values, not an
+    * entity key: the grouped prefix engine broadcasts per-group bounds
+    * and offsets tables (≤ groups × buckets rows) unconditionally, so a
+    * high-cardinality dimension would blow the broadcast build (see
+    * [[prefixSumsAsc]]'s partCols contract; same bound on [[ksTestBy]]).
     */
   def mannWhitneyUBy(df: DataFrame, byCol: String, groupFlag: Column,
                      valueCol: String, zCrit: Double = 1.96,
@@ -1629,7 +1640,10 @@ object Stats {
     * value, the distribution-level sibling of [[mannWhitneyUBy]]. Same
     * partitioned prefix engine, same integer cross-product argmax per
     * slice, same degenerate-slice discipline (empty cohort → null d /
-    * threshold, significant = false).
+    * threshold, significant = false). Same `byCol` bound too: a
+    * dashboard dimension, never an entity key — the grouped engine's
+    * per-group bounds/offsets broadcast unconditionally
+    * ([[prefixSumsAsc]]'s partCols contract).
     */
   def ksTestBy(df: DataFrame, byCol: String, groupFlag: Column,
                valueCol: String, cAlpha: Double = 1.358,
@@ -1818,46 +1832,72 @@ object Stats {
     * (z = ½ln((1+ρ)/(1−ρ))·√((n−3)/1.06), the standard Spearman SE).
     *
     * Exactness: per-column tie-averaged ranks come from the bucketed
-    * prefix engine as the INTEGER 2·rank = 2B+t+1 (never a per-row sort
-    * — two distinct-value tables, two joins back to the rows); all five
-    * moment sums over the 2-rank integers are exact DECIMAL(38,0) (the
-    * ×2 scale cancels in the correlation), ρ is one double expression
-    * over them, rounded to 6. Degenerate inputs (n < 2, a constant
-    * column ⇒ zero variance) give null ρ; the z flag additionally needs
-    * n > 3 and |ρ| < 1 (the transform diverges at ±1), else null z /
-    * false. Scale shape: two value aggregates + prefix engines, two
-    * hash joins keyed by the value columns, one 1-row combine.
+    * prefix engine as the INTEGER 2·rank = 2B+t+1 (never a per-row sort);
+    * all five moment sums over the 2-rank integers are exact
+    * DECIMAL(38,0) (the ×2 scale cancels in the correlation), ρ is one
+    * double expression over them, rounded to 6. Degenerate inputs (n < 2,
+    * a constant column ⇒ zero variance) give null ρ; the z flag
+    * additionally needs n > 3 and |ρ| < 1 (the transform diverges at ±1),
+    * else null z / false.
+    *
+    * Scale shape — the FUSED single-pass form (round 17; the symmetric
+    * two-rank-join form cost one extra fact aggregate plus a fact-sized
+    * shuffle join against the y rank table): rank the x side first and
+    * attach its rank to the fact through one (broadcast when measured
+    * small) value-keyed join, then ONE fact aggregate keyed by y builds
+    * the y distinct-value table WITH the per-y sum of x-ranks fused in.
+    * Every moment then reduces over the bounded value tables — Σr2x and
+    * Σr2x² from the x table (Σt·r2x), Σr2y/Σr2y² from the y table, and
+    * the cross moment Σ_rows r2x·r2y = Σ_y r2y·(Σ_{rows@y} r2x) from the
+    * fused column — so the fact is touched exactly twice (x aggregate,
+    * y aggregate) and never joins a large rank table. ρ is symmetric in
+    * (x, y); pass the lower-cardinality column as `xCol` when known so
+    * the rank attach broadcasts.
     */
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String,
                    zCrit: Double = 1.96, buckets: Int = 10000,
                    smallCutoff: Long = 262144L): DataFrame = {
     val dec = DecimalType(38, 0)
-    // NOT checkpointed: the three consumers (two value aggregates + the
-    // final rank join) each re-run a cheap narrow scan — materializing
-    // the whole fact projection eagerly costs more than the re-reads
-    // (the per-value tables BELOW are checkpointed, as the prefix engine
-    // requires)
+    // NOT checkpointed: the two consumers (x aggregate, y aggregate)
+    // each re-run a cheap narrow scan — materializing the whole fact
+    // projection eagerly costs more than the re-reads (the per-value
+    // tables BELOW are checkpointed, as the prefix engine requires)
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).as("_x"), col(yCol).as("_y"))
-    def rank2Of(c: String): DataFrame = {
-      val perV = rows.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_t"))
-        .localCheckpoint()
-      val r = prefixSumsAsc(perV, Seq("_t"), buckets, smallCutoff)
-        .select(col("_v").as(c),
-          (lit(2).cast(dec) * col("_pre_t").cast(dec) +
-            col("_t").cast(dec) + lit(1).cast(dec)).as(s"_r2$c"))
-      // a MEASURED-small rank table broadcasts (the checkpoint count is
-      // free), so the fact side never shuffles for its rank lookup; a
-      // high-cardinality value domain keeps the hash join
-      if (perV.count() <= smallCutoff) broadcast(r) else r
-    }
-    val withR = rows.join(rank2Of("_x"), "_x").join(rank2Of("_y"), "_y")
-    val agg = withR.agg(count(lit(1)).as("n"),
-      sum(col("_r2_x")).cast(dec).as("_sx"),
-      sum(col("_r2_y")).cast(dec).as("_sy"),
-      sum(col("_r2_x") * col("_r2_y")).cast(dec).as("_sxy"),
-      sum(col("_r2_x") * col("_r2_x")).cast(dec).as("_sxx"),
-      sum(col("_r2_y") * col("_r2_y")).cast(dec).as("_syy"))
+    val r2Expr = (lit(2).cast(dec) * col("_pre_t").cast(dec) +
+      col("_t").cast(dec) + lit(1).cast(dec))
+    val perX = rows.groupBy(col("_x").as("_v")).agg(count(lit(1)).as("_t"))
+      .localCheckpoint()
+    val rx0 = prefixSumsAsc(perX, Seq("_t"), buckets, smallCutoff)
+      .select(col("_v").as("_x"), col("_t").cast(dec).as("_tx"),
+        r2Expr.as("_r2x"))
+    // a MEASURED-small rank table broadcasts (the checkpoint count is
+    // free), so the fact side never shuffles for its rank lookup; a
+    // high-cardinality x domain keeps the hash join (still one fewer
+    // fact shuffle than the symmetric form)
+    val rx = if (perX.count() <= smallCutoff) broadcast(rx0) else rx0
+    // x moments reduce over the x VALUE table — never the fact
+    val xm = rx0.agg(
+      coalesce(sum(col("_tx") * col("_r2x")), lit(0).cast(dec)).as("_sx"),
+      coalesce(sum(col("_tx") * col("_r2x") * col("_r2x")),
+        lit(0).cast(dec)).as("_sxx"))
+    // ONE fact aggregate: the y distinct-value table fused with the
+    // per-y x-rank sum that carries the cross moment
+    val perY = rows.join(rx, "_x")
+      .groupBy(col("_y").as("_v"))
+      .agg(count(lit(1)).as("_t"),
+        sum(col("_r2x")).cast(dec).as("_sxr"))
+      .localCheckpoint()
+    val preY = prefixSumsAsc(perY, Seq("_t"), buckets, smallCutoff)
+      .withColumn("_r2y", r2Expr)
+    val agg = preY.agg(
+      coalesce(sum(col("_t")), lit(0L)).as("n"),
+      coalesce(sum(col("_t").cast(dec) * col("_r2y")),
+        lit(0).cast(dec)).as("_sy"),
+      coalesce(sum(col("_t").cast(dec) * col("_r2y") * col("_r2y")),
+        lit(0).cast(dec)).as("_syy"),
+      coalesce(sum(col("_r2y") * col("_sxr")), lit(0).cast(dec)).as("_sxy"))
+      .crossJoin(broadcast(xm))
     val nD = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val num = nD * d("_sxy") - d("_sx") * d("_sy")

@@ -191,11 +191,16 @@ object Subqueries {
                       nation: DataFrame, pType: String = "PROMO", minPSize: Int = 45): DataFrame = {
     val offers = lineitem.groupBy("l_partkey", "l_suppkey")
       .agg(min(col("l_extendedprice")).as("offer_price"))
-    val cheapest = offers.groupBy(col("l_partkey").as("mp_partkey"))
-      .agg(min(col("offer_price")).as("min_price"))
+    // per-part minimum via a partkey window instead of a groupBy +
+    // self-join (round 17): the argmin-per-group needs the offers rows
+    // co-located by partkey either way, and the window form gets there
+    // in ONE reshuffle of the offers table where the join form paid the
+    // cheapest aggregate's shuffle AND a reshuffled join back. Part
+    // groups are bounded (suppliers-per-part), so the window is skew-free.
+    val byPart = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
     offers
-      .join(cheapest, col("l_partkey") === col("mp_partkey") &&
-        col("offer_price") === col("min_price"))
+      .withColumn("min_price", min(col("offer_price")).over(byPart))
+      .filter(col("offer_price") === col("min_price"))
       .join(broadcast(part.filter(col("p_type") === pType && col("p_size") >= minPSize)
         .select("p_partkey", "p_name")),
         col("l_partkey") === col("p_partkey"))
@@ -209,24 +214,27 @@ object Subqueries {
   }
 
   /** TPC-H Q21-shaped "sole blame": suppliers who were the ONLY supplier
-    * with returned lines in orders that involved several suppliers. An
-    * EXISTS (another supplier participated) and a NOT EXISTS (no other
-    * supplier returned) over the same fact — left-semi then left-anti,
-    * both on orderkey with a suppkey-inequality residual, both over
-    * pre-deduped (orderkey, suppkey) pairs so the joins carry keys only.
+    * with returned lines in orders that involved several suppliers. The
+    * EXISTS (another supplier participated) / NOT EXISTS (no other
+    * supplier returned) pair is decided arithmetically, never by joins
+    * (round 17; the semi+anti form cost two distinct fact aggregates
+    * plus two fact-pair shuffle joins): ONE (orderkey, suppkey)
+    * aggregate carries a has-return flag, an orderkey window counts the
+    * order's suppliers and its returning suppliers, and a pair
+    * qualifies iff it returned, the order has ≥ 2 suppliers, and it is
+    * the order's ONLY returner. Orders bound the window partitions
+    * (≤ 7 suppliers per order in TPC-H), so the shape is two bounded
+    * shuffles of the deduped pair set — skew-free at any corpus size.
     */
   def soleBlame(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
-    val rPairs = lineitem.filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_suppkey").distinct()
-    val allPairs = lineitem.select(
-      col("l_orderkey").as("a_orderkey"), col("l_suppkey").as("a_suppkey")).distinct()
-    val rOther = rPairs.select(
-      col("l_orderkey").as("r_orderkey"), col("l_suppkey").as("r_suppkey"))
-    rPairs
-      .join(allPairs, col("l_orderkey") === col("a_orderkey") &&
-        col("l_suppkey") =!= col("a_suppkey"), "left_semi")
-      .join(rOther, col("l_orderkey") === col("r_orderkey") &&
-        col("l_suppkey") =!= col("r_suppkey"), "left_anti")
+    val pairs = lineitem
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("_has_r"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    pairs
+      .withColumn("_n_supp", count(lit(1)).over(w))
+      .withColumn("_n_r", sum(col("_has_r")).over(w))
+      .filter(col("_has_r") === 1L && col("_n_supp") >= 2L && col("_n_r") === 1L)
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier.select("s_suppkey", "s_name")),

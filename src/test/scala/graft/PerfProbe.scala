@@ -24,6 +24,8 @@ object PerfProbe {
       // numbers compare against BENCH_r* per-query rows
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
+      // round-17 plan-path tune, matching Bench (see Bench.scala)
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JIT/scan warmup
@@ -210,6 +212,109 @@ object PerfProbe {
         recallOf(s"ann nT=$nt bpt=$bpt", Similarity.annTopK(emb, 20, 5, nt, bpt))
       for (np <- Seq(1, 2, 4, 8))
         recallOf(s"ivf nCells=16 nProbe=$np", Similarity.ivfTopK(emb, 20, 5, 16, np))
+      spark.stop(); return
+    }
+
+    // Within-session constraint-propagation A/B:
+    // `Test/runMain graft.PerfProbe cpab q1,q2,...` — alternating
+    // ON/OFF/ON/OFF passes over the named queries inside ONE session, so
+    // host drift between separate captures cannot alias the comparison
+    // (the round-17 conf-forensics instrument: two interleaved subset
+    // captures said 0.891 median for the combo, two adjacent full
+    // captures said 1.067 — both cross-session, both suspect).
+    if (args.headOption.contains("cpab")) {
+      // args: cpab <queries> [confKey] [onVal] [offVal] — default A/Bs
+      // constraint propagation; any runtime SQL conf works the same way
+      val names = args(1).split(',').toSeq.sorted
+      val confKey = if (args.length > 2) args(2)
+        else "spark.sql.constraintPropagation.enabled"
+      val onVal = if (args.length > 3) args(3) else "true"
+      val offVal = if (args.length > 4) args(4) else "false"
+      val on = scala.collection.mutable.Map.empty[String, Double]
+      val off = scala.collection.mutable.Map.empty[String, Double]
+      for (pass <- 1 to 4) {
+        val flag = pass % 2 == 1
+        spark.conf.set(confKey, if (flag) onVal else offVal)
+        val sink = if (flag) on else off
+        names.foreach { n =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          sink(n) = math.min(sink.getOrElse(n, Double.MaxValue), t)
+        }
+        println(f"PROBE cpab pass=$pass cp=$flag total=${names.map(n => sink(n)).sum}%.2f")
+      }
+      val ratios = names.map(n => off(n) / on(n)).sorted
+      println(f"PROBE cpab median off/on = ${ratios(ratios.size / 2)}%.3f " +
+        f"p25=${ratios(ratios.size / 4)}%.3f p75=${ratios(3 * ratios.size / 4)}%.3f " +
+        f"totalOn=${names.map(on).sum}%.2f totalOff=${names.map(off).sum}%.2f")
+      spark.stop(); return
+    }
+
+    // Job-count attribution: `Test/runMain graft.PerfProbe jobs q1,q2,...`
+    // — per query: warm wall time, Spark job count, stage count, summed
+    // executor task time. A row whose wall time is many × its task time
+    // is floor-bound (scheduler round-trips), not compute-bound; its
+    // lever is fewer jobs (checkpoint cadence, broadcast builds, AQE
+    // stage rounds), not a better plan.
+    if (args.headOption.contains("jobs")) {
+      val names = args(1).split(',').toSeq.sorted
+      @volatile var jobs = 0
+      @volatile var stages = 0
+      @volatile var taskMs = 0L
+      val detail = args.length > 2 && args(2) == "detail"
+      @volatile var inTimed = false
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages += 1
+          taskMs += s.stageInfo.taskMetrics.executorRunTime
+          if (detail && inTimed) {
+            val si = s.stageInfo
+            val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            println(f"PROBE stage  tasks=${si.numTasks}%4d wall=${ms}%5d ms taskTime=${si.taskMetrics.executorRunTime}%6d ms  ${si.name.take(90)}")
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // private listenerBus: drain by sleeping briefly after each action —
+      // job/stage events for a completed action land within milliseconds
+      names.foreach { n =>
+        SparkEntry.queries(n)(spark, sfDir).count() // warm (memo builds, JIT)
+        Thread.sleep(300)
+        jobs = 0; stages = 0; taskMs = 0L; inTimed = true
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300); inTimed = false
+        println(f"PROBE jobs $n%-26s wall=$wall%6.2fs jobs=$jobs%3d stages=$stages%3d taskTime=${taskMs / 1000.0}%7.2fs floorShare=${(jobs * 0.09) / wall}%.2f")
+      }
+      spark.stop(); return
+    }
+
+    // HNSW search grid: `Test/runMain graft.PerfProbe hnsw` — recall@k +
+    // warm search time over (ef, hopsPerLevel, beamRounds), graph built
+    // once (the memoized certify-once artifact shape). The registered
+    // q_hnsw_topk params must be the cheapest cell holding recall ≥ 0.93.
+    if (args.headOption.contains("hnsw")) {
+      import graft.core.Tables
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(spark, sfDir)
+      val exact = Similarity.cosineTopK(emb, 20, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val graph = Similarity.hnswGraph(emb, 8).persist()
+      graph.count()
+      for (ef <- Seq(32, 64, 96); hops <- Seq(0, 1); beams <- Seq(3, 4, 5)) {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val got = Similarity.hnswTopK(emb, graph, 20, 5, ef, hops, beams)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          ((System.nanoTime() - t0) / 1e9, got)
+        }
+        val rec = ts.head._2.intersect(exact).size.toDouble / exact.size
+        println(f"PROBE hnsw ef=$ef%-3d hops=$hops beams=$beams " +
+          f"recall=$rec%.3f time=${ts.map(_._1).min}%.2fs")
+      }
       spark.stop(); return
     }
 

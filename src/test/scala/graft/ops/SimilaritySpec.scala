@@ -614,4 +614,27 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.nonEmpty && perQ.values.forall(_.length <= 3))
     assert(out.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
   }
+
+  test("bounded-driver-read carve-outs: HNSW entry point collects ≤ 1 row; DBSCAN's probe is existence-only") {
+    // The two r16 driver-side reads, pinned so the carve-out inventory
+    // stays mechanically checkable (r16 VERDICT #5).
+    // (a) hnswTopK's entry point (Similarity.scala, `limit(1).collect()`):
+    // the collected frame is the argmax row of a groupBy — the limit
+    // bounds it at ≤ 1 row by construction, for ANY graph size.
+    val e = Tables.embeddings(spark, sfDir)
+    val g = Similarity.hnswGraph(e, m = 8)
+    val entryFrame = g.groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.max("level").as("level"))
+      .orderBy(col("level").desc, col("vec_id")).limit(1)
+    assert(entryFrame.collect().length <= 1,
+      "HNSW entry-point read must stay a bounded scalar probe")
+    // (b) dbscanClusters' `ccEdges.isEmpty`: Dataset.isEmpty plans as a
+    // limit-1 existence probe over the edge table — the driver never
+    // materializes more than one row regardless of graph size.
+    val probe = g.select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"))
+    assert(probe.limit(1).queryExecution.optimizedPlan
+      .collectFirst { case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l }
+      .nonEmpty, "isEmpty-style probes must plan through a global limit")
+    assert(probe.limit(1).collect().length <= 1)
+  }
 }

@@ -43,12 +43,40 @@ class SubqueriesSpec extends SparkSpec {
     assert(pushed, s"o_orderdate range must reach the parquet scan:\n$plan")
   }
 
-  test("q_sole_blame: one semi + one anti join, both over key-only pre-deduped pairs") {
-    val plan = SparkEntry.queries("q_sole_blame")(spark, sfDir).queryExecution.sparkPlan
-    assert(plan.collect { case j: BaseJoinExec if j.joinType == LeftSemi => j }.nonEmpty,
-      s"participation EXISTS must be a semi join:\n$plan")
-    assert(plan.collect { case j: BaseJoinExec if j.joinType == LeftAnti => j }.nonEmpty,
-      s"sole-return NOT EXISTS must be an anti join:\n$plan")
+  test("q_sole_blame: arithmetic EXISTS/NOT-EXISTS — window over one pair aggregate, no pair joins") {
+    // round-17 shape: the participation EXISTS and sole-return NOT EXISTS
+    // are decided by per-order counts from ONE (orderkey, suppkey)
+    // aggregate + an orderkey window — the semi/anti pair-join cascade
+    // (two fact distincts + two fact-pair shuffle joins) must not return
+    val df = SparkEntry.queries("q_sole_blame")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec
+      if j.joinType == LeftSemi || j.joinType == LeftAnti => j }.isEmpty,
+      s"the EXISTS pair must be arithmetic, not joins:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty,
+      s"per-order counts must come from an orderkey window:\n$plan")
+    // value parity with the literal semi+anti formulation on the fixture
+    import graft.core.Tables
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val rPairs = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val allPairs = li.select(col("l_orderkey").as("a_orderkey"),
+      col("l_suppkey").as("a_suppkey")).distinct()
+    val rOther = rPairs.select(col("l_orderkey").as("r_orderkey"),
+      col("l_suppkey").as("r_suppkey"))
+    val legacy = rPairs
+      .join(allPairs, col("l_orderkey") === col("a_orderkey") &&
+        col("l_suppkey") =!= col("a_suppkey"), "left_semi")
+      .join(rOther, col("l_orderkey") === col("r_orderkey") &&
+        col("l_suppkey") =!= col("r_suppkey"), "left_anti")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "numwait")
+    assert(df.collect().toSeq.sortBy(_.getString(0)) ===
+      legacy.collect().toSeq.sortBy(_.getString(0)))
   }
 
   test("q_idle_customers / q_supplier_counts: NOT EXISTS / NOT IN plan as anti joins") {
