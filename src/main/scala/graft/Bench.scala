@@ -107,19 +107,36 @@ object Bench {
       // up to +4 s each), so this tunes coalescing, never disables it.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
-      // Plan-path tune (round 17): constraint propagation OFF. Constraint
-      // inference is O(plan size) per optimizer pass and this registry's
-      // composites/iterative plans are large; results are unchanged — the
-      // rule only derives redundant predicates Catalyst re-proves
-      // elsewhere. Measured with the WITHIN-SESSION alternating
-      // instrument (PerfProbe `cpab`: ON/OFF/ON/OFF passes over the 50
-      // heaviest queries inside one JVM, immune to the host's ±10%
-      // cross-capture drift): median off/on 0.933, warm-pass total
-      // 67.4 → 61.1 s. Kryo was screened the same round and REJECTED:
-      // three alternating-session pairs read 0.967/1.063/1.191 — noise-
-      // dominated, no demonstrable win (cross-session captures that
-      // suggested a combo win were window-drift aliasing; see PERF.md).
-      .config("spark.sql.constraintPropagation.enabled", "false")
+      // constraintPropagation-off was screened and REJECTED (round 17):
+      // the pass-level instrument read 0.933 for it, but that instrument
+      // is warm-order-biased (see PERF.md "the instrument problem"); the
+      // query-level ABBA re-measurement over the full registry read
+      // median 1.009 — neutral. Kept at default. Kryo (alternating-
+      // session pairs 0.967/1.063/1.191) and shuffle-compression-off
+      // (1.08) were screened and rejected the same round.
+      // Codegen class cache sized to the registry (round 17). The default
+      // `spark.sql.codegen.cache.maxEntries` is 100, and this registry
+      // generates ~4.5k unique codegen units per full pass — the cache
+      // thrashed, so EVERY pass re-ran Janino on ~2.8k units (~40 s of
+      // serial driver-side compile per pass, measured via
+      // CodegenMetrics.METRIC_COMPILATION_TIME in `PerfProbe passes`:
+      // pass 1 = 4493 compiles, passes 2-4 = 2778/2777/2778 at cache=100)
+      // AND every pass's generated classes were fresh to the JIT, which is
+      // why sessions kept "warming" for 5+ full passes and defeated every
+      // pass-level A/B. With the cache sized above the registry's working
+      // set, warm passes compile ~nothing and reuse JIT-hot classes. This
+      // is an honest fixed-capacity sizing (a production session running
+      // a 245-query workload would be configured the same way); it is a
+      // STATIC conf, so it must be set here at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // maxPartitionBytes=1MB was screened and REJECTED (round 17): the
+      // pass-level instrument first read 0.902 for it, but every fixture
+      // file is ONE parquet row group, so a smaller split cannot
+      // parallelize any decode — it only adds empty tasks. The query-level
+      // ABBA re-measurement (each query ON,OFF,OFF,ON back-to-back, drift
+      // cancels) read median 1.012: the "win" was warm-order bias in the
+      // pass-level A/B (the candidate arm always ran on the warmer later
+      // passes). Kept at default.
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -242,11 +259,20 @@ object Bench {
     // pass wall seconds, hot)
     final case class PassInfo(calib: Double, calibEnd: Double,
                               load0: Double, load1: Double,
-                              sec: Double, hot: Boolean)
+                              sec: Double, hot: Boolean, gcSec: Double)
     val passes = scala.collection.mutable.ArrayBuffer.empty[PassInfo]
+    // cumulative stop-the-world GC time in this JVM — a pass whose gc_sec
+    // is a large fraction of its wall time is heap-bound (driver -Xmx),
+    // not host-bound, and the calib bracket cannot tell those apart
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
     def runPass(): Unit = {
       val c0 = gatedCalib()
       val l0 = loadavg()
+      val gc0 = gcMs()
       val t0 = System.nanoTime()
       plan.foreach { case (name, fn) =>
         if (!errs.contains(name)) {
@@ -274,9 +300,10 @@ object Bench {
         }
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gc1 = gcMs()
       val c1 = calibrate()
       passes += PassInfo(c0, c1, l0, loadavg(), sec,
-        c0 > calibMax || c1 > calibMax)
+        c0 > calibMax || c1 > calibMax, (gc1 - gc0) / 1000.0)
     }
     (1 to reps).foreach(_ => runPass())
     // top-up: if no planned pass ran with both calib brackets clean, the
@@ -357,7 +384,7 @@ object Bench {
     val passesJson = passes.map { p =>
       s"""{"calib":${r3(p.calib)},"calib_end":${r3(p.calibEnd)},""" +
         s""""loadavg_start":${p.load0},"loadavg_end":${p.load1},""" +
-        s""""sec":${r3(p.sec)},"hot":${p.hot}}"""
+        s""""sec":${r3(p.sec)},"hot":${p.hot},"gc_sec":${r3(p.gcSec)}}"""
     }.mkString("[", ",", "]")
     val header = s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
       s""""no_memo":$noMemo,""" +

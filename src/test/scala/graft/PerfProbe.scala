@@ -24,8 +24,11 @@ object PerfProbe {
       // numbers compare against BENCH_r* per-query rows
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
-      // round-17 plan-path tune, matching Bench (see Bench.scala)
-      .config("spark.sql.constraintPropagation.enabled", "false")
+      // codegen cache sized to the registry, matching Bench (round 17);
+      // STATIC conf (read once at session build), env-overridable so the
+      // codegen-cache experiment stays reproducible
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JIT/scan warmup
@@ -223,31 +226,127 @@ object PerfProbe {
     // captures said 0.891 median for the combo, two adjacent full
     // captures said 1.067 — both cross-session, both suspect).
     if (args.headOption.contains("cpab")) {
-      // args: cpab <queries> [confKey] [onVal] [offVal] — default A/Bs
-      // constraint propagation; any runtime SQL conf works the same way
-      val names = args(1).split(',').toSeq.sorted
-      val confKey = if (args.length > 2) args(2)
-        else "spark.sql.constraintPropagation.enabled"
-      val onVal = if (args.length > 3) args(3) else "true"
-      val offVal = if (args.length > 4) args(4) else "false"
+      // args: cpab <queries|ALL> [confKeys] [onVals] [offVals] [nPasses]
+      // — default A/Bs constraint propagation; any runtime SQL conf works
+      // the same way. confKeys/onVals/offVals are comma-lists so a conf
+      // PAIR can be A/B'd as a unit. Passes alternate OFF-first (the
+      // session warms monotonically across passes — JIT, code cache — so
+      // the arm that runs FIRST is disadvantaged; putting the candidate
+      // OFF arm first biases AGAINST the status quo ante, and a win that
+      // survives that bias is real). Pass 1 is untimed warmup when
+      // nPasses >= 5.
+      val names =
+        if (args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+        else args(1).split(',').toSeq.sorted
+      val confKeys = (if (args.length > 2) args(2)
+        else "spark.sql.constraintPropagation.enabled").split(',').toSeq
+      val onVals = (if (args.length > 3) args(3) else "true").split(',').toSeq
+      val offVals = (if (args.length > 4) args(4) else "false").split(',').toSeq
+      val nPasses = if (args.length > 5) args(5).toInt else 4
+      require(confKeys.size == onVals.size && confKeys.size == offVals.size)
       val on = scala.collection.mutable.Map.empty[String, Double]
       val off = scala.collection.mutable.Map.empty[String, Double]
-      for (pass <- 1 to 4) {
-        val flag = pass % 2 == 1
-        spark.conf.set(confKey, if (flag) onVal else offVal)
+      for (pass <- 1 to nPasses) {
+        val flag = pass % 2 == 1 // odd = ON arm (status quo), even = OFF
+        confKeys.indices.foreach { i =>
+          spark.conf.set(confKeys(i), if (flag) onVals(i) else offVals(i)) }
+        val warmup = nPasses >= 5 && pass == 1
         val sink = if (flag) on else off
         names.foreach { n =>
           val t0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sfDir).count()
           val t = (System.nanoTime() - t0) / 1e9
-          sink(n) = math.min(sink.getOrElse(n, Double.MaxValue), t)
+          if (!warmup) sink(n) = math.min(sink.getOrElse(n, Double.MaxValue), t)
         }
-        println(f"PROBE cpab pass=$pass cp=$flag total=${names.map(n => sink(n)).sum}%.2f")
+        println(f"PROBE cpab pass=$pass on=$flag warmup=$warmup " +
+          f"total=${names.flatMap(sink.get).sum}%.2f")
       }
       val ratios = names.map(n => off(n) / on(n)).sorted
       println(f"PROBE cpab median off/on = ${ratios(ratios.size / 2)}%.3f " +
         f"p25=${ratios(ratios.size / 4)}%.3f p75=${ratios(3 * ratios.size / 4)}%.3f " +
         f"totalOn=${names.map(on).sum}%.2f totalOff=${names.map(off).sum}%.2f")
+      spark.stop(); return
+    }
+
+    // `Test/runMain graft.PerfProbe abba <queries|ALL> <confKeys> <onVals>
+    // <offVals>` — the drift-proof conf A/B. The pass-level cpab mode
+    // above proved inconclusive for full-registry decisions: one JVM
+    // running 245 queries keeps JIT-warming for 5+ full passes (~6% per
+    // pass), so whichever arm runs later wins at the pass level. Here the
+    // alternation is PER QUERY: each query runs ON,OFF,OFF,ON
+    // back-to-back (plus one untimed ON warmup), min per arm — the warm
+    // trend inside one query's five adjacent runs is negligible and the
+    // ABBA order cancels what remains. Reports per-query ratios and the
+    // biggest movers both ways.
+    if (args.headOption.contains("abba")) {
+      val names =
+        if (args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+        else args(1).split(',').toSeq.sorted
+      val confKeys = args(2).split(',').toSeq
+      val onVals = args(3).split(',').toSeq
+      val offVals = args(4).split(',').toSeq
+      require(confKeys.size == onVals.size && confKeys.size == offVals.size)
+      def setArm(flag: Boolean): Unit = confKeys.indices.foreach { i =>
+        spark.conf.set(confKeys(i), if (flag) onVals(i) else offVals(i)) }
+      val on = scala.collection.mutable.Map.empty[String, Double]
+      val off = scala.collection.mutable.Map.empty[String, Double]
+      names.foreach { n =>
+        def run1(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        setArm(true); run1() // untimed warmup: JIT, codegen, memo builds
+        for (flag <- Seq(true, false, false, true)) {
+          setArm(flag)
+          val t = run1()
+          val sink = if (flag) on else off
+          sink(n) = math.min(sink.getOrElse(n, Double.MaxValue), t)
+        }
+        println(f"PROBE abba $n%-26s on=${on(n)}%.3f off=${off(n)}%.3f ratio=${off(n) / on(n)}%.3f")
+      }
+      val ratios = names.map(n => off(n) / on(n)).sorted
+      println(f"PROBE abba median off/on = ${ratios(ratios.size / 2)}%.3f " +
+        f"p25=${ratios(ratios.size / 4)}%.3f p75=${ratios(3 * ratios.size / 4)}%.3f " +
+        f"totalOn=${names.map(on).sum}%.2f totalOff=${names.map(off).sum}%.2f")
+      val movers = names.sortBy(n => off(n) - on(n))
+      println("PROBE abba top regressions (off-on):")
+      movers.takeRight(8).reverse.foreach(n =>
+        println(f"  +${off(n) - on(n)}%.3f $n on=${on(n)}%.3f"))
+      println("PROBE abba top improvements (off-on):")
+      movers.take(8).foreach(n =>
+        println(f"  ${off(n) - on(n)}%.3f $n on=${on(n)}%.3f"))
+      spark.stop(); return
+    }
+
+    // `Test/runMain graft.PerfProbe passes [nPasses]` — full-registry
+    // pass-total trend + per-pass CODEGEN COMPILE attribution. The
+    // codegen class cache (`spark.sql.codegen.cache.maxEntries`, STATIC
+    // conf, default 100) is far smaller than this registry's unique
+    // generated-source count, so every pass may re-compile (Janino) and
+    // re-JIT every stage — which would explain both the per-query floor
+    // and the endless inter-pass warming that defeats pass-level A/Bs.
+    // Run under SPARK_GRAFT_CODEGEN_CACHE=100 vs =10000 and compare the
+    // compile deltas AND the late-pass totals.
+    if (args.headOption.contains("passes")) {
+      val nPasses = if (args.length > 1) args(1).toInt else 4
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      import org.apache.spark.metrics.source.CodegenMetrics
+      def compCount = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      def compMeanMs = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean
+      println(s"PROBE passes codegenCache=" +
+        spark.conf.get("spark.sql.codegen.cache.maxEntries"))
+      for (pass <- 1 to nPasses) {
+        val c0 = compCount
+        val t0 = System.nanoTime()
+        names.foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case e: Throwable => println(s"PROBE passes $n FAILED: ${e.getMessage}") }
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE passes pass=$pass total=$sec%.2f compiles=${compCount - c0} " +
+          f"meanCompileMs=$compMeanMs%.1f estCompileSec=${(compCount - c0) * compMeanMs / 1000}%.1f")
+      }
       spark.stop(); return
     }
 
