@@ -95,18 +95,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy nanos-era fixture support; Tables.load adapts per era
       .config("spark.ui.enabled", "false")
-      // AQE coalescing tuned for the bench's size regime (round 16,
-      // measured A/B at sf0.1): parallelismFirst=false lets AQE coalesce
-      // a tiny shuffle to ONE task instead of fanning it to parallelism
-      // (the per-task launch floor is ~2.6 ms × 32 tasks per exchange),
-      // and the 8 MB advisory size keeps mid-size exchanges (the pair
-      // families' candidate joins) parallel enough. Full-registry A/B:
-      // 111.8 s → 89.0 s warm pass, per-query median ratio 0.80, worst
-      // regression +0.29 s (q_tfidf_pairs), zero errors. AQE itself
-      // measured ON > OFF (off: +22 s — graph/iterative rows regress
-      // up to +4 s each), so this tunes coalescing, never disables it.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
+      // The round-16 AQE coalescing tune (parallelismFirst=false + 8 MB
+      // advisory) was REVERTED to defaults in round 17. It was adopted on
+      // a thrash-era A/B (see the codegen cache note below); re-screened
+      // with the query-level ABBA instrument AFTER the codegen fix it
+      // reads median 0.999 but TOTAL 87.9 (tuned) vs 83.1 s (defaults) —
+      // the tune's tail savings (~0.1 s × a few rows) no longer exist
+      // once stages stop paying a Janino compile, while its cost — less
+      // reduce-side parallelism on the heavy shuffle rows — remains
+      // (q_spearman −0.89, q_tfidf_pairs −0.81, q_sole_blame −0.77,
+      // q_min_cost_supplier −0.59 s with defaults). AQE itself stays ON
+      // (AQE-off measured +22 s in r16: graph/iterative rows regress).
       // constraintPropagation-off was screened and REJECTED (round 17):
       // the pass-level instrument read 0.933 for it, but that instrument
       // is warm-order-biased (see PERF.md "the instrument problem"); the

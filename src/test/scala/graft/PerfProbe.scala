@@ -20,10 +20,8 @@ object PerfProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // match the bench session's AQE coalescing tune (round 16) so probe
-      // numbers compare against BENCH_r* per-query rows
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
+      // AQE coalescing left at defaults, matching Bench (the r16 tune was
+      // reverted in round 17 after the post-codegen-fix ABBA re-screen)
       // codegen cache sized to the registry, matching Bench (round 17);
       // STATIC conf (read once at session build), env-overridable so the
       // codegen-cache experiment stays reproducible
