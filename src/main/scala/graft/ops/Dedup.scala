@@ -1334,14 +1334,15 @@ object Dedup {
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
     // The candidate self-join is the compute stage: each sh-group expands
     // to df² ordered pairs, so its cost per input byte dwarfs every other
-    // exchange here. The session's 8 MB AQE advisory (tuned for plain
-    // exchanges) coalesces this join's input to a couple of tasks and the
-    // expansion serializes — the r16 A/B's one measured regression
-    // (+0.29 s). An explicit numbered repartition is exempt from AQE
-    // coalescing and both self-join sides reuse the ONE pinned exchange;
-    // width is stats-derived (slot floor here; grows with the corpus).
+    // exchange here. An explicit width pin lived here briefly (round 17)
+    // as a workaround for the round-16 8 MB AQE advisory serializing the
+    // expansion; that advisory tune is reverted, and under default AQE
+    // (parallelismFirst=true never coalesces below the slot count) the
+    // pin only forced an extra exchange — measured at sf1x it throttled
+    // the pair expansion to the slot floor (31.8 s vs ~12 s). The plain
+    // shuffle join lets AQE size the exchange from the actual postings
+    // volume at every scale; both self-join sides reuse the one exchange.
     val post = w.filter(col("df") >= 2).select(col("doc_id"), col("sh"), col("w"))
-      .repartition(graft.ops.Helpers.shuffleWidthFor(w), col("sh"))
     val dot = post.as("a")
       .join(post.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
