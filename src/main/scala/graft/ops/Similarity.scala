@@ -1441,15 +1441,13 @@ object Similarity {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1, got ef=$ef k=$k")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    // checkpoint the bounded query frame ONCE (round 17): every hop and
-    // beam round broadcasts it, and without the barrier each of those
-    // ~(levels·hops + beamRounds) broadcast builds re-ran the corpus
-    // scan + filter to re-derive the same nQueries rows — the job-count
-    // probe read the search at 39 scheduler jobs for 0.55 s of task
-    // time (floor-bound, not compute-bound)
+    // the bounded query frame is read exactly once (the entry cursor
+    // below carries qv/qn from there on), so it no longer needs its own
+    // checkpoint job — the cursor checkpoint materializes it in the same
+    // action (round 17; the earlier checkpoint-q form existed because
+    // every hop re-broadcast this frame)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      .localCheckpoint()
     // entry point: the highest-level node, smallest id on ties — a driver
     // scalar pair, one bounded job over the (level, vec_id) projection.
     // An edgeless graph (≤1-vector corpus) degenerates to a flat scan
@@ -1465,26 +1463,41 @@ object Similarity {
     // no graph-sized shuffle anywhere in the search. A hop scores its
     // candidates straight off the adjacency rows' carried vectors (no
     // corpus join per step — the build paid it once).
-    def simTo(cands: DataFrame): DataFrame = e
-      .select(col("vec_id").as("cid"), col("v"), col("nrm"))
-      .join(broadcast(cands), "cid")
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    //
+    // The frontier rows also CARRY their query vector + norm (round 17,
+    // second job trim): attaching qv/qn by a second broadcast join of
+    // the checkpointed query table cost one extra broadcast-build JOB
+    // per hop and per beam round — on a search the job-count probe read
+    // as floor-bound (40 jobs / 0.56 s task time), that build was pure
+    // scheduler floor. Carrying 64 doubles on ≤ queries × ef rows is
+    // kilobytes of broadcast payload; the scoring expression is
+    // unchanged, so every sim is bit-identical to the two-join form.
     def hop(frontier: DataFrame, l: Int): DataFrame =
       graph.filter(col("level") === l)
         .select(col("vec_id").as("cid"), col("neighbor_id"), col("nv"), col("nnrm"))
-        .join(broadcast(frontier.select(col("qid"), col("cid"))), "cid")
-        .join(broadcast(q), "qid")
+        .join(broadcast(frontier.select(col("qid"), col("cid"),
+          col("qv"), col("qn"))), "cid")
         .select(col("qid"), col("neighbor_id").as("cid"),
-          (dot(col("qv"), col("nv")) / (col("qn") * col("nnrm"))).as("sim"))
-    // cursor: (qid, cid, sim), one row per query
-    var cur = simTo(q.select(col("qid")).withColumn("cid", lit(entry)))
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nnrm"))).as("sim"),
+          col("qv"), col("qn"))
+    // cursor: (qid, cid, sim, qv, qn), one row per query. The entry
+    // point is a single corpus row, so the initial scores come from one
+    // broadcast of that row against the query table — not a corpus join.
+    var cur = q.crossJoin(broadcast(e.filter(col("vec_id") === entry)
+        .select(col("vec_id").as("cid"), col("v"), col("nrm"))))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"),
+        col("qv"), col("qn"))
       .localCheckpoint()
+    // qv/qn ride the argmin struct behind the (ns, c) key: within one
+    // qid group every row carries the SAME qv/qn, so they can never
+    // influence the comparison — they are along for the ride, not keys.
     def best(cands: DataFrame): DataFrame = cands
       .groupBy("qid")
-      .agg(min(struct((-col("sim")).as("ns"), col("cid").as("c"))).as("b"))
-      .select(col("qid"), col("b.c").as("cid"), (-col("b.ns")).as("sim"))
+      .agg(min(struct((-col("sim")).as("ns"), col("cid").as("c"),
+        col("qv").as("qv"), col("qn").as("qn"))).as("b"))
+      .select(col("qid"), col("b.c").as("cid"), (-col("b.ns")).as("sim"),
+        col("b.qv").as("qv"), col("b.qn").as("qn"))
     // checkpoint per hop: each hop's plan embeds the cursor TWICE (the
     // stay-option union + the broadcast frontier), so un-checkpointed
     // hops nest the previous hop's three broadcast builds exponentially
@@ -1505,8 +1518,12 @@ object Similarity {
     for (_ <- 1 to beamRounds) {
       val expanded = hop(beam, 0)
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      // max(qv)/max(qn) are constant-folds, not choices: every row of a
+      // (qid, cid) group carries the same query vector, so the aggregate
+      // just keeps qv/qn on the frame without a re-attach join
       val next = beam.unionByName(expanded)
-        .groupBy("qid", "cid").agg(max("sim").as("sim"))
+        .groupBy("qid", "cid").agg(max("sim").as("sim"),
+          max("qv").as("qv"), max("qn").as("qn"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= ef).drop("rn")
         .localCheckpoint()
