@@ -1303,7 +1303,8 @@ object Stats {
   private def prefixSumsAsc(perV: DataFrame, sumCols: Seq[String],
                             buckets: Int = 10000,
                             smallCutoff: Long = 262144L,
-                            partCols: Seq[String] = Nil): DataFrame = {
+                            partCols: Seq[String] = Nil,
+                            knownCount: Option[Long] = None): DataFrame = {
     // `partCols` (round 16, the grouped-test extension): prefix sums
     // restart per partition-key combination — every window below gains
     // the partition columns, the bucket bounds/offsets become per-group
@@ -1316,7 +1317,11 @@ object Stats {
     // column would blow the broadcast build; callers (mannWhitneyUBy /
     // ksTestBy) state the same bound on their byCol.
     val pc = partCols.map(col)
-    if (perV.count() <= smallCutoff) {
+    // `knownCount`: a caller that already counted the checkpointed table
+    // for its own sizing decision (spearmanCorr's broadcast test) passes
+    // the number in — the recount was one redundant scheduler job per
+    // call on a path the job probe reads as floor-bound
+    if (knownCount.getOrElse(perV.count()) <= smallCutoff) {
       val w = Window.partitionBy(pc: _*).orderBy(col("_v").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
       return sumCols.foldLeft(perV) { (d, c) =>
@@ -1868,14 +1873,20 @@ object Stats {
       col("_t").cast(dec) + lit(1).cast(dec))
     val perX = rows.groupBy(col("_x").as("_v")).agg(count(lit(1)).as("_t"))
       .localCheckpoint()
-    val rx0 = prefixSumsAsc(perX, Seq("_t"), buckets, smallCutoff)
+    // ONE count of the checkpointed x-value table serves both sizing
+    // decisions below (the broadcast test here and the prefix engine's
+    // small-path cutoff via knownCount) — the second count was a
+    // redundant scheduler job on a floor-bound row (20 jobs measured)
+    val nX = perX.count()
+    val rx0 = prefixSumsAsc(perX, Seq("_t"), buckets, smallCutoff,
+      knownCount = Some(nX))
       .select(col("_v").as("_x"), col("_t").cast(dec).as("_tx"),
         r2Expr.as("_r2x"))
     // a MEASURED-small rank table broadcasts (the checkpoint count is
     // free), so the fact side never shuffles for its rank lookup; a
     // high-cardinality x domain keeps the hash join (still one fewer
     // fact shuffle than the symmetric form)
-    val rx = if (perX.count() <= smallCutoff) broadcast(rx0) else rx0
+    val rx = if (nX <= smallCutoff) broadcast(rx0) else rx0
     // x moments reduce over the x VALUE table — never the fact
     val xm = rx0.agg(
       coalesce(sum(col("_tx") * col("_r2x")), lit(0).cast(dec)).as("_sx"),
