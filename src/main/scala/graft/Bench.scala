@@ -417,11 +417,32 @@ object Bench {
     // plans remain after the last timed rep)
     ops.ProbeCache.clear()
     spark.stop()
-    writeSidecar(shortLine, longLine)
-    // short line BEFORE and AFTER the long per-query line: whichever end a
-    // log-tail capture keeps, one complete parseable JSON line survives
+    // COMPACT per-query line (round 18, VERDICT r17 #6): the long line's
+    // queries map never survived the driver's tail window in r16/r17
+    // (PERF_r16/r17 both ended with per_query: {}), because first_runs +
+    // memoized maps + passes push it to ~20 KB. This line carries ONLY the
+    // contract keys plus the per-query mins rounded to 1 ms (full precision
+    // stays in the long line and the sidecar), ~6 KB, and is emitted as the
+    // FINAL stdout line so a tail capture big enough to hold it parses a
+    // line WITH the queries map. The short total-only line directly before
+    // it keeps the round-1 guarantee: whichever prefix of the final lines a
+    // smaller window keeps, one complete parseable JSON line survives.
+    def r3q(d: Double): Double = math.rint(d * 1000) / 1000
+    val qsCompact = ok.map { case (k, (_, mn, _)) => s""""$k":${r3q(mn)}""" }
+      .mkString("{", ",", "}")
+    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qsCompact,"errors":$es,"sf":${jstr(sfDir)},""" +
+      s""""n_queries":${results.size},"n_registry":${SparkEntry.queries.size},""" +
+      s""""no_memo":$noMemo,"n_errors":${errsSeq.size},"reps":$reps,"cpus":$cpus,""" +
+      s""""calib_sec":$calib,"calib_end_sec":$calibEnd,"calib_hot":$calibLoadedAny,""" +
+      s""""n_passes":${passes.size},"n_clean_passes":$nCleanPasses,""" +
+      s""""n_memoized":${memoized.size},"compact":true$filterDesc}"""
+    writeSidecar(shortLine, longLine, compactLine)
+    // short line, long per-query line, short line again (the pre-r18
+    // protocol, unchanged), then the compact per-query line LAST
     println(shortLine)
     println(longLine)
     println(shortLine)
+    println(compactLine)
   }
 }

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy nanos-era fixture support; Tables.load adapts per era
       .config("spark.ui.enabled", "false")
+      // codegen class cache sized to the registry (round 18, same honest
+      // fixed-capacity sizing as Bench/TestSpark since the round-17 find):
+      // one Verify run executes all 245 queries — thousands of codegen
+      // units against the 100-entry default cache re-ran Janino per plan
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

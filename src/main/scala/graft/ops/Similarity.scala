@@ -1320,6 +1320,12 @@ object Similarity {
     * PURE FUNCTION of the corpus: rebuildable, spec-able, no RNG state
     * shipped between executors.
     */
+  /** Test-only accessor for [[hnswLevel]] (the fused-build parity spec
+    * replays the pre-r18 per-layer reference loop and needs the identical
+    * level assignment). */
+  private[graft] def hnswLevelForTest(mL: Double, maxLevel: Int): Column =
+    hnswLevel(mL, maxLevel)
+
   private def hnswLevel(mL: Double, maxLevel: Int): Column = {
     val u = (pmod(xxhash64(col("vec_id"), lit(0x9e51L)), lit(1L << 31)) + 1)
       .cast("double") / lit((1L << 31).toDouble)
@@ -1369,23 +1375,78 @@ object Similarity {
     val lvl = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("level", hnswLevel(mL, maxLevel))
       .localCheckpoint()
-    val lMax = lvl.agg(coalesce(max("level"), lit(0))).head().getInt(0)
-    val layers = (0 to lMax).map { l =>
-      val members = lvl.filter(col("level") >= l).select("vec_id", "embedding")
-      val mmax = if (l == 0) 2 * m else m
-      // membership count is a block-read over the checkpoint (cheap); it
-      // picks the exact path for every layer that fits, the banded LSH
-      // path beyond (with the corpus-adaptive signature width the
-      // registered q_knn_graph_lsh uses — fixed bits would let bucket
-      // populations, and so candidate volume, grow linearly with n)
-      val nMembers = members.count()
-      val knn =
-        if (nMembers <= exactCap) knnGraph(members, mmax)
-        else knnGraphLsh(members, mmax, nTables,
-          scaledBits(bitsPerTable, 512L, nMembers))
+    // ONE bounded collect (per-level histogram, ≤ maxLevel+1 rows) replaces
+    // the lMax aggregate plus the per-layer membership count jobs (round 18
+    // job-floor trim): every layer's member count is a suffix sum of the
+    // histogram, and the exact-vs-LSH path decision per layer is unchanged.
+    val hist = lvl.groupBy("level").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lMax = if (hist.isEmpty) 0 else hist.keys.max
+    val nAtOrAbove: Map[Int, Long] =
+      (0 to lMax).map(l => l -> (l to lMax).map(h => hist.getOrElse(h, 0L)).sum).toMap
+    def mmaxOf(l: Int): Int = if (l == 0) 2 * m else m
+    // Fused exact layers (round 18, the VERDICT r16/r17 "per-layer kNN"
+    // lever): layer memberships shrink geometrically (M^−l) and are NESTED
+    // (members(l+1) ⊆ members(l)), so every layer small enough for the
+    // exact path shares one pairwise-similarity computation — a pair
+    // (i, j) is a candidate in exactly the layers l ≤ min(level_i,
+    // level_j). One block join over the largest exact layer's members +
+    // one per-(level, node) window replaces a separate knnGraph build
+    // (block join, window, orderBy — each its own AQE job tree) per
+    // layer. Per-layer results are bit-identical to knnGraph(members(l),
+    // mmax): the same pair set, the same raw-cosine ordering with the
+    // same id tiebreak, the same round-6 output — pinned by
+    // SimilaritySpec's fused-vs-loop parity test.
+    val exactL0 = (0 to lMax).find(l => nAtOrAbove(l) <= exactCap)
+    val mmaxCol = when(col("level") === 0, lit(2 * m)).otherwise(lit(m))
+    val fusedPart = exactL0.map { l0 =>
+      val nBlocks = 32 // knnGraph's block-join width
+      val mem = lvl.filter(col("level") >= l0)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("level"))
+        .withColumn("nrm", norm(col("v")))
+      val own = mem.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("level").as("lb"),
+        pmod(col("vec_id"), lit(nBlocks.toLong)).as("blk"))
+      val repl = mem.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na"), col("level").as("la"))
+        .withColumn("blk", explode(array((0 until nBlocks).map(b => lit(b.toLong)): _*)))
+        .repartition(nBlocks, col("blk"))
+      val und = repl.join(own, repl("blk") === own("blk") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"),
+          least(col("la"), col("lb")).as("lmin"))
+      val directed = und.unionByName(und.select(col("id_b").as("id_a"),
+          col("id_a").as("id_b"), col("sim"), col("lmin")))
+        .select(col("id_a"), col("id_b"), col("sim"),
+          explode(sequence(lit(l0), col("lmin"))).as("level"))
+      val w1 = Window.partitionBy("level", "id_a").orderBy(col("sim").desc, col("id_b"))
+      val knnL = directed.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") <= mmaxCol)
+        .select(col("level"), col("id_a").as("vec_id"),
+          col("id_b").as("neighbor_id"), round(col("sim"), 6).as("sim"))
       // symmetrize, then re-cap by similarity so no node exceeds mmax —
       // dedup BEFORE the window (an edge found in both directions must
-      // not occupy two of the cap's slots)
+      // not occupy two of the cap's slots); keyed by level so the fused
+      // frame replays each layer's window exactly
+      val sym = knnL.unionByName(knnL.select(col("level"),
+          col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+          col("sim")))
+        .groupBy("level", "vec_id", "neighbor_id").agg(max("sim").as("sim"))
+      val w2 = Window.partitionBy("level", "vec_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      sym.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= mmaxCol)
+        .select(col("level"), col("vec_id"), col("neighbor_id"), col("sim"))
+    }
+    // layers too large for the exact path (at fixture scale: at most the
+    // base layer; at 100 TB: layers 0..~2) keep the banded-LSH build with
+    // the corpus-adaptive signature width — fixed bits would let bucket
+    // populations, and so candidate volume, grow linearly with n
+    val lshLayers = (0 until exactL0.getOrElse(lMax + 1)).map { l =>
+      val members = lvl.filter(col("level") >= l).select("vec_id", "embedding")
+      val mmax = mmaxOf(l)
+      val knn = knnGraphLsh(members, mmax, nTables,
+        scaledBits(bitsPerTable, 512L, nAtOrAbove(l)))
       val undirected = knn.select(col("vec_id"), col("neighbor_id"), col("sim"))
         .unionByName(knn.select(col("neighbor_id").as("vec_id"),
           col("vec_id").as("neighbor_id"), col("sim")))
@@ -1395,6 +1456,7 @@ object Similarity {
         .filter(col("rn") <= mmax)
         .select(lit(l).as("level"), col("vec_id"), col("neighbor_id"), col("sim"))
     }
+    val layers = lshLayers ++ fusedPart.toSeq
     // the index carries each neighbor's vector + norm (the standard
     // vector-store trade — HNSW stores vectors with the graph): a search
     // hop then scores candidates straight off the adjacency rows, with no

@@ -13,6 +13,15 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy nanos-era fixture support; Tables.load adapts per era
       .config("spark.ui.enabled", "false")
+      // Codegen class cache sized to the suite (round 18, from the round-17
+      // bench find): the 523-test suite generates thousands of unique
+      // codegen units in ONE shared session against a default cache of 100
+      // entries, so the suite re-ran Janino continuously and no generated
+      // class ever went JIT-hot — the same thrash mechanism measured in the
+      // bench (2.8k recompiles/pass at cache=100, ~0 at 10000). VERDICT r17
+      // #2 requires the suite to finish inside the driver's window; this is
+      // the largest single lever and changes no test semantics.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -527,6 +527,42 @@ class SimilaritySpec extends SparkSpec {
       "hnswGraph must be partitioning-invariant")
   }
 
+  test("hnswGraph: fused exact-layer build equals the per-layer knnGraph loop") {
+    // round 18: the build fuses every exact-path layer into one block join
+    // + per-(level, node) window. This pins bit-identical parity against
+    // the pre-r18 reference formulation — a separate knnGraph build and
+    // symmetrize/re-cap per layer — over the full fixture corpus.
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+    val m = 8
+    val fused = Similarity.hnswGraph(e, m)
+    // reference: the pre-r18 per-layer loop (exact path only — the fixture
+    // corpus sits under exactCap at every layer, as the build's own path
+    // decision requires for this comparison to cover the fused code)
+    val mL = 1.0 / math.log(m.toDouble)
+    val lvl = e.select(col("vec_id"), col("embedding"))
+      .withColumn("level", Similarity.hnswLevelForTest(mL, 6))
+    val lMax = lvl.agg(max("level")).head().getInt(0)
+    val reference = (0 to lMax).map { l =>
+      val members = lvl.filter(col("level") >= l).select("vec_id", "embedding")
+      val mmax = if (l == 0) 2 * m else m
+      assert(members.count() <= 4096L, "fixture layer must take the exact path")
+      val knn = Similarity.knnGraph(members, mmax)
+      val undirected = knn.select(col("vec_id"), col("neighbor_id"), col("sim"))
+        .unionByName(knn.select(col("neighbor_id").as("vec_id"),
+          col("vec_id").as("neighbor_id"), col("sim")))
+        .groupBy("vec_id", "neighbor_id").agg(max("sim").as("sim"))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+      undirected.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= mmax)
+        .select(lit(l).as("level"), col("vec_id"), col("neighbor_id"), col("sim"))
+    }.reduce(_ unionByName _)
+    val fusedAdj = fused.select("level", "vec_id", "neighbor_id", "sim")
+    assert(fusedAdj.exceptAll(reference).isEmpty &&
+      reference.exceptAll(fusedAdj).isEmpty,
+      "fused exact-layer build must equal the per-layer knnGraph loop")
+  }
+
   test("hnswRecallReport: recall + coverage floors hold; search sims never beat exact") {
     val e = Tables.embeddings(spark, sfDir)
     val report = Similarity.hnswRecallReport(e, 20, 5).collect()
