@@ -1657,8 +1657,21 @@ object Graph {
     */
   def edgeEmbeddedness(edgeList: DataFrame,
                        corners: Option[DataFrame] = None): DataFrame = {
-    val e = Helpers.releaseAfterFirstAction(canonicalEdges(edgeList).persist())
-    val deg = degreesOf(e)
+    // Degree table materialized EAGERLY over the cached canonical edges
+    // (round 18): the two aliased degree lookups below plan as two
+    // broadcast exchanges, and broadcast subtrees execute on concurrent
+    // threads BEFORE the main action materializes the edge cache — so
+    // each broadcast build recomputed the full canonicalEdges distinct +
+    // degree aggregate from scratch (the r18 stage probe put ~all of this
+    // query's summed task time in exactly those two 64-task broadcast
+    // stages). The checkpoint primes the edge cache once (its own single
+    // consumer — no race) and turns both broadcast builds into bounded
+    // block reads; e's cache is released after its second touching
+    // action (the primer, then the query's own), the checkpoint after
+    // its first (the query's).
+    val e = Helpers.releaseAfterActions(canonicalEdges(edgeList).persist(), 2)
+    val deg = Helpers.releaseCheckpointAfterFirstAction(
+      degreesOf(e).localCheckpoint())
     def cedge(p: Column, q: Column): Column =
       struct(least(p, q).as("a"), greatest(p, q).as("b"))
     val common = corners.getOrElse(cornersFrom(e, deg))
@@ -1702,8 +1715,14 @@ object Graph {
     * — nothing collected, no driver loop.
     */
   def degreeAssortativity(edgeList: DataFrame): DataFrame = {
-    val e = Helpers.releaseAfterFirstAction(canonicalEdges(edgeList).persist())
-    val deg = degreesOf(e)
+    // same primed-degree shape as [[edgeEmbeddedness]] (round 18): the two
+    // aliased degree joins broadcast-build concurrently and each
+    // recomputed the canonical-edge distinct + degree aggregate before
+    // the main action could materialize the cache; the eager checkpoint
+    // computes that mass exactly once
+    val e = Helpers.releaseAfterActions(canonicalEdges(edgeList).persist(), 2)
+    val deg = Helpers.releaseCheckpointAfterFirstAction(
+      degreesOf(e).localCheckpoint())
     val dec = DecimalType(38, 0)
     val x = col("da").cast(dec)
     val y = col("db").cast(dec)

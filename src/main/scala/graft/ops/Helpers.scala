@@ -205,12 +205,26 @@ object Helpers {
     * corruption); if a caller needs N guaranteed cached consumptions it
     * should persist/unpersist explicitly at its own scope.
     */
-  def releaseAfterFirstAction(cached: DataFrame): DataFrame = {
+  def releaseAfterFirstAction(cached: DataFrame): DataFrame =
+    releaseAfterActions(cached, 1)
+
+  /** [[releaseAfterFirstAction]] generalized to the nth touching action
+    * (round 18): an operator that PRIMES a persisted frame with its own
+    * internal eager materialization (e.g. a localCheckpoint of a derived
+    * table, taken precisely so concurrent broadcast-exchange threads do
+    * not race to recompute the shared input) consumes one action before
+    * the query's real action ever runs — releasing on the first touch
+    * would evict the cache between the primer and the consumer. The
+    * release fires after the nth completed action (success or failure)
+    * whose analyzed plan embeds the cached frame's plan.
+    */
+  def releaseAfterActions(cached: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
     val spark = cached.sparkSession
     val target = cached.queryExecution.analyzed
     val lm = spark.listenerManager
     val listener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
       private def maybeRelease(qe: QueryExecution): Unit = {
         // the consumer was built FROM the cached frame, so its analyzed plan
         // embeds the cached plan as a subtree (cache substitution happens
@@ -218,7 +232,7 @@ object Helpers {
         val touches =
           try qe.analyzed.exists(_.sameResult(target))
           catch { case _: Throwable => false }
-        if (touches && done.compareAndSet(false, true)) {
+        if (touches && seen.incrementAndGet() == n) {
           cached.unpersist(blocking = false)
           lm.unregister(this)
         }
@@ -230,5 +244,42 @@ object Helpers {
     }
     lm.register(listener)
     cached
+  }
+
+  /** Release a localCheckpoint's blocks after the first completed action
+    * that embeds it — the checkpoint analog of [[releaseAfterFirstAction]]
+    * for operators that return a LAZY frame built over an internal eager
+    * checkpoint and so have no in-band release point (round 18; previously
+    * such blocks waited on GC/ContextCleaner). Sharper caveat than the
+    * persist variant: a released localCheckpoint CANNOT be recomputed
+    * (lineage is truncated), so this must only wrap checkpoints whose
+    * single consuming action is the query's terminal action — never a
+    * frame a caller may run twice. Every registered query builds fresh
+    * frames per execution (`fn(spark, sfDir)`), so per-execution internal
+    * checkpoints satisfy this by construction.
+    */
+  def releaseCheckpointAfterFirstAction(ck: DataFrame): DataFrame = {
+    val spark = ck.sparkSession
+    val target = ck.queryExecution.analyzed
+    val lm = spark.listenerManager
+    val listener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val touches =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => false }
+        if (touches && done.compareAndSet(false, true)) {
+          try org.apache.spark.sql.GraftSqlBridge.releaseLocalCheckpoint(ck)
+          catch { case _: Throwable => () }
+          lm.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    lm.register(listener)
+    ck
   }
 }

@@ -983,6 +983,39 @@ object PerfProbe {
       spark.stop(); return
     }
 
+    // basket-graph mass decomposition: `Test/runMain graft.PerfProbe graphmass`
+    if (args.headOption.contains("graphmass")) {
+      import graft.core.Tables
+      import graft.ops.Graph
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sfDir)
+      def t(label: String)(f: => Long): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"PROBE graphmass $label%-24s ${ts.map(x => f"${x._1}%.2f").mkString(" ")}s rows=${ts.head._2}")
+      }
+      val raw = Graph.basketEdges(li)
+      t("rawPairs")(raw.count())
+      val rawCk = raw.localCheckpoint()
+      t("rawCk re-read")(rawCk.count())
+      val e = Graph.canonicalEdges(rawCk)
+      t("canonical distinct")(e.count())
+      val eCk = e.localCheckpoint()
+      t("degrees")(eCk.select(col("a").as("node")).unionByName(eCk.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")).count())
+      val corners = Graph.triangleCorners(rawCk)
+      t("corners")(corners.count())
+      val cornersCk = corners.localCheckpoint()
+      t("common (explode+agg)")(cornersCk.select(explode(array(
+          struct(least(col("u"), col("x")).as("a"), greatest(col("u"), col("x")).as("b")),
+          struct(least(col("u"), col("y")).as("a"), greatest(col("u"), col("y")).as("b")),
+          struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")))).as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common")).count())
+      spark.stop(); return
+    }
+
     // ad-hoc mode: `Test/runMain graft.PerfProbe q_x q_y` times just those
     if (args.nonEmpty) { args.foreach(timeQ(_)); spark.stop(); return }
 
